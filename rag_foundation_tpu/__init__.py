@@ -1,0 +1,17 @@
+"""rag_foundation_tpu — a TPU-native multi-tenant RAG framework.
+
+Re-implements the capability surface of the reference app (a FastAPI +
+Gemini-File-Search RAG service, see SURVEY.md) as two planes:
+
+- **device data plane** (`ops/`, `models/`, `parallel/`, `engine/`):
+  a JAX/XLA/Pallas vector index-and-query engine — sentence encoder,
+  HBM-resident exact / IVF-Flat / IVF-PQ indexes, fused matmul+top-k
+  kernels, and pjit/shard_map multi-chip sharding with ICI top-k merge.
+- **host control plane** (`runtime/`, `app/`):
+  an asyncio HTTP/SSE server, sqlite persistence, a durable job queue,
+  JWT auth, tenancy, budgets, and Prometheus/JSON observability —
+  built on the Python stdlib (no FastAPI/SQLAlchemy/Redis available in
+  this environment, and none needed).
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,12 @@
+"""The TPU index-and-query engine (device data plane).
+
+Replaces the reference's hosted Gemini File Search layer
+(/root/reference/backend/app/services/gemini_rag.py:242-599) with an
+in-process engine: encoder -> index (exact / IVF-Flat / IVF-PQ) ->
+kernels -> mesh. The host control plane (`rag_foundation_tpu.app`)
+talks to this through `engine.api.Engine`.
+"""
+
+from rag_foundation_tpu.engine.api import Engine, EngineConfig, SearchHit
+
+__all__ = ["Engine", "EngineConfig", "SearchHit"]

@@ -1,0 +1,249 @@
+"""Engine facade — the narrow API the host control plane programs against.
+
+Plays the role of the reference's ``GeminiRag`` client
+(/root/reference/backend/app/services/gemini_rag.py:242-599), but the
+"provider" is in-process: stores are per-tenant index namespaces, document
+ingestion chunks + embeds + inserts on device, and queries run the
+exact/IVF top-k path. The app layer selects this or the deterministic
+mock exactly like the reference's ``get_rag_client``
+(gemini_rag.py:721-726).
+
+Thread model: the HTTP server and worker call in from multiple threads;
+each store serializes mutation under its own lock, searches are lock-free
+against the latest published segment state.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+
+from rag_foundation_tpu.engine.chunker import Chunk, chunk_text
+from rag_foundation_tpu.engine.segments import VectorSegment
+from rag_foundation_tpu.models.hash_encoder import HashingEncoder
+
+
+@dataclass(frozen=True)
+class SearchHit:
+    store_key: str
+    doc_id: str
+    doc_name: str
+    chunk_id: int
+    text: str
+    score: float
+    start: int
+    end: int
+    ordinal: int
+
+
+@dataclass
+class EngineConfig:
+    dim: int = 384
+    chunk_tokens: int = 200
+    chunk_overlap: int = 40
+    encoder: str = "hash"          # "hash" | "minilm"
+    index_mode: str = "exact"      # "exact" | "ivf_flat" | "ivf_pq"
+    data_dir: str | None = None    # checkpoint root; None = memory-only
+
+
+@dataclass
+class _ChunkMeta:
+    doc_id: str
+    doc_name: str
+    text: str
+    start: int
+    end: int
+    ordinal: int
+
+
+@dataclass
+class _Store:
+    key: str
+    segment: VectorSegment
+    chunks: dict[int, _ChunkMeta] = field(default_factory=dict)
+    next_chunk_id: int = 0
+    lock: threading.Lock = field(default_factory=threading.Lock)
+    created_at: float = field(default_factory=time.time)
+
+
+class StoreNotFound(KeyError):
+    pass
+
+
+def _make_encoder(cfg: EngineConfig):
+    if cfg.encoder == "hash":
+        return HashingEncoder(dim=cfg.dim)
+    if cfg.encoder == "minilm":
+        from rag_foundation_tpu.models.encoder import MiniLMEncoder
+        return MiniLMEncoder(dim=cfg.dim)
+    raise ValueError(f"unknown encoder {cfg.encoder!r}")
+
+
+class Engine:
+    """In-process TPU index-and-query engine."""
+
+    def __init__(self, config: EngineConfig | None = None):
+        self.config = config or EngineConfig()
+        self.encoder = _make_encoder(self.config)
+        self._stores: dict[str, _Store] = {}
+        self._registry_lock = threading.Lock()
+        if self.config.data_dir:
+            self._load_all()
+
+    # -- store lifecycle ---------------------------------------------------
+    def create_store(self, key: str) -> None:
+        with self._registry_lock:
+            if key in self._stores:
+                raise ValueError(f"store {key!r} already exists")
+            self._stores[key] = _Store(
+                key=key, segment=VectorSegment(self.config.dim))
+
+    def delete_store(self, key: str) -> None:
+        with self._registry_lock:
+            self._stores.pop(key, None)
+        if self.config.data_dir:
+            p = self._store_dir(key)
+            for f in ("vectors.npz", "meta.json"):
+                try:
+                    (p / f).unlink()
+                except FileNotFoundError:
+                    pass
+
+    def list_stores(self) -> list[str]:
+        return sorted(self._stores)
+
+    def has_store(self, key: str) -> bool:
+        return key in self._stores
+
+    def _store(self, key: str) -> _Store:
+        try:
+            return self._stores[key]
+        except KeyError:
+            raise StoreNotFound(key) from None
+
+    # -- ingestion (the write path) -----------------------------------------
+    def ingest_document(self, store_key: str, doc_id: str, doc_name: str,
+                        text: str) -> dict:
+        """Chunk + embed + insert one document. Returns ingestion stats.
+
+        Idempotent per ``doc_id``: re-ingesting deletes prior chunks first
+        (mirrors the reference worker's idempotency gates,
+        /root/reference/backend/app/services/ingestion.py:181-208).
+        """
+        store = self._store(store_key)
+        chunks = chunk_text(text, max_tokens=self.config.chunk_tokens,
+                            overlap_tokens=self.config.chunk_overlap)
+        with store.lock:
+            self._delete_doc_locked(store, doc_id)
+            if chunks:
+                vecs = self.encoder.encode([c.text for c in chunks])
+                ids = np.arange(store.next_chunk_id,
+                                store.next_chunk_id + len(chunks), dtype=np.int64)
+                store.next_chunk_id += len(chunks)
+                for cid, c in zip(ids, chunks):
+                    store.chunks[int(cid)] = _ChunkMeta(
+                        doc_id=doc_id, doc_name=doc_name, text=c.text,
+                        start=c.start, end=c.end, ordinal=c.ordinal)
+                store.segment.add(vecs, ids)
+            if self.config.data_dir:
+                self._save_store(store)
+        return {"chunks": len(chunks),
+                "vectors": len(chunks),
+                "dim": self.config.dim}
+
+    def _delete_doc_locked(self, store: _Store, doc_id: str) -> None:
+        dead = {cid for cid, m in store.chunks.items() if m.doc_id == doc_id}
+        if dead:
+            store.segment.delete_ids(dead)
+            for cid in dead:
+                del store.chunks[cid]
+
+    def delete_document(self, store_key: str, doc_id: str) -> None:
+        store = self._store(store_key)
+        with store.lock:
+            self._delete_doc_locked(store, doc_id)
+            if self.config.data_dir:
+                self._save_store(store)
+
+    def store_stats(self, store_key: str) -> dict:
+        store = self._store(store_key)
+        return {"documents": len({m.doc_id for m in store.chunks.values()}),
+                "chunks": len(store.chunks),
+                "capacity": store.segment.capacity}
+
+    # -- query (the hot path) ------------------------------------------------
+    def search(self, store_keys: list[str], query: str, k: int = 5
+               ) -> list[SearchHit]:
+        """Embed the query, top-k scan each store, merge host-side."""
+        qv = self.encoder.encode([query])
+        hits: list[SearchHit] = []
+        for key in store_keys:
+            store = self._store(key)
+            scores, cids = store.segment.search(qv, min(k, max(1, k)))
+            for score, cid in zip(scores[0], cids[0]):
+                if cid < 0 or not np.isfinite(score):
+                    continue
+                meta = store.chunks.get(int(cid))
+                if meta is None:
+                    continue
+                hits.append(SearchHit(
+                    store_key=key, doc_id=meta.doc_id, doc_name=meta.doc_name,
+                    chunk_id=int(cid), text=meta.text, score=float(score),
+                    start=meta.start, end=meta.end, ordinal=meta.ordinal))
+        hits.sort(key=lambda h: (-h.score, h.store_key, h.chunk_id))
+        return hits[:k]
+
+    def search_batch(self, store_key: str, queries: list[str], k: int = 10
+                     ) -> tuple[np.ndarray, np.ndarray]:
+        """Batched raw search for benchmarking: (scores [Q,k], chunk_ids)."""
+        qv = self.encoder.encode(queries)
+        return self._store(store_key).segment.search(qv, k)
+
+    # -- checkpoint / resume --------------------------------------------------
+    # The reference's analog is the ingestion state machine + GCS archive
+    # (SURVEY.md §5 "Checkpoint / resume"); here the index itself is durable.
+    def _store_dir(self, key: str) -> Path:
+        safe = key.replace("/", "_")
+        p = Path(self.config.data_dir) / "stores" / safe
+        p.mkdir(parents=True, exist_ok=True)
+        return p
+
+    def _save_store(self, store: _Store) -> None:
+        p = self._store_dir(store.key)
+        st = store.segment.state()
+        np.savez_compressed(p / "vectors.npz",
+                            vectors=st["vectors"], ids=st["ids"])
+        meta = {
+            "key": store.key,
+            "dim": self.config.dim,
+            "next_chunk_id": store.next_chunk_id,
+            "chunks": {str(cid): vars(m) for cid, m in store.chunks.items()},
+        }
+        tmp = p / "meta.json.tmp"
+        tmp.write_text(json.dumps(meta))
+        tmp.replace(p / "meta.json")
+
+    def _load_all(self) -> None:
+        root = Path(self.config.data_dir) / "stores"
+        if not root.exists():
+            return
+        for d in sorted(root.iterdir()):
+            meta_f = d / "meta.json"
+            vec_f = d / "vectors.npz"
+            if not (meta_f.exists() and vec_f.exists()):
+                continue
+            meta = json.loads(meta_f.read_text())
+            with np.load(vec_f) as z:
+                seg = VectorSegment.from_state(
+                    {"vectors": z["vectors"], "ids": z["ids"],
+                     "dim": meta["dim"]})
+            store = _Store(key=meta["key"], segment=seg,
+                           next_chunk_id=meta["next_chunk_id"])
+            store.chunks = {int(cid): _ChunkMeta(**m)
+                            for cid, m in meta["chunks"].items()}
+            self._stores[meta["key"]] = store

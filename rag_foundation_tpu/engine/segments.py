@@ -1,0 +1,182 @@
+"""Streaming-insert vector segments over immutable XLA buffers.
+
+XLA device arrays are immutable, so a mutable vector store is built from
+preallocated segments updated with ``dynamic_update_slice`` under
+``donate_argnums`` (in-place on TPU, no copy). Capacity grows by
+reallocation + copy (amortized O(1)); deletes are tombstones applied as a
+mask at query time and reclaimed by compaction.
+
+Reference analog: none — Gemini File Search owned all index storage
+(SURVEY.md §2.5 item 4). Streaming inserts are what the ingestion worker
+feeds (reference worker: /root/reference/backend/app/worker.py:122-132).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rag_foundation_tpu.ops.topk import exact_topk
+
+_BLOCK = 1024  # capacity granularity; keeps scan shapes aligned
+
+
+def _round_up(x: int, m: int) -> int:
+    return max(m, -(-x // m) * m)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _write_at(buf: jnp.ndarray, ids: jnp.ndarray, vecs: jnp.ndarray,
+              new_ids: jnp.ndarray, offset: jnp.ndarray):
+    buf = jax.lax.dynamic_update_slice(buf, vecs.astype(buf.dtype),
+                                       (offset, jnp.int32(0)))
+    ids = jax.lax.dynamic_update_slice(ids, new_ids, (offset,))
+    return buf, ids
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _masked_topk(buf, q, live_mask, count, k):
+    # The live mask is applied inside the streaming scan, so tombstoned
+    # rows are fully replaced by next-best candidates (not just dropped).
+    return exact_topk(q, buf, k, valid_count=count, live_mask=live_mask)
+
+
+class VectorSegment:
+    """A growable [capacity, dim] unit-vector buffer with int32 chunk ids.
+
+    Host-side object; all heavy math stays on device. Not thread-safe —
+    callers (the engine) serialize writes per store.
+    """
+
+    def __init__(self, dim: int, *, dtype=jnp.float32, capacity: int = _BLOCK):
+        self.dim = dim
+        self.dtype = dtype
+        capacity = _round_up(capacity, _BLOCK)
+        self._buf = jnp.zeros((capacity, dim), dtype)
+        self._ids = jnp.full((capacity,), -1, jnp.int32)
+        self._count = 0          # rows ever written (front-packed)
+        self._dead: set[int] = set()  # tombstoned chunk ids
+        self._live_mask_dev: jnp.ndarray | None = None
+
+    # -- capacity ---------------------------------------------------------
+    @property
+    def capacity(self) -> int:
+        return self._buf.shape[0]
+
+    @property
+    def count(self) -> int:
+        return self._count
+
+    @property
+    def live_count(self) -> int:
+        return self._count - len(self._dead)
+
+    def _grow_to(self, need: int) -> None:
+        new_cap = self.capacity
+        while new_cap < need:
+            new_cap *= 2
+        if new_cap != self.capacity:
+            buf = jnp.zeros((new_cap, self.dim), self.dtype)
+            self._buf = jax.lax.dynamic_update_slice(
+                buf, self._buf, (0, 0))
+            ids = jnp.full((new_cap,), -1, jnp.int32)
+            self._ids = jax.lax.dynamic_update_slice(ids, self._ids, (0,))
+            self._live_mask_dev = None
+
+    # -- mutation ---------------------------------------------------------
+    def add(self, vecs: np.ndarray | jnp.ndarray, ids: np.ndarray) -> None:
+        """Append ``vecs [n, dim]`` (already unit-norm) with chunk ids."""
+        n = int(vecs.shape[0])
+        if n == 0:
+            return
+        # Bucket the write size to limit jit retraces (shapes are static
+        # under XLA); padded rows carry id=-1 and sit past ``count`` so the
+        # next add overwrites them.
+        pad_n = _round_up(n, 256)
+        vecs_h = np.zeros((pad_n, self.dim), np.float32)
+        vecs_h[:n] = np.asarray(vecs, np.float32)
+        ids_h = np.full((pad_n,), -1, np.int32)
+        ids_h[:n] = np.asarray(ids, np.int32)
+        self._grow_to(self._count + pad_n)
+        self._buf, self._ids = _write_at(
+            self._buf, self._ids,
+            jnp.asarray(vecs_h), jnp.asarray(ids_h),
+            jnp.int32(self._count))
+        self._count += n
+        self._live_mask_dev = None
+
+    def delete_ids(self, ids: set[int]) -> None:
+        self._dead |= ids
+        self._live_mask_dev = None
+
+    def compact(self) -> None:
+        """Physically drop tombstoned rows (copy-on-compact)."""
+        if not self._dead:
+            return
+        ids_host = np.asarray(self._ids[: self._count])
+        keep = ~np.isin(ids_host, np.fromiter(self._dead, np.int64,
+                                              len(self._dead)))
+        kept_idx = np.nonzero(keep)[0]
+        new_count = int(kept_idx.size)
+        cap = _round_up(max(new_count, 1), _BLOCK)
+        buf_host = np.zeros((cap, self.dim), np.asarray(self._buf).dtype)
+        ids_new = np.full((cap,), -1, np.int32)
+        if new_count:
+            buf_host[:new_count] = np.asarray(self._buf)[kept_idx]
+            ids_new[:new_count] = ids_host[kept_idx]
+        self._buf = jnp.asarray(buf_host)
+        self._ids = jnp.asarray(ids_new)
+        self._count = new_count
+        self._dead.clear()
+        self._live_mask_dev = None
+
+    # -- query ------------------------------------------------------------
+    def _live_mask(self) -> jnp.ndarray:
+        if self._live_mask_dev is None:
+            if self._dead:
+                ids_host = np.asarray(self._ids)
+                mask = ~np.isin(ids_host, np.fromiter(self._dead, np.int64,
+                                                      len(self._dead)))
+            else:
+                mask = np.ones((self.capacity,), bool)
+            self._live_mask_dev = jnp.asarray(mask)
+        return self._live_mask_dev
+
+    def search(self, queries: jnp.ndarray, k: int
+               ) -> tuple[np.ndarray, np.ndarray]:
+        """Return ``(scores [Q, k] f32, chunk_ids [Q, k] int32)``.
+
+        Missing results (store smaller than k) have score=-inf, id=-1.
+        """
+        if self._count == 0:
+            q = int(queries.shape[0])
+            return (np.full((q, k), -np.inf, np.float32),
+                    np.full((q, k), -1, np.int32))
+        vals, idxs = _masked_topk(self._buf, jnp.asarray(queries),
+                                  self._live_mask(), jnp.int32(self._count), k)
+        vals_h = np.asarray(vals)
+        idx_h = np.asarray(idxs)
+        ids_h = np.asarray(self._ids)
+        out_ids = np.where(idx_h >= 0, ids_h[np.clip(idx_h, 0, None)], -1)
+        out_ids = np.where(np.isneginf(vals_h), -1, out_ids)
+        return vals_h, out_ids
+
+    # -- persistence ------------------------------------------------------
+    def state(self) -> dict:
+        self.compact()
+        return {
+            "vectors": np.asarray(self._buf[: self._count]),
+            "ids": np.asarray(self._ids[: self._count]),
+            "dim": self.dim,
+        }
+
+    @classmethod
+    def from_state(cls, state: dict, *, dtype=jnp.float32) -> "VectorSegment":
+        seg = cls(int(state["dim"]), dtype=dtype,
+                  capacity=max(_BLOCK, len(state["ids"])))
+        if len(state["ids"]):
+            seg.add(state["vectors"], state["ids"])
+        return seg

@@ -1,0 +1,12 @@
+"""Model families: sentence encoders for chunk/query embedding.
+
+- ``hash_encoder``: deterministic featureless baseline (CI / mock mode,
+  plays the role of the reference's MockGeminiRag determinism —
+  /root/reference/backend/app/services/gemini_rag.py:602-718).
+- ``encoder``: MiniLM-class JAX transformer encoder (the production
+  embedding path; SURVEY.md §2.5 item 6).
+"""
+
+from rag_foundation_tpu.models.hash_encoder import HashingEncoder
+
+__all__ = ["HashingEncoder"]

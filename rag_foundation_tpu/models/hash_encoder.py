@@ -1,0 +1,56 @@
+"""Deterministic feature-hashing sentence encoder.
+
+A dependency-free, fully deterministic embedder used for mock/demo mode
+and CI: word + character-n-gram feature hashing into ``dim`` buckets with
+sign hashing, then L2 normalization. Lexically similar texts get high
+cosine similarity, so exact-retrieval tests behave sensibly without any
+trained weights. Mirrors the determinism contract of the reference's
+MockGeminiRag (/root/reference/backend/app/services/gemini_rag.py:602-718).
+
+The production path is the MiniLM-class JAX transformer in
+``models/encoder.py``; both satisfy the same ``encode(texts) -> [n, dim]``
+protocol.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+
+_WORD_RE = re.compile(r"[a-z0-9]+")
+
+
+def _bucket(token: str, dim: int, salt: str) -> tuple[int, float]:
+    h = hashlib.blake2b(f"{salt}:{token}".encode(), digest_size=8).digest()
+    v = int.from_bytes(h, "little")
+    return v % dim, 1.0 if (v >> 63) & 1 else -1.0
+
+
+class HashingEncoder:
+    """``encode(list[str]) -> np.ndarray [n, dim] f32`` (unit rows)."""
+
+    name = "hash-v1"
+
+    def __init__(self, dim: int = 384, char_ngrams: tuple[int, ...] = (3,)):
+        self.dim = dim
+        self.char_ngrams = char_ngrams
+
+    def encode(self, texts: list[str]) -> np.ndarray:
+        out = np.zeros((len(texts), self.dim), np.float32)
+        for i, text in enumerate(texts):
+            words = _WORD_RE.findall(text.lower())
+            feats: list[str] = list(words)
+            joined = " ".join(words)
+            for n in self.char_ngrams:
+                feats.extend(joined[j : j + n]
+                             for j in range(max(0, len(joined) - n + 1)))
+            row = out[i]
+            for tok in feats:
+                b, sign = _bucket(tok, self.dim, "feat")
+                row[b] += sign
+            norm = float(np.linalg.norm(row))
+            if norm > 0:
+                row /= norm
+        return out

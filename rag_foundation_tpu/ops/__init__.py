@@ -1,0 +1,6 @@
+"""Device-side compute ops: normalization, streaming top-k, k-means, PQ, Pallas kernels."""
+
+from rag_foundation_tpu.ops.l2norm import l2_normalize
+from rag_foundation_tpu.ops.topk import exact_topk, merge_topk
+
+__all__ = ["l2_normalize", "exact_topk", "merge_topk"]

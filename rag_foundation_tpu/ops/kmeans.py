@@ -1,0 +1,134 @@
+"""Jitted k-means (Lloyd) for IVF coarse quantizers and PQ codebooks.
+
+TPU-first design notes:
+- assignment is a blockwise matmul argmax (MXU), never a [N, K, d] blowup;
+- centroid update uses one-hot matmuls / segment sums (MXU + VPU), no host loop;
+- k-means++-style seeding is replaced by deterministic random-projection
+  seeding + a few extra Lloyd rounds — cheaper on TPU and reproducible;
+- empty clusters are reseeded from the rows with the worst assignment score
+  so nlist stays fully utilized (balance matters for IVF list padding).
+
+Replaces nothing in the reference (index build was hosted inside Gemini
+File Search; /root/reference/backend/app/services/gemini_rag.py:307-352) —
+this is the new native index-build path (SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from rag_foundation_tpu.ops.l2norm import l2_normalize
+
+
+@functools.partial(jax.jit, static_argnames=("block_size",))
+def assign_clusters(
+    x: jnp.ndarray, centroids: jnp.ndarray, *, block_size: int = 16384
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Nearest-centroid assignment by squared L2 distance.
+
+    Uses the ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 expansion so the inner
+    loop is a [B, d] @ [d, K] matmul. Returns (assignment [N] int32,
+    neg_half_dist [N] f32 — the score used for worst-row reseeding).
+    """
+    n, d = x.shape
+    k = centroids.shape[0]
+    c_sq = 0.5 * jnp.sum(
+        centroids.astype(jnp.float32) ** 2, axis=1
+    )  # [K]
+
+    block_size = min(block_size, n)
+    num_blocks = max(1, -(-n // block_size))
+    padded = num_blocks * block_size
+    xp = jnp.pad(x, ((0, padded - n), (0, 0))) if padded != n else x
+    xb = xp.reshape(num_blocks, block_size, d)
+
+    def step(_, block):
+        dots = jnp.dot(
+            block, centroids.T, preferred_element_type=jnp.float32
+        )  # [B, K]
+        score = dots - c_sq[None, :]  # maximize  x.c - ||c||^2/2
+        a = jnp.argmax(score, axis=1).astype(jnp.int32)
+        best = jnp.max(score, axis=1)
+        return None, (a, best)
+
+    _, (assign, best) = jax.lax.scan(step, None, xb)
+    return assign.reshape(-1)[:n], best.reshape(-1)[:n]
+
+
+def _update_centroids(
+    x: jnp.ndarray, assign: jnp.ndarray, k: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Mean of assigned rows per centroid via segment sums. Returns
+    (sums [K, d] f32, counts [K] f32)."""
+    x32 = x.astype(jnp.float32)
+    sums = jax.ops.segment_sum(x32, assign, num_segments=k)
+    counts = jax.ops.segment_sum(
+        jnp.ones((x.shape[0],), jnp.float32), assign, num_segments=k
+    )
+    return sums, counts
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "iters", "block_size", "spherical")
+)
+def kmeans_fit(
+    x: jnp.ndarray,
+    k: int,
+    *,
+    key: jax.Array,
+    iters: int = 12,
+    block_size: int = 16384,
+    spherical: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fit ``k`` centroids to ``x [N, d]`` with Lloyd iterations.
+
+    Seeding: a deterministic sample of rows (shuffled by ``key``).
+    Empty clusters are reseeded each round from the currently
+    worst-assigned rows. ``spherical=True`` renormalizes centroids each
+    round (for cosine/IP coarse quantizers over unit-norm corpora).
+
+    Returns ``(centroids [k, d] f32, assignment [N] int32)``.
+    """
+    n, d = x.shape
+    x32 = x.astype(jnp.float32)
+    # Farthest-point ("greedy k-means++") seeding: deterministic given
+    # ``key`` (which only picks the first seed), immune to the duplicate-
+    # seeds-in-one-blob failure of random-row init, and costs the same
+    # FLOPs as a single assignment pass (k sequential [N,d] distance
+    # updates).
+    first = jax.random.randint(key, (), 0, n)
+    init_c = jnp.zeros((k, d), jnp.float32).at[0].set(x32[first])
+
+    def seed_step(i, carry):
+        centroids, min_d = carry
+        new_c = centroids[i - 1]
+        dist = jnp.sum((x32 - new_c[None, :]) ** 2, axis=1)
+        min_d = jnp.minimum(min_d, dist)
+        nxt = jnp.argmax(min_d)
+        centroids = centroids.at[i].set(x32[nxt])
+        return centroids, min_d
+
+    centroids, _ = jax.lax.fori_loop(
+        1, k, seed_step,
+        (init_c, jnp.full((n,), jnp.inf, jnp.float32)))
+    if spherical:
+        centroids = l2_normalize(centroids)
+
+    def lloyd_round(_, centroids):
+        assign, best = assign_clusters(x, centroids, block_size=block_size)
+        sums, counts = _update_centroids(x, assign, k)
+        new_c = sums / jnp.maximum(counts, 1.0)[:, None]
+        # Reseed empties from the worst-scoring (farthest) rows.
+        order = jnp.argsort(best)  # ascending: worst rows first
+        donor = x[order[jnp.arange(k) % n]].astype(jnp.float32)
+        new_c = jnp.where((counts > 0)[:, None], new_c, donor)
+        if spherical:
+            new_c = l2_normalize(new_c)
+        return new_c
+
+    centroids = jax.lax.fori_loop(0, iters, lloyd_round, centroids)
+    assign, _ = assign_clusters(x, centroids, block_size=block_size)
+    return centroids, assign

@@ -1,0 +1,22 @@
+"""L2 normalization for cosine scoring.
+
+The engine stores unit-norm vectors so cosine similarity is a plain dot
+product and rides the MXU (reference has no equivalent: embedding was
+delegated to Gemini, /root/reference/backend/app/services/gemini_rag.py:319-326).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def l2_normalize(x: jnp.ndarray, eps: float = 1e-12, axis: int = -1) -> jnp.ndarray:
+    """Normalize rows of ``x`` to unit L2 norm (f32 accumulation).
+
+    Zero rows are left at zero (guarded by ``eps``) rather than NaN so that
+    padding slots score 0 against any query.
+    """
+    x32 = x.astype(jnp.float32)
+    sq = jnp.sum(x32 * x32, axis=axis, keepdims=True)
+    inv = jnp.where(sq > eps, 1.0 / jnp.sqrt(sq), 0.0)
+    return (x32 * inv).astype(x.dtype)

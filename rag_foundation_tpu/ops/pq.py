@@ -1,0 +1,135 @@
+"""Product quantization: codebook training, encoding, and ADC scoring.
+
+PQ splits a ``d``-dim vector into ``m`` subspaces of ``d/m`` dims and
+quantizes each to one of 256 centroids (one int8/uint8 code per subspace).
+Asymmetric distance computation (ADC) scores a float query against codes
+by building a per-query lookup table ``LUT[m, 256]`` (one small matmul)
+and summing ``m`` gathers.
+
+This is new native capability (the reference delegated indexing to Gemini
+File Search — SURVEY.md §2.5 item 2); the Pallas fused ADC scan lives in
+ops/pallas_adc.py, this module is the XLA baseline + training path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from rag_foundation_tpu.ops.kmeans import kmeans_fit
+
+PQ_K = 256  # codes per subspace (one byte)
+
+
+class PQCodebook(NamedTuple):
+    """``centroids [m, 256, dsub]`` f32 — per-subspace codebooks."""
+
+    centroids: jnp.ndarray
+
+    @property
+    def m(self) -> int:
+        return self.centroids.shape[0]
+
+    @property
+    def dsub(self) -> int:
+        return self.centroids.shape[2]
+
+    @property
+    def dim(self) -> int:
+        return self.m * self.dsub
+
+
+def pq_train(
+    x: jnp.ndarray, m: int, *, key: jax.Array, iters: int = 10
+) -> PQCodebook:
+    """Train per-subspace codebooks on ``x [N, d]`` (d divisible by m)."""
+    n, d = x.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    xs = x.reshape(n, m, dsub).transpose(1, 0, 2)  # [m, N, dsub]
+    keys = jax.random.split(key, m)
+
+    def fit_one(xsub, k_):
+        c, _ = kmeans_fit(xsub, PQ_K, key=k_, iters=iters)
+        return c
+
+    centroids = jax.lax.map(lambda args: fit_one(*args), (xs, keys))
+    return PQCodebook(centroids=centroids)
+
+
+@jax.jit
+def pq_encode(codebook: PQCodebook, x: jnp.ndarray) -> jnp.ndarray:
+    """Encode ``x [N, d]`` → ``codes [N, m] uint8`` (nearest sub-centroid)."""
+    n, d = x.shape
+    m, _, dsub = codebook.centroids.shape
+    xs = x.reshape(n, m, dsub).astype(jnp.float32)
+    c = codebook.centroids  # [m, 256, dsub]
+    c_sq = 0.5 * jnp.sum(c * c, axis=2)  # [m, 256]
+    # [N, m, 256] scores via batched matmul over the m axis.
+    dots = jnp.einsum("nmd,mkd->nmk", xs, c, preferred_element_type=jnp.float32)
+    codes = jnp.argmax(dots - c_sq[None], axis=2)
+    return codes.astype(jnp.uint8)
+
+
+@jax.jit
+def pq_decode(codebook: PQCodebook, codes: jnp.ndarray) -> jnp.ndarray:
+    """Reconstruct ``[N, d]`` f32 vectors from ``codes [N, m]``."""
+    m = codebook.m
+    gathered = jnp.take_along_axis(
+        codebook.centroids[None],  # [1, m, 256, dsub]
+        codes[:, :, None, None].astype(jnp.int32),  # [N, m, 1, 1]
+        axis=2,
+    )  # [N, m, 1, dsub]
+    return gathered.reshape(codes.shape[0], m * codebook.dsub)
+
+
+@jax.jit
+def pq_lut(codebook: PQCodebook, queries: jnp.ndarray) -> jnp.ndarray:
+    """Per-query inner-product lookup tables ``[Q, m, 256]`` f32.
+
+    ``score(q, n) = sum_m LUT[q, m, codes[n, m]]`` equals
+    ``q · decode(codes[n])`` exactly.
+    """
+    q_ = queries.reshape(queries.shape[0], codebook.m, codebook.dsub)
+    return jnp.einsum(
+        "qmd,mkd->qmk",
+        q_.astype(jnp.float32),
+        codebook.centroids,
+        preferred_element_type=jnp.float32,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("block_size",))
+def pq_adc_scores(
+    lut: jnp.ndarray, codes: jnp.ndarray, *, block_size: int = 32768
+) -> jnp.ndarray:
+    """ADC scores ``[Q, N]`` from ``lut [Q, m, 256]`` and ``codes [N, m]``.
+
+    Blockwise over N to bound the gather working set. XLA baseline; the
+    fused streaming-top-k variant is ops/pallas_adc.py.
+    """
+    q, m, _ = lut.shape
+    n = codes.shape[0]
+    block_size = min(block_size, n)
+    num_blocks = max(1, -(-n // block_size))
+    padded = num_blocks * block_size
+    cp = jnp.pad(codes, ((0, padded - n), (0, 0))) if padded != n else codes
+    cb = cp.reshape(num_blocks, block_size, m)
+
+    def step(_, codes_blk):
+        # one-hot-free gather: take LUT entries per (query, subspace, code)
+        idx = codes_blk.astype(jnp.int32)  # [B, m]
+        # lut [Q, m, 256] -> gather over last axis with [B, m] indices
+        g = jnp.take_along_axis(
+            lut[:, None, :, :],  # [Q, 1, m, 256]
+            idx[None, :, :, None],  # [1, B, m, 1]
+            axis=3,
+        )  # [Q, B, m, 1]
+        return None, jnp.sum(g[..., 0], axis=2)  # [Q, B]
+
+    _, scores = jax.lax.scan(step, None, cb)
+    return scores.transpose(1, 0, 2).reshape(q, padded)[:, :n]

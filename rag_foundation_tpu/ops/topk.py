@@ -1,0 +1,126 @@
+"""Streaming exact top-k over an HBM-resident corpus (XLA baseline path).
+
+Flash-attention-style blockwise scan: the [Q, N] score matrix is never
+materialized. We scan over corpus blocks, compute ``Q @ block.T`` on the
+MXU (bf16 in / f32 accumulate), and merge each block's scores into a
+running (values, indices) top-k carry with ``lax.top_k``.
+
+Determinism / tie-breaking: ties are broken toward the LOWEST global
+corpus index. The carry always holds entries from earlier blocks and is
+concatenated first, and ``lax.top_k`` prefers lower positions on ties, so
+the invariant holds across any block size — the same corpus and queries
+produce bit-identical results for any ``block_size`` and for the sharded
+path (parallel/topk_merge.py).
+
+This is the TPU-native replacement for the reference's hosted retrieval
+call (/root/reference/backend/app/services/gemini_rag.py:463-551). The
+fused Pallas variant lives in ops/pallas_topk.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = jnp.float32(-jnp.inf)
+
+
+def merge_topk(
+    vals_a: jnp.ndarray,
+    idxs_a: jnp.ndarray,
+    vals_b: jnp.ndarray,
+    idxs_b: jnp.ndarray,
+    k: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Merge two (values, indices) candidate sets into a single top-k.
+
+    Ties prefer set ``a`` (callers pass the earlier-index set first), then
+    lower position within each set.
+    """
+    vals = jnp.concatenate([vals_a, vals_b], axis=-1)
+    idxs = jnp.concatenate([idxs_a, idxs_b], axis=-1)
+    top_vals, top_pos = jax.lax.top_k(vals, k)
+    top_idxs = jnp.take_along_axis(idxs, top_pos, axis=-1)
+    return top_vals, top_idxs
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block_size"))
+def exact_topk(
+    queries: jnp.ndarray,
+    corpus: jnp.ndarray,
+    k: int,
+    *,
+    valid_count: jnp.ndarray | int | None = None,
+    live_mask: jnp.ndarray | None = None,
+    block_size: int = 8192,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact batched top-k by dot-product score.
+
+    Args:
+      queries: ``[Q, d]`` query matrix (any float dtype; cast to corpus dtype
+        for the MXU matmul, accumulated in f32).
+      corpus: ``[N, d]`` corpus matrix. ``N`` may include padding slots past
+        ``valid_count``; those never appear in results.
+      k: number of neighbors (``k <= N``).
+      valid_count: number of live rows at the front of ``corpus``. ``None``
+        means all rows are live. May be a traced scalar (segment counts).
+      live_mask: optional ``[N]`` bool; rows with False are excluded
+        (tombstoned deletes). Applied inside the scan so masked rows are
+        fully replaced by the next-best candidates.
+      block_size: corpus rows per scan step. Multiples of 512 keep the MXU
+        and HBM tiling happy.
+
+    Returns:
+      ``(values [Q, k] f32, indices [Q, k] int32)`` sorted descending,
+      deterministic tie-break toward lower index. Empty / padded slots
+      surface as ``(-inf, -1)``.
+    """
+    n = corpus.shape[0]
+    q = queries.astype(corpus.dtype)
+    if valid_count is None:
+        valid_count = n
+    valid_count = jnp.asarray(valid_count, jnp.int32)
+
+    block_size = min(block_size, n) if n > 0 else 1
+    num_blocks = max(1, -(-n // block_size))
+    padded_n = num_blocks * block_size
+    if padded_n != n:
+        corpus = jnp.pad(corpus, ((0, padded_n - n), (0, 0)))
+        if live_mask is not None:
+            live_mask = jnp.pad(live_mask, (0, padded_n - n))
+    if live_mask is None:
+        mask_blocks = jnp.ones((num_blocks, 1), bool)  # broadcast no-op
+    else:
+        mask_blocks = live_mask.reshape(num_blocks, block_size)
+
+    blocks = corpus.reshape(num_blocks, block_size, corpus.shape[1])
+    num_q = q.shape[0]
+
+    init_vals = jnp.full((num_q, k), NEG_INF, jnp.float32)
+    init_idxs = jnp.full((num_q, k), -1, jnp.int32)
+
+    block_iota = jax.lax.broadcasted_iota(jnp.int32, (1, block_size), 1)
+
+    def step(carry, inp):
+        c_vals, c_idxs = carry
+        block, b_idx, m_blk = inp
+        scores = jnp.dot(q, block.T, preferred_element_type=jnp.float32)
+        g_idx = block_iota + b_idx * block_size  # [1, B] global indices
+        live = (g_idx < valid_count) & m_blk[None, :]
+        scores = jnp.where(live, scores, NEG_INF)
+        g_idx_b = jnp.broadcast_to(g_idx, scores.shape)
+        new_vals, new_idxs = merge_topk(c_vals, c_idxs, scores, g_idx_b, k)
+        return (new_vals, new_idxs), None
+
+    if live_mask is None:
+        mask_blocks = jnp.broadcast_to(mask_blocks, (num_blocks, block_size))
+    (vals, idxs), _ = jax.lax.scan(
+        step,
+        (init_vals, init_idxs),
+        (blocks, jnp.arange(num_blocks, dtype=jnp.int32), mask_blocks),
+    )
+    # Padding/invalid results keep index -1.
+    idxs = jnp.where(vals == NEG_INF, -1, idxs)
+    return vals, idxs

@@ -1,0 +1,54 @@
+"""Test harness: hermetic, CPU-only JAX with a virtual 8-device mesh.
+
+Mirrors the reference's isolation machinery
+(/root/reference/backend/tests/conftest.py): env is pinned *before* any
+app/jax import, external network is banned, and the multi-device story is
+tested on a forced-host-platform CPU mesh (SURVEY.md §4,
+"multi-node without a cluster").
+"""
+
+import os
+import socket
+
+# Must run before jax (or anything importing jax) is imported.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("RAGTPU_ENV", "test")
+os.environ.setdefault("RAGTPU_JWT_SECRET", "test-secret-key-0123456789abcdef0123456789")
+os.environ.setdefault("RAGTPU_MOCK_MODE", "1")
+os.environ.setdefault("RAGTPU_DEV_LOGIN", "1")
+
+import jax  # noqa: E402
+import pytest  # noqa: E402
+
+# XLA-CPU's default matmul precision is reduced (oneDNN bf16-class, ~1e-2
+# rel err) and its very first dot compile pays a one-time ~1-5 min init on
+# this box. Tests pin full f32 precision so golden comparisons vs numpy
+# are exact; production TPU code keeps the fast bf16 MXU default.
+jax.config.update("jax_default_matmul_precision", "highest")
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_comp_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+@pytest.fixture(autouse=True)
+def _no_external_network(monkeypatch):
+    """Ban real outbound connections (loopback allowed for server tests)."""
+    real_connect = socket.socket.connect
+
+    def guarded(self, address, *a, **kw):
+        host = address[0] if isinstance(address, tuple) else str(address)
+        if host in ("127.0.0.1", "::1", "localhost") or host.startswith("/"):
+            return real_connect(self, address, *a, **kw)
+        raise RuntimeError(f"external network blocked in tests: {address}")
+
+    monkeypatch.setattr(socket.socket, "connect", guarded)
+    yield
+
+
+@pytest.fixture()
+def tmp_data_dir(tmp_path):
+    return str(tmp_path / "engine-data")

@@ -1,0 +1,111 @@
+"""Engine facade: stores, ingest, search, delete, persistence, determinism."""
+
+import numpy as np
+import pytest
+
+from rag_foundation_tpu.engine import Engine, EngineConfig
+from rag_foundation_tpu.engine.api import StoreNotFound
+from rag_foundation_tpu.engine.chunker import chunk_text
+from rag_foundation_tpu.engine.segments import VectorSegment
+
+DOC_A = ("The quarterly revenue grew twelve percent driven by cloud "
+         "subscriptions. Operating margin expanded to thirty percent. " * 6)
+DOC_B = ("Penguins are flightless seabirds living almost exclusively in "
+         "the southern hemisphere, especially Antarctica. " * 6)
+
+
+def _engine(**kw):
+    return Engine(EngineConfig(dim=128, chunk_tokens=30, chunk_overlap=5, **kw))
+
+
+def test_chunker_offsets_and_overlap():
+    text = " ".join(f"w{i}" for i in range(100))
+    chunks = chunk_text(text, max_tokens=30, overlap_tokens=5)
+    assert len(chunks) == 4
+    for c in chunks:
+        assert text[c.start:c.end] == c.text
+    # consecutive chunks overlap by 5 tokens
+    assert chunks[0].text.split()[-5:] == chunks[1].text.split()[:5]
+    assert chunk_text("   \n\t ") == []
+
+
+def test_store_lifecycle_and_errors():
+    e = _engine()
+    e.create_store("t1/s1")
+    with pytest.raises(ValueError):
+        e.create_store("t1/s1")
+    with pytest.raises(StoreNotFound):
+        e.search(["nope"], "q", 3)
+    e.delete_store("t1/s1")
+    assert not e.has_store("t1/s1")
+    e.delete_store("t1/s1")  # idempotent
+
+
+def test_ingest_and_search_relevance():
+    e = _engine()
+    e.create_store("s")
+    e.ingest_document("s", "docA", "finance.txt", DOC_A)
+    e.ingest_document("s", "docB", "penguins.txt", DOC_B)
+    hits = e.search(["s"], "revenue growth cloud subscriptions", k=3)
+    assert hits and hits[0].doc_id == "docA"
+    hits = e.search(["s"], "antarctica flightless penguins", k=3)
+    assert hits and hits[0].doc_id == "docB"
+    # deterministic across repeated calls
+    again = e.search(["s"], "antarctica flightless penguins", k=3)
+    assert [(h.chunk_id, h.score) for h in hits] == \
+           [(h.chunk_id, h.score) for h in again]
+
+
+def test_reingest_is_idempotent_and_delete_document():
+    e = _engine()
+    e.create_store("s")
+    e.ingest_document("s", "d", "a.txt", DOC_A)
+    n1 = e.store_stats("s")["chunks"]
+    e.ingest_document("s", "d", "a.txt", DOC_A)  # re-ingest same doc
+    assert e.store_stats("s")["chunks"] == n1
+    e.delete_document("s", "d")
+    assert e.store_stats("s")["chunks"] == 0
+    assert e.search(["s"], "revenue", k=3) == []
+
+
+def test_multi_store_merge():
+    e = _engine()
+    e.create_store("s1")
+    e.create_store("s2")
+    e.ingest_document("s1", "dA", "a", DOC_A)
+    e.ingest_document("s2", "dB", "b", DOC_B)
+    hits = e.search(["s1", "s2"], "penguins antarctica", k=4)
+    assert hits[0].store_key == "s2"
+    assert {h.store_key for h in hits} <= {"s1", "s2"}
+
+
+def test_persistence_roundtrip(tmp_data_dir):
+    e = _engine(data_dir=tmp_data_dir)
+    e.create_store("s")
+    e.ingest_document("s", "dA", "a", DOC_A)
+    before = e.search(["s"], "revenue margin", k=3)
+    # new engine instance reloads from disk
+    e2 = _engine(data_dir=tmp_data_dir)
+    assert e2.has_store("s")
+    after = e2.search(["s"], "revenue margin", k=3)
+    assert [(h.chunk_id, round(h.score, 5)) for h in before] == \
+           [(h.chunk_id, round(h.score, 5)) for h in after]
+
+
+def test_segment_growth_and_tombstones():
+    seg = VectorSegment(8, capacity=1024)
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal((3000, 8)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    seg.add(v, np.arange(3000))
+    assert seg.capacity >= 3000 and seg.count == 3000
+    q = v[:2]
+    _, ids = seg.search(q, 1)
+    assert list(ids[:, 0]) == [0, 1]
+    seg.delete_ids({0, 1})
+    _, ids2 = seg.search(q, 1)
+    assert 0 not in ids2 and 1 not in ids2
+    seg.compact()
+    assert seg.count == 2998
+    _, ids3 = seg.search(q, 1)
+    assert list(ids3[:, 0]) == list(ids2[:, 0])

@@ -1,0 +1,62 @@
+"""k-means and PQ training/encoding/ADC correctness."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rag_foundation_tpu.ops.kmeans import assign_clusters, kmeans_fit
+from rag_foundation_tpu.ops.pq import (
+    pq_adc_scores, pq_decode, pq_encode, pq_lut, pq_train)
+
+
+def _blobs(rng, n_per, centers, d, scale=0.05):
+    cs = rng.standard_normal((centers, d)).astype(np.float32) * 3
+    pts = np.concatenate(
+        [c + scale * rng.standard_normal((n_per, d)).astype(np.float32)
+         for c in cs])
+    return pts, cs
+
+
+def test_kmeans_recovers_blobs():
+    rng = np.random.default_rng(0)
+    x, true_c = _blobs(rng, 64, 8, 16)
+    c, assign = kmeans_fit(jnp.asarray(x), 8, key=jax.random.key(0), iters=15)
+    c, assign = np.asarray(c), np.asarray(assign)
+    # Every true center should be near some learned centroid.
+    d = np.linalg.norm(true_c[:, None] - c[None], axis=2)
+    assert d.min(axis=1).max() < 0.5
+    # Assignments are consistent with nearest centroid.
+    a2, _ = assign_clusters(jnp.asarray(x), jnp.asarray(c))
+    np.testing.assert_array_equal(assign, np.asarray(a2))
+
+
+def test_kmeans_no_empty_clusters():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((256, 8)).astype(np.float32)
+    _, assign = kmeans_fit(jnp.asarray(x), 16, key=jax.random.key(1), iters=10)
+    assert len(np.unique(np.asarray(assign))) == 16
+
+
+def test_pq_roundtrip_reduces_error():
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((512, 32)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    cb = pq_train(jnp.asarray(x), m=8, key=jax.random.key(2), iters=8)
+    codes = pq_encode(cb, jnp.asarray(x))
+    assert codes.dtype == jnp.uint8 and codes.shape == (512, 8)
+    rec = np.asarray(pq_decode(cb, codes))
+    err = np.linalg.norm(rec - x, axis=1).mean()
+    assert err < 0.75  # much better than random (norm ~ sqrt(2))
+
+
+def test_pq_adc_equals_decoded_dot():
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((300, 32)).astype(np.float32)
+    q = rng.standard_normal((4, 32)).astype(np.float32)
+    cb = pq_train(jnp.asarray(x), m=4, key=jax.random.key(3), iters=6)
+    codes = pq_encode(cb, jnp.asarray(x))
+    lut = pq_lut(cb, jnp.asarray(q))
+    adc = np.asarray(pq_adc_scores(lut, codes, block_size=128))
+    rec = np.asarray(pq_decode(cb, codes))
+    expect = q @ rec.T
+    np.testing.assert_allclose(adc, expect, rtol=1e-4, atol=1e-4)

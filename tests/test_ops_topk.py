@@ -1,0 +1,75 @@
+"""Golden tests: streaming top-k == numpy argsort; determinism; padding."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from rag_foundation_tpu.ops.topk import exact_topk, merge_topk
+
+
+def _np_topk(q, c, k, valid=None):
+    scores = q.astype(np.float32) @ c.astype(np.float32).T
+    if valid is not None:
+        scores[:, valid:] = -np.inf
+    # stable: ties -> lowest index
+    idx = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+    vals = np.take_along_axis(scores, idx, axis=1)
+    return vals, idx
+
+
+def test_exact_topk_matches_numpy():
+    rng = np.random.default_rng(0)
+    c = rng.standard_normal((1000, 64)).astype(np.float32)
+    q = rng.standard_normal((17, 64)).astype(np.float32)
+    vals, idxs = exact_topk(jnp.asarray(q), jnp.asarray(c), 10, block_size=256)
+    nv, ni = _np_topk(q, c, 10)
+    np.testing.assert_allclose(np.asarray(vals), nv, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(idxs), ni)
+
+
+def test_exact_topk_block_size_invariant():
+    rng = np.random.default_rng(1)
+    c = rng.standard_normal((777, 32)).astype(np.float32)
+    q = rng.standard_normal((5, 32)).astype(np.float32)
+    a = exact_topk(jnp.asarray(q), jnp.asarray(c), 7, block_size=128)
+    b = exact_topk(jnp.asarray(q), jnp.asarray(c), 7, block_size=777)
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), rtol=1e-6)
+
+
+def test_exact_topk_ties_prefer_lower_index():
+    c = np.zeros((20, 8), np.float32)
+    c[:, 0] = 1.0  # all identical -> all scores tie
+    q = np.zeros((1, 8), np.float32)
+    q[:, 0] = 1.0
+    _, idxs = exact_topk(jnp.asarray(q), jnp.asarray(c), 5, block_size=4)
+    np.testing.assert_array_equal(np.asarray(idxs)[0], np.arange(5))
+
+
+def test_exact_topk_valid_count_masks_padding():
+    rng = np.random.default_rng(2)
+    c = rng.standard_normal((100, 16)).astype(np.float32)
+    c[60:] = 100.0  # poison the padding region
+    q = rng.standard_normal((3, 16)).astype(np.float32)
+    vals, idxs = exact_topk(jnp.asarray(q), jnp.asarray(c), 8,
+                            valid_count=60, block_size=32)
+    assert np.asarray(idxs).max() < 60
+    nv, ni = _np_topk(q, c, 8, valid=60)
+    np.testing.assert_array_equal(np.asarray(idxs), ni)
+
+
+def test_topk_k_larger_than_corpus_pads_with_neg_inf():
+    c = np.eye(3, 8, dtype=np.float32)
+    q = np.ones((2, 8), np.float32)
+    vals, idxs = exact_topk(jnp.asarray(q), jnp.asarray(c), 5, valid_count=3)
+    v, i = np.asarray(vals), np.asarray(idxs)
+    assert np.all(np.isneginf(v[:, 3:]))
+    assert np.all(i[:, 3:] == -1)
+
+
+def test_merge_topk_prefers_first_set_on_ties():
+    va = jnp.asarray([[1.0, 0.5]])
+    ia = jnp.asarray([[10, 11]], dtype=jnp.int32)
+    vb = jnp.asarray([[1.0, 0.7]])
+    ib = jnp.asarray([[99, 98]], dtype=jnp.int32)
+    v, i = merge_topk(va, ia, vb, ib, 3)
+    assert list(np.asarray(i)[0]) == [10, 99, 98]
