@@ -1,0 +1,517 @@
+"""First-party asyncio HTTP/1.1 framework: routing, middleware, SSE, multipart.
+
+Replaces the reference's FastAPI/Starlette/uvicorn stack (reference app
+factory: /root/reference/backend/app/main.py:42-425) with a self-contained
+implementation:
+
+- ``App``: router (``{param}`` path patterns), middleware chain, exception
+  mapping, lifespan hooks.
+- ``Request`` / ``Response`` / ``StreamingResponse``: SSE rides chunked
+  transfer encoding; JSON bodies are size-capped by middleware in the app
+  layer.
+- ``serve()``: asyncio socket server, keep-alive, graceful shutdown.
+- ``TestClient``: drives the app in-process (no sockets) exactly like the
+  reference's Starlette TestClient-based tests.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import email.parser
+import email.policy
+import json
+import re
+import threading
+import time
+import traceback
+import urllib.parse
+from collections.abc import AsyncIterator, Awaitable, Callable
+from typing import Any
+
+MAX_HEADER_BYTES = 64 * 1024
+DEFAULT_MAX_BODY = 100 * 1024 * 1024  # absolute transport cap; app caps lower
+
+STATUS_PHRASES = {
+    200: "OK", 201: "Created", 204: "No Content", 301: "Moved Permanently",
+    302: "Found", 304: "Not Modified", 307: "Temporary Redirect",
+    400: "Bad Request", 401: "Unauthorized", 402: "Payment Required",
+    403: "Forbidden", 404: "Not Found", 405: "Method Not Allowed",
+    409: "Conflict", 413: "Payload Too Large", 415: "Unsupported Media Type",
+    422: "Unprocessable Entity", 429: "Too Many Requests",
+    500: "Internal Server Error", 502: "Bad Gateway",
+    503: "Service Unavailable", 504: "Gateway Timeout",
+}
+
+
+class HTTPError(Exception):
+    """Raise anywhere in a handler to produce a JSON error response."""
+
+    def __init__(self, status: int, detail: str = "",
+                 headers: dict[str, str] | None = None):
+        super().__init__(detail or STATUS_PHRASES.get(status, str(status)))
+        self.status = status
+        self.detail = detail or STATUS_PHRASES.get(status, str(status))
+        self.headers = headers or {}
+
+
+class Disconnected(Exception):
+    """Client went away mid-stream."""
+
+
+class UploadedFile:
+    __slots__ = ("filename", "content_type", "data")
+
+    def __init__(self, filename: str, content_type: str, data: bytes):
+        self.filename = filename
+        self.content_type = content_type
+        self.data = data
+
+
+class Request:
+    def __init__(self, method: str, target: str, headers: dict[str, str],
+                 body: bytes = b"", client: tuple[str, int] = ("", 0)):
+        self.method = method.upper()
+        parsed = urllib.parse.urlsplit(target)
+        self.path = urllib.parse.unquote(parsed.path) or "/"
+        self.query = {k: v[-1] for k, v in
+                      urllib.parse.parse_qs(parsed.query).items()}
+        self.headers = {k.lower(): v for k, v in headers.items()}
+        self.body = body
+        self.client = client
+        self.path_params: dict[str, str] = {}
+        self.state: dict[str, Any] = {}
+
+    @property
+    def content_type(self) -> str:
+        return self.headers.get("content-type", "").split(";")[0].strip().lower()
+
+    def json(self) -> Any:
+        if not self.body:
+            raise HTTPError(400, "Empty request body")
+        try:
+            return json.loads(self.body)
+        except (ValueError, UnicodeDecodeError):
+            raise HTTPError(400, "Invalid JSON body") from None
+
+    def multipart(self) -> tuple[dict[str, str], dict[str, UploadedFile]]:
+        """Parse multipart/form-data into (fields, files)."""
+        ctype = self.headers.get("content-type", "")
+        if "multipart/form-data" not in ctype:
+            raise HTTPError(415, "Expected multipart/form-data")
+        header = f"Content-Type: {ctype}\r\n\r\n".encode()
+        msg = email.parser.BytesParser(policy=email.policy.HTTP).parsebytes(
+            header + self.body)
+        fields: dict[str, str] = {}
+        files: dict[str, UploadedFile] = {}
+        if not msg.is_multipart():
+            raise HTTPError(400, "Malformed multipart body")
+        for part in msg.iter_parts():
+            name = part.get_param("name", header="content-disposition")
+            if not name:
+                continue
+            filename = part.get_filename()
+            payload = part.get_payload(decode=True) or b""
+            if filename is not None:
+                files[name] = UploadedFile(
+                    filename=filename,
+                    content_type=part.get_content_type(),
+                    data=payload)
+            else:
+                fields[name] = payload.decode("utf-8", "replace")
+        return fields, files
+
+
+class Response:
+    def __init__(self, body: Any = b"", status: int = 200,
+                 headers: dict[str, str] | None = None,
+                 content_type: str | None = None):
+        self.status = status
+        self.headers = dict(headers or {})
+        if isinstance(body, (dict, list)):
+            self.body = json.dumps(body).encode()
+            content_type = content_type or "application/json"
+        elif isinstance(body, str):
+            self.body = body.encode()
+            content_type = content_type or "text/plain; charset=utf-8"
+        elif body is None:
+            self.body = b""
+        else:
+            self.body = bytes(body)
+        if content_type:
+            self.headers.setdefault("content-type", content_type)
+
+    def json(self) -> Any:
+        return json.loads(self.body)
+
+    @property
+    def text(self) -> str:
+        return self.body.decode("utf-8", "replace")
+
+
+class StreamingResponse(Response):
+    """Response whose body is an async byte iterator (used for SSE)."""
+
+    def __init__(self, iterator: AsyncIterator[bytes], status: int = 200,
+                 headers: dict[str, str] | None = None,
+                 content_type: str = "text/event-stream"):
+        super().__init__(b"", status=status, headers=headers,
+                         content_type=content_type)
+        self.iterator = iterator
+        self.headers.setdefault("cache-control", "no-cache")
+
+
+def sse_frame(event: dict | str, *, comment: bool = False) -> bytes:
+    """Encode one SSE frame (``data: {...}\\n\\n`` or ``: keepalive``)."""
+    if comment:
+        return f": {event}\n\n".encode()
+    data = event if isinstance(event, str) else json.dumps(event)
+    return f"data: {data}\n\n".encode()
+
+
+Handler = Callable[[Request], Awaitable[Response]]
+Middleware = Callable[[Request, Handler], Awaitable[Response]]
+
+_PARAM_RE = re.compile(r"{([a-zA-Z_][a-zA-Z0-9_]*)}")
+
+
+def _compile_pattern(path: str) -> re.Pattern:
+    pattern = _PARAM_RE.sub(lambda m: f"(?P<{m.group(1)}>[^/]+)", path)
+    return re.compile(f"^{pattern}$")
+
+
+class App:
+    def __init__(self):
+        self._routes: list[tuple[str, re.Pattern, str, Handler]] = []
+        self._middleware: list[Middleware] = []
+        self._exception_handler: Callable[[Request, Exception], Response] | None = None
+        self.on_startup: list[Callable[[], Any]] = []
+        self.on_shutdown: list[Callable[[], Any]] = []
+        self.state: dict[str, Any] = {}
+
+    # -- registration ------------------------------------------------------
+    def route(self, method: str, path: str):
+        def deco(fn: Handler) -> Handler:
+            self._routes.append((method.upper(), _compile_pattern(path), path, fn))
+            return fn
+        return deco
+
+    def get(self, path: str):
+        return self.route("GET", path)
+
+    def post(self, path: str):
+        return self.route("POST", path)
+
+    def delete(self, path: str):
+        return self.route("DELETE", path)
+
+    def patch(self, path: str):
+        return self.route("PATCH", path)
+
+    def put(self, path: str):
+        return self.route("PUT", path)
+
+    def middleware(self, fn: Middleware) -> Middleware:
+        self._middleware.append(fn)
+        return fn
+
+    def exception_handler(self, fn):
+        self._exception_handler = fn
+        return fn
+
+    # -- dispatch ----------------------------------------------------------
+    def _match(self, method: str, path: str) -> tuple[Handler, dict[str, str]]:
+        allowed: set[str] = set()
+        for m, pat, _raw, fn in self._routes:
+            match = pat.match(path)
+            if match:
+                if m == method:
+                    return fn, match.groupdict()
+                allowed.add(m)
+        if allowed:
+            raise HTTPError(405, "Method Not Allowed",
+                            headers={"allow": ", ".join(sorted(allowed))})
+        raise HTTPError(404, "Not Found")
+
+    async def handle(self, request: Request) -> Response:
+        async def terminal(req: Request) -> Response:
+            fn, params = self._match(req.method, req.path)
+            req.path_params = params
+            return await fn(req)
+
+        handler = terminal
+        for mw in reversed(self._middleware):
+            handler = (lambda mw, nxt: lambda req: mw(req, nxt))(mw, handler)
+        try:
+            return await handler(request)
+        except HTTPError as e:
+            return Response({"detail": e.detail}, status=e.status,
+                            headers=e.headers)
+        except Disconnected:
+            raise
+        except Exception as e:  # noqa: BLE001 — global exception boundary
+            if self._exception_handler is not None:
+                return self._exception_handler(request, e)
+            traceback.print_exc()
+            return Response({"detail": "Internal Server Error"}, status=500)
+
+    async def startup(self):
+        for fn in self.on_startup:
+            r = fn()
+            if asyncio.iscoroutine(r):
+                await r
+
+    async def shutdown(self):
+        for fn in self.on_shutdown:
+            r = fn()
+            if asyncio.iscoroutine(r):
+                await r
+
+
+# ---------------------------------------------------------------------------
+# Socket server
+# ---------------------------------------------------------------------------
+
+async def _read_request(reader: asyncio.StreamReader,
+                        client: tuple[str, int],
+                        max_body: int) -> Request | None:
+    try:
+        head = await reader.readuntil(b"\r\n\r\n")
+    except (asyncio.IncompleteReadError, ConnectionResetError):
+        return None
+    except asyncio.LimitOverrunError:
+        raise HTTPError(431, "Headers too large") from None
+    lines = head.decode("latin-1").split("\r\n")
+    try:
+        method, target, _version = lines[0].split(" ", 2)
+    except ValueError:
+        raise HTTPError(400, "Malformed request line") from None
+    headers: dict[str, str] = {}
+    for line in lines[1:]:
+        if not line:
+            continue
+        k, _, v = line.partition(":")
+        headers[k.strip().lower()] = v.strip()
+    body = b""
+    if "content-length" in headers:
+        try:
+            n = int(headers["content-length"])
+        except ValueError:
+            raise HTTPError(400, "Bad Content-Length") from None
+        if n > max_body:
+            raise HTTPError(413, "Payload Too Large")
+        body = await reader.readexactly(n) if n else b""
+    elif headers.get("transfer-encoding", "").lower() == "chunked":
+        chunks = []
+        total = 0
+        while True:
+            size_line = await reader.readline()
+            size = int(size_line.strip() or b"0", 16)
+            if size == 0:
+                await reader.readline()
+                break
+            total += size
+            if total > max_body:
+                raise HTTPError(413, "Payload Too Large")
+            chunks.append(await reader.readexactly(size))
+            await reader.readexactly(2)
+        body = b"".join(chunks)
+    return Request(method, target, headers, body, client)
+
+
+def _response_head(resp: Response, *, chunked: bool) -> bytes:
+    phrase = STATUS_PHRASES.get(resp.status, "Unknown")
+    lines = [f"HTTP/1.1 {resp.status} {phrase}"]
+    headers = dict(resp.headers)
+    if chunked:
+        headers["transfer-encoding"] = "chunked"
+    else:
+        headers["content-length"] = str(len(resp.body))
+    headers.setdefault("date", time.strftime(
+        "%a, %d %b %Y %H:%M:%S GMT", time.gmtime()))
+    lines += [f"{k}: {v}" for k, v in headers.items()]
+    return ("\r\n".join(lines) + "\r\n\r\n").encode("latin-1")
+
+
+async def _connection(app: App, reader: asyncio.StreamReader,
+                      writer: asyncio.StreamWriter, max_body: int):
+    peer = writer.get_extra_info("peername") or ("", 0)
+    client = (peer[0], peer[1]) if isinstance(peer, tuple) and len(peer) >= 2 \
+        else ("", 0)
+    try:
+        while True:
+            try:
+                request = await _read_request(reader, client, max_body)
+            except HTTPError as e:
+                err = Response({"detail": e.detail}, status=e.status)
+                writer.write(_response_head(err, chunked=False) + err.body)
+                await writer.drain()
+                return
+            if request is None:
+                return
+            resp = await app.handle(request)
+            keep_alive = request.headers.get("connection", "").lower() != "close"
+            if isinstance(resp, StreamingResponse):
+                writer.write(_response_head(resp, chunked=True))
+                await writer.drain()
+                try:
+                    async for chunk in resp.iterator:
+                        if not chunk:
+                            continue
+                        writer.write(f"{len(chunk):x}\r\n".encode()
+                                     + chunk + b"\r\n")
+                        await writer.drain()
+                    writer.write(b"0\r\n\r\n")
+                    await writer.drain()
+                except (ConnectionResetError, BrokenPipeError):
+                    return
+            else:
+                writer.write(_response_head(resp, chunked=False) + resp.body)
+                await writer.drain()
+            if not keep_alive:
+                return
+    except (ConnectionResetError, BrokenPipeError, asyncio.IncompleteReadError):
+        pass
+    finally:
+        try:
+            writer.close()
+            await writer.wait_closed()
+        except Exception:  # noqa: BLE001 — teardown best-effort
+            pass
+
+
+async def serve(app: App, host: str = "127.0.0.1", port: int = 8000,
+                *, max_body: int = DEFAULT_MAX_BODY,
+                ready: asyncio.Event | None = None,
+                stop: asyncio.Event | None = None):
+    await app.startup()
+    server = await asyncio.start_server(
+        lambda r, w: _connection(app, r, w, max_body), host, port,
+        limit=MAX_HEADER_BYTES)
+    if ready is not None:
+        ready.set()
+    try:
+        if stop is None:
+            async with server:
+                await server.serve_forever()
+        else:
+            async with server:
+                await stop.wait()
+    finally:
+        await app.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# In-process test client
+# ---------------------------------------------------------------------------
+
+class ClientResponse:
+    def __init__(self, status: int, headers: dict[str, str], body: bytes):
+        self.status_code = status
+        self.headers = headers
+        self.body = body
+
+    def json(self) -> Any:
+        return json.loads(self.body)
+
+    @property
+    def text(self) -> str:
+        return self.body.decode("utf-8", "replace")
+
+    def iter_sse(self):
+        """Yield decoded SSE data payloads (skips comments/keepalives)."""
+        for raw in self.text.split("\n\n"):
+            for line in raw.split("\n"):
+                if line.startswith("data: "):
+                    yield line[len("data: "):]
+
+
+class TestClient:
+    """Synchronous in-process client driving ``App.handle`` directly.
+
+    Runs a private event loop on a background thread so sync test code can
+    exercise async handlers, mirroring Starlette's TestClient ergonomics
+    (used throughout the reference's tests,
+    /root/reference/backend/tests/conftest.py:164-198).
+    """
+
+    __test__ = False  # not a pytest test class
+
+    def __init__(self, app: App, base_headers: dict[str, str] | None = None):
+        self.app = app
+        self.base_headers = base_headers or {}
+        self._loop = asyncio.new_event_loop()
+        self._thread = threading.Thread(
+            target=self._loop.run_forever, daemon=True)
+        self._thread.start()
+        self._run(app.startup())
+
+    def close(self):
+        self._run(self.app.shutdown())
+        self._loop.call_soon_threadsafe(self._loop.stop)
+        self._thread.join(timeout=5)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def _run(self, coro):
+        return asyncio.run_coroutine_threadsafe(coro, self._loop).result(120)
+
+    def request(self, method: str, path: str, *, json_body: Any = None,
+                data: dict[str, str] | None = None,
+                files: dict[str, tuple[str, bytes, str]] | None = None,
+                headers: dict[str, str] | None = None,
+                body: bytes | None = None) -> ClientResponse:
+        hdrs = {**self.base_headers, **(headers or {})}
+        payload = b""
+        if json_body is not None:
+            payload = json.dumps(json_body).encode()
+            hdrs.setdefault("content-type", "application/json")
+        elif files is not None or data is not None:
+            boundary = "ragtpuboundary1234567890"
+            parts = []
+            for k, v in (data or {}).items():
+                parts.append(
+                    f"--{boundary}\r\nContent-Disposition: form-data; "
+                    f"name=\"{k}\"\r\n\r\n{v}\r\n".encode())
+            for k, (fname, blob, ctype) in (files or {}).items():
+                parts.append(
+                    f"--{boundary}\r\nContent-Disposition: form-data; "
+                    f"name=\"{k}\"; filename=\"{fname}\"\r\n"
+                    f"Content-Type: {ctype}\r\n\r\n".encode() + blob + b"\r\n")
+            parts.append(f"--{boundary}--\r\n".encode())
+            payload = b"".join(parts)
+            hdrs["content-type"] = f"multipart/form-data; boundary={boundary}"
+        elif body is not None:
+            payload = body
+        hdrs.setdefault("host", "testserver")
+        req = Request(method, path, hdrs, payload, client=("127.0.0.1", 0))
+        resp = self._run(self._collect(req))
+        return resp
+
+    async def _collect(self, req: Request) -> ClientResponse:
+        resp = await self.app.handle(req)
+        body = resp.body
+        if isinstance(resp, StreamingResponse):
+            out = []
+            async for chunk in resp.iterator:
+                out.append(chunk)
+            body = b"".join(out)
+        return ClientResponse(resp.status, dict(resp.headers), body)
+
+    def get(self, path, **kw):
+        return self.request("GET", path, **kw)
+
+    def post(self, path, **kw):
+        return self.request("POST", path, **kw)
+
+    def delete(self, path, **kw):
+        return self.request("DELETE", path, **kw)
+
+    def patch(self, path, **kw):
+        return self.request("PATCH", path, **kw)
+
+    def put(self, path, **kw):
+        return self.request("PUT", path, **kw)

@@ -1,0 +1,166 @@
+"""Durable job queue over sqlite — the ARQ/Redis analog.
+
+The reference enqueued ingestion jobs into Redis via ARQ
+(/root/reference/backend/app/worker.py:55-132) with max_jobs=10,
+job_timeout=300 s, and a watchdog cron flipping stale RUNNING documents.
+Here the queue is a sqlite table claimed with atomic UPDATE ... RETURNING,
+so the API process and any number of worker processes/threads coordinate
+through the database file. Jobs survive restarts; the claim is leased so a
+crashed worker's job is re-claimable after ``lease_s``.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+import traceback
+from collections.abc import Callable
+
+from rag_foundation_tpu.runtime.db import Database
+
+_SCHEMA = """
+CREATE TABLE IF NOT EXISTS jobs (
+  id INTEGER PRIMARY KEY AUTOINCREMENT,
+  job_type TEXT NOT NULL,
+  payload TEXT NOT NULL DEFAULT '{}',
+  status TEXT NOT NULL DEFAULT 'queued',   -- queued|running|done|error
+  attempts INTEGER NOT NULL DEFAULT 0,
+  max_attempts INTEGER NOT NULL DEFAULT 3,
+  error TEXT,
+  enqueued_at REAL NOT NULL,
+  leased_until REAL,
+  finished_at REAL
+);
+CREATE INDEX IF NOT EXISTS jobs_status ON jobs(status, leased_until);
+"""
+
+
+class JobQueue:
+    def __init__(self, db: Database, *, lease_s: float = 300.0):
+        self.db = db
+        self.lease_s = lease_s
+        with db.tx() as conn:
+            conn.executescript(_SCHEMA)
+
+    def enqueue(self, job_type: str, payload: dict | None = None,
+                *, max_attempts: int = 3) -> int:
+        return self.db.execute(
+            "INSERT INTO jobs(job_type, payload, enqueued_at, max_attempts)"
+            " VALUES(?,?,?,?)",
+            (job_type, json.dumps(payload or {}), time.time(), max_attempts))
+
+    def claim(self) -> dict | None:
+        """Atomically claim one runnable job (queued, or running past its
+        lease — the crashed-worker recovery path)."""
+        now = time.time()
+        with self.db.tx() as conn:
+            row = conn.execute(
+                "SELECT id FROM jobs WHERE "
+                " (status='queued' OR (status='running' AND leased_until<?))"
+                " ORDER BY id LIMIT 1", (now,)).fetchone()
+            if row is None:
+                return None
+            conn.execute(
+                "UPDATE jobs SET status='running', attempts=attempts+1,"
+                " leased_until=? WHERE id=?",
+                (now + self.lease_s, row["id"]))
+            job = conn.execute("SELECT * FROM jobs WHERE id=?",
+                               (row["id"],)).fetchone()
+            return dict(job)
+
+    def finish(self, job_id: int, *, error: str | None = None):
+        with self.db.tx() as conn:
+            if error is None:
+                conn.execute(
+                    "UPDATE jobs SET status='done', finished_at=?, error=NULL"
+                    " WHERE id=?", (time.time(), job_id))
+            else:
+                row = conn.execute(
+                    "SELECT attempts, max_attempts FROM jobs WHERE id=?",
+                    (job_id,)).fetchone()
+                terminal = row is not None and row["attempts"] >= row["max_attempts"]
+                conn.execute(
+                    "UPDATE jobs SET status=?, finished_at=?, error=?,"
+                    " leased_until=NULL WHERE id=?",
+                    ("error" if terminal else "queued",
+                     time.time() if terminal else None, error[:2000], job_id))
+
+    def stats(self) -> dict[str, int]:
+        rows = self.db.query(
+            "SELECT status, COUNT(*) AS n FROM jobs GROUP BY status")
+        return {r["status"]: r["n"] for r in rows}
+
+    def pending(self) -> int:
+        s = self.stats()
+        return s.get("queued", 0) + s.get("running", 0)
+
+
+class Worker:
+    """Polls the queue and dispatches to registered handlers.
+
+    Reference analog: the ARQ worker process with ``max_jobs=10`` and a
+    watchdog cron (/root/reference/backend/app/worker.py:83-132). Cron
+    hooks run between polls at their configured cadence.
+    """
+
+    def __init__(self, queue: JobQueue, *, poll_interval: float = 0.2):
+        self.queue = queue
+        self.poll_interval = poll_interval
+        self.handlers: dict[str, Callable[[dict], None]] = {}
+        self.crons: list[tuple[float, Callable[[], None], list[float]]] = []
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    def register(self, job_type: str, fn: Callable[[dict], None]):
+        self.handlers[job_type] = fn
+
+    def cron(self, every_s: float, fn: Callable[[], None]):
+        self.crons.append((every_s, fn, [time.monotonic()]))
+
+    def run_once(self) -> bool:
+        """Claim and run one job. Returns True if a job was processed."""
+        job = self.queue.claim()
+        if job is None:
+            return False
+        handler = self.handlers.get(job["job_type"])
+        try:
+            if handler is None:
+                raise RuntimeError(f"no handler for {job['job_type']!r}")
+            handler(json.loads(job["payload"]))
+        except Exception as e:  # noqa: BLE001 — job isolation boundary
+            self.queue.finish(job["id"],
+                              error=f"{type(e).__name__}: {e}")
+            traceback.print_exc()
+            return True
+        self.queue.finish(job["id"])
+        return True
+
+    def _tick_crons(self):
+        now = time.monotonic()
+        for every_s, fn, last in self.crons:
+            if now - last[0] >= every_s:
+                last[0] = now
+                try:
+                    fn()
+                except Exception:  # noqa: BLE001 — cron isolation
+                    traceback.print_exc()
+
+    def run_forever(self):
+        while not self._stop.is_set():
+            self._tick_crons()
+            if not self.run_once():
+                self._stop.wait(self.poll_interval)
+
+    def start(self) -> threading.Thread:
+        self._stop.clear()
+        self._thread = threading.Thread(target=self.run_forever, daemon=True,
+                                        name="ragtpu-worker")
+        self._thread.start()
+        return self._thread
+
+    def stop(self, timeout: float = 5.0):
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout)
+            self._thread = None

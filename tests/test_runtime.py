@@ -1,0 +1,256 @@
+"""Runtime layer: HTTP framework, sqlite DB, KV store, job queue."""
+
+import asyncio
+import threading
+import time
+
+import pytest
+
+from rag_foundation_tpu.runtime.db import Database
+from rag_foundation_tpu.runtime.http import (
+    App, HTTPError, Request, Response, StreamingResponse, TestClient,
+    serve, sse_frame)
+from rag_foundation_tpu.runtime.jobqueue import JobQueue, Worker
+from rag_foundation_tpu.runtime.kv import FailingKV, KVError, MemoryKV, SqliteKV
+
+
+# -- HTTP framework ---------------------------------------------------------
+
+def _make_app():
+    app = App()
+
+    @app.get("/hello/{name}")
+    async def hello(req):
+        return Response({"hi": req.path_params["name"],
+                         "q": req.query.get("x")})
+
+    @app.post("/echo")
+    async def echo(req):
+        return Response(req.json(), status=201)
+
+    @app.post("/upload")
+    async def upload(req):
+        fields, files = req.multipart()
+        f = files["file"]
+        return Response({"fields": fields, "filename": f.filename,
+                         "size": len(f.data), "ctype": f.content_type})
+
+    @app.get("/boom")
+    async def boom(req):
+        raise HTTPError(418, "teapot")
+
+    @app.get("/crash")
+    async def crash(req):
+        raise RuntimeError("secret internal detail")
+
+    @app.get("/stream")
+    async def stream(req):
+        async def gen():
+            yield sse_frame({"n": 1})
+            yield sse_frame("keepalive", comment=True)
+            yield sse_frame({"n": 2})
+            yield sse_frame("[DONE]")
+        return StreamingResponse(gen())
+
+    @app.middleware
+    async def add_header(req, call_next):
+        resp = await call_next(req)
+        resp.headers["x-framework"] = "ragtpu"
+        return resp
+
+    return app
+
+
+def test_routing_and_json():
+    with TestClient(_make_app()) as c:
+        r = c.get("/hello/world?x=1")
+        assert r.status_code == 200 and r.json() == {"hi": "world", "q": "1"}
+        assert r.headers["x-framework"] == "ragtpu"
+        r = c.post("/echo", json_body={"a": [1, 2]})
+        assert r.status_code == 201 and r.json() == {"a": [1, 2]}
+        assert c.get("/nope").status_code == 404
+        r = c.post("/hello/x")
+        assert r.status_code == 405 and "GET" in r.headers["allow"]
+        assert c.get("/boom").json() == {"detail": "teapot"}
+
+
+def test_unhandled_exception_hides_detail():
+    r = TestClient(_make_app()).get("/crash")
+    assert r.status_code == 500
+    assert "secret" not in r.text
+
+
+def test_multipart_upload():
+    with TestClient(_make_app()) as c:
+        r = c.post("/upload", data={"store": "s1"},
+                   files={"file": ("doc.txt", b"hello world", "text/plain")})
+        assert r.status_code == 200
+        out = r.json()
+        assert out["fields"] == {"store": "s1"}
+        assert out["filename"] == "doc.txt"
+        assert out["size"] == 11
+
+
+def test_sse_stream_collection():
+    with TestClient(_make_app()) as c:
+        r = c.get("/stream")
+        frames = list(r.iter_sse())
+        assert frames == ['{"n": 1}', '{"n": 2}', "[DONE]"]
+        assert "text/event-stream" in r.headers["content-type"]
+        assert ": keepalive" in r.text
+
+
+def test_real_socket_server_roundtrip():
+    """End-to-end over a real socket including chunked SSE."""
+    import http.client
+
+    app = _make_app()
+    ready = threading.Event()
+    stop_holder = {}
+
+    def run():
+        async def main():
+            stop = asyncio.Event()
+            stop_holder["stop"] = stop
+            stop_holder["loop"] = asyncio.get_running_loop()
+            aready = asyncio.Event()
+
+            async def flag():
+                await aready.wait()
+                ready.set()
+            t = asyncio.create_task(flag())
+            await serve(app, "127.0.0.1", 8765, ready=aready, stop=stop)
+            t.cancel()
+        asyncio.run(main())
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    assert ready.wait(10)
+    conn = http.client.HTTPConnection("127.0.0.1", 8765, timeout=10)
+    conn.request("GET", "/hello/sock?x=2")
+    resp = conn.getresponse()
+    assert resp.status == 200
+    assert b'"hi": "sock"' in resp.read()
+    conn.request("GET", "/stream")
+    resp = conn.getresponse()
+    body = resp.read().decode()
+    assert '{"n": 2}' in body and "data: [DONE]" in body
+    conn.close()
+    stop_holder["loop"].call_soon_threadsafe(stop_holder["stop"].set)
+    th.join(5)
+
+
+# -- Database ---------------------------------------------------------------
+
+def test_db_migrations_and_tx(tmp_path):
+    m1 = "CREATE TABLE t(a INTEGER);"
+    m2 = "ALTER TABLE t ADD COLUMN b TEXT;"
+    db = Database(tmp_path / "x.db", migrations=[m1])
+    db.execute("INSERT INTO t(a) VALUES (1)")
+    db.migrate([m1, m2])  # idempotent: only applies m2
+    db.execute("INSERT INTO t(a,b) VALUES (2,'x')")
+    rows = db.query("SELECT * FROM t ORDER BY a")
+    assert [tuple(r) for r in rows] == [(1, None), (2, "x")]
+    with pytest.raises(RuntimeError):
+        with db.tx() as conn:
+            conn.execute("INSERT INTO t(a) VALUES (3)")
+            raise RuntimeError("rollback me")
+    assert len(db.query("SELECT * FROM t")) == 2
+    assert db.ping()
+
+
+def test_db_memory_shared_across_threads():
+    db = Database(":memory:", migrations=["CREATE TABLE t(a INTEGER);"])
+    db.execute("INSERT INTO t VALUES (42)")
+    out = {}
+
+    def reader():
+        out["rows"] = db.query("SELECT a FROM t")
+    th = threading.Thread(target=reader)
+    th.start()
+    th.join()
+    assert out["rows"][0]["a"] == 42
+
+
+# -- KV ---------------------------------------------------------------------
+
+@pytest.mark.parametrize("make", [
+    lambda tmp: MemoryKV(),
+    lambda tmp: SqliteKV(tmp / "kv.db"),
+])
+def test_kv_basics(make, tmp_path):
+    kv = make(tmp_path)
+    assert kv.get("a") is None
+    kv.set("a", "1")
+    assert kv.get("a") == "1" and kv.exists("a")
+    kv.setex("b", 0.05, "x")
+    assert kv.get("b") == "x"
+    time.sleep(0.07)
+    assert kv.get("b") is None
+    assert kv.incr("ctr") == 1
+    assert kv.incr("ctr") == 2
+    kv.delete("a")
+    assert not kv.exists("a")
+    assert kv.ping()
+
+
+def test_failing_kv_raises():
+    kv = FailingKV()
+    with pytest.raises(KVError):
+        kv.get("x")
+    assert not kv.ping()
+
+
+# -- Job queue --------------------------------------------------------------
+
+def test_jobqueue_lifecycle(tmp_path):
+    db = Database(tmp_path / "q.db")
+    q = JobQueue(db)
+    w = Worker(q)
+    done = []
+    w.register("ok", lambda p: done.append(p["v"]))
+    fails = {"n": 0}
+
+    def flaky(p):
+        fails["n"] += 1
+        if fails["n"] < 2:
+            raise ValueError("transient")
+    w.register("flaky", flaky)
+
+    q.enqueue("ok", {"v": 1})
+    q.enqueue("flaky", {})
+    q.enqueue("missing_handler", {}, max_attempts=1)
+    while w.run_once():
+        pass
+    assert done == [1]
+    s = q.stats()
+    # flaky failed once then requeued; run again to finish it
+    while w.run_once():
+        pass
+    s = q.stats()
+    assert s.get("done") == 2 and s.get("error") == 1
+    assert fails["n"] == 2
+
+
+def test_jobqueue_lease_recovery(tmp_path):
+    db = Database(tmp_path / "q.db")
+    q = JobQueue(db, lease_s=0.05)
+    q.enqueue("x", {}, max_attempts=5)
+    job = q.claim()
+    assert job is not None
+    assert q.claim() is None  # leased, not claimable
+    time.sleep(0.07)
+    job2 = q.claim()  # lease expired -> reclaim
+    assert job2 is not None and job2["id"] == job["id"]
+    assert job2["attempts"] == 2
+
+
+def test_worker_cron_ticks(tmp_path):
+    q = JobQueue(Database(tmp_path / "q.db"))
+    w = Worker(q, poll_interval=0.01)
+    hits = []
+    w.cron(0.03, lambda: hits.append(1))
+    w.start()
+    time.sleep(0.15)
+    w.stop()
+    assert len(hits) >= 2
