@@ -1,0 +1,9 @@
+"""Host control plane: the multi-tenant RAG web application.
+
+Reproduces the reference app's capability surface (auth/JWT, per-user
+stores, durable ingestion worker, SSE chat with citations, cost/budget
+ledger, admin RBAC + audit, branding settings, Prometheus + JSON logs,
+deterministic mock mode — SURVEY.md §1-§3) on top of
+``rag_foundation_tpu.runtime`` and the TPU engine in
+``rag_foundation_tpu.engine``.
+"""

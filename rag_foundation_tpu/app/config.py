@@ -1,0 +1,208 @@
+"""Typed settings with env + secret-file loading and production invariants.
+
+Mirrors the reference's pydantic-settings system
+(/root/reference/backend/app/config.py:72-399): ~60 typed knobs, ``*_FILE``
+Docker-secret loading, JSON-or-CSV list parsing, per-model pricing, and
+hard fail-fast production invariants — plus the new TPU engine knobs
+(index mode, nlist/nprobe, PQ m, dtype, mesh shape) called for by
+SURVEY.md §5 "Config / flag system". pydantic-settings is not available in
+this environment, so env loading is explicit (``Settings.from_env``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from decimal import Decimal
+from pathlib import Path
+
+from pydantic import BaseModel, Field, field_validator, model_validator
+
+ENV_PREFIX = "RAGTPU_"
+
+# Default per-model pricing (USD per million tokens), reference parity:
+# /root/reference/backend/app/config.py:31-51 ($0.30 in / $2.50 out /
+# $0.0015 index per Mtok).
+DEFAULT_MODEL_PRICING: dict[str, dict[str, str]] = {
+    "ragtpu-retrieval-v1": {"input": "0.30", "output": "2.50"},
+    "ragtpu-retrieval-fast": {"input": "0.10", "output": "0.80"},
+    "INDEX": {"input": "0.0015", "output": "0"},
+}
+
+_DEV_JWT_DEFAULT = "dev-insecure-jwt-secret-change-me"
+
+
+class Settings(BaseModel):
+    # -- environment / security gate --------------------------------------
+    ENVIRONMENT: str = "development"      # development|test|staging|production
+    STRICT_MODE: bool = False
+    MOCK_MODE: bool = False               # deterministic mock RAG client
+    ALLOW_MOCK_IN_PROD: bool = False
+    DEV_LOGIN_ENABLED: bool = False
+
+    # -- auth --------------------------------------------------------------
+    JWT_SECRET: str = _DEV_JWT_DEFAULT
+    JWT_ISSUER: str = "ragtpu"
+    JWT_AUDIENCE: str = "ragtpu-api"
+    JWT_TTL_S: int = 3600
+    PASSWORD_MIN_LENGTH: int = 10
+
+    # -- persistence -------------------------------------------------------
+    DATABASE_PATH: str = ":memory:"
+    DATA_DIR: str = "./data"              # engine checkpoints, archives
+    KV_BACKEND: str = "memory"            # memory|sqlite
+    KV_PATH: str = ""                     # derived from DATA_DIR if empty
+    ARCHIVE_UPLOADS: bool = False         # local archive dir (GCS analog)
+
+    # -- HTTP surface ------------------------------------------------------
+    CORS_ORIGINS: list[str] = Field(default_factory=lambda: ["http://localhost:5173"])
+    CSRF_ENABLED: bool = True
+    TRUSTED_PROXIES: list[str] = Field(default_factory=list)
+    METRICS_ALLOW_ALL: bool = False
+    MAX_JSON_BODY_MB: int = 10
+    MAX_UPLOAD_MB: int = 25
+    MAX_QUESTION_LENGTH: int = 32_000
+    UPLOAD_PROFILE: str = "safe"          # safe|office|all-supported
+
+    # -- rate limits (fixed window, per minute) ----------------------------
+    RATE_LIMIT_GLOBAL_PER_MIN: int = 120
+    RATE_LIMIT_CHAT_PER_MIN: int = 10
+    RATE_LIMIT_UPLOAD_PER_MIN: int = 10
+    RATE_LIMIT_LOGIN_PER_MIN: int = 20
+
+    # -- chat / streaming --------------------------------------------------
+    MAX_CONCURRENT_STREAMS: int = 50
+    STREAM_SEMAPHORE_TIMEOUT_S: float = 2.0
+    STREAM_QUEUE_MAX: int = 20
+    STREAM_RETRY_ATTEMPTS: int = 2
+    STREAM_KEEPALIVE_S: float = 15.0
+    HISTORY_MAX_TURNS: int = 24
+    HISTORY_CHAR_BUDGET: int = 6000
+    CONTENTS_CHAR_BUDGET: int = 32_000
+    ALLOWED_MODELS: list[str] = Field(default_factory=lambda: [
+        "ragtpu-retrieval-v1", "ragtpu-retrieval-fast"])
+    DEFAULT_MODEL: str = "ragtpu-retrieval-v1"
+
+    # -- stores / tenancy --------------------------------------------------
+    MAX_STORES_PER_USER: int = 20
+
+    # -- costs / budget ----------------------------------------------------
+    MODEL_PRICING: dict[str, dict[str, str]] = Field(
+        default_factory=lambda: {k: dict(v)
+                                 for k, v in DEFAULT_MODEL_PRICING.items()})
+    BUDGET_HOLD_USD: str = "0.05"
+    DEFAULT_MONTHLY_BUDGET_USD: str = ""   # empty = no default budget
+
+    # -- worker / ingestion ------------------------------------------------
+    WORKER_MAX_ATTEMPTS: int = 3
+    WORKER_JOB_TIMEOUT_S: float = 300.0
+    INGESTION_TIMEOUT_S: float = 180.0
+    WATCHDOG_STALE_S: float = 600.0
+    WATCHDOG_CRON_S: float = 300.0
+
+    # -- engine (TPU data plane) -------------------------------------------
+    ENGINE_DIM: int = 384
+    ENGINE_ENCODER: str = "hash"          # hash|minilm
+    ENGINE_INDEX_MODE: str = "exact"      # exact|ivf_flat|ivf_pq
+    ENGINE_CHUNK_TOKENS: int = 200
+    ENGINE_CHUNK_OVERLAP: int = 40
+    ENGINE_TOP_K: int = 5
+    ENGINE_NLIST: int = 1024
+    ENGINE_NPROBE: int = 64
+    ENGINE_PQ_M: int = 48
+    ENGINE_DTYPE: str = "float32"         # float32|bfloat16
+    ENGINE_MESH_SHARDS: int = 1           # corpus shards across chips
+
+    # ---------------------------------------------------------------------
+    @field_validator("CORS_ORIGINS", "TRUSTED_PROXIES", "ALLOWED_MODELS",
+                     mode="before")
+    @classmethod
+    def _parse_list(cls, v):
+        """Accept JSON arrays or comma-separated strings (reference:
+        config.py:201-299)."""
+        if isinstance(v, str):
+            s = v.strip()
+            if not s:
+                return []
+            if s.startswith("["):
+                return json.loads(s)
+            return [x.strip() for x in s.split(",") if x.strip()]
+        return v
+
+    @field_validator("MODEL_PRICING", mode="before")
+    @classmethod
+    def _parse_pricing(cls, v):
+        if isinstance(v, str):
+            v = json.loads(v)
+        return v
+
+    @model_validator(mode="after")
+    def _invariants(self):
+        env = self.ENVIRONMENT
+        if env not in {"development", "test", "staging", "production"}:
+            raise ValueError(f"invalid ENVIRONMENT {env!r}")
+        for model, p in self.MODEL_PRICING.items():
+            for kind in ("input", "output"):
+                if Decimal(str(p.get(kind, "0"))) < 0:
+                    raise ValueError(f"negative pricing for {model}.{kind}")
+        if env == "production":
+            # Hard invariants (reference: config.py:348-387 +
+            # security_gate.py:14-100) — fail fast at construction.
+            if self.DEV_LOGIN_ENABLED:
+                raise ValueError("DEV_LOGIN_ENABLED is banned in production")
+            if self.JWT_SECRET == _DEV_JWT_DEFAULT or len(self.JWT_SECRET) < 32:
+                raise ValueError(
+                    "production requires a strong JWT_SECRET (>=32 chars,"
+                    " not the dev default)")
+            if self.DATABASE_PATH == ":memory:":
+                raise ValueError("production requires a persistent "
+                                 "DATABASE_PATH")
+            if self.MOCK_MODE and not self.ALLOW_MOCK_IN_PROD:
+                raise ValueError("MOCK_MODE banned in production unless "
+                                 "ALLOW_MOCK_IN_PROD")
+            if not self.CSRF_ENABLED:
+                raise ValueError("CSRF must stay enabled in production")
+            if "*" in self.CORS_ORIGINS:
+                raise ValueError("wildcard CORS origin banned in production")
+        if self.ENGINE_CHUNK_OVERLAP >= self.ENGINE_CHUNK_TOKENS:
+            raise ValueError("ENGINE_CHUNK_OVERLAP must be < ENGINE_CHUNK_TOKENS")
+        if self.ENGINE_INDEX_MODE not in {"exact", "ivf_flat", "ivf_pq"}:
+            raise ValueError(f"invalid ENGINE_INDEX_MODE "
+                             f"{self.ENGINE_INDEX_MODE!r}")
+        return self
+
+    # ---------------------------------------------------------------------
+    @property
+    def kv_path(self) -> str:
+        return self.KV_PATH or str(Path(self.DATA_DIR) / "kv.db")
+
+    @property
+    def is_production(self) -> bool:
+        return self.ENVIRONMENT == "production"
+
+    @property
+    def budget_hold(self) -> Decimal:
+        return Decimal(self.BUDGET_HOLD_USD or "0")
+
+    @classmethod
+    def from_env(cls, env: dict[str, str] | None = None,
+                 **overrides) -> "Settings":
+        """Build from ``RAGTPU_*`` env vars; ``RAGTPU_X_FILE`` points at a
+        secret file whose stripped contents become ``X`` (reference:
+        config.py:54-69)."""
+        env = dict(os.environ if env is None else env)
+        values: dict[str, object] = {}
+        for name in cls.model_fields:
+            file_key = f"{ENV_PREFIX}{name}_FILE"
+            if file_key in env:
+                values[name] = Path(env[file_key]).read_text().strip()
+                continue
+            key = f"{ENV_PREFIX}{name}"
+            if key in env:
+                values[name] = env[key]
+        values.update(overrides)
+        return cls(**values)
+
+
+def load_settings(**overrides) -> Settings:
+    return Settings.from_env(**overrides)

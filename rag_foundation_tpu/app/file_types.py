@@ -1,0 +1,77 @@
+"""Upload MIME allowlists + magic-number validation.
+
+Reference parity: /root/reference/backend/app/file_types.py (supported
+MIME universe + safe/office/all-supported profiles) and the magic-number
+checks in routes/uploads.py:71-105. The engine ingests text it can chunk;
+binary formats are accepted per profile and their text is extracted
+best-effort (PDFs: printable-text salvage; others: utf-8 decode).
+"""
+
+from __future__ import annotations
+
+TEXT_TYPES = {
+    "text/plain", "text/markdown", "text/csv", "text/html", "text/x-python",
+    "application/json", "application/xml", "text/xml", "application/x-yaml",
+}
+OFFICE_TYPES = {
+    "application/pdf",
+    "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
+    "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
+    "application/vnd.openxmlformats-officedocument.presentationml.presentation",
+    "application/msword",
+}
+ALL_SUPPORTED = TEXT_TYPES | OFFICE_TYPES | {
+    "application/rtf", "application/epub+zip",
+}
+
+PROFILES: dict[str, set[str]] = {
+    "safe": set(TEXT_TYPES),
+    "office": TEXT_TYPES | OFFICE_TYPES,
+    "all-supported": set(ALL_SUPPORTED),
+}
+
+
+def allowed_types(profile: str) -> set[str]:
+    return PROFILES.get(profile, PROFILES["safe"])
+
+
+_MAGIC = {
+    "application/pdf": b"%PDF-",
+    # OOXML formats are zip containers
+    "application/vnd.openxmlformats-officedocument."
+    "wordprocessingml.document": b"PK\x03\x04",
+    "application/vnd.openxmlformats-officedocument."
+    "spreadsheetml.sheet": b"PK\x03\x04",
+    "application/vnd.openxmlformats-officedocument."
+    "presentationml.presentation": b"PK\x03\x04",
+    "application/epub+zip": b"PK\x03\x04",
+}
+
+
+def validate_magic(content_type: str, head: bytes) -> bool:
+    """Reject files whose leading bytes contradict the declared type
+    (reference: uploads.py:196-208). Types without magic pass."""
+    magic = _MAGIC.get(content_type)
+    if magic is None:
+        return True
+    return head.startswith(magic)
+
+
+def extract_text(data: bytes, content_type: str) -> str:
+    """Best-effort text extraction for ingestion."""
+    if content_type == "application/pdf":
+        # Printable-ASCII salvage between PDF stream operators; a real
+        # extractor is out of scope, but this keeps PDFs searchable.
+        out = []
+        token = bytearray()
+        for b in data:
+            if 32 <= b < 127 or b in (9, 10, 13):
+                token.append(b)
+            else:
+                if len(token) >= 4:
+                    out.append(token.decode("ascii", "ignore"))
+                token.clear()
+        if len(token) >= 4:
+            out.append(token.decode("ascii", "ignore"))
+        return " ".join(out)
+    return data.decode("utf-8", "replace")

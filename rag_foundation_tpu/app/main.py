@@ -1,0 +1,247 @@
+"""App factory: middleware chain, routes, health/metrics, worker wiring.
+
+Reference parity: /root/reference/backend/app/main.py:42-425 — CSRF header
+check, CORS, HTTP metrics, security headers, JSON body cap, correlation-id
+logging, global rate limit, exception handler, loopback-gated /metrics,
+and /live /ready /health probes; lifespan runs the security gate.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+import time
+import uuid
+
+from rag_foundation_tpu.app import metrics
+from rag_foundation_tpu.app.config import Settings, load_settings
+from rag_foundation_tpu.app.context import AppContext
+from rag_foundation_tpu.app.dbschema import MIGRATIONS
+from rag_foundation_tpu.app.rate_limit import RateLimiter, global_rate_key
+from rag_foundation_tpu.app.routes import (admin, auth_routes, chat,
+                                           costs_routes, documents,
+                                           settings_routes, stores, uploads)
+from rag_foundation_tpu.app.security_gate import run_security_gate
+from rag_foundation_tpu.app.services.cleanup import cleanup_stale_stores
+from rag_foundation_tpu.app.services.ingestion import (reset_stuck_documents,
+                                                       run_ingestion_sync)
+from rag_foundation_tpu.app.services.rag import make_rag_client
+from rag_foundation_tpu.app.telemetry import (bind_request, clear_request,
+                                              configure_logging, log_json)
+from rag_foundation_tpu.runtime.db import Database
+from rag_foundation_tpu.runtime.http import App, HTTPError, Request, Response
+from rag_foundation_tpu.runtime.jobqueue import JobQueue, Worker
+from rag_foundation_tpu.runtime.kv import MemoryKV, SqliteKV
+
+_CORR_ID_OK = __import__("re").compile(r"^[A-Za-z0-9-]{8,64}$")
+_MUTATING = {"POST", "PUT", "PATCH", "DELETE"}
+
+
+def build_context(settings: Settings | None = None, *, db=None, kv=None,
+                  rag=None, with_worker: bool = True) -> AppContext:
+    settings = settings or load_settings()
+    db = db or Database(settings.DATABASE_PATH, migrations=MIGRATIONS)
+    if db.ping():
+        db.migrate(MIGRATIONS)
+    if kv is None:
+        kv = (SqliteKV(settings.kv_path) if settings.KV_BACKEND == "sqlite"
+              else MemoryKV())
+    rag = rag or make_rag_client(settings)
+    ctx = AppContext(settings=settings, db=db, kv=kv, rag=rag,
+                     limiter=RateLimiter(kv))
+    if with_worker:
+        queue = JobQueue(db, lease_s=settings.WORKER_JOB_TIMEOUT_S)
+        worker = Worker(queue)
+        worker.register(
+            "ingest_document",
+            lambda payload: run_ingestion_sync(
+                db, ctx.rag, settings, payload["document_id"]))
+        worker.cron(settings.WATCHDOG_CRON_S,
+                    lambda: reset_stuck_documents(db, settings))
+        worker.cron(settings.WATCHDOG_CRON_S * 4,
+                    lambda: cleanup_stale_stores(db, ctx.rag))
+        ctx.queue = queue
+        ctx.worker = worker
+    return ctx
+
+
+def create_app(ctx: AppContext | None = None, *,
+               settings: Settings | None = None,
+               start_worker: bool = True) -> App:
+    configure_logging()
+    ctx = ctx or build_context(settings)
+    settings = ctx.settings
+    app = App()
+    app.state["ctx"] = ctx
+
+    # -- middleware (outermost first) --------------------------------------
+    @app.middleware
+    async def correlation_and_logging(req: Request, call_next):
+        rid = req.headers.get("x-request-id", "")
+        if not _CORR_ID_OK.match(rid):
+            rid = uuid.uuid4().hex
+        bind_request(request_id=rid)
+        t0 = time.perf_counter()
+        try:
+            resp = await call_next(req)
+        finally:
+            clear_request()
+        resp.headers["x-request-id"] = rid
+        dur = time.perf_counter() - t0
+        route = req.path if not req.path.startswith("/api/") else \
+            "/".join(req.path.split("/")[:4])
+        metrics.http_requests_total.labels(
+            req.method, route, str(resp.status)).inc()
+        metrics.http_request_duration_seconds.labels(
+            req.method, route).observe(dur)
+        log_json(logging.INFO, "request_complete", method=req.method,
+                 path=req.path, status=resp.status,
+                 dur_ms=int(dur * 1000))
+        return resp
+
+    @app.middleware
+    async def security_headers(req: Request, call_next):
+        resp = await call_next(req)
+        resp.headers.setdefault("x-content-type-options", "nosniff")
+        resp.headers.setdefault("x-frame-options", "DENY")
+        resp.headers.setdefault("referrer-policy", "no-referrer")
+        resp.headers.setdefault(
+            "content-security-policy",
+            "default-src 'self'; frame-ancestors 'none'")
+        return resp
+
+    @app.middleware
+    async def cors(req: Request, call_next):
+        origin = req.headers.get("origin", "")
+        if req.method == "OPTIONS":
+            if origin in settings.CORS_ORIGINS:
+                return Response(b"", status=204, headers={
+                    "access-control-allow-origin": origin,
+                    "access-control-allow-methods":
+                        "GET, POST, PUT, PATCH, DELETE, OPTIONS",
+                    "access-control-allow-headers":
+                        "authorization, content-type, x-request-id,"
+                        " x-requested-with",
+                    "access-control-max-age": "600",
+                })
+            return Response(b"", status=204)
+        resp = await call_next(req)
+        if origin in settings.CORS_ORIGINS:
+            resp.headers["access-control-allow-origin"] = origin
+            resp.headers["vary"] = "Origin"
+        return resp
+
+    @app.middleware
+    async def csrf_guard(req: Request, call_next):
+        # Header-based CSRF check for browser-origin mutations (reference:
+        # main.py:76-86): mutating requests must carry a custom header
+        # (bearer token or x-requested-with), which cross-site forms can't.
+        if settings.CSRF_ENABLED and req.method in _MUTATING \
+                and req.path.startswith("/api/"):
+            if "authorization" not in req.headers and \
+                    req.headers.get("x-requested-with") != "XMLHttpRequest":
+                origin = req.headers.get("origin")
+                if origin and origin not in settings.CORS_ORIGINS:
+                    raise HTTPError(403, "CSRF check failed")
+        return await call_next(req)
+
+    @app.middleware
+    async def body_limit(req: Request, call_next):
+        # uploads exempted (reference: main.py:176)
+        if req.path != "/api/upload" and \
+                req.content_type == "application/json":
+            if len(req.body) > settings.MAX_JSON_BODY_MB * 1024 * 1024:
+                raise HTTPError(413, "JSON body too large")
+        return await call_next(req)
+
+    @app.middleware
+    async def global_rate_limit(req: Request, call_next):
+        if req.path.startswith("/api/"):
+            key = global_rate_key(req, settings.TRUSTED_PROXIES)
+            ctx.limiter.check(f"global:{key}",
+                              settings.RATE_LIMIT_GLOBAL_PER_MIN)
+        return await call_next(req)
+
+    @app.exception_handler
+    def on_exception(req: Request, exc: Exception) -> Response:
+        log_json(logging.ERROR, "unhandled_exception",
+                 exc_type=type(exc).__name__, path=req.path)
+        return Response({"detail": "Internal Server Error"}, status=500)
+
+    # -- probes (reference: main.py:308-423) -------------------------------
+    @app.get("/live")
+    async def live(req):
+        return Response({"status": "live"})
+
+    @app.get("/ready")
+    async def ready(req):
+        ok = ctx.db.ping()
+        return Response({"status": "ready" if ok else "degraded",
+                         "db": ok}, status=200 if ok else 503)
+
+    @app.get("/health")
+    async def health(req):
+        db_ok = ctx.db.ping()
+        kv_ok = ctx.kv.ping()
+        engine_ok = True
+        try:
+            probe = ctx.extra.get("engine_probe")
+            if probe is not None:
+                engine_ok = bool(probe())
+        except Exception:  # noqa: BLE001
+            engine_ok = False
+        ok = db_ok and kv_ok and engine_ok
+        return Response({
+            "status": "healthy" if ok else "degraded",
+            "db": db_ok, "kv": kv_ok, "engine": engine_ok,
+            "queue_pending": ctx.queue.pending() if ctx.queue else None,
+        }, status=200 if ok else 503)
+
+    @app.get("/metrics")
+    async def metrics_endpoint(req):
+        # loopback-gated unless METRICS_ALLOW_ALL (reference: main.py:308-322)
+        peer = req.client[0]
+        if not settings.METRICS_ALLOW_ALL and \
+                peer not in ("127.0.0.1", "::1", ""):
+            raise HTTPError(403, "Metrics restricted to loopback")
+        return Response(metrics.render(),
+                        content_type="text/plain; version=0.0.4")
+
+    # -- routers -----------------------------------------------------------
+    for module in (auth_routes, stores, documents, uploads, chat,
+                   costs_routes, settings_routes, admin):
+        module.register(app, ctx)
+
+    # -- lifespan ----------------------------------------------------------
+    async def _startup():
+        run_security_gate(settings, ctx.kv)
+        ctx.stream_semaphore = asyncio.Semaphore(
+            settings.MAX_CONCURRENT_STREAMS)
+        if start_worker and ctx.worker is not None:
+            ctx.worker.start()
+        log_json(logging.INFO, "app_started",
+                 environment=settings.ENVIRONMENT,
+                 mock_mode=settings.MOCK_MODE)
+
+    async def _shutdown():
+        if ctx.worker is not None:
+            ctx.worker.stop()
+
+    app.on_startup.append(_startup)
+    app.on_shutdown.append(_shutdown)
+    return app
+
+
+def main():  # pragma: no cover — production entrypoint
+    import argparse
+    parser = argparse.ArgumentParser(description="ragtpu API server")
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8000)
+    args = parser.parse_args()
+    app = create_app()
+    from rag_foundation_tpu.runtime.http import serve
+    asyncio.run(serve(app, args.host, args.port))
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

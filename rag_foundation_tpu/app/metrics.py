@@ -1,0 +1,43 @@
+"""Prometheus metrics — reference series plus engine-specific gauges.
+
+Reference parity (/root/reference/backend/app/metrics.py:4-12): http
+request counter/histogram, provider call counter/latency, token counter.
+TPU additions per SURVEY.md §5: per-stage query latency (embed/scan/merge)
+and index size/build throughput.
+"""
+
+from __future__ import annotations
+
+from prometheus_client import (CollectorRegistry, Counter, Gauge, Histogram,
+                               generate_latest)
+
+registry = CollectorRegistry()
+
+http_requests_total = Counter(
+    "http_requests_total", "HTTP requests",
+    ["method", "path", "status"], registry=registry)
+http_request_duration_seconds = Histogram(
+    "http_request_duration_seconds", "HTTP request latency",
+    ["method", "path"], registry=registry)
+engine_calls_total = Counter(
+    "engine_calls_total", "Engine calls", ["op", "outcome"],
+    registry=registry)
+engine_latency_seconds = Histogram(
+    "engine_latency_seconds", "Engine op latency", ["op"],
+    registry=registry)
+llm_tokens_total = Counter(
+    "llm_tokens_total", "Token usage", ["kind", "model"], registry=registry)
+
+# TPU engine additions
+query_stage_seconds = Histogram(
+    "engine_query_stage_seconds", "Per-stage query latency",
+    ["stage"], registry=registry)   # embed | scan | merge
+index_vectors = Gauge(
+    "engine_index_vectors", "Vectors resident per store", ["store"],
+    registry=registry)
+ingest_vectors_total = Counter(
+    "engine_ingest_vectors_total", "Vectors ingested", registry=registry)
+
+
+def render() -> bytes:
+    return generate_latest(registry)

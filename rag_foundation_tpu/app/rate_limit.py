@@ -1,0 +1,79 @@
+"""Fixed-window rate limiting over the KV store with in-memory fallback.
+
+Reference parity: /root/reference/backend/app/rate_limit.py — Redis
+INCR+EXPIRE buckets, graceful degradation to an in-process limiter with a
+one-shot warning when the backend fails, trusted-proxy X-Forwarded-For
+resolution, a global middleware keyed user-then-ip, and per-endpoint
+``check_rate_limit``.
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+import time
+
+from rag_foundation_tpu.app.telemetry import log_json
+from rag_foundation_tpu.runtime.http import HTTPError, Request
+from rag_foundation_tpu.runtime.kv import KVError, MemoryKV
+
+
+class RateLimiter:
+    def __init__(self, kv, *, window_s: float = 60.0):
+        self.kv = kv
+        self.window_s = window_s
+        self._fallback = MemoryKV()
+        self._warned = False
+        self._lock = threading.Lock()
+
+    def _bucket(self, key: str) -> str:
+        window = int(time.time() // self.window_s)
+        return f"rl:{key}:{window}"
+
+    def hit(self, key: str, limit: int) -> tuple[bool, int]:
+        """Count a hit; returns (allowed, current_count). Degrades to the
+        in-memory limiter if the KV backend errors (reference:
+        rate_limit.py:105-138)."""
+        bucket = self._bucket(key)
+        try:
+            n = self.kv.incr(bucket)
+            if n == 1:
+                self.kv.expire(bucket, self.window_s * 2)
+        except KVError:
+            with self._lock:
+                if not self._warned:
+                    log_json(logging.WARNING, "rate_limit_kv_degraded")
+                    self._warned = True
+            n = self._fallback.incr(bucket)
+            if n == 1:
+                self._fallback.expire(bucket, self.window_s * 2)
+        return n <= limit, n
+
+    def check(self, key: str, limit: int, *, detail: str = "Rate limit "
+              "exceeded") -> None:
+        allowed, n = self.hit(key, limit)
+        if not allowed:
+            retry = self.window_s - (time.time() % self.window_s)
+            raise HTTPError(429, detail, headers={
+                "retry-after": str(int(retry) + 1),
+                "x-ratelimit-limit": str(limit),
+                "x-ratelimit-remaining": "0",
+            })
+
+
+def client_ip(request: Request, trusted_proxies: list[str]) -> str:
+    """Use X-Forwarded-For only when the peer is a trusted proxy
+    (reference: rate_limit.py:151-175)."""
+    peer = request.client[0] or "unknown"
+    if peer in trusted_proxies:
+        fwd = request.headers.get("x-forwarded-for", "")
+        if fwd:
+            return fwd.split(",")[0].strip()
+    return peer
+
+
+def global_rate_key(request: Request, trusted_proxies: list[str]) -> str:
+    user = request.state.get("user")
+    if user is not None:
+        return f"user:{user.id}"
+    return f"ip:{client_ip(request, trusted_proxies)}"

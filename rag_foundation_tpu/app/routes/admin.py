@@ -1,0 +1,148 @@
+"""Admin console: users, budgets, audit, system counts, watchdog.
+
+Reference parity: /root/reference/backend/app/routes/admin.py:30-253 —
+user list/role toggle with self-demotion ban, budget upsert, audit list,
+system counts, reset-stuck RUNNING->PENDING, deletion audit; every action
+rate-limited and written to the audit log.
+"""
+
+from __future__ import annotations
+
+import time
+from decimal import Decimal, InvalidOperation
+
+from rag_foundation_tpu.app import dbschema
+from rag_foundation_tpu.app.auth import get_current_user, require_admin
+from rag_foundation_tpu.app.services.audit import record_admin_action
+from rag_foundation_tpu.app.services.ingestion import reset_stuck_documents
+from rag_foundation_tpu.runtime.http import HTTPError, Response
+
+
+def register(app, ctx):
+    settings, db = ctx.settings, ctx.db
+
+    def _admin(req):
+        user = require_admin(get_current_user(req, db, ctx.kv, settings))
+        ctx.limiter.check(f"user:{user.id}:admin", 60)
+        return user
+
+    @app.get("/api/admin/users")
+    async def list_users(req):
+        _admin(req)
+        rows = db.query(
+            "SELECT id, email, role, is_active, created_at FROM users"
+            " ORDER BY id LIMIT 500")
+        return Response({"users": [dict(r) for r in rows]})
+
+    @app.patch("/api/admin/users/{user_id}")
+    async def update_user(req):
+        admin = _admin(req)
+        uid = int(req.path_params["user_id"])
+        body = req.json()
+        target = db.one("SELECT * FROM users WHERE id=?", (uid,))
+        if target is None:
+            raise HTTPError(404, "User not found")
+        sets, params, changes = [], [], []
+        if "role" in body:
+            role = body["role"]
+            if role not in ("user", "admin"):
+                raise HTTPError(422, "role must be user|admin")
+            if uid == admin.id and role != "admin":
+                # self-demotion ban (reference: admin.py:71-75)
+                raise HTTPError(409, "Admins cannot demote themselves")
+            sets.append("role=?")
+            params.append(role)
+            changes.append(f"role={role}")
+        if "is_active" in body:
+            active = 1 if body["is_active"] else 0
+            if uid == admin.id and not active:
+                raise HTTPError(409, "Admins cannot deactivate themselves")
+            sets.append("is_active=?")
+            params.append(active)
+            changes.append(f"is_active={active}")
+        if not sets:
+            raise HTTPError(422, "Nothing to update")
+        params.append(uid)
+        db.execute(f"UPDATE users SET {', '.join(sets)} WHERE id=?",
+                   tuple(params))
+        record_admin_action(db, admin_user_id=admin.id, action="user_update",
+                            target=str(uid), detail=";".join(changes))
+        return Response({"status": "updated", "id": uid})
+
+    @app.put("/api/admin/budgets/{user_id}")
+    async def upsert_budget(req):
+        admin = _admin(req)
+        uid = int(req.path_params["user_id"])
+        if db.one("SELECT id FROM users WHERE id=?", (uid,)) is None:
+            raise HTTPError(404, "User not found")
+        try:
+            amount = Decimal(str(req.json().get("monthly_usd")))
+            if amount < 0:
+                raise InvalidOperation
+        except (InvalidOperation, TypeError, ValueError):
+            raise HTTPError(422, "monthly_usd must be a non-negative"
+                            " number") from None
+        db.execute(
+            "INSERT INTO budgets(user_id, monthly_usd, updated_at)"
+            " VALUES(?,?,?) ON CONFLICT(user_id) DO UPDATE SET"
+            " monthly_usd=excluded.monthly_usd,"
+            " updated_at=excluded.updated_at",
+            (uid, str(amount), time.time()))
+        record_admin_action(db, admin_user_id=admin.id, action="budget_set",
+                            target=str(uid), detail=str(amount))
+        return Response({"status": "updated", "user_id": uid,
+                         "monthly_usd": str(amount)})
+
+    @app.get("/api/admin/audit")
+    async def list_audit(req):
+        _admin(req)
+        rows = db.query(
+            "SELECT * FROM admin_audit_log ORDER BY id DESC LIMIT 200")
+        return Response({"audit": [dict(r) for r in rows]})
+
+    @app.get("/api/admin/system")
+    async def system_counts(req):
+        _admin(req)
+        counts = {}
+        for table in ("users", "stores", "documents", "query_log",
+                      "chat_sessions"):
+            counts[table] = db.one(
+                f"SELECT COUNT(*) AS n FROM {table}")["n"]
+        counts["documents_by_status"] = {
+            r["status"]: r["n"] for r in db.query(
+                "SELECT status, COUNT(*) AS n FROM documents WHERE"
+                " deleted_at IS NULL GROUP BY status")}
+        if ctx.queue is not None:
+            counts["jobs"] = ctx.queue.stats()
+        return Response(counts)
+
+    @app.post("/api/admin/watchdog/reset-stuck")
+    async def watchdog_reset(req):
+        admin = _admin(req)
+        # admin path re-queues: RUNNING->PENDING (reference:
+        # admin.py:176-228); re-enqueue ingestion jobs for them.
+        cutoff = time.time() - settings.WATCHDOG_STALE_S
+        stuck = db.query(
+            "SELECT id FROM documents WHERE status=? AND status_updated_at<?",
+            (dbschema.DOC_RUNNING, cutoff))
+        n = reset_stuck_documents(db, settings,
+                                  to_status=dbschema.DOC_PENDING)
+        if ctx.queue is not None:
+            for r in stuck:
+                ctx.queue.enqueue("ingest_document",
+                                  {"document_id": r["id"]})
+        record_admin_action(db, admin_user_id=admin.id,
+                            action="watchdog_reset", detail=f"count={n}")
+        return Response({"reset": n})
+
+    @app.get("/api/admin/deletions")
+    async def deletion_audit(req):
+        _admin(req)
+        stores = db.query(
+            "SELECT id, name, user_id, deleted_at FROM stores WHERE"
+            " deleted_at IS NOT NULL ORDER BY deleted_at DESC LIMIT 100")
+        docs = db.query(
+            "SELECT id, filename, user_id, deleted_at FROM documents WHERE"
+            " deleted_at IS NOT NULL ORDER BY deleted_at DESC LIMIT 100")
+        return Response({"stores": [dict(r) for r in stores],
+                         "documents": [dict(r) for r in docs]})

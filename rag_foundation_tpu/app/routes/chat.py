@@ -1,0 +1,404 @@
+"""Chat SSE route — the read/hot path.
+
+Reference parity: /root/reference/backend/app/routes/chat.py (1270 lines).
+The SSE wire contract is preserved verbatim as the product surface
+(SURVEY.md §3.2): ``start -> text-start -> text-delta* -> text-end ->
+source-document* -> finish -> [DONE]`` with ``error``/``budget_exceeded``
+frames and ``: keepalive`` comments, under the
+``x-vercel-ai-ui-message-stream: v1`` header. Internals are rebuilt: the
+"provider" is the in-process TPU engine; the sync engine iterator is
+pumped by a daemon thread through a bounded queue (backpressure surfaces
+as an explicit error frame, reference chat.py:486-520), with retry-on-
+transient suppressed after the first delta (chat.py:1076-1128) and a
+mid-stream budget cut-off (chat.py:1036-1049).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import logging
+import queue as queue_mod
+import threading
+import time
+import uuid
+from decimal import Decimal
+
+from pydantic import BaseModel, ValidationError
+
+from rag_foundation_tpu.app import metrics
+from rag_foundation_tpu.app.auth import get_current_user
+from rag_foundation_tpu.app.costs import (calc_query_cost,
+                                          check_budget_or_402,
+                                          record_query_cost,
+                                          remaining_budget,
+                                          require_pricing_configured)
+from rag_foundation_tpu.app.services.rag import RagError
+from rag_foundation_tpu.app.telemetry import log_json
+from rag_foundation_tpu.app.tenant import require_stores_owned_by_user
+from rag_foundation_tpu.runtime.http import (HTTPError, Response,
+                                             StreamingResponse, sse_frame)
+
+
+class ChatRequest(BaseModel):
+    """Accepts snake_case and camelCase aliases (reference:
+    chat.py:65-108)."""
+    question: str | None = None
+    messages: list[dict] | None = None
+    store_ids: list[int] | None = None
+    storeIds: list[int] | None = None
+    model: str | None = None
+    session_id: int | None = None
+    sessionId: int | None = None
+
+    @property
+    def resolved_store_ids(self) -> list[int]:
+        return self.store_ids if self.store_ids is not None \
+            else (self.storeIds or [])
+
+    @property
+    def resolved_session_id(self) -> int | None:
+        return self.session_id if self.session_id is not None \
+            else self.sessionId
+
+
+class _Backpressure(RuntimeError):
+    pass
+
+
+def _extract_question(body: ChatRequest, max_len: int) -> str:
+    """Last user message text from AssistantUI messages, or ``question``
+    (reference: chat.py:120-172)."""
+    text = ""
+    if body.messages:
+        for msg in reversed(body.messages):
+            if msg.get("role") != "user":
+                continue
+            content = msg.get("content")
+            if isinstance(content, str):
+                text = content
+            elif isinstance(content, list):
+                text = " ".join(
+                    p.get("text", "") for p in content
+                    if isinstance(p, dict) and p.get("type") == "text")
+            break
+    if not text and body.question:
+        text = body.question
+    text = (text or "").strip()
+    if not text:
+        raise HTTPError(422, "No question provided")
+    if len(text) > max_len:
+        raise HTTPError(422, f"Question exceeds {max_len} characters")
+    return text
+
+
+def _history_from_messages(body: ChatRequest, settings) -> list[dict]:
+    """Prior turns, newest-kept, char-budget trimmed (reference:
+    chat.py:182-223): cap turns, drop oldest past the char budget, and
+    truncate the oldest included message rather than losing the newest."""
+    msgs = []
+    for msg in (body.messages or [])[:-1]:
+        role = msg.get("role")
+        if role not in ("user", "assistant"):
+            continue
+        content = msg.get("content")
+        if isinstance(content, list):
+            content = " ".join(p.get("text", "") for p in content
+                               if isinstance(p, dict)
+                               and p.get("type") == "text")
+        if isinstance(content, str) and content:
+            msgs.append({"role": role, "content": content})
+    msgs = msgs[-settings.HISTORY_MAX_TURNS:]
+    budget = settings.HISTORY_CHAR_BUDGET
+    kept: list[dict] = []
+    used = 0
+    for msg in reversed(msgs):
+        n = len(msg["content"])
+        if used + n > budget:
+            room = budget - used
+            if room > 50:
+                kept.append({"role": msg["role"],
+                             "content": msg["content"][-room:]})
+            break
+        kept.append(msg)
+        used += n
+    return list(reversed(kept))
+
+
+def _sse_error(code: str, message: str, status: int | None = None) -> bytes:
+    payload = {"type": "error", "code": code, "message": message,
+               "errorText": message}
+    if status is not None:
+        payload["status"] = status
+    return sse_frame(payload)
+
+
+def _finish_frame(prompt_tokens: int, completion_tokens: int,
+                  model: str) -> bytes:
+    return sse_frame({
+        "type": "finish", "finishReason": "stop",
+        "promptTokens": prompt_tokens,
+        "completionTokens": completion_tokens,
+        "usage": {"prompt_tokens": prompt_tokens,
+                  "completion_tokens": completion_tokens, "model": model},
+    })
+
+
+def _citation_frames(citations: list[dict]) -> list[bytes]:
+    return [sse_frame({
+        "type": "source-document",
+        "sourceId": f"cit-{c['index']}",
+        "mediaType": "file",
+        "title": c.get("title") or c.get("uri") or "Source",
+        "snippet": c.get("snippet"),
+    }) for c in citations]
+
+
+def _ensure_session(db, user_id: int, store_id: int | None,
+                    session_id: int | None, question: str) -> int:
+    now = time.time()
+    if session_id is not None:
+        row = db.one(
+            "SELECT id FROM chat_sessions WHERE id=? AND user_id=?",
+            (session_id, user_id))
+        if row is None:
+            raise HTTPError(404, "Session not found")
+        db.execute("UPDATE chat_sessions SET updated_at=? WHERE id=?",
+                   (now, session_id))
+        return session_id
+    title = question[:80]
+    return db.execute(
+        "INSERT INTO chat_sessions(user_id, store_id, title, created_at,"
+        " updated_at) VALUES(?,?,?,?,?)",
+        (user_id, store_id, title, now, now))
+
+
+def _persist_message(db, session_id: int, user_id: int, role: str,
+                     content: str) -> None:
+    db.execute(
+        "INSERT INTO chat_history(session_id, user_id, role, content,"
+        " created_at) VALUES(?,?,?,?,?)",
+        (session_id, user_id, role, content, time.time()))
+
+
+def _pump(delta_iter, out_q: queue_mod.Queue, stop: threading.Event,
+          queue_timeout_s: float = 5.0):
+    """Producer thread: drain the sync engine iterator into the bounded
+    queue; a full queue means the consumer stalled -> backpressure error
+    (reference: chat.py:486-520)."""
+    try:
+        for delta in delta_iter:
+            if stop.is_set():
+                return
+            try:
+                out_q.put(("chunk", delta), timeout=queue_timeout_s)
+            except queue_mod.Full:
+                out_q.queue.clear()
+                out_q.put(("error", _Backpressure("stream backpressure")))
+                return
+        out_q.put(("end", None))
+    except Exception as e:  # noqa: BLE001 — cross-thread error channel
+        try:
+            out_q.put(("error", e), timeout=1.0)
+        except queue_mod.Full:
+            pass
+
+
+def register(app, ctx):
+    settings, db = ctx.settings, ctx.db
+
+    @app.post("/api/chat")
+    async def chat_stream(req):
+        user = get_current_user(req, db, ctx.kv, settings)
+        try:
+            body = ChatRequest(**req.json())
+        except ValidationError as e:
+            raise HTTPError(422, e.errors()[0]["msg"]) from None
+        store_ids = body.resolved_store_ids
+        stores = require_stores_owned_by_user(db, store_ids, user.id)
+        question = _extract_question(body, settings.MAX_QUESTION_LENGTH)
+        history = _history_from_messages(body, settings)
+        ctx.limiter.check(f"user:{user.id}:chat",
+                          settings.RATE_LIMIT_CHAT_PER_MIN)
+        model = body.model or settings.DEFAULT_MODEL
+        if model not in settings.ALLOWED_MODELS:
+            raise HTTPError(422, f"Model {model!r} not allowed")
+        require_pricing_configured(settings, model)
+        # budget pre-check with hold (reference: chat.py:916-935)
+        remaining = check_budget_or_402(db, user.id, settings)
+
+        session_id = _ensure_session(
+            db, user.id, stores[0]["id"], body.resolved_session_id, question)
+        _persist_message(db, session_id, user.id, "user", question)
+        engine_keys = [s["engine_key"] for s in stores]
+        message_id = f"msg-{uuid.uuid4().hex[:12]}"
+        text_id = f"txt-{uuid.uuid4().hex[:12]}"
+
+        async def generator():
+            sem = ctx.stream_semaphore
+            acquired = False
+            if sem is not None:
+                try:
+                    await asyncio.wait_for(
+                        sem.acquire(),
+                        timeout=settings.STREAM_SEMAPHORE_TIMEOUT_S)
+                    acquired = True
+                except asyncio.TimeoutError:
+                    yield _sse_error("capacity", "Server is at capacity,"
+                                     " try again shortly", 503)
+                    yield sse_frame("[DONE]")
+                    return
+            t_start = time.perf_counter()
+            answer_parts: list[str] = []
+            prompt_tokens = 0
+            completion_tokens = 0
+            citations: list[dict] = []
+            status = "ok"
+            try:
+                yield sse_frame({"type": "start", "messageId": message_id})
+                yield sse_frame({"type": "text-start", "id": text_id})
+                emitted = False
+                attempts = max(1, settings.STREAM_RETRY_ATTEMPTS)
+                for attempt in range(attempts):
+                    try:
+                        deltas, result = await asyncio.to_thread(
+                            ctx.rag.ask_stream, question, engine_keys,
+                            model=model, history=history)
+                    except RagError as e:
+                        if attempt + 1 < attempts:
+                            continue  # retry-on-transient
+                        yield _sse_error("upstream", f"Engine error: {e}",
+                                         502)
+                        yield sse_frame("[DONE]")
+                        status = "error"
+                        return
+                    out_q: queue_mod.Queue = queue_mod.Queue(
+                        maxsize=settings.STREAM_QUEUE_MAX)
+                    stop = threading.Event()
+                    producer = threading.Thread(
+                        target=_pump, args=(deltas, out_q, stop), daemon=True)
+                    producer.start()
+                    failed_mid = False
+                    try:
+                        while True:
+                            try:
+                                kind, payload = await asyncio.to_thread(
+                                    out_q.get, True,
+                                    settings.STREAM_KEEPALIVE_S)
+                            except queue_mod.Empty:
+                                yield sse_frame(
+                                    f"keepalive {int(time.time())}",
+                                    comment=True)
+                                continue
+                            if kind == "end":
+                                break
+                            if kind == "error":
+                                if isinstance(payload, _Backpressure):
+                                    yield _sse_error(
+                                        "backpressure",
+                                        "Client not consuming stream", 429)
+                                    status = "error"
+                                    yield sse_frame("[DONE]")
+                                    return
+                                if isinstance(payload, RagError) \
+                                        and not emitted \
+                                        and attempt + 1 < attempts:
+                                    failed_mid = True
+                                    break
+                                yield _sse_error(
+                                    "upstream", "Stream failed", 502)
+                                status = "error"
+                                yield sse_frame("[DONE]")
+                                return
+                            delta = payload
+                            emitted = True
+                            answer_parts.append(delta)
+                            completion_tokens += max(1, len(delta) // 4)
+                            # mid-stream budget cut-off (chat.py:1036-1049)
+                            if remaining is not None:
+                                cost = calc_query_cost(
+                                    settings, model,
+                                    result.prompt_tokens,
+                                    completion_tokens).total_cost_usd
+                                if cost > remaining:
+                                    yield sse_frame(
+                                        {"type": "budget_exceeded",
+                                         "message": "Monthly budget"
+                                         " exhausted mid-stream"})
+                                    status = "over_budget"
+                                    stop.set()
+                                    yield sse_frame("[DONE]")
+                                    return
+                            yield sse_frame({"type": "text-delta",
+                                             "id": text_id, "delta": delta})
+                    finally:
+                        stop.set()
+                    if not failed_mid:
+                        prompt_tokens = result.prompt_tokens
+                        citations = result.citations
+                        break
+                yield sse_frame({"type": "text-end", "id": text_id})
+                for frame in _citation_frames(citations):
+                    yield frame
+                yield _finish_frame(prompt_tokens, completion_tokens, model)
+                yield sse_frame("[DONE]")
+            finally:
+                if acquired and sem is not None:
+                    sem.release()
+                # finalize: usage + cost ledger + assistant persist
+                # (reference: chat.py:653-788)
+                try:
+                    cost = calc_query_cost(settings, model, prompt_tokens,
+                                           completion_tokens)
+                    final_status = status
+                    if status == "ok" and remaining is not None:
+                        post = remaining_budget(db, user.id, settings)
+                        if post is not None and \
+                                post - cost.total_cost_usd < Decimal(0):
+                            final_status = "over_budget"
+                    record_query_cost(
+                        db, user_id=user.id, store_id=stores[0]["id"],
+                        model=model, prompt_tokens=prompt_tokens,
+                        completion_tokens=completion_tokens,
+                        cost_usd=cost.total_cost_usd, status=final_status)
+                    metrics.llm_tokens_total.labels(
+                        "prompt", model).inc(prompt_tokens)
+                    metrics.llm_tokens_total.labels(
+                        "completion", model).inc(completion_tokens)
+                    if answer_parts:
+                        _persist_message(db, session_id, user.id,
+                                         "assistant", "".join(answer_parts))
+                    log_json(logging.INFO, "chat_complete",
+                             dur_ms=int((time.perf_counter() - t_start)
+                                        * 1000),
+                             status=status, model=model,
+                             completion_tokens=completion_tokens)
+                except Exception:  # noqa: BLE001 — never break the stream
+                    log_json(logging.ERROR, "chat_finalize_failed")
+
+        return StreamingResponse(generator(), headers={
+            "x-vercel-ai-ui-message-stream": "v1",
+            "x-session-id": str(session_id),
+        })
+
+    # -- session listing (reference: chat.py:1230-1270) --------------------
+    @app.get("/api/chat/sessions")
+    async def list_sessions(req):
+        user = get_current_user(req, db, ctx.kv, settings)
+        rows = db.query(
+            "SELECT id, store_id, title, created_at, updated_at FROM"
+            " chat_sessions WHERE user_id=? ORDER BY updated_at DESC"
+            " LIMIT 100", (user.id,))
+        return Response({"sessions": [dict(r) for r in rows]})
+
+    @app.get("/api/chat/sessions/{session_id}/messages")
+    async def session_messages(req):
+        user = get_current_user(req, db, ctx.kv, settings)
+        sid = int(req.path_params["session_id"])
+        if db.one("SELECT id FROM chat_sessions WHERE id=? AND user_id=?",
+                  (sid, user.id)) is None:
+            raise HTTPError(404, "Session not found")
+        rows = db.query(
+            "SELECT id, role, content, created_at FROM chat_history"
+            " WHERE session_id=? ORDER BY id", (sid,))
+        return Response({"messages": [dict(r) for r in rows]})

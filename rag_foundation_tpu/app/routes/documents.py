@@ -1,0 +1,70 @@
+"""Document listing, soft-delete, admin restore.
+
+Reference parity: /root/reference/backend/app/routes/documents.py:19-93.
+"""
+
+from __future__ import annotations
+
+import time
+
+from rag_foundation_tpu.app.auth import get_current_user, require_admin
+from rag_foundation_tpu.app.services.audit import record_admin_action
+from rag_foundation_tpu.app.services.cleanup import cleanup_document
+from rag_foundation_tpu.app.tenant import (require_document_owned_by_user,
+                                           require_store_owned_by_user)
+from rag_foundation_tpu.runtime.http import HTTPError, Response
+
+
+def _doc_dto(row) -> dict:
+    return {
+        "id": row["id"], "store_id": row["store_id"],
+        "filename": row["filename"], "content_type": row["content_type"],
+        "size_bytes": row["size_bytes"], "status": row["status"],
+        "status_updated_at": row["status_updated_at"],
+        "chunks": row["chunks"], "est_tokens": row["est_tokens"],
+        "last_error": row["last_error"], "created_at": row["created_at"],
+        "op_name": row["op_name"],
+    }
+
+
+def register(app, ctx):
+    settings, db = ctx.settings, ctx.db
+
+    @app.get("/api/stores/{store_id}/documents")
+    async def list_documents(req):
+        user = get_current_user(req, db, ctx.kv, settings)
+        store = require_store_owned_by_user(
+            db, int(req.path_params["store_id"]), user.id)
+        rows = db.query(
+            "SELECT * FROM documents WHERE store_id=? AND deleted_at IS NULL"
+            " ORDER BY id", (store["id"],))
+        return Response({"documents": [_doc_dto(r) for r in rows]})
+
+    @app.delete("/api/documents/{document_id}")
+    async def delete_document(req):
+        user = get_current_user(req, db, ctx.kv, settings)
+        doc = require_document_owned_by_user(
+            db, int(req.path_params["document_id"]), user.id)
+        with db.tx() as conn:
+            conn.execute("UPDATE documents SET deleted_at=? WHERE id=?",
+                         (time.time(), doc["id"]))
+        store = db.one("SELECT engine_key FROM stores WHERE id=?",
+                       (doc["store_id"],))
+        if store is not None and doc["engine_doc_id"]:
+            cleanup_document(ctx.rag, store["engine_key"],
+                             doc["engine_doc_id"])
+        return Response({"status": "deleted", "id": doc["id"]})
+
+    @app.post("/api/admin/documents/{document_id}/restore")
+    async def restore_document(req):
+        user = require_admin(get_current_user(req, db, ctx.kv, settings))
+        did = int(req.path_params["document_id"])
+        row = db.one("SELECT * FROM documents WHERE id=?", (did,))
+        if row is None:
+            raise HTTPError(404, "Document not found")
+        with db.tx() as conn:
+            conn.execute("UPDATE documents SET deleted_at=NULL WHERE id=?",
+                         (did,))
+        record_admin_action(db, admin_user_id=user.id,
+                            action="document_restore", target=str(did))
+        return Response({"status": "restored", "id": did})

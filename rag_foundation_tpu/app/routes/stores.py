@@ -1,0 +1,111 @@
+"""Store CRUD: list/create/soft-delete + admin restore.
+
+Reference parity: /root/reference/backend/app/routes/stores.py — per-user
+store cap, engine-key format check, duplicate 409, cascade soft-delete of
+documents, background engine cleanup, 404-not-403 tenancy.
+"""
+
+from __future__ import annotations
+
+import html
+import re
+import time
+
+from pydantic import BaseModel, ValidationError, field_validator
+
+from rag_foundation_tpu.app.auth import get_current_user, require_admin
+from rag_foundation_tpu.app.services.audit import record_admin_action
+from rag_foundation_tpu.app.services.cleanup import cleanup_store
+from rag_foundation_tpu.app.tenant import require_store_owned_by_user
+from rag_foundation_tpu.runtime.http import HTTPError, Response
+
+_ENGINE_KEY_RE = re.compile(r"^stores/[A-Za-z0-9._-]+$")
+
+
+class StoreCreate(BaseModel):
+    name: str
+
+    @field_validator("name")
+    @classmethod
+    def _sanitize(cls, v: str) -> str:
+        # XSS-sanitizing validator (reference: schemas.py:9-32)
+        v = html.escape(v.strip())
+        if not 1 <= len(v) <= 100:
+            raise ValueError("name must be 1-100 characters")
+        return v
+
+
+def _store_dto(row) -> dict:
+    return {"id": row["id"], "name": row["name"],
+            "engine_key": row["engine_key"],
+            "created_at": row["created_at"]}
+
+
+def register(app, ctx):
+    settings, db = ctx.settings, ctx.db
+
+    @app.get("/api/stores")
+    async def list_stores(req):
+        user = get_current_user(req, db, ctx.kv, settings)
+        rows = db.query(
+            "SELECT * FROM stores WHERE user_id=? AND deleted_at IS NULL"
+            " ORDER BY id", (user.id,))
+        return Response({"stores": [_store_dto(r) for r in rows]})
+
+    @app.post("/api/stores")
+    async def create_store(req):
+        user = get_current_user(req, db, ctx.kv, settings)
+        try:
+            body = StoreCreate(**req.json())
+        except ValidationError as e:
+            raise HTTPError(422, e.errors()[0]["msg"]) from None
+        count = db.one(
+            "SELECT COUNT(*) AS n FROM stores WHERE user_id=? AND"
+            " deleted_at IS NULL", (user.id,))["n"]
+        if count >= settings.MAX_STORES_PER_USER:
+            raise HTTPError(409, "Store limit reached")
+        engine_key = ctx.rag.create_store(body.name, user.id)
+        if not _ENGINE_KEY_RE.match(engine_key):
+            # format check analog (reference: stores.py:46-50)
+            cleanup_store(ctx.rag, engine_key)
+            raise HTTPError(502, "Engine returned malformed store key")
+        try:
+            sid = db.execute(
+                "INSERT INTO stores(user_id, name, engine_key, created_at)"
+                " VALUES(?,?,?,?)",
+                (user.id, body.name, engine_key, time.time()))
+        except Exception:
+            cleanup_store(ctx.rag, engine_key)
+            raise HTTPError(409, "Store already exists") from None
+        row = db.one("SELECT * FROM stores WHERE id=?", (sid,))
+        return Response(_store_dto(row), status=201)
+
+    @app.delete("/api/stores/{store_id}")
+    async def delete_store(req):
+        user = get_current_user(req, db, ctx.kv, settings)
+        store = require_store_owned_by_user(
+            db, int(req.path_params["store_id"]), user.id)
+        now = time.time()
+        with db.tx() as conn:
+            conn.execute("UPDATE stores SET deleted_at=? WHERE id=?",
+                         (now, store["id"]))
+            # cascade soft-delete documents (reference: stores.py:75-80)
+            conn.execute(
+                "UPDATE documents SET deleted_at=? WHERE store_id=? AND"
+                " deleted_at IS NULL", (now, store["id"]))
+        cleanup_store(ctx.rag, store["engine_key"])
+        return Response({"status": "deleted", "id": store["id"]})
+
+    @app.post("/api/admin/stores/{store_id}/restore")
+    async def restore_store(req):
+        user = require_admin(get_current_user(req, db, ctx.kv, settings))
+        sid = int(req.path_params["store_id"])
+        row = db.one("SELECT * FROM stores WHERE id=?", (sid,))
+        if row is None:
+            raise HTTPError(404, "Store not found")
+        with db.tx() as conn:
+            conn.execute("UPDATE stores SET deleted_at=NULL WHERE id=?",
+                         (sid,))
+        record_admin_action(db, admin_user_id=user.id,
+                            action="store_restore", target=str(sid))
+        return Response({"status": "restored", "id": sid})

@@ -1,0 +1,123 @@
+"""Upload route: validation, budget gate, document row, worker enqueue.
+
+Reference parity: /root/reference/backend/app/routes/uploads.py — early
+401, per-user upload rate limit, MIME allowlist by profile, size cap,
+magic-number validation, token/cost estimate + budget check, Document
+PENDING row, optional archive copy (GCS analog -> local archive dir),
+enqueue-or-503, and the ``op-status`` polling endpoint.
+"""
+
+from __future__ import annotations
+
+import shutil
+import time
+from pathlib import Path
+
+from rag_foundation_tpu.app import dbschema
+from rag_foundation_tpu.app.auth import get_current_user
+from rag_foundation_tpu.app.costs import (calc_index_cost, check_budget_or_402,
+                                          estimate_tokens_from_bytes,
+                                          require_pricing_configured)
+from rag_foundation_tpu.app.file_types import allowed_types, validate_magic
+from rag_foundation_tpu.app.services.ingestion import upload_path
+from rag_foundation_tpu.app.tenant import require_store_owned_by_user
+from rag_foundation_tpu.runtime.http import HTTPError, Response
+
+
+def register(app, ctx):
+    settings, db = ctx.settings, ctx.db
+
+    @app.post("/api/upload")
+    async def upload(req):
+        user = get_current_user(req, db, ctx.kv, settings)  # early 401
+        require_pricing_configured(settings, "INDEX")
+        ctx.limiter.check(f"user:{user.id}:upload",
+                          settings.RATE_LIMIT_UPLOAD_PER_MIN)
+        fields, files = req.multipart()
+        if "file" not in files:
+            raise HTTPError(422, "Missing file field")
+        try:
+            store_id = int(fields.get("store_id", ""))
+        except ValueError:
+            raise HTTPError(422, "Missing or invalid store_id") from None
+        store = require_store_owned_by_user(db, store_id, user.id)
+
+        f = files["file"]
+        if f.content_type not in allowed_types(settings.UPLOAD_PROFILE):
+            raise HTTPError(
+                415, f"Content type {f.content_type!r} not allowed by"
+                f" profile {settings.UPLOAD_PROFILE!r}")
+        max_bytes = settings.MAX_UPLOAD_MB * 1024 * 1024
+        if len(f.data) > max_bytes:
+            raise HTTPError(413, "File exceeds upload size limit")
+        if not f.data:
+            raise HTTPError(422, "Empty file")
+        if not validate_magic(f.content_type, f.data[:16]):
+            raise HTTPError(415, "File content does not match declared type")
+
+        est_tokens = estimate_tokens_from_bytes(len(f.data), f.content_type)
+        est_cost = calc_index_cost(settings, est_tokens)
+        check_budget_or_402(db, user.id, settings, hold=est_cost)
+
+        doc_id = db.execute(
+            "INSERT INTO documents(store_id, user_id, filename, content_type,"
+            " size_bytes, status, status_updated_at, est_tokens, created_at)"
+            " VALUES(?,?,?,?,?,?,?,?,?)",
+            (store["id"], user.id, f.filename[:255], f.content_type,
+             len(f.data), dbschema.DOC_PENDING, time.time(), est_tokens,
+             time.time()))
+        path = upload_path(settings, doc_id)
+        path.write_bytes(f.data)
+        path.chmod(0o600)
+
+        if settings.ARCHIVE_UPLOADS:
+            archive = (Path(settings.DATA_DIR) / "archive"
+                       / store["engine_key"].replace("/", "_"))
+            archive.mkdir(parents=True, exist_ok=True)
+            dst = archive / f"doc-{doc_id}-{f.filename[:100]}"
+            shutil.copyfile(path, dst)
+            db.execute("UPDATE documents SET archive_path=? WHERE id=?",
+                       (str(dst), doc_id))
+
+        if not ctx.has_ingestion_queue():
+            # queue down => 503, do not lose the job silently (reference:
+            # uploads.py:263-293)
+            db.execute(
+                "UPDATE documents SET status=?, status_updated_at=?,"
+                " last_error=? WHERE id=?",
+                (dbschema.DOC_ERROR, time.time(), "ingestion queue"
+                 " unavailable", doc_id))
+            raise HTTPError(503, "Ingestion queue unavailable")
+        ctx.queue.enqueue("ingest_document", {"document_id": doc_id},
+                          max_attempts=settings.WORKER_MAX_ATTEMPTS)
+        return Response({
+            "document_id": doc_id,
+            "op_id": f"doc-{doc_id}",
+            "status": dbschema.DOC_PENDING,
+            "estimated_tokens": est_tokens,
+            "estimated_cost_usd": str(est_cost),
+        }, status=201)
+
+    @app.get("/api/upload/op-status/{op_id}")
+    async def op_status(req):
+        user = get_current_user(req, db, ctx.kv, settings)
+        op_id = req.path_params["op_id"]
+        if not op_id.startswith("doc-"):
+            raise HTTPError(404, "Unknown operation")
+        try:
+            doc_id = int(op_id[len("doc-"):])
+        except ValueError:
+            raise HTTPError(404, "Unknown operation") from None
+        row = db.one(
+            "SELECT * FROM documents WHERE id=? AND user_id=?",
+            (doc_id, user.id))
+        if row is None:
+            raise HTTPError(404, "Unknown operation")
+        return Response({
+            "op_id": op_id,
+            "document_id": row["id"],
+            "status": row["status"],
+            "done": row["status"] in (dbschema.DOC_DONE, dbschema.DOC_ERROR),
+            "error": row["last_error"],
+            "chunks": row["chunks"],
+        })

@@ -1,0 +1,1 @@
+"""Business-logic services over the engine and the database."""

@@ -1,0 +1,220 @@
+"""RAG clients: the TPU engine adapter and the deterministic mock.
+
+Plays the role of the reference's ``GeminiRag`` / ``MockGeminiRag`` /
+``get_rag_client`` triple (/root/reference/backend/app/services/
+gemini_rag.py:242-726). Instead of HTTPS calls to Gemini File Search, the
+``EngineRag`` adapter drives the in-process TPU engine: store creation
+allocates an index namespace, ingestion chunks+embeds+inserts, and
+``ask_stream`` embeds the question, runs the top-k scan, and synthesizes
+an extractive answer streamed as word deltas with source citations.
+
+``MockRag`` preserves the reference mock's contract: deterministic
+``[mock-mode] {question}`` echo, instantly-done operations, one synthetic
+citation (gemini_rag.py:602-718) — used in demo/CI.
+"""
+
+from __future__ import annotations
+
+import re
+import secrets
+import threading
+import time
+from collections.abc import Iterator
+from dataclasses import dataclass, field
+
+from rag_foundation_tpu.app import metrics
+from rag_foundation_tpu.app.costs import estimate_tokens_from_text
+from rag_foundation_tpu.engine import Engine, EngineConfig
+
+
+@dataclass
+class StreamResult:
+    """Filled in as the stream is consumed; read after exhaustion."""
+    citations: list[dict] = field(default_factory=list)
+    prompt_tokens: int = 0
+    completion_tokens: int = 0
+    finished: bool = False
+
+
+class RagError(RuntimeError):
+    """Transient engine/provider failure (drives stream retry logic)."""
+
+
+def _slug(name: str) -> str:
+    s = re.sub(r"[^a-z0-9]+", "-", name.lower()).strip("-")
+    return s[:32] or "store"
+
+
+class EngineRag:
+    """TPU-engine-backed RAG client."""
+
+    def __init__(self, settings, engine: Engine | None = None):
+        self.settings = settings
+        self.engine = engine or Engine(EngineConfig(
+            dim=settings.ENGINE_DIM,
+            chunk_tokens=settings.ENGINE_CHUNK_TOKENS,
+            chunk_overlap=settings.ENGINE_CHUNK_OVERLAP,
+            encoder=settings.ENGINE_ENCODER,
+            index_mode=settings.ENGINE_INDEX_MODE,
+            data_dir=(str(settings.DATA_DIR) + "/engine"
+                      if settings.DATA_DIR else None),
+        ))
+
+    # -- store lifecycle (reference: gemini_rag.py:271-304,354-424) --------
+    def create_store(self, name: str, user_id: int) -> str:
+        key = f"stores/{user_id}-{_slug(name)}-{secrets.token_hex(4)}"
+        t0 = time.perf_counter()
+        self.engine.create_store(key)
+        metrics.engine_latency_seconds.labels("create_store").observe(
+            time.perf_counter() - t0)
+        metrics.engine_calls_total.labels("create_store", "ok").inc()
+        return key
+
+    def delete_store(self, engine_key: str) -> None:
+        # 404-as-success semantics (reference: gemini_rag.py:354-424)
+        self.engine.delete_store(engine_key)
+        metrics.engine_calls_total.labels("delete_store", "ok").inc()
+
+    # -- ingestion ---------------------------------------------------------
+    def ingest_document(self, engine_key: str, doc_id: str, filename: str,
+                        text: str) -> dict:
+        t0 = time.perf_counter()
+        stats = self.engine.ingest_document(engine_key, doc_id, filename, text)
+        metrics.engine_latency_seconds.labels("ingest").observe(
+            time.perf_counter() - t0)
+        metrics.engine_calls_total.labels("ingest", "ok").inc()
+        metrics.ingest_vectors_total.inc(stats["vectors"])
+        metrics.index_vectors.labels(engine_key).set(
+            self.engine.store_stats(engine_key)["chunks"])
+        return stats
+
+    def delete_document(self, engine_key: str, doc_id: str) -> None:
+        if self.engine.has_store(engine_key):
+            self.engine.delete_document(engine_key, doc_id)
+        metrics.engine_calls_total.labels("delete_document", "ok").inc()
+
+    # -- query (reference: gemini_rag.py:463-551) --------------------------
+    def ask_stream(self, question: str, engine_keys: list[str],
+                   *, model: str, history: list[dict] | None = None,
+                   top_k: int | None = None
+                   ) -> tuple[Iterator[str], StreamResult]:
+        result = StreamResult()
+        k = top_k or self.settings.ENGINE_TOP_K
+        t0 = time.perf_counter()
+        hits = self.engine.search(engine_keys, question, k=k)
+        metrics.engine_latency_seconds.labels("search").observe(
+            time.perf_counter() - t0)
+        metrics.engine_calls_total.labels("search", "ok").inc()
+
+        history_text = " ".join(m.get("content", "")
+                                for m in (history or []))
+        result.prompt_tokens = estimate_tokens_from_text(
+            question + " " + history_text)
+        answer = self._compose_answer(question, hits)
+        result.citations = [{
+            "index": i,
+            "title": h.doc_name,
+            "uri": f"{h.store_key}#doc={h.doc_id}&chunk={h.ordinal}",
+            "snippet": h.text[:400],
+            "score": round(h.score, 6),
+        } for i, h in enumerate(hits)]
+
+        def gen() -> Iterator[str]:
+            for delta in _word_stream(answer):
+                result.completion_tokens += max(1, len(delta) // 4)
+                yield delta
+            result.finished = True
+
+        return gen(), result
+
+    @staticmethod
+    def _compose_answer(question: str, hits) -> str:
+        if not hits:
+            return ("I could not find relevant information in the selected "
+                    "stores to answer this question.")
+        parts = [f"Based on {len(hits)} retrieved passage"
+                 f"{'s' if len(hits) != 1 else ''}:"]
+        for i, h in enumerate(hits[:3]):
+            snippet = h.text.strip()
+            if len(snippet) > 300:
+                snippet = snippet[:300].rsplit(" ", 1)[0] + "…"
+            parts.append(f"[{i + 1}] ({h.doc_name}) {snippet}")
+        return "\n\n".join(parts)
+
+
+class MockRag:
+    """Deterministic in-process mock (reference: gemini_rag.py:602-718)."""
+
+    def __init__(self, settings):
+        self.settings = settings
+        self._stores: set[str] = set()
+        self._docs: dict[str, set[str]] = {}
+        self._lock = threading.Lock()
+        # fault-injection switches (reference test fakes: fakes.py:195-198)
+        self.ingest_should_fail = False
+        self.stream_should_fail = False
+
+    def create_store(self, name: str, user_id: int) -> str:
+        key = f"stores/mock-{user_id}-{_slug(name)}-{secrets.token_hex(4)}"
+        with self._lock:
+            self._stores.add(key)
+            self._docs[key] = set()
+        return key
+
+    def delete_store(self, engine_key: str) -> None:
+        with self._lock:
+            self._stores.discard(engine_key)
+            self._docs.pop(engine_key, None)
+
+    def ingest_document(self, engine_key: str, doc_id: str, filename: str,
+                        text: str) -> dict:
+        if self.ingest_should_fail:
+            raise RagError("mock ingestion failure")
+        with self._lock:
+            self._docs.setdefault(engine_key, set()).add(doc_id)
+        return {"chunks": 1, "vectors": 1, "dim": 0}
+
+    def delete_document(self, engine_key: str, doc_id: str) -> None:
+        with self._lock:
+            self._docs.get(engine_key, set()).discard(doc_id)
+
+    def ask_stream(self, question: str, engine_keys: list[str],
+                   *, model: str, history: list[dict] | None = None,
+                   top_k: int | None = None
+                   ) -> tuple[Iterator[str], StreamResult]:
+        if self.stream_should_fail:
+            raise RagError("mock stream failure")
+        result = StreamResult(
+            prompt_tokens=estimate_tokens_from_text(question))
+        answer = f"[mock-mode] {question}"
+        result.citations = [{
+            "index": 0, "title": "mock-source.txt",
+            "uri": "stores/mock#doc=mock&chunk=0",
+            "snippet": "This is a deterministic mock citation.",
+            "score": 1.0,
+        }]
+
+        def gen() -> Iterator[str]:
+            for delta in _word_stream(answer):
+                result.completion_tokens += max(1, len(delta) // 4)
+                yield delta
+            result.finished = True
+
+        return gen(), result
+
+
+def _word_stream(text: str, words_per_delta: int = 6) -> Iterator[str]:
+    words = text.split(" ")
+    for i in range(0, len(words), words_per_delta):
+        chunk = " ".join(words[i : i + words_per_delta])
+        if i:
+            chunk = " " + chunk
+        yield chunk
+
+
+def make_rag_client(settings, engine: Engine | None = None):
+    """Mock/real selection (reference: get_rag_client,
+    gemini_rag.py:721-726)."""
+    if settings.MOCK_MODE:
+        return MockRag(settings)
+    return EngineRag(settings, engine=engine)

@@ -1,0 +1,87 @@
+"""Shared helpers for app-level tests (fixture factory, auth helpers)."""
+
+from __future__ import annotations
+
+from rag_foundation_tpu.app.config import Settings
+from rag_foundation_tpu.app.main import build_context, create_app
+from rag_foundation_tpu.runtime.http import TestClient
+
+
+def make_settings(tmp_path, **overrides) -> Settings:
+    defaults = dict(
+        ENVIRONMENT="test",
+        DATA_DIR=str(tmp_path / "data"),
+        DATABASE_PATH=str(tmp_path / "app.db"),
+        DEV_LOGIN_ENABLED=True,
+        MOCK_MODE=False,
+        ENGINE_DIM=128,
+        ENGINE_CHUNK_TOKENS=40,
+        ENGINE_CHUNK_OVERLAP=8,
+        RATE_LIMIT_GLOBAL_PER_MIN=10_000,
+        RATE_LIMIT_CHAT_PER_MIN=1_000,
+        RATE_LIMIT_UPLOAD_PER_MIN=1_000,
+        RATE_LIMIT_LOGIN_PER_MIN=1_000,
+        STREAM_KEEPALIVE_S=5.0,
+    )
+    defaults.update(overrides)
+    return Settings(**defaults)
+
+
+def make_app(tmp_path, **overrides):
+    """(client, ctx): app with worker built but NOT auto-started, so tests
+    drive ingestion deterministically via ctx.worker.run_once()."""
+    settings = make_settings(tmp_path, **overrides)
+    ctx = build_context(settings)
+    app = create_app(ctx, start_worker=False)
+    return TestClient(app), ctx
+
+
+class SwitchableKV:
+    """MemoryKV that can be flipped into a failing state mid-test."""
+
+    def __init__(self):
+        from rag_foundation_tpu.runtime.kv import FailingKV, MemoryKV
+        self._ok = MemoryKV()
+        self._bad = FailingKV()
+        self.broken = False
+
+    def __getattr__(self, name):
+        return getattr(self._bad if self.broken else self._ok, name)
+
+
+def signup(client, email="user@example.com", password="Passw0rd-123"):
+    r = client.post("/api/auth/register",
+                    json_body={"email": email, "password": password})
+    assert r.status_code == 201, r.text
+    r = client.post("/api/auth/login",
+                    json_body={"email": email, "password": password})
+    assert r.status_code == 200, r.text
+    token = r.json()["access_token"]
+    return {"authorization": f"Bearer {token}"}
+
+
+def make_admin(ctx, email="user@example.com"):
+    ctx.db.execute("UPDATE users SET role='admin' WHERE email=?", (email,))
+
+
+def create_store(client, headers, name="My Store"):
+    r = client.post("/api/stores", json_body={"name": name}, headers=headers)
+    assert r.status_code == 201, r.text
+    return r.json()
+
+
+def upload_text(client, headers, store_id, text, filename="doc.txt"):
+    r = client.post(
+        "/api/upload", headers=headers,
+        data={"store_id": str(store_id)},
+        files={"file": (filename, text.encode(), "text/plain")})
+    return r
+
+
+def drain_worker(ctx):
+    while ctx.worker.run_once():
+        pass
+
+
+def sse_events(resp):
+    return [e for e in resp.iter_sse()]

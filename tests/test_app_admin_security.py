@@ -1,0 +1,222 @@
+"""Admin RBAC + audit, security posture: headers, rate limits, metrics,
+health, production invariants.
+
+Reference analogs: backend/tests/test_admin_rbac.py,
+test_security_defaults_matrix.py, test_production_settings.py,
+test_rate_limit_headers.py, test_health_endpoints.py,
+test_metrics_endpoint.py.
+"""
+
+import pytest
+
+from rag_foundation_tpu.app.config import Settings
+from tests.app_helpers import (create_store, make_admin, make_app,
+                               make_settings, signup)
+
+
+# -- admin RBAC -------------------------------------------------------------
+
+def test_admin_endpoints_require_admin(tmp_path):
+    client, ctx = make_app(tmp_path)
+    headers = signup(client)
+    for method, path in [("GET", "/api/admin/users"),
+                         ("GET", "/api/admin/audit"),
+                         ("GET", "/api/admin/system"),
+                         ("POST", "/api/admin/watchdog/reset-stuck")]:
+        r = client.request(method, path, headers=headers)
+        assert r.status_code == 403, path
+
+
+def test_admin_user_management_and_audit(tmp_path):
+    client, ctx = make_app(tmp_path)
+    h_admin = signup(client, "admin@example.com")
+    make_admin(ctx, "admin@example.com")
+    h_user = signup(client, "u@example.com")
+    users = client.get("/api/admin/users", headers=h_admin).json()["users"]
+    uid = next(u["id"] for u in users if u["email"] == "u@example.com")
+    admin_id = next(u["id"] for u in users
+                    if u["email"] == "admin@example.com")
+    # promote
+    r = client.patch(f"/api/admin/users/{uid}", headers=h_admin,
+                     json_body={"role": "admin"})
+    assert r.status_code == 200
+    # self-demotion ban (reference: admin.py:71-75)
+    r = client.patch(f"/api/admin/users/{admin_id}", headers=h_admin,
+                     json_body={"role": "user"})
+    assert r.status_code == 409
+    # budget upsert
+    r = client.put(f"/api/admin/budgets/{uid}", headers=h_admin,
+                   json_body={"monthly_usd": "12.50"})
+    assert r.status_code == 200
+    r = client.put(f"/api/admin/budgets/{uid}", headers=h_admin,
+                   json_body={"monthly_usd": "-1"})
+    assert r.status_code == 422
+    # every action audited
+    audit = client.get("/api/admin/audit", headers=h_admin).json()["audit"]
+    actions = {a["action"] for a in audit}
+    assert {"user_update", "budget_set"} <= actions
+    # deactivate blocks login
+    client.patch(f"/api/admin/users/{uid}", headers=h_admin,
+                 json_body={"role": "user", "is_active": False})
+    r = client.post("/api/auth/login",
+                    json_body={"email": "u@example.com",
+                               "password": "Passw0rd-123"})
+    assert r.status_code == 401
+
+
+def test_admin_system_counts(tmp_path):
+    client, ctx = make_app(tmp_path)
+    headers = signup(client)
+    make_admin(ctx)
+    create_store(client, headers)
+    counts = client.get("/api/admin/system", headers=headers).json()
+    assert counts["users"] == 1 and counts["stores"] == 1
+    assert "jobs" in counts
+
+
+# -- security posture -------------------------------------------------------
+
+def test_security_headers_present(tmp_path):
+    client, _ = make_app(tmp_path)
+    r = client.get("/live")
+    assert r.headers["x-content-type-options"] == "nosniff"
+    assert r.headers["x-frame-options"] == "DENY"
+    assert "content-security-policy" in r.headers
+    assert "x-request-id" in r.headers
+
+
+def test_correlation_id_echoed_when_valid(tmp_path):
+    client, _ = make_app(tmp_path)
+    r = client.get("/live", headers={"x-request-id": "my-correlation-id-1"})
+    assert r.headers["x-request-id"] == "my-correlation-id-1"
+    r = client.get("/live", headers={"x-request-id": "bad id!"})
+    assert r.headers["x-request-id"] != "bad id!"
+
+
+def test_rate_limit_429_headers(tmp_path):
+    client, ctx = make_app(tmp_path, RATE_LIMIT_GLOBAL_PER_MIN=3)
+    for _ in range(3):
+        assert client.get("/api/settings").status_code == 200
+    r = client.get("/api/settings")
+    assert r.status_code == 429
+    assert "retry-after" in r.headers
+    assert r.headers["x-ratelimit-remaining"] == "0"
+
+
+def test_csrf_blocks_cross_origin_form_posts(tmp_path):
+    client, _ = make_app(tmp_path)
+    r = client.post("/api/auth/login",
+                    json_body={"email": "a@b.co", "password": "x"},
+                    headers={"origin": "https://evil.example"})
+    assert r.status_code == 403
+    # allowed origin passes CSRF (fails auth instead)
+    r = client.post("/api/auth/login",
+                    json_body={"email": "a@b.co", "password": "Xx1-xxxxxxx"},
+                    headers={"origin": "http://localhost:5173"})
+    assert r.status_code == 401
+
+
+def test_metrics_endpoint_and_health(tmp_path):
+    client, ctx = make_app(tmp_path)
+    client.get("/live")
+    r = client.get("/metrics")
+    assert r.status_code == 200
+    assert b"http_requests_total" in r.body
+    h = client.get("/health").json()
+    assert h["status"] == "healthy" and h["db"] and h["kv"]
+    assert client.get("/ready").json()["status"] == "ready"
+
+
+def test_json_body_cap(tmp_path):
+    client, _ = make_app(tmp_path, MAX_JSON_BODY_MB=1)
+    big = {"question": "x" * (2 * 1024 * 1024)}
+    r = client.post("/api/chat", json_body=big)
+    assert r.status_code == 413
+
+
+# -- production settings matrix (reference: test_security_defaults_matrix,
+# test_production_settings) -------------------------------------------------
+
+def _prod_kwargs(tmp_path, **overrides):
+    kw = dict(ENVIRONMENT="production", STRICT_MODE=True,
+              JWT_SECRET="a-very-long-production-secret-0123456789",
+              DATABASE_PATH=str(tmp_path / "p.db"),
+              DATA_DIR=str(tmp_path / "data"))
+    kw.update(overrides)
+    return kw
+
+
+def test_production_invariants_enforced(tmp_path):
+    Settings(**_prod_kwargs(tmp_path))  # valid baseline
+    with pytest.raises(ValueError):
+        Settings(**_prod_kwargs(tmp_path, DEV_LOGIN_ENABLED=True))
+    with pytest.raises(ValueError):
+        Settings(**_prod_kwargs(tmp_path, JWT_SECRET="short"))
+    with pytest.raises(ValueError):
+        Settings(**_prod_kwargs(tmp_path, DATABASE_PATH=":memory:"))
+    with pytest.raises(ValueError):
+        Settings(**_prod_kwargs(tmp_path, MOCK_MODE=True))
+    Settings(**_prod_kwargs(tmp_path, MOCK_MODE=True,
+                            ALLOW_MOCK_IN_PROD=True))
+    with pytest.raises(ValueError):
+        Settings(**_prod_kwargs(tmp_path, CSRF_ENABLED=False))
+    with pytest.raises(ValueError):
+        Settings(**_prod_kwargs(tmp_path, CORS_ORIGINS=["*"]))
+
+
+def test_security_gate_blocks_bad_production(tmp_path):
+    from rag_foundation_tpu.app.security_gate import (SecurityGateError,
+                                                      run_security_gate)
+    from rag_foundation_tpu.runtime.kv import FailingKV, MemoryKV
+    s = Settings(**_prod_kwargs(tmp_path))
+    run_security_gate(s, MemoryKV())  # passes
+    with pytest.raises(SecurityGateError):
+        run_security_gate(s, FailingKV())  # KV down fails the gate
+    s2 = Settings(**_prod_kwargs(tmp_path, STRICT_MODE=False))
+    with pytest.raises(SecurityGateError):
+        run_security_gate(s2, MemoryKV())
+
+
+def test_settings_env_and_secret_file_loading(tmp_path):
+    secret_file = tmp_path / "jwt.secret"
+    secret_file.write_text("from-file-secret-0123456789abcdefgh\n")
+    s = Settings.from_env({
+        "RAGTPU_ENVIRONMENT": "staging",
+        "RAGTPU_JWT_SECRET_FILE": str(secret_file),
+        "RAGTPU_CORS_ORIGINS": "http://a.example,http://b.example",
+        "RAGTPU_ENGINE_NPROBE": "32",
+        "RAGTPU_MODEL_PRICING":
+            '{"m1": {"input": "1.0", "output": "2.0"}}',
+    })
+    assert s.ENVIRONMENT == "staging"
+    assert s.JWT_SECRET == "from-file-secret-0123456789abcdefgh"
+    assert s.CORS_ORIGINS == ["http://a.example", "http://b.example"]
+    assert s.ENGINE_NPROBE == 32
+    assert s.MODEL_PRICING["m1"]["input"] == "1.0"
+
+
+# -- branding settings ------------------------------------------------------
+
+def test_branding_settings_roundtrip(tmp_path):
+    client, ctx = make_app(tmp_path)
+    headers = signup(client)
+    # public read, empty by default
+    assert client.get("/api/settings").json()["settings"] == {}
+    # non-admin write rejected
+    r = client.put("/api/settings", headers=headers,
+                   json_body={"app_name": "Docs"})
+    assert r.status_code == 403
+    make_admin(ctx)
+    r = client.put("/api/settings", headers=headers,
+                   json_body={"app_name": "Docs", "primary_color": "#aabbcc",
+                              "theme": "dark"})
+    assert r.status_code == 200
+    got = client.get("/api/settings").json()["settings"]
+    assert got["app_name"] == "Docs" and got["theme"] == "dark"
+    # validation
+    r = client.put("/api/settings", headers=headers,
+                   json_body={"primary_color": "red"})
+    assert r.status_code == 422
+    r = client.put("/api/settings", headers=headers,
+                   json_body={"unknown_key": "x"})
+    assert r.status_code == 422

@@ -1,0 +1,116 @@
+"""Auth flows: register/login/logout, policy, JWT, revocation, fail-closed.
+
+Reference analogs: backend/tests/test_auth.py, test_auth_flows_real.py.
+"""
+
+import pytest
+
+from rag_foundation_tpu.app.auth import (decode_jwt, hash_password,
+                                         verify_password, TokenError)
+from tests.app_helpers import make_app, signup
+
+
+def test_register_login_me_flow(tmp_path):
+    client, ctx = make_app(tmp_path)
+    headers = signup(client)
+    r = client.get("/api/stores", headers=headers)
+    assert r.status_code == 200
+
+
+def test_register_duplicate_409(tmp_path):
+    client, _ = make_app(tmp_path)
+    signup(client)
+    r = client.post("/api/auth/register",
+                    json_body={"email": "user@example.com",
+                               "password": "Passw0rd-123"})
+    assert r.status_code == 409
+
+
+def test_password_policy_422(tmp_path):
+    client, _ = make_app(tmp_path)
+    for bad in ("short1", "alllettersbutlong", "123456789012"):
+        r = client.post("/api/auth/register",
+                        json_body={"email": "x@example.com", "password": bad})
+        assert r.status_code == 422, bad
+
+
+def test_bad_credentials_401(tmp_path):
+    client, _ = make_app(tmp_path)
+    signup(client)
+    r = client.post("/api/auth/login",
+                    json_body={"email": "user@example.com",
+                               "password": "WrongPass-123"})
+    assert r.status_code == 401
+
+
+def test_requests_without_token_401(tmp_path):
+    client, _ = make_app(tmp_path)
+    assert client.get("/api/stores").status_code == 401
+    assert client.post("/api/chat", json_body={}).status_code == 401
+    r = client.get("/api/stores",
+                   headers={"authorization": "Bearer garbage.token.here"})
+    assert r.status_code == 401
+
+
+def test_logout_revokes_jti(tmp_path):
+    client, _ = make_app(tmp_path)
+    headers = signup(client)
+    assert client.get("/api/stores", headers=headers).status_code == 200
+    assert client.post("/api/auth/logout", headers=headers).status_code == 200
+    r = client.get("/api/stores", headers=headers)
+    assert r.status_code == 401
+    assert "revoked" in r.json()["detail"].lower()
+
+
+def test_kv_down_fails_closed_503(tmp_path):
+    """Revocation store down => 503, never silent re-admission
+    (reference: auth.py:199-212)."""
+    from rag_foundation_tpu.app.config import Settings
+    from rag_foundation_tpu.app.main import build_context, create_app
+    from rag_foundation_tpu.runtime.http import TestClient
+    from tests.app_helpers import make_settings
+    from tests.app_helpers import SwitchableKV
+
+    kv = SwitchableKV()
+    settings = make_settings(tmp_path)
+    ctx = build_context(settings, kv=kv)
+    client = TestClient(create_app(ctx, start_worker=False))
+    headers = signup(client)
+    assert client.get("/api/stores", headers=headers).status_code == 200
+    kv.broken = True
+    r = client.get("/api/stores", headers=headers)
+    assert r.status_code == 503
+
+
+def test_jwt_claims_no_pii(tmp_path):
+    client, ctx = make_app(tmp_path)
+    signup(client)
+    r = client.post("/api/auth/login",
+                    json_body={"email": "user@example.com",
+                               "password": "Passw0rd-123"})
+    token = r.json()["access_token"]
+    s = ctx.settings
+    claims = decode_jwt(token, s.JWT_SECRET, issuer=s.JWT_ISSUER,
+                        audience=s.JWT_AUDIENCE)
+    assert "email" not in claims and "@" not in str(claims.values())
+    assert set(claims) >= {"sub", "iss", "aud", "iat", "exp", "jti"}
+    with pytest.raises(TokenError):
+        decode_jwt(token, s.JWT_SECRET, issuer="wrong", audience=s.JWT_AUDIENCE)
+    with pytest.raises(TokenError):
+        decode_jwt(token, "x" * 40, issuer=s.JWT_ISSUER,
+                   audience=s.JWT_AUDIENCE)
+
+
+def test_scrypt_roundtrip_and_tamper():
+    h = hash_password("S3cret-password")
+    assert verify_password("S3cret-password", h)
+    assert not verify_password("other", h)
+    assert not verify_password("S3cret-password", h[:-4] + "AAAA")
+    assert not verify_password("S3cret-password", "not-a-hash")
+
+
+def test_dev_token_gated(tmp_path):
+    client, _ = make_app(tmp_path, DEV_LOGIN_ENABLED=True)
+    assert client.post("/api/auth/dev-token").status_code == 200
+    client2, _ = make_app(tmp_path / "b", DEV_LOGIN_ENABLED=False)
+    assert client2.post("/api/auth/dev-token").status_code == 404

@@ -1,0 +1,231 @@
+"""Chat SSE contract: frame order, citations, budgets, retries, sessions.
+
+Reference analogs: backend/tests/test_streaming.py (719 lines),
+test_sse_smoke.py, test_metadata_filters.py.
+"""
+
+import json
+
+from tests.app_helpers import (create_store, drain_worker, make_app, signup,
+                               upload_text)
+
+DOC_FIN = ("The quarterly revenue grew twelve percent driven by cloud "
+           "subscriptions. Operating margin expanded to thirty percent "
+           "while churn declined. " * 6)
+DOC_PENG = ("Penguins are flightless seabirds living almost exclusively "
+            "in the southern hemisphere, especially Antarctica. " * 6)
+
+
+def _events(resp):
+    out = []
+    for payload in resp.iter_sse():
+        if payload == "[DONE]":
+            out.append({"type": "[DONE]"})
+        else:
+            out.append(json.loads(payload))
+    return out
+
+
+def _setup_corpus(tmp_path, **overrides):
+    client, ctx = make_app(tmp_path, **overrides)
+    headers = signup(client)
+    store = create_store(client, headers)
+    upload_text(client, headers, store["id"], DOC_FIN, "finance.txt")
+    upload_text(client, headers, store["id"], DOC_PENG, "penguins.txt")
+    drain_worker(ctx)
+    return client, ctx, headers, store
+
+
+def test_sse_contract_frame_order(tmp_path):
+    client, ctx, headers, store = _setup_corpus(tmp_path)
+    r = client.post("/api/chat", headers=headers,
+                    json_body={"question": "How did revenue grow?",
+                               "storeIds": [store["id"]]})
+    assert r.status_code == 200
+    assert r.headers["x-vercel-ai-ui-message-stream"] == "v1"
+    events = _events(r)
+    types = [e["type"] for e in events]
+    assert types[0] == "start" and types[1] == "text-start"
+    assert "text-delta" in types
+    # text-end before citations before finish before [DONE]
+    assert types.index("text-end") < types.index("source-document")
+    assert types.index("source-document") < types.index("finish")
+    assert types[-1] == "[DONE]" and types[-2] == "finish"
+    finish = events[types.index("finish")]
+    assert finish["finishReason"] == "stop"
+    assert finish["promptTokens"] > 0 and finish["completionTokens"] > 0
+    # the answer should be grounded in the finance doc
+    text = "".join(e.get("delta", "") for e in events
+                   if e["type"] == "text-delta")
+    assert "revenue" in text.lower()
+    cits = [e for e in events if e["type"] == "source-document"]
+    assert cits and cits[0]["title"] == "finance.txt"
+    assert cits[0]["sourceId"] == "cit-0"
+
+
+def test_chat_retrieval_routes_to_right_doc(tmp_path):
+    client, ctx, headers, store = _setup_corpus(tmp_path)
+    r = client.post("/api/chat", headers=headers,
+                    json_body={"question": "Where do penguins live?",
+                               "store_ids": [store["id"]]})
+    events = _events(r)
+    cits = [e for e in events if e["type"] == "source-document"]
+    assert cits[0]["title"] == "penguins.txt"
+
+
+def test_chat_deterministic(tmp_path):
+    client, ctx, headers, store = _setup_corpus(tmp_path)
+    body = {"question": "Where do penguins live?",
+            "store_ids": [store["id"]]}
+    a = client.post("/api/chat", headers=headers, json_body=body).text
+    b = client.post("/api/chat", headers=headers, json_body=body).text
+    # identical modulo generated ids
+    import re
+    strip = lambda s: re.sub(r"(msg|txt)-[0-9a-f]+", "ID", s)
+    assert strip(a) == strip(b)
+
+
+def test_chat_mock_mode_contract(tmp_path):
+    client, ctx = make_app(tmp_path, MOCK_MODE=True)
+    headers = signup(client)
+    store = create_store(client, headers)
+    r = client.post("/api/chat", headers=headers,
+                    json_body={"question": "hello there",
+                               "store_ids": [store["id"]]})
+    events = _events(r)
+    text = "".join(e.get("delta", "") for e in events
+                   if e["type"] == "text-delta")
+    assert text == "[mock-mode] hello there"
+    assert any(e["type"] == "source-document" for e in events)
+
+
+def test_chat_assistantui_message_extraction(tmp_path):
+    client, ctx, headers, store = _setup_corpus(tmp_path)
+    body = {
+        "storeIds": [store["id"]],
+        "messages": [
+            {"role": "user", "content": [
+                {"type": "text", "text": "old question about nothing"}]},
+            {"role": "assistant", "content": "old answer"},
+            {"role": "user", "content": [
+                {"type": "text", "text": "Where do penguins live?"}]},
+        ],
+    }
+    r = client.post("/api/chat", headers=headers, json_body=body)
+    events = _events(r)
+    cits = [e for e in events if e["type"] == "source-document"]
+    assert cits[0]["title"] == "penguins.txt"
+
+
+def test_chat_validation_errors(tmp_path):
+    client, ctx, headers, store = _setup_corpus(tmp_path)
+    sid = store["id"]
+    r = client.post("/api/chat", headers=headers,
+                    json_body={"store_ids": [sid]})
+    assert r.status_code == 422  # no question
+    r = client.post("/api/chat", headers=headers,
+                    json_body={"question": "x" * 40_000,
+                               "store_ids": [sid]})
+    assert r.status_code == 422  # too long
+    r = client.post("/api/chat", headers=headers,
+                    json_body={"question": "hi", "store_ids": []})
+    assert r.status_code == 422  # no stores
+    r = client.post("/api/chat", headers=headers,
+                    json_body={"question": "hi", "store_ids": [sid],
+                               "model": "not-a-model"})
+    assert r.status_code == 422  # model allowlist
+
+
+def test_budget_402_and_mid_stream_cutoff(tmp_path):
+    client, ctx, headers, store = _setup_corpus(tmp_path)
+    uid = ctx.db.one("SELECT id FROM users")["id"]
+    # tiny budget, already consumed -> pre-check 402
+    ctx.db.execute(
+        "INSERT INTO budgets(user_id, monthly_usd, updated_at)"
+        " VALUES(?, '0.0000001', 0)", (uid,))
+    r = client.post("/api/chat", headers=headers,
+                    json_body={"question": "Where do penguins live?",
+                               "store_ids": [store["id"]]})
+    assert r.status_code == 402
+
+
+def test_query_cost_ledger_written(tmp_path):
+    client, ctx, headers, store = _setup_corpus(tmp_path)
+    client.post("/api/chat", headers=headers,
+                json_body={"question": "Where do penguins live?",
+                           "store_ids": [store["id"]]})
+    row = ctx.db.one(
+        "SELECT * FROM query_log WHERE model != 'INDEX'")
+    assert row is not None
+    assert row["completion_tokens"] > 0 and row["status"] == "ok"
+    summary = client.get("/api/costs/summary", headers=headers).json()
+    assert summary["queries"] == 1
+    assert summary["index_tokens"] > 0
+
+
+def test_stream_retry_then_error_frame(tmp_path):
+    """Transient engine failures retry; exhausted retries emit an error
+    frame (reference: chat.py:1076-1128)."""
+    client, ctx = make_app(tmp_path, MOCK_MODE=True,
+                           STREAM_RETRY_ATTEMPTS=2)
+    headers = signup(client)
+    store = create_store(client, headers)
+    ctx.rag.stream_should_fail = True
+    r = client.post("/api/chat", headers=headers,
+                    json_body={"question": "hi",
+                               "store_ids": [store["id"]]})
+    events = _events(r)
+    types = [e["type"] for e in events]
+    assert "error" in types
+    assert types[-1] == "[DONE]"
+    err = events[types.index("error")]
+    assert err["code"] == "upstream"
+    # ledger row records the failure
+    row = ctx.db.one("SELECT status FROM query_log WHERE model != 'INDEX'")
+    assert row["status"] == "error"
+
+
+def test_sessions_persist_and_list(tmp_path):
+    client, ctx, headers, store = _setup_corpus(tmp_path)
+    r = client.post("/api/chat", headers=headers,
+                    json_body={"question": "Where do penguins live?",
+                               "store_ids": [store["id"]]})
+    session_id = int(r.headers["x-session-id"])
+    sessions = client.get("/api/chat/sessions", headers=headers).json()
+    assert sessions["sessions"][0]["id"] == session_id
+    msgs = client.get(f"/api/chat/sessions/{session_id}/messages",
+                      headers=headers).json()["messages"]
+    roles = [m["role"] for m in msgs]
+    assert roles == ["user", "assistant"]
+    assert "penguins" in msgs[0]["content"].lower()
+    # continue the session
+    r2 = client.post("/api/chat", headers=headers,
+                     json_body={"question": "and revenue?",
+                                "store_ids": [store["id"]],
+                                "sessionId": session_id})
+    assert int(r2.headers["x-session-id"]) == session_id
+    msgs = client.get(f"/api/chat/sessions/{session_id}/messages",
+                      headers=headers).json()["messages"]
+    assert len(msgs) == 4
+    # other users cannot read the session
+    h2 = signup(client, "other@example.com")
+    assert client.get(f"/api/chat/sessions/{session_id}/messages",
+                      headers=h2).status_code == 404
+
+
+def test_history_trimming_preserves_newest():
+    from rag_foundation_tpu.app.routes.chat import (ChatRequest,
+                                                    _history_from_messages)
+    from tests.app_helpers import make_settings
+    import pathlib
+    settings = make_settings(pathlib.Path("/tmp/unused"),
+                             HISTORY_MAX_TURNS=4, HISTORY_CHAR_BUDGET=120)
+    msgs = [{"role": "user", "content": f"turn {i} " + "x" * 50}
+            for i in range(10)] + [{"role": "user", "content": "current"}]
+    body = ChatRequest(messages=msgs)
+    hist = _history_from_messages(body, settings)
+    # newest prior turns kept within budget; current question excluded
+    assert all("turn" in m["content"] for m in hist)
+    assert "turn 9" in hist[-1]["content"]
+    total = sum(len(m["content"]) for m in hist)
+    assert total <= 120

@@ -1,0 +1,101 @@
+"""Stores/documents CRUD, tenancy isolation, soft-delete/restore.
+
+Reference analogs: backend/tests/test_soft_delete.py,
+test_tenant_isolation.py.
+"""
+
+from tests.app_helpers import (create_store, drain_worker, make_admin,
+                               make_app, signup, upload_text)
+
+DOC = ("Quarterly revenue grew twelve percent driven by cloud "
+       "subscriptions and enterprise contracts. " * 8)
+
+
+def test_store_crud_and_cap(tmp_path):
+    client, ctx = make_app(tmp_path, MAX_STORES_PER_USER=2)
+    headers = signup(client)
+    s1 = create_store(client, headers, "A")
+    assert s1["engine_key"].startswith("stores/")
+    create_store(client, headers, "B")
+    r = client.post("/api/stores", json_body={"name": "C"}, headers=headers)
+    assert r.status_code == 409
+    r = client.get("/api/stores", headers=headers)
+    assert [s["name"] for s in r.json()["stores"]] == ["A", "B"]
+
+
+def test_store_name_validation(tmp_path):
+    client, _ = make_app(tmp_path)
+    headers = signup(client)
+    r = client.post("/api/stores", json_body={"name": ""}, headers=headers)
+    assert r.status_code == 422
+    r = client.post("/api/stores", json_body={"name": "x" * 200},
+                    headers=headers)
+    assert r.status_code == 422
+    r = client.post("/api/stores",
+                    json_body={"name": "<script>alert(1)</script>ok"},
+                    headers=headers)
+    assert r.status_code == 201
+    assert "<script>" not in r.json()["name"]
+
+
+def test_tenant_isolation_404_not_403(tmp_path):
+    """Cross-tenant access must 404 (never 403) to avoid tenancy leaks
+    (reference: security/tenant.py:12-65)."""
+    client, ctx = make_app(tmp_path)
+    h1 = signup(client, "a@example.com")
+    h2 = signup(client, "b@example.com")
+    store = create_store(client, h1, "Private")
+    sid = store["id"]
+    assert client.get(f"/api/stores/{sid}/documents",
+                      headers=h2).status_code == 404
+    assert client.delete(f"/api/stores/{sid}", headers=h2).status_code == 404
+    r = client.post("/api/chat", headers=h2,
+                    json_body={"question": "hi", "store_ids": [sid]})
+    assert r.status_code == 404
+    # owner still works
+    assert client.get(f"/api/stores/{sid}/documents",
+                      headers=h1).status_code == 200
+
+
+def test_soft_delete_cascade_and_restore(tmp_path):
+    client, ctx = make_app(tmp_path)
+    headers = signup(client)
+    make_admin(ctx)
+    store = create_store(client, headers)
+    sid = store["id"]
+    r = upload_text(client, headers, sid, DOC)
+    assert r.status_code == 201
+    drain_worker(ctx)
+    assert client.delete(f"/api/stores/{sid}",
+                         headers=headers).status_code == 200
+    # gone from listings; documents cascade-soft-deleted
+    assert client.get("/api/stores", headers=headers).json()["stores"] == []
+    assert client.get(f"/api/stores/{sid}/documents",
+                      headers=headers).status_code == 404
+    row = ctx.db.one("SELECT deleted_at FROM documents")
+    assert row["deleted_at"] is not None
+    # admin restore brings the store back
+    r = client.post(f"/api/admin/stores/{sid}/restore", headers=headers)
+    assert r.status_code == 200
+    assert client.get(f"/api/stores/{sid}/documents",
+                      headers=headers).status_code == 200
+
+
+def test_document_soft_delete(tmp_path):
+    client, ctx = make_app(tmp_path)
+    headers = signup(client)
+    store = create_store(client, headers)
+    r = upload_text(client, headers, store["id"], DOC)
+    doc_id = r.json()["document_id"]
+    drain_worker(ctx)
+    assert client.delete(f"/api/documents/{doc_id}",
+                         headers=headers).status_code == 200
+    docs = client.get(f"/api/stores/{store['id']}/documents",
+                      headers=headers).json()["documents"]
+    assert docs == []
+    # engine-side vectors removed -> chat finds nothing
+    r = client.post("/api/chat", headers=headers,
+                    json_body={"question": "revenue growth",
+                               "store_ids": [store["id"]]})
+    text = r.text
+    assert "could not find" in text

@@ -1,0 +1,140 @@
+"""Upload validation + worker ingestion end to end.
+
+Reference analogs: backend/tests/test_upload_validation.py,
+test_upload_profiles.py, test_worker_reset_stuck_documents.py.
+"""
+
+import time
+
+from rag_foundation_tpu.app import dbschema
+from rag_foundation_tpu.app.services.ingestion import reset_stuck_documents
+from tests.app_helpers import (create_store, drain_worker, make_app, signup,
+                               upload_text)
+
+DOC = ("Machine learning on tensor processing units requires careful "
+       "attention to memory bandwidth and matrix unit utilization. " * 10)
+
+
+def test_upload_ingest_flow(tmp_path):
+    client, ctx = make_app(tmp_path)
+    headers = signup(client)
+    store = create_store(client, headers)
+    r = upload_text(client, headers, store["id"], DOC)
+    assert r.status_code == 201
+    out = r.json()
+    assert out["status"] == "PENDING"
+    assert out["estimated_tokens"] > 0
+    # op-status shows pending, then done after the worker runs
+    op = client.get(f"/api/upload/op-status/{out['op_id']}",
+                    headers=headers).json()
+    assert op["status"] == "PENDING" and not op["done"]
+    drain_worker(ctx)
+    op = client.get(f"/api/upload/op-status/{out['op_id']}",
+                    headers=headers).json()
+    assert op["status"] == "DONE" and op["done"] and op["chunks"] > 0
+    docs = client.get(f"/api/stores/{store['id']}/documents",
+                      headers=headers).json()["documents"]
+    assert docs[0]["status"] == "DONE"
+    # index-cost ledger row exists (model=INDEX)
+    row = ctx.db.one("SELECT * FROM query_log WHERE model='INDEX'")
+    assert row is not None and row["prompt_tokens"] > 0
+
+
+def test_upload_validation_errors(tmp_path):
+    client, ctx = make_app(tmp_path, MAX_UPLOAD_MB=1)
+    headers = signup(client)
+    store = create_store(client, headers)
+    sid = store["id"]
+    # disallowed MIME under the safe profile
+    r = client.post("/api/upload", headers=headers,
+                    data={"store_id": str(sid)},
+                    files={"file": ("x.bin", b"\x00\x01", "application/octet-stream")})
+    assert r.status_code == 415
+    # magic-number mismatch: claims PDF, isn't
+    r = client.post("/api/upload", headers=headers,
+                    data={"store_id": str(sid)},
+                    files={"file": ("x.pdf", b"not a pdf", "application/pdf")})
+    assert r.status_code in (415, 413)
+    # oversize
+    r = client.post("/api/upload", headers=headers,
+                    data={"store_id": str(sid)},
+                    files={"file": ("big.txt", b"a" * (2 * 1024 * 1024),
+                                    "text/plain")})
+    assert r.status_code == 413
+    # empty
+    r = client.post("/api/upload", headers=headers,
+                    data={"store_id": str(sid)},
+                    files={"file": ("e.txt", b"", "text/plain")})
+    assert r.status_code == 422
+    # missing store
+    r = client.post("/api/upload", headers=headers,
+                    data={"store_id": "99999"},
+                    files={"file": ("a.txt", b"hello", "text/plain")})
+    assert r.status_code == 404
+
+
+def test_pdf_magic_accepted_with_office_profile(tmp_path):
+    client, ctx = make_app(tmp_path, UPLOAD_PROFILE="office")
+    headers = signup(client)
+    store = create_store(client, headers)
+    pdf = b"%PDF-1.4 " + b"revenue growth cloud subscriptions " * 50
+    r = upload_text(client, headers, store["id"], "", filename="a.pdf")
+    # empty file rejected
+    assert r.status_code == 422
+    r = client.post("/api/upload", headers=headers,
+                    data={"store_id": str(store["id"])},
+                    files={"file": ("a.pdf", pdf, "application/pdf")})
+    assert r.status_code == 201
+    drain_worker(ctx)
+    docs = client.get(f"/api/stores/{store['id']}/documents",
+                      headers=headers).json()["documents"]
+    assert docs[0]["status"] == "DONE"
+
+
+def test_ingestion_idempotent_reenqueue(tmp_path):
+    client, ctx = make_app(tmp_path)
+    headers = signup(client)
+    store = create_store(client, headers)
+    r = upload_text(client, headers, store["id"], DOC)
+    doc_id = r.json()["document_id"]
+    drain_worker(ctx)
+    chunks = ctx.db.one("SELECT chunks FROM documents WHERE id=?",
+                        (doc_id,))["chunks"]
+    # re-enqueue the same document: DONE rows are skipped, not duplicated
+    ctx.queue.enqueue("ingest_document", {"document_id": doc_id})
+    drain_worker(ctx)
+    assert ctx.db.one("SELECT chunks FROM documents WHERE id=?",
+                      (doc_id,))["chunks"] == chunks
+    stats = ctx.rag.engine.store_stats(store["engine_key"])
+    assert stats["documents"] == 1
+
+
+def test_watchdog_resets_stale_running(tmp_path):
+    client, ctx = make_app(tmp_path, WATCHDOG_STALE_S=0.01)
+    headers = signup(client)
+    store = create_store(client, headers)
+    r = upload_text(client, headers, store["id"], DOC)
+    doc_id = r.json()["document_id"]
+    # simulate a crashed worker: stuck RUNNING in the past
+    ctx.db.execute(
+        "UPDATE documents SET status=?, status_updated_at=? WHERE id=?",
+        (dbschema.DOC_RUNNING, time.time() - 100, doc_id))
+    n = reset_stuck_documents(ctx.db, ctx.settings)
+    assert n == 1
+    row = ctx.db.one("SELECT status, last_error FROM documents WHERE id=?",
+                     (doc_id,))
+    assert row["status"] == "ERROR" and "watchdog" in row["last_error"]
+
+
+def test_ingestion_failure_marks_error_and_rolls_back(tmp_path):
+    client, ctx = make_app(tmp_path, MOCK_MODE=True)
+    headers = signup(client)
+    store = create_store(client, headers)
+    ctx.rag.ingest_should_fail = True
+    r = upload_text(client, headers, store["id"], DOC)
+    doc_id = r.json()["document_id"]
+    drain_worker(ctx)
+    row = ctx.db.one("SELECT status, last_error FROM documents WHERE id=?",
+                     (doc_id,))
+    assert row["status"] == "ERROR"
+    assert "mock ingestion failure" in row["last_error"]
