@@ -1,0 +1,225 @@
+"""MiniLM-class JAX sentence encoder — the production embedding path.
+
+Pure-JAX (pytree params, no framework), TPU-first:
+- bf16 parameters/activations with f32 layernorm statistics and f32
+  attention softmax, so every matmul rides the MXU;
+- static shapes: sequence length is a compile-time constant, batches are
+  bucketed by the caller; one jitted function per (seq_len, bucket);
+- mean pooling over valid tokens + L2 norm, cosine-ready output.
+
+Weights are random-initialized here (no pretrained checkpoints exist in
+this offline environment) and loadable from an orbax/npz checkpoint via
+``load_params``. The deterministic hash encoder
+(models/hash_encoder.py) remains the CI/mock path.
+
+Reference analog: none — embedding was performed inside Gemini File
+Search (SURVEY.md §2.5 item 6, gemini_rag.py:319-326).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rag_foundation_tpu.models.tokenizer import PAD_ID, Tokenizer
+
+
+class EncoderConfig(NamedTuple):
+    vocab_size: int = 30_522
+    hidden: int = 384
+    layers: int = 6
+    heads: int = 12
+    ffn: int = 1536
+    max_len: int = 128
+    dtype: str = "bfloat16"
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden // self.heads
+
+    @property
+    def jdtype(self):
+        return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+
+
+def init_params(key: jax.Array, cfg: EncoderConfig) -> dict:
+    """Transformer-encoder parameter pytree (truncated-normal init)."""
+    keys = iter(jax.random.split(key, 4 + cfg.layers * 8))
+    dt = cfg.jdtype
+
+    def dense(k, fan_in, shape):
+        return (jax.random.truncated_normal(k, -2, 2, shape, jnp.float32)
+                * (fan_in ** -0.5)).astype(dt)
+
+    params = {
+        "tok_emb": dense(next(keys), cfg.hidden, (cfg.vocab_size, cfg.hidden)),
+        "pos_emb": dense(next(keys), cfg.hidden, (cfg.max_len, cfg.hidden)),
+        "ln_f": {"g": jnp.ones((cfg.hidden,), jnp.float32),
+                 "b": jnp.zeros((cfg.hidden,), jnp.float32)},
+        "blocks": [],
+    }
+    for _ in range(cfg.layers):
+        params["blocks"].append({
+            "qkv": dense(next(keys), cfg.hidden, (cfg.hidden, 3 * cfg.hidden)),
+            "qkv_b": jnp.zeros((3 * cfg.hidden,), dt),
+            "proj": dense(next(keys), cfg.hidden, (cfg.hidden, cfg.hidden)),
+            "proj_b": jnp.zeros((cfg.hidden,), dt),
+            "ln1": {"g": jnp.ones((cfg.hidden,), jnp.float32),
+                    "b": jnp.zeros((cfg.hidden,), jnp.float32)},
+            "fc1": dense(next(keys), cfg.hidden, (cfg.hidden, cfg.ffn)),
+            "fc1_b": jnp.zeros((cfg.ffn,), dt),
+            "fc2": dense(next(keys), cfg.ffn, (cfg.ffn, cfg.hidden)),
+            "fc2_b": jnp.zeros((cfg.hidden,), dt),
+            "ln2": {"g": jnp.ones((cfg.hidden,), jnp.float32),
+                    "b": jnp.zeros((cfg.hidden,), jnp.float32)},
+        })
+    return params
+
+
+def _layernorm(x: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    # f32 statistics regardless of activation dtype
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mu) * jax.lax.rsqrt(var + 1e-6) * g + b
+    return y.astype(x.dtype)
+
+
+def _attention(x: jnp.ndarray, blk: dict, mask: jnp.ndarray,
+               cfg: EncoderConfig) -> jnp.ndarray:
+    b, s, h = x.shape
+    qkv = jnp.dot(x, blk["qkv"], preferred_element_type=jnp.float32)
+    qkv = (qkv + blk["qkv_b"].astype(jnp.float32)).astype(x.dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(t):
+        return t.reshape(b, s, cfg.heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    q, k, v = heads(q), heads(k), heads(v)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores * (cfg.head_dim ** -0.5)
+    neg = jnp.finfo(jnp.float32).min
+    scores = jnp.where(mask[:, None, None, :], scores, neg)
+    attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    out = out.transpose(0, 2, 1, 3).reshape(b, s, h)
+    out = jnp.dot(out, blk["proj"], preferred_element_type=jnp.float32)
+    return (out + blk["proj_b"].astype(jnp.float32)).astype(x.dtype)
+
+
+def _ffn(x: jnp.ndarray, blk: dict) -> jnp.ndarray:
+    h = jnp.dot(x, blk["fc1"], preferred_element_type=jnp.float32)
+    h = jax.nn.gelu(h + blk["fc1_b"].astype(jnp.float32)).astype(x.dtype)
+    out = jnp.dot(h, blk["fc2"], preferred_element_type=jnp.float32)
+    return (out + blk["fc2_b"].astype(jnp.float32)).astype(x.dtype)
+
+
+def encode_tokens(params: dict, ids: jnp.ndarray,
+                  cfg: EncoderConfig) -> jnp.ndarray:
+    """``ids [B, S] int32`` -> unit-norm ``[B, hidden] f32`` embeddings."""
+    mask = ids != PAD_ID
+    s = ids.shape[1]
+    x = params["tok_emb"][ids] + params["pos_emb"][None, :s]
+    x = x.astype(cfg.jdtype)
+    for blk in params["blocks"]:
+        x = x + _attention(_layernorm(x, blk["ln1"]["g"], blk["ln1"]["b"]),
+                           blk, mask, cfg)
+        x = x + _ffn(_layernorm(x, blk["ln2"]["g"], blk["ln2"]["b"]), blk)
+    x = _layernorm(x, params["ln_f"]["g"], params["ln_f"]["b"])
+    # masked mean pooling, f32
+    m = mask[:, :, None].astype(jnp.float32)
+    pooled = jnp.sum(x.astype(jnp.float32) * m, axis=1) / \
+        jnp.maximum(jnp.sum(m, axis=1), 1.0)
+    norm = jnp.linalg.norm(pooled, axis=-1, keepdims=True)
+    return pooled / jnp.maximum(norm, 1e-9)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def encode_tokens_jit(params: dict, ids: jnp.ndarray,
+                      cfg: EncoderConfig) -> jnp.ndarray:
+    return encode_tokens(params, ids, cfg)
+
+
+# -- contrastive training step (in-batch negatives) --------------------------
+
+def contrastive_loss(params: dict, q_ids: jnp.ndarray, d_ids: jnp.ndarray,
+                     cfg: EncoderConfig, temperature: float = 0.05
+                     ) -> jnp.ndarray:
+    """InfoNCE with in-batch negatives: align query i with doc i."""
+    q = encode_tokens(params, q_ids, cfg)
+    d = encode_tokens(params, d_ids, cfg)
+    logits = (q @ d.T) / temperature
+    labels = jnp.arange(q.shape[0])
+    return jnp.mean(
+        -jax.nn.log_softmax(logits, axis=-1)[labels, labels])
+
+
+def make_train_step(cfg: EncoderConfig, optimizer):
+    """Returns a jitted ``(params, opt_state, q_ids, d_ids) -> (params,
+    opt_state, loss)`` SGD step (used by the multichip dryrun and any
+    fine-tuning pipeline)."""
+
+    def step(params, opt_state, q_ids, d_ids):
+        loss, grads = jax.value_and_grad(contrastive_loss)(
+            params, q_ids, d_ids, cfg)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(
+            lambda p, u: (p + u.astype(p.dtype)), params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+# -- host-facing encoder ------------------------------------------------------
+
+class MiniLMEncoder:
+    """``encode(list[str]) -> np.ndarray [n, dim]`` protocol implementation.
+
+    Batches are bucketed to powers of two to bound jit retraces.
+    """
+
+    name = "minilm-jax"
+
+    def __init__(self, dim: int = 384, *, cfg: EncoderConfig | None = None,
+                 params: dict | None = None, seed: int = 0,
+                 max_len: int = 128):
+        self.cfg = cfg or EncoderConfig(hidden=dim, max_len=max_len)
+        if self.cfg.hidden != dim:
+            raise ValueError("dim must match cfg.hidden")
+        self.dim = dim
+        self.tokenizer = Tokenizer(vocab_size=self.cfg.vocab_size)
+        self.params = params if params is not None else init_params(
+            jax.random.key(seed), self.cfg)
+
+    def encode(self, texts: list[str]) -> np.ndarray:
+        if not texts:
+            return np.zeros((0, self.dim), np.float32)
+        ids = self.tokenizer.encode_batch(texts, self.cfg.max_len)
+        n = ids.shape[0]
+        bucket = 1
+        while bucket < n:
+            bucket *= 2
+        if bucket != n:
+            ids = np.pad(ids, ((0, bucket - n), (0, 0)))
+        out = encode_tokens_jit(self.params, jnp.asarray(ids), self.cfg)
+        return np.asarray(out[:n], np.float32)
+
+
+def save_params(params: dict, path: str) -> None:
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    arrays = {jax.tree_util.keystr(k): np.asarray(v) for k, v in flat}
+    np.savez_compressed(path, **arrays)
+
+
+def load_params(path: str, cfg: EncoderConfig) -> dict:
+    template = init_params(jax.random.key(0), cfg)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+    with np.load(path) as z:
+        leaves = [jnp.asarray(z[jax.tree_util.keystr(k)]).astype(v.dtype)
+                  for k, v in flat]
+    return jax.tree_util.tree_unflatten(treedef, leaves)

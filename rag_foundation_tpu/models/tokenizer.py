@@ -1,0 +1,67 @@
+"""Deterministic hashing subword tokenizer for the JAX sentence encoder.
+
+No pretrained vocab ships in this environment (zero egress), so the
+default tokenizer maps words and sub-word pieces to stable hash buckets —
+fully deterministic, language-agnostic, zero files. A real WordPiece vocab
+can be dropped in via ``Tokenizer(vocab=...)`` without touching callers
+(the encoder only sees int32 ids).
+
+Reference analog: none — tokenization happened inside Gemini
+(SURVEY.md §2.5 item 6).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+
+_WORD_RE = re.compile(r"[a-z0-9]+|[^\sa-z0-9]")
+
+PAD_ID = 0
+CLS_ID = 1
+SEP_ID = 2
+_RESERVED = 3
+
+
+def _hash_token(token: str, vocab_size: int) -> int:
+    h = hashlib.blake2b(token.encode(), digest_size=4).digest()
+    return _RESERVED + int.from_bytes(h, "little") % (vocab_size - _RESERVED)
+
+
+class Tokenizer:
+    def __init__(self, vocab_size: int = 30_522,
+                 max_word_len: int = 12,
+                 vocab: dict[str, int] | None = None):
+        self.vocab_size = vocab_size
+        self.max_word_len = max_word_len
+        self.vocab = vocab  # optional real WordPiece vocab
+
+    def _word_ids(self, word: str) -> list[int]:
+        if self.vocab is not None:
+            wid = self.vocab.get(word)
+            if wid is not None:
+                return [wid]
+        if len(word) <= self.max_word_len:
+            return [_hash_token(word, self.vocab_size)]
+        # split long words into pieces so rare compounds share subwords
+        pieces = [word[i : i + self.max_word_len]
+                  for i in range(0, len(word), self.max_word_len)]
+        return [_hash_token(("##" if i else "") + p, self.vocab_size)
+                for i, p in enumerate(pieces)]
+
+    def encode(self, text: str, max_len: int = 128) -> np.ndarray:
+        """``[max_len] int32`` ids: [CLS] tokens... [SEP] PAD...."""
+        ids = [CLS_ID]
+        for w in _WORD_RE.findall(text.lower()):
+            ids.extend(self._word_ids(w))
+            if len(ids) >= max_len - 1:
+                break
+        ids = ids[: max_len - 1] + [SEP_ID]
+        out = np.full((max_len,), PAD_ID, np.int32)
+        out[: len(ids)] = ids
+        return out
+
+    def encode_batch(self, texts: list[str], max_len: int = 128) -> np.ndarray:
+        return np.stack([self.encode(t, max_len) for t in texts])

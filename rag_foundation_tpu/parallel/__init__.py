@@ -1,0 +1,13 @@
+"""Multi-chip parallelism: device mesh, sharded scan, distributed top-k merge.
+
+SURVEY.md §2.4: the reference had no device parallelism (retrieval was a
+hosted API call); these are the first-class TPU replacements — corpus
+row-sharding (TP analog) across a ``jax.sharding.Mesh``, query-batch DP,
+per-shard streaming top-k, and an ICI ``all_gather`` candidate merge.
+Testable on a CPU mesh via ``--xla_force_host_platform_device_count``.
+"""
+
+from rag_foundation_tpu.parallel.mesh import make_mesh
+from rag_foundation_tpu.parallel.topk_merge import sharded_topk
+
+__all__ = ["make_mesh", "sharded_topk"]

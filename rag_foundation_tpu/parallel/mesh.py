@@ -1,0 +1,38 @@
+"""Device mesh construction and sharding helpers.
+
+Axes convention (SURVEY.md §2.4): ``data`` for query-batch DP, ``shard``
+for corpus row-sharding (TP analog). Collectives ride ICI within a slice;
+multi-host DCN initialization is the deployment's concern
+(``jax.distributed.initialize``) and orthogonal to these helpers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_shards: int | None = None, *, data: int = 1,
+              axis_names: tuple[str, str] = ("data", "shard")) -> Mesh:
+    """2D ``(data, shard)`` mesh over the first ``data*n_shards`` devices."""
+    devices = jax.devices()
+    if n_shards is None:
+        n_shards = len(devices) // data
+    need = data * n_shards
+    if need > len(devices):
+        raise ValueError(f"need {need} devices, have {len(devices)}")
+    grid = np.array(devices[:need]).reshape(data, n_shards)
+    return Mesh(grid, axis_names)
+
+
+def shard_rows(mesh: Mesh, array, axis: str = "shard"):
+    """Place ``[N, ...]`` with rows split across ``axis`` (replicated on
+    the other mesh axes)."""
+    spec = P(axis, *([None] * (array.ndim - 1)))
+    return jax.device_put(array, NamedSharding(mesh, spec))
+
+
+def replicate(mesh: Mesh, array):
+    return jax.device_put(array, NamedSharding(mesh, P()))

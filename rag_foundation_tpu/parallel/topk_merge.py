@@ -1,0 +1,83 @@
+"""Distributed top-k: per-shard streaming scan + ICI all-gather merge.
+
+Each chip scans its corpus partition with the streaming exact-top-k
+(ops/topk.py), offsets local indices into the global id space, then
+all-gathers the tiny ``[Q, k]`` candidate sets over ICI and merges with
+one ``lax.top_k``. Communication volume is ``n_shards * Q * k * 8`` bytes
+— independent of corpus size.
+
+Determinism invariant (the SURVEY.md §5 "sanitizer"): results are
+bit-identical to a single-device scan of the concatenated corpus. Shard
+order equals global index order and ``lax.top_k`` prefers lower positions
+on ties, so the lowest-global-index tie-break survives resharding; tested
+1-dev vs 8-dev in tests/test_parallel.py.
+
+Reference analog: none (SURVEY.md §2.4 — "distributed top-k merge: new").
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from rag_foundation_tpu.ops.topk import exact_topk
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "mesh", "block_size"))
+def sharded_topk(
+    queries: jnp.ndarray,
+    corpus_sharded: jnp.ndarray,
+    k: int,
+    *,
+    mesh: Mesh,
+    valid_counts: jnp.ndarray | None = None,
+    block_size: int = 8192,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-k over a row-sharded corpus.
+
+    Args:
+      queries: ``[Q, d]`` replicated.
+      corpus_sharded: ``[N, d]`` sharded on mesh axis "shard" (rows). N must
+        divide evenly by the shard count (pad + valid_counts otherwise).
+      valid_counts: ``[n_shards]`` live-row counts per shard partition
+        (replicated input); None = all rows live.
+      mesh: mesh with a "shard" axis (and optionally "data").
+
+    Returns replicated ``(values [Q, k] f32, global_indices [Q, k] int32)``.
+    """
+    n_shards = mesh.shape["shard"]
+    shard_rows = corpus_sharded.shape[0] // n_shards
+
+    counts_spec = P() if valid_counts is not None else None
+
+    def local(q, c_local, counts):
+        sid = jax.lax.axis_index("shard")
+        vc = shard_rows if counts is None else counts[sid]
+        vals, idxs = exact_topk(q, c_local, k, valid_count=vc,
+                                block_size=block_size)
+        g_idxs = jnp.where(idxs >= 0, idxs + sid * shard_rows, -1)
+        # all-gather the candidate sets over ICI: [n_shards, Q, k]
+        all_vals = jax.lax.all_gather(vals, "shard")
+        all_idxs = jax.lax.all_gather(g_idxs, "shard")
+        # shard-major concat preserves global index order for tie-breaks
+        q_n = q.shape[0]
+        cat_vals = all_vals.transpose(1, 0, 2).reshape(q_n, n_shards * k)
+        cat_idxs = all_idxs.transpose(1, 0, 2).reshape(q_n, n_shards * k)
+        top_vals, pos = jax.lax.top_k(cat_vals, k)
+        top_idxs = jnp.take_along_axis(cat_idxs, pos, axis=-1)
+        return top_vals, top_idxs
+
+    if valid_counts is None:
+        fn = shard_map(lambda q, c: local(q, c, None), mesh=mesh,
+                       in_specs=(P(), P("shard", None)),
+                       out_specs=(P(), P()), check_vma=False)
+        return fn(queries, corpus_sharded)
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(), P("shard", None), counts_spec),
+                   out_specs=(P(), P()), check_vma=False)
+    return fn(queries, corpus_sharded, valid_counts)

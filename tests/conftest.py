@@ -10,12 +10,6 @@ tested on a forced-host-platform CPU mesh (SURVEY.md §4,
 import os
 import socket
 
-# Must run before jax (or anything importing jax) is imported.
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("RAGTPU_ENV", "test")
 os.environ.setdefault("RAGTPU_JWT_SECRET", "test-secret-key-0123456789abcdef0123456789")
 os.environ.setdefault("RAGTPU_MOCK_MODE", "1")
@@ -24,10 +18,14 @@ os.environ.setdefault("RAGTPU_DEV_LOGIN", "1")
 import jax  # noqa: E402
 import pytest  # noqa: E402
 
-# XLA-CPU's default matmul precision is reduced (oneDNN bf16-class, ~1e-2
-# rel err) and its very first dot compile pays a one-time ~1-5 min init on
-# this box. Tests pin full f32 precision so golden comparisons vs numpy
-# are exact; production TPU code keeps the fast bf16 MXU default.
+# The axon sitecustomize imports jax at interpreter startup with
+# JAX_PLATFORMS=axon, so env vars set here are too late — use jax.config
+# to pin tests to a virtual 8-device CPU backend (SURVEY.md §4
+# "multi-node without a cluster").
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+# Golden comparisons vs numpy need full f32 matmul precision (TPU bench
+# code keeps the fast bf16 MXU default).
 jax.config.update("jax_default_matmul_precision", "highest")
 jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.cache/jax_comp_cache"))

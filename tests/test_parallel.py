@@ -1,0 +1,86 @@
+"""Sharded top-k: 8-device CPU mesh vs single-device golden results.
+
+This is the determinism "sanitizer" from SURVEY.md §5: the same corpus
+must produce bit-identical top-k under any sharding.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rag_foundation_tpu.ops.topk import exact_topk
+from rag_foundation_tpu.parallel.mesh import make_mesh, shard_rows
+from rag_foundation_tpu.parallel.topk_merge import sharded_topk
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    return make_mesh(8)
+
+
+def test_sharded_matches_single_device(mesh8):
+    rng = np.random.default_rng(0)
+    n, d, q_n, k = 4096, 64, 9, 10
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((q_n, d)).astype(np.float32)
+    ref_vals, ref_idxs = exact_topk(jnp.asarray(queries),
+                                    jnp.asarray(corpus), k)
+    c_sharded = shard_rows(mesh8, jnp.asarray(corpus))
+    vals, idxs = sharded_topk(jnp.asarray(queries), c_sharded, k, mesh=mesh8,
+                              block_size=256)
+    np.testing.assert_array_equal(np.asarray(idxs), np.asarray(ref_idxs))
+    np.testing.assert_array_equal(np.asarray(vals), np.asarray(ref_vals))
+
+
+def test_sharded_tie_break_lowest_global_index(mesh8):
+    n, d = 1024, 16
+    corpus = np.zeros((n, d), np.float32)
+    corpus[:, 0] = 1.0  # every row ties
+    queries = np.zeros((2, d), np.float32)
+    queries[:, 0] = 1.0
+    c_sharded = shard_rows(mesh8, jnp.asarray(corpus))
+    _, idxs = sharded_topk(jnp.asarray(queries), c_sharded, 5, mesh=mesh8,
+                           block_size=128)
+    np.testing.assert_array_equal(np.asarray(idxs),
+                                  np.tile(np.arange(5), (2, 1)))
+
+
+def test_sharded_valid_counts_mask_tail(mesh8):
+    rng = np.random.default_rng(1)
+    n, d, k = 2048, 32, 8
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    shard_size = n // 8
+    # each shard has only 100 live rows; poison the dead region
+    counts = np.full((8,), 100, np.int32)
+    poison = corpus.copy()
+    for s in range(8):
+        poison[s * shard_size + 100 : (s + 1) * shard_size] = 50.0
+    queries = rng.standard_normal((4, d)).astype(np.float32)
+    c_sharded = shard_rows(mesh8, jnp.asarray(poison))
+    vals, idxs = sharded_topk(jnp.asarray(queries), c_sharded, k, mesh=mesh8,
+                              valid_counts=jnp.asarray(counts),
+                              block_size=128)
+    idxs_h = np.asarray(idxs)
+    for s in range(8):
+        local = idxs_h - s * shard_size
+        in_shard = (idxs_h >= s * shard_size) & (idxs_h < (s + 1) * shard_size)
+        assert np.all(local[in_shard] < 100)
+    # equivalent masked single-device reference
+    mask = np.zeros((n,), bool)
+    for s in range(8):
+        mask[s * shard_size : s * shard_size + 100] = True
+    ref_vals, ref_idxs = exact_topk(jnp.asarray(queries), jnp.asarray(poison),
+                                    k, live_mask=jnp.asarray(mask))
+    np.testing.assert_array_equal(idxs_h, np.asarray(ref_idxs))
+
+
+def test_mesh_shapes():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    m = make_mesh(4, data=2)
+    assert m.shape == {"data": 2, "shard": 4}
+    with pytest.raises(ValueError):
+        make_mesh(16, data=1)
