@@ -1,0 +1,164 @@
+"""Pallas fused matmul + running top-k kernel (the scoring hot path).
+
+One kernel pass: for each (query-tile, corpus-block) grid cell, score
+``Q_tile @ block.T`` on the MXU (bf16 in, f32 accumulate) and fold the
+block's scores into a per-query running top-k carry held in VMEM — the
+``[Q, N]`` score matrix never exists, so the sweep is HBM-bandwidth-bound
+on the corpus read, which is the speed-of-light for exact search
+(SURVEY.md §2.5 item 1).
+
+Selection: k-pass argmax extraction over ``[carry | block]``. For k ≤ 32
+and d ≥ 256 the VPU cost (~k compares/element) is well under the MXU cost
+(2·d MACs/element), so selection rides free under the matmul. Ties prefer
+the carry (earlier blocks, lower global index) then lower in-block index —
+the same deterministic order as ops/topk.exact_topk, which remains the
+XLA-fusion baseline this kernel is benchmarked against.
+
+Grid iteration: ``(Q_tiles, N_blocks)`` with the corpus dimension
+innermost and marked "arbitrary" (sequential) so the carry scratch is
+valid across blocks; query tiles are parallel (megacore-friendly).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float("-inf")  # python literal: jnp scalars become captured consts in pallas
+
+
+def _fused_topk_kernel(count_ref, q_ref, c_ref, out_vals_ref, out_idx_ref,
+                       carry_vals, carry_idx, *, k: int, block_n: int,
+                       num_blocks: int):
+    nb = pl.program_id(1)
+
+    @pl.when(nb == 0)
+    def _init():
+        carry_vals[:] = jnp.full_like(carry_vals[:], NEG_INF)
+        carry_idx[:] = jnp.full_like(carry_idx[:], -1)
+
+    # MXU: [TQ, d] x [BN, d]^T -> [TQ, BN] f32
+    scores = jax.lax.dot_general(
+        q_ref[:], c_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    tq = scores.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (tq, block_n), 1)
+    g_idx = col + nb * block_n
+    live = g_idx < count_ref[0]
+    scores = jnp.where(live, scores, NEG_INF)
+
+    # combined candidates: carry first => ties prefer earlier blocks
+    comb_vals = jnp.concatenate([carry_vals[:], scores], axis=1)
+    comb_idx = jnp.concatenate([carry_idx[:], g_idx], axis=1)
+    sel_iota = jax.lax.broadcasted_iota(jnp.int32, comb_vals.shape, 1)
+
+    def select(j, state):
+        vals, idxs, comb = state
+        m = jnp.max(comb, axis=1)
+        am = jnp.argmax(comb, axis=1)  # first max -> lowest index wins
+        onehot = sel_iota == am[:, None]
+        # gather-free pick (Mosaic's gather only supports full-shape
+        # indices): ids are >= -1, so a masked max extracts the winner.
+        picked_idx = jnp.max(jnp.where(onehot, comb_idx, -1), axis=1)
+        comb = jnp.where(onehot, NEG_INF, comb)
+        lane = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 1)
+        vals = jnp.where(lane == j, m[:, None], vals)
+        idxs = jnp.where(lane == j, picked_idx[:, None], idxs)
+        return vals, idxs, comb
+
+    init_vals = jnp.full((tq, k), NEG_INF, jnp.float32)
+    init_idx = jnp.full((tq, k), -1, jnp.int32)
+    new_vals, new_idx, _ = jax.lax.fori_loop(
+        0, k, select, (init_vals, init_idx, comb_vals))
+    carry_vals[:] = new_vals
+    carry_idx[:] = new_idx
+
+    @pl.when(nb == num_blocks - 1)
+    def _emit():
+        out_vals_ref[:] = new_vals
+        out_idx_ref[:] = jnp.where(new_vals == NEG_INF, -1, new_idx)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "block_q", "block_n", "interpret"))
+def fused_topk(
+    queries: jnp.ndarray,
+    corpus: jnp.ndarray,
+    k: int,
+    *,
+    valid_count: jnp.ndarray | int | None = None,
+    block_q: int = 256,
+    block_n: int = 1024,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact fused top-k: same contract as ops.topk.exact_topk.
+
+    ``corpus [N, d]`` (f32/bf16), ``queries [Q, d]``; returns
+    ``(values [Q, k] f32, indices [Q, k] int32)``, padding/masked slots as
+    ``(-inf, -1)``. Q and N are padded internally to tile multiples.
+    """
+    n, d = corpus.shape
+    q_n = queries.shape[0]
+    if valid_count is None:
+        valid_count = n
+    valid_count = jnp.asarray(valid_count, jnp.int32).reshape(1)
+
+    block_q = min(block_q, max(8, q_n))
+    block_n = min(block_n, n)
+    grid_q = -(-q_n // block_q)
+    num_blocks = -(-n // block_n)
+    q_pad = grid_q * block_q
+    n_pad = num_blocks * block_n
+
+    q = queries.astype(corpus.dtype)
+    if q_pad != q_n:
+        q = jnp.pad(q, ((0, q_pad - q_n), (0, 0)))
+    c = corpus
+    if n_pad != n:
+        c = jnp.pad(c, ((0, n_pad - n), (0, 0)))
+        valid_count = jnp.minimum(valid_count, n)
+
+    kernel = functools.partial(_fused_topk_kernel, k=k, block_n=block_n,
+                               num_blocks=num_blocks)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(grid_q, num_blocks),
+        in_specs=[
+            pl.BlockSpec((block_q, d), lambda qi, nb, *_: (qi, 0)),
+            pl.BlockSpec((block_n, d), lambda qi, nb, *_: (nb, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_q, k), lambda qi, nb, *_: (qi, 0)),
+            pl.BlockSpec((block_q, k), lambda qi, nb, *_: (qi, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, k), jnp.float32),
+            pltpu.VMEM((block_q, k), jnp.int32),
+        ],
+    )
+    flops = 2 * q_pad * n_pad * d
+    vals, idxs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((q_pad, k), jnp.float32),
+            jax.ShapeDtypeStruct((q_pad, k), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=n_pad * d * corpus.dtype.itemsize
+            + q_pad * d * corpus.dtype.itemsize + q_pad * k * 8,
+            transcendentals=0),
+        interpret=interpret,
+    )(valid_count, q, c)
+    return vals[:q_n], idxs[:q_n]

@@ -1,0 +1,54 @@
+"""Two-stage block top-k kernel vs the exact baseline (interpret mode)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from rag_foundation_tpu.ops.pallas_block_topk import block_topk
+from rag_foundation_tpu.ops.topk import exact_topk
+
+
+def test_block_topk_exact_when_p_equals_k():
+    rng = np.random.default_rng(0)
+    c = rng.standard_normal((2048, 64)).astype(np.float32)
+    q = rng.standard_normal((16, 64)).astype(np.float32)
+    bv, bi = block_topk(jnp.asarray(q), jnp.asarray(c), 10, p=10,
+                        block_q=8, block_n=512, interpret=True)
+    ev, ei = exact_topk(jnp.asarray(q), jnp.asarray(c), 10)
+    np.testing.assert_array_equal(np.asarray(bi), np.asarray(ei))
+    np.testing.assert_allclose(np.asarray(bv), np.asarray(ev), rtol=1e-5)
+
+
+def test_block_topk_p2_high_recall_many_blocks():
+    rng = np.random.default_rng(1)
+    c = rng.standard_normal((8192, 32)).astype(np.float32)
+    q = rng.standard_normal((8, 32)).astype(np.float32)
+    bv, bi = block_topk(jnp.asarray(q), jnp.asarray(c), 10, p=2,
+                        block_q=8, block_n=128, interpret=True)  # 64 blocks
+    _, ei = exact_topk(jnp.asarray(q), jnp.asarray(c), 10)
+    rec = np.mean([len(set(a) & set(b)) / 10
+                   for a, b in zip(np.asarray(bi), np.asarray(ei))])
+    assert rec >= 0.95
+
+
+def test_block_topk_valid_count_and_padding():
+    rng = np.random.default_rng(2)
+    c = rng.standard_normal((700, 32)).astype(np.float32)
+    c[400:] = 99.0
+    q = rng.standard_normal((5, 32)).astype(np.float32)
+    bv, bi = block_topk(jnp.asarray(q), jnp.asarray(c), 6, p=6,
+                        valid_count=400, block_q=8, block_n=256,
+                        interpret=True)
+    assert np.asarray(bi).max() < 400
+    ev, ei = exact_topk(jnp.asarray(q), jnp.asarray(c), 6, valid_count=400)
+    np.testing.assert_array_equal(np.asarray(bi), np.asarray(ei))
+
+
+def test_block_topk_ties_prefer_lower_index():
+    c = np.zeros((512, 16), np.float32)
+    c[:, 0] = 1.0
+    q = np.zeros((2, 16), np.float32)
+    q[:, 0] = 1.0
+    _, bi = block_topk(jnp.asarray(q), jnp.asarray(c), 4, p=4,
+                       block_q=8, block_n=128, interpret=True)
+    np.testing.assert_array_equal(np.asarray(bi),
+                                  np.tile(np.arange(4), (2, 1)))

@@ -1,0 +1,66 @@
+"""Fused Pallas top-k vs the XLA streaming baseline (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rag_foundation_tpu.ops.pallas_topk import fused_topk
+from rag_foundation_tpu.ops.topk import exact_topk
+
+
+def _check(q, c, k, valid=None, **kw):
+    fv, fi = fused_topk(jnp.asarray(q), jnp.asarray(c), k,
+                        valid_count=valid, interpret=True, **kw)
+    ev, ei = exact_topk(jnp.asarray(q), jnp.asarray(c), k,
+                        valid_count=valid)
+    np.testing.assert_array_equal(np.asarray(fi), np.asarray(ei))
+    np.testing.assert_allclose(np.asarray(fv), np.asarray(ev),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_matches_baseline():
+    rng = np.random.default_rng(0)
+    c = rng.standard_normal((2048, 128)).astype(np.float32)
+    q = rng.standard_normal((32, 128)).astype(np.float32)
+    _check(q, c, 10, block_q=16, block_n=512)
+
+
+def test_fused_unaligned_shapes():
+    rng = np.random.default_rng(1)
+    c = rng.standard_normal((1000, 64)).astype(np.float32)
+    q = rng.standard_normal((13, 64)).astype(np.float32)
+    _check(q, c, 7, block_q=8, block_n=256)
+
+
+def test_fused_valid_count():
+    rng = np.random.default_rng(2)
+    c = rng.standard_normal((768, 32)).astype(np.float32)
+    c[500:] = 99.0
+    q = rng.standard_normal((4, 32)).astype(np.float32)
+    fv, fi = fused_topk(jnp.asarray(q), jnp.asarray(c), 5,
+                        valid_count=500, interpret=True,
+                        block_q=8, block_n=256)
+    assert np.asarray(fi).max() < 500
+    _check(q, c, 5, valid=500, block_q=8, block_n=256)
+
+
+def test_fused_ties_prefer_lower_index():
+    c = np.zeros((512, 16), np.float32)
+    c[:, 0] = 1.0
+    q = np.zeros((2, 16), np.float32)
+    q[:, 0] = 1.0
+    _, fi = fused_topk(jnp.asarray(q), jnp.asarray(c), 6, interpret=True,
+                       block_q=8, block_n=128)
+    np.testing.assert_array_equal(np.asarray(fi),
+                                  np.tile(np.arange(6), (2, 1)))
+
+
+def test_fused_k_exceeds_live_rows():
+    rng = np.random.default_rng(3)
+    c = rng.standard_normal((256, 16)).astype(np.float32)
+    q = rng.standard_normal((2, 16)).astype(np.float32)
+    fv, fi = fused_topk(jnp.asarray(q), jnp.asarray(c), 8,
+                        valid_count=3, interpret=True,
+                        block_q=8, block_n=128)
+    assert np.all(np.asarray(fi)[:, 3:] == -1)
+    assert np.all(np.isneginf(np.asarray(fv)[:, 3:]))
