@@ -103,12 +103,13 @@ class Settings(BaseModel):
     # -- engine (TPU data plane) -------------------------------------------
     ENGINE_DIM: int = 384
     ENGINE_ENCODER: str = "hash"          # hash|minilm
-    ENGINE_INDEX_MODE: str = "exact"      # exact|ivf_flat|ivf_pq
+    ENGINE_INDEX_MODE: str = "exact"      # exact|ivf_flat|ivf_flat_int8
     ENGINE_CHUNK_TOKENS: int = 200
     ENGINE_CHUNK_OVERLAP: int = 40
     ENGINE_TOP_K: int = 5
     ENGINE_NLIST: int = 1024
     ENGINE_NPROBE: int = 64
+    ENGINE_BUILD_THRESHOLD: int = 100_000
     ENGINE_PQ_M: int = 48
     ENGINE_DTYPE: str = "float32"         # float32|bfloat16
     ENGINE_MESH_SHARDS: int = 1           # corpus shards across chips
@@ -166,7 +167,8 @@ class Settings(BaseModel):
                 raise ValueError("wildcard CORS origin banned in production")
         if self.ENGINE_CHUNK_OVERLAP >= self.ENGINE_CHUNK_TOKENS:
             raise ValueError("ENGINE_CHUNK_OVERLAP must be < ENGINE_CHUNK_TOKENS")
-        if self.ENGINE_INDEX_MODE not in {"exact", "ivf_flat", "ivf_pq"}:
+        if self.ENGINE_INDEX_MODE not in {"exact", "ivf_flat",
+                                           "ivf_flat_int8"}:
             raise ValueError(f"invalid ENGINE_INDEX_MODE "
                              f"{self.ENGINE_INDEX_MODE!r}")
         return self

@@ -56,6 +56,9 @@ class EngineRag:
             chunk_overlap=settings.ENGINE_CHUNK_OVERLAP,
             encoder=settings.ENGINE_ENCODER,
             index_mode=settings.ENGINE_INDEX_MODE,
+            nlist=settings.ENGINE_NLIST,
+            nprobe=settings.ENGINE_NPROBE,
+            build_threshold=settings.ENGINE_BUILD_THRESHOLD,
             data_dir=(str(settings.DATA_DIR) + "/engine"
                       if settings.DATA_DIR else None),
         ))

@@ -24,7 +24,7 @@ from pathlib import Path
 import numpy as np
 
 from rag_foundation_tpu.engine.chunker import Chunk, chunk_text
-from rag_foundation_tpu.engine.segments import VectorSegment
+from rag_foundation_tpu.engine.index import StoreIndex
 from rag_foundation_tpu.models.hash_encoder import HashingEncoder
 
 
@@ -47,7 +47,10 @@ class EngineConfig:
     chunk_tokens: int = 200
     chunk_overlap: int = 40
     encoder: str = "hash"          # "hash" | "minilm"
-    index_mode: str = "exact"      # "exact" | "ivf_flat" | "ivf_pq"
+    index_mode: str = "exact"      # "exact" | "ivf_flat" | "ivf_flat_int8"
+    nlist: int = 256
+    nprobe: int = 32
+    build_threshold: int = 100_000  # tail size that triggers IVF build
     data_dir: str | None = None    # checkpoint root; None = memory-only
 
 
@@ -64,7 +67,7 @@ class _ChunkMeta:
 @dataclass
 class _Store:
     key: str
-    segment: VectorSegment
+    segment: StoreIndex
     chunks: dict[int, _ChunkMeta] = field(default_factory=dict)
     next_chunk_id: int = 0
     lock: threading.Lock = field(default_factory=threading.Lock)
@@ -101,7 +104,7 @@ class Engine:
             if key in self._stores:
                 raise ValueError(f"store {key!r} already exists")
             self._stores[key] = _Store(
-                key=key, segment=VectorSegment(self.config.dim))
+                key=key, segment=self._new_index())
 
     def delete_store(self, key: str) -> None:
         with self._registry_lock:
@@ -119,6 +122,12 @@ class Engine:
 
     def has_store(self, key: str) -> bool:
         return key in self._stores
+
+    def _new_index(self) -> StoreIndex:
+        cfg = self.config
+        return StoreIndex(cfg.dim, mode=cfg.index_mode, nlist=cfg.nlist,
+                          nprobe=cfg.nprobe,
+                          build_threshold=cfg.build_threshold)
 
     def _store(self, key: str) -> _Store:
         try:
@@ -174,7 +183,7 @@ class Engine:
         store = self._store(store_key)
         return {"documents": len({m.doc_id for m in store.chunks.values()}),
                 "chunks": len(store.chunks),
-                "capacity": store.segment.capacity}
+                "vectors": store.segment.count}
 
     # -- query (the hot path) ------------------------------------------------
     def search(self, store_keys: list[str], query: str, k: int = 5
@@ -239,9 +248,13 @@ class Engine:
                 continue
             meta = json.loads(meta_f.read_text())
             with np.load(vec_f) as z:
-                seg = VectorSegment.from_state(
+                cfg = self.config
+                seg = StoreIndex.from_state(
                     {"vectors": z["vectors"], "ids": z["ids"],
-                     "dim": meta["dim"]})
+                     "dim": meta["dim"]},
+                    mode=cfg.index_mode, nlist=cfg.nlist,
+                    nprobe=cfg.nprobe,
+                    build_threshold=cfg.build_threshold)
             store = _Store(key=meta["key"], segment=seg,
                            next_chunk_id=meta["next_chunk_id"])
             store.chunks = {int(cid): _ChunkMeta(**m)

@@ -1,0 +1,173 @@
+"""Per-store index: streaming exact tail + bulk IVF body.
+
+The mutable-index-on-immutable-buffers design (SURVEY.md §7 "hard
+parts"): fresh inserts land in the exact ``VectorSegment`` tail (cheap
+``dynamic_update_slice`` appends); once the tail outgrows
+``build_threshold``, vectors are compacted into an IVF-Flat body
+(k-means + uniform-capacity posting lists) and the tail restarts empty.
+Queries scan body (IVF dispatch) and tail (exact streaming top-k) and
+merge — consistent reads during writes, generation-style.
+
+Deletes tombstone in both structures: the tail masks at scan time, the
+body filters candidates post-scan (k is tiny) and reclaims space at the
+next rebuild.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rag_foundation_tpu.engine.ivf import (IVFFlatIndex, build_ivf_flat,
+                                           ivf_search)
+from rag_foundation_tpu.engine.segments import VectorSegment
+from rag_foundation_tpu.ops.topk import merge_topk
+
+
+def _on_cpu() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+class StoreIndex:
+    """Mode-aware store index: 'exact' | 'ivf_flat' | 'ivf_flat_int8'."""
+
+    def __init__(self, dim: int, *, mode: str = "exact", nlist: int = 256,
+                 nprobe: int = 32, build_threshold: int = 100_000,
+                 seed: int = 0):
+        if mode not in ("exact", "ivf_flat", "ivf_flat_int8"):
+            raise ValueError(f"unknown index mode {mode!r}")
+        self.dim = dim
+        self.mode = mode
+        self.nlist = nlist
+        self.nprobe = nprobe
+        self.build_threshold = build_threshold
+        self.seed = seed
+        self.tail = VectorSegment(dim)
+        self.body: IVFFlatIndex | None = None
+        self.body_chunk_ids: np.ndarray | None = None  # row -> chunk id
+        self._dead: set[int] = set()
+
+    # -- mutation ---------------------------------------------------------
+    @property
+    def count(self) -> int:
+        body_n = 0 if self.body is None else len(self.body_chunk_ids)
+        return body_n + self.tail.count
+
+    def add(self, vecs: np.ndarray, ids: np.ndarray) -> None:
+        self.tail.add(vecs, ids)
+        if self.mode != "exact" and self.tail.count >= self.build_threshold:
+            self.rebuild()
+
+    def delete_ids(self, ids: set[int]) -> None:
+        self.tail.delete_ids(ids)
+        self._dead |= ids
+
+    def rebuild(self) -> None:
+        """Compact tail + body into a fresh IVF body (copy-on-compact)."""
+        if self.mode == "exact":
+            return
+        parts_v, parts_i = [], []
+        st = self.tail.state()  # compacts tombstones
+        if len(st["ids"]):
+            parts_v.append(np.asarray(st["vectors"], np.float32))
+            parts_i.append(np.asarray(st["ids"]))
+        if self.body is not None:
+            keep = ~np.isin(self.body_chunk_ids,
+                            np.fromiter(self._dead, np.int64,
+                                        len(self._dead)) if self._dead
+                            else np.empty(0, np.int64))
+            body_vecs = self._body_vectors()[keep]
+            parts_v.append(body_vecs)
+            parts_i.append(self.body_chunk_ids[keep])
+        if not parts_v:
+            self.body = None
+            self.body_chunk_ids = None
+            return
+        vecs = np.concatenate(parts_v)
+        cids = np.concatenate(parts_i)
+        n = len(cids)
+        nlist = max(8, min(self.nlist, n // 64 or 8))
+        self.body = build_ivf_flat(
+            jnp.asarray(vecs), nlist, key=jax.random.key(self.seed),
+            int8=self.mode.endswith("int8"))
+        self.body_chunk_ids = cids
+        self.tail = VectorSegment(self.dim)
+        self._dead.clear()  # rebuild compacted all tombstones away
+
+    def _body_vectors(self) -> np.ndarray:
+        """Reconstruct body vectors in original row order (build path)."""
+        idx = self.body
+        flat = np.asarray(idx.lists.reshape(-1, self.dim), np.float32)
+        if idx.lists.dtype == jnp.int8:
+            flat = flat * float(idx.scale)
+        ids = np.asarray(idx.row_ids.reshape(-1))
+        live = ids >= 0
+        out = np.empty((len(self.body_chunk_ids), self.dim), np.float32)
+        out[ids[live]] = flat[live]
+        return out
+
+    # -- search -----------------------------------------------------------
+    def search(self, queries: np.ndarray, k: int
+               ) -> tuple[np.ndarray, np.ndarray]:
+        """Returns (scores [Q, k] f32, chunk_ids [Q, k] int64; -1 pads)."""
+        q_n = queries.shape[0]
+        t_vals, t_ids = self.tail.search(queries, k)
+        if self.body is None:
+            return t_vals, t_ids
+        fetch = min(k + len(self._dead), k * 4 + 16)
+        b_vals, b_rows, _ = ivf_search(
+            self.body, jnp.asarray(queries), fetch,
+            nprobe=min(self.nprobe, self.body.nlist),
+            p=min(4, fetch), interpret=_on_cpu())
+        b_vals = np.asarray(b_vals)
+        b_rows = np.asarray(b_rows)
+        # row -> chunk id, tombstone filter
+        b_ids = np.where(b_rows >= 0,
+                         self.body_chunk_ids[np.clip(b_rows, 0, None)], -1)
+        if self._dead:
+            dead = np.isin(b_ids, np.fromiter(self._dead, np.int64,
+                                              len(self._dead)))
+            b_vals = np.where(dead, -np.inf, b_vals)
+            b_ids = np.where(dead, -1, b_ids)
+        order = np.argsort(-b_vals, axis=1, kind="stable")
+        b_vals = np.take_along_axis(b_vals, order, axis=1)[:, :k]
+        b_ids = np.take_along_axis(b_ids, order, axis=1)[:, :k]
+        # merge tail + body (host: tiny)
+        vals = np.concatenate([b_vals, t_vals], axis=1)
+        ids = np.concatenate([b_ids, t_ids], axis=1)
+        order = np.argsort(-vals, axis=1, kind="stable")
+        vals = np.take_along_axis(vals, order, axis=1)[:, :k]
+        ids = np.take_along_axis(ids, order, axis=1)[:, :k]
+        ids = np.where(np.isneginf(vals), -1, ids)
+        return vals.astype(np.float32), ids.astype(np.int64)
+
+    # -- persistence ------------------------------------------------------
+    def state(self) -> dict:
+        """Everything needed to rebuild: live vectors + ids (the IVF body
+        is re-derivable and rebuilt lazily on load)."""
+        parts_v, parts_i = [], []
+        st = self.tail.state()
+        if len(st["ids"]):
+            parts_v.append(np.asarray(st["vectors"], np.float32))
+            parts_i.append(np.asarray(st["ids"], np.int64))
+        if self.body is not None:
+            keep = np.ones(len(self.body_chunk_ids), bool)
+            if self._dead:
+                keep = ~np.isin(self.body_chunk_ids,
+                                np.fromiter(self._dead, np.int64,
+                                            len(self._dead)))
+            parts_v.append(self._body_vectors()[keep])
+            parts_i.append(self.body_chunk_ids[keep].astype(np.int64))
+        if parts_v:
+            return {"vectors": np.concatenate(parts_v),
+                    "ids": np.concatenate(parts_i), "dim": self.dim}
+        return {"vectors": np.zeros((0, self.dim), np.float32),
+                "ids": np.zeros((0,), np.int64), "dim": self.dim}
+
+    @classmethod
+    def from_state(cls, state: dict, **kw) -> "StoreIndex":
+        idx = cls(int(state["dim"]), **kw)
+        if len(state["ids"]):
+            idx.add(state["vectors"], state["ids"])
+        return idx

@@ -1,0 +1,203 @@
+"""IVF-Flat index: k-means coarse quantizer + uniform-capacity posting
+lists + EP-style inverted query dispatch.
+
+Build (SURVEY.md §2.5 item 3): spherical k-means on a sample trains the
+coarse quantizer; all vectors are assigned, sorted by list, and laid out
+in a dense ``[nlist, cap_len, d]`` tensor (uniform capacity = regular
+kernel grids; dead slots carry id -1). Memory overhead vs ragged lists is
+the price of a dataflow machine — bounded by k-means balance.
+
+Query: coarse matmul -> per-query top-``nprobe`` lists -> batch-level
+INVERSION (for each list, which queries probe it, capacity ``qcap``) ->
+one Pallas scan per list (ops/pallas_ivf.py) -> per-query candidate
+regather -> final top-k. Every step is dense, static-shaped XLA; the
+overflow drop count is surfaced for monitoring (no silent recall loss).
+
+Supports f32/bf16 storage or int8 (per-tensor symmetric, MXU int8 path).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rag_foundation_tpu.ops.kmeans import assign_clusters, kmeans_fit
+from rag_foundation_tpu.ops.pallas_ivf import ivf_list_scan
+from rag_foundation_tpu.ops.quantize import quantize_int8
+
+LBLOCK = 128  # list capacity granularity (lane alignment)
+
+
+class IVFFlatIndex(NamedTuple):
+    centroids: jnp.ndarray    # [nlist, d] f32
+    lists: jnp.ndarray        # [nlist, cap_len, d] storage dtype
+    row_ids: jnp.ndarray      # [nlist, cap_len] int32 global row ids, -1 dead
+    scale: jnp.ndarray        # f32 scalar (1.0 unless int8)
+    n: int                    # live vector count
+
+    @property
+    def nlist(self) -> int:
+        return self.centroids.shape[0]
+
+    @property
+    def cap_len(self) -> int:
+        return self.lists.shape[1]
+
+
+def build_ivf_flat(
+    vectors: jnp.ndarray,
+    nlist: int,
+    *,
+    key: jax.Array,
+    kmeans_iters: int = 10,
+    sample: int | None = None,
+    dtype: jnp.dtype | None = None,
+    int8: bool = False,
+) -> IVFFlatIndex:
+    """Train + populate an IVF-Flat index from ``vectors [N, d]``."""
+    n, d = vectors.shape
+    sample = min(n, sample or max(nlist * 64, 16384))
+    train_rows = vectors[:sample].astype(jnp.float32)
+    centroids, _ = kmeans_fit(train_rows, nlist, key=key,
+                              iters=kmeans_iters, spherical=True)
+    assign, _ = assign_clusters(vectors, centroids)
+
+    # host-side layout (build path; one-time cost)
+    assign_h = np.asarray(assign)
+    counts = np.bincount(assign_h, minlength=nlist)
+    cap_len = max(LBLOCK, int(-(-counts.max() // LBLOCK) * LBLOCK))
+
+    order = np.argsort(assign_h, kind="stable")
+    sorted_assign = assign_h[order]
+    starts = np.zeros(nlist + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    rank = np.arange(n) - starts[sorted_assign]
+    dest = sorted_assign.astype(np.int64) * cap_len + rank
+
+    storage_dtype = jnp.int8 if int8 else (dtype or vectors.dtype)
+    if int8:
+        qvecs, scale = quantize_int8(vectors)
+        src = np.asarray(qvecs)
+        flat = np.zeros((nlist * cap_len, d), np.int8)
+    else:
+        src = np.asarray(vectors.astype(storage_dtype))
+        flat = np.zeros((nlist * cap_len, d), src.dtype)
+        scale = jnp.float32(1.0)
+    flat[dest] = src[order]
+    ids = np.full((nlist * cap_len,), -1, np.int32)
+    ids[dest] = order.astype(np.int32)
+
+    return IVFFlatIndex(
+        centroids=centroids,
+        lists=jnp.asarray(flat).reshape(nlist, cap_len, d),
+        row_ids=jnp.asarray(ids).reshape(nlist, cap_len),
+        scale=jnp.asarray(scale, jnp.float32),
+        n=n)
+
+
+@functools.partial(jax.jit, static_argnames=("nprobe", "qcap"))
+def build_dispatch(
+    coarse_scores: jnp.ndarray,   # [Q, nlist] f32
+    nprobe: int,
+    qcap: int,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Invert per-query probe lists into per-list query slots.
+
+    Returns (probe_lists [Q, nprobe], dispatch [nlist, qcap],
+    slot [Q, nprobe], dropped [] int32). ``dispatch[l, s]`` is the query
+    id in slot s of list l (-1 empty); ``slot[q, i]`` is q's slot within
+    its i-th probed list (-1 if dropped by capacity).
+    """
+    q_n, nlist = coarse_scores.shape
+    _, probe_lists = jax.lax.top_k(coarse_scores, nprobe)  # [Q, nprobe]
+
+    flat_l = probe_lists.reshape(-1)
+    flat_q = jnp.repeat(jnp.arange(q_n, dtype=jnp.int32), nprobe)
+    order = jnp.argsort(flat_l, stable=True)
+    l_sorted = flat_l[order]
+    q_sorted = flat_q[order]
+    group_start = jnp.searchsorted(l_sorted, l_sorted, side="left")
+    rank = jnp.arange(q_n * nprobe, dtype=jnp.int32) - group_start
+    keep = rank < qcap
+    dropped = jnp.sum(~keep).astype(jnp.int32)
+
+    dispatch = jnp.full((nlist, qcap), -1, jnp.int32)
+    # dropped probes scatter to an out-of-bounds row, which mode="drop"
+    # discards — never clobbering a live slot
+    write_l = jnp.where(keep, l_sorted, nlist)
+    safe_rank = jnp.where(keep, rank, 0)
+    dispatch = dispatch.at[write_l, safe_rank].set(q_sorted, mode="drop")
+
+    # map each (q, probe_i) to its slot (or -1 when dropped)
+    slot_flat = jnp.full((q_n * nprobe,), -1, jnp.int32)
+    slot_flat = slot_flat.at[order].set(jnp.where(keep, rank, -1))
+    slot = slot_flat.reshape(q_n, nprobe)
+    return probe_lists, dispatch, slot, dropped
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "nprobe", "p", "qcap", "interpret"))
+def ivf_search(
+    index: IVFFlatIndex,
+    queries: jnp.ndarray,     # [Q, d] float
+    k: int,
+    *,
+    nprobe: int = 64,
+    p: int = 2,
+    qcap: int | None = None,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """IVF top-k. Returns (values [Q,k] f32, row_ids [Q,k] int32 global
+    vector ids, dropped_probes [] int32)."""
+    q_n, d = queries.shape
+    nlist = index.nlist
+    nprobe = min(nprobe, nlist)
+    if qcap is None:
+        # expected probes per list x slack, lane-aligned
+        qcap = max(8, int(-(-(q_n * nprobe * 2) // nlist // 8) * 8))
+
+    q32 = queries.astype(jnp.float32)
+    coarse = jnp.dot(q32, index.centroids.T,
+                     preferred_element_type=jnp.float32)
+    probe_lists, dispatch, slot, dropped = build_dispatch(
+        coarse, nprobe, qcap)
+
+    # gather dispatched queries (XLA gather; [nlist, qcap, d])
+    safe_q = jnp.clip(dispatch, 0, q_n - 1)
+    if index.lists.dtype == jnp.int8:
+        q_quant = jnp.clip(jnp.round(q32 / index.scale), -127, 127
+                           ).astype(jnp.int8)
+        qdisp = q_quant[safe_q]
+        scan_scale = index.scale * index.scale
+    else:
+        qdisp = queries.astype(index.lists.dtype)[safe_q]
+        scan_scale = jnp.float32(1.0)
+
+    vals, flat_idx = ivf_list_scan(
+        qdisp, index.lists, index.row_ids, dispatch,
+        p=p, scale=scan_scale, interpret=interpret)
+
+    # regather per query: [Q, nprobe, w] (w = sub-blocks-per-list * p)
+    w = vals.shape[-1]
+    safe_slot = jnp.clip(slot, 0, qcap - 1)
+    cand_vals = vals[probe_lists, safe_slot]
+    cand_idx = flat_idx[probe_lists, safe_slot]
+    valid = (slot >= 0)[:, :, None]
+    cand_vals = jnp.where(valid, cand_vals, -jnp.inf)
+    cand_idx = jnp.where(valid, cand_idx, -1)
+
+    cand_vals = cand_vals.reshape(q_n, nprobe * w)
+    cand_idx = cand_idx.reshape(q_n, nprobe * w)
+    top_vals, pos = jax.lax.top_k(cand_vals, k)
+    top_flat = jnp.take_along_axis(cand_idx, pos, axis=-1)
+    # flat corpus position -> original row id
+    safe_flat = jnp.clip(top_flat, 0, index.nlist * index.cap_len - 1)
+    row_ids = index.row_ids.reshape(-1)[safe_flat]
+    row_ids = jnp.where((top_flat >= 0) & jnp.isfinite(top_vals),
+                        row_ids, -1)
+    top_vals = jnp.where(row_ids >= 0, top_vals, -jnp.inf)
+    return top_vals, row_ids, dropped

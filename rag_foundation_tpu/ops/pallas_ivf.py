@@ -1,0 +1,137 @@
+"""Pallas IVF list-scan kernel: per-list query-dispatch scoring.
+
+The EP-analog core of IVF query (SURVEY.md §2.4): instead of gathering
+``nprobe`` posting lists per query (bandwidth blowup), the batch is
+INVERTED — for each list, the (capacity-bounded) set of queries probing
+it is gathered host-of-kernel-side into ``qdisp [nlist, qcap, d]``, and
+this kernel scans each list exactly once per batch:
+
+    grid cell l:  scores = qdisp[l] @ list_vecs[l].T   (MXU)
+                  mask dead rows / dead query slots
+                  per-row top-p extraction             (VPU, p passes)
+
+Corpus reads are therefore sequential and each padded list is read at
+most once per batch — the scan is MXU/HBM-roofline bound like the flat
+kernel, but over ~nprobe/nlist of the data.
+
+Supports bf16/f32 and int8 (int8 x int8 -> int32 MXU path; scores scaled
+back to f32 with the per-tensor scales).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float("-inf")
+SUB = 128  # sub-block width (one lane register)
+
+
+def _ivf_scan_kernel(scale_ref, qdisp_ref, lists_ref, ids_ref, disp_ref,
+                     vals_ref, idx_ref, *, p: int, cap_len: int,
+                     int8_mode: bool):
+    li = pl.program_id(0)
+    q = qdisp_ref[0]          # [qcap, d]
+    c = lists_ref[0]          # [cap_len, d]
+    acc = jnp.int32 if int8_mode else jnp.float32
+    scores = jax.lax.dot_general(
+        q, c, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=acc).astype(jnp.float32)
+    if int8_mode:
+        scores = scores * scale_ref[0, 0]
+
+    qcap = scores.shape[0]
+    # masks computed natively 2D: Mosaic cannot reshape 1-bit vectors
+    live_col = ids_ref[0] >= 0        # [1, cap_len]
+    live_row = disp_ref[0] >= 0       # [qcap, 1]
+    scores = jnp.where(live_col & live_row, scores, NEG_INF)
+
+    # Per-SUB-BLOCK top-p: clustered corpora co-locate a query's whole
+    # top-k inside one list, so per-list top-p would cap recall at p.
+    # Splitting the list into 128-lane sub-blocks spreads co-located
+    # neighbors (in-list order is insertion order) across sub-blocks;
+    # p passes cost the same VPU work as over the flat width.
+    nsub = cap_len // SUB
+    s = scores.reshape(qcap, nsub, SUB)
+    col = jax.lax.broadcasted_iota(jnp.int32, (qcap, nsub, SUB), 2)
+    base = li * cap_len + jax.lax.broadcasted_iota(
+        jnp.int32, (qcap, nsub), 1) * SUB
+    vals_cols, idx_cols = [], []
+    for j in range(p):
+        m = jnp.max(s, axis=2)                       # [qcap, nsub]
+        am = jnp.argmax(s, axis=2).astype(jnp.int32)  # first max wins ties
+        vals_cols.append(m)
+        idx_cols.append(base + am)
+        if j + 1 < p:
+            s = jnp.where(col == am[:, :, None], NEG_INF, s)
+    # pass-major layout: ties prefer earlier passes (higher scores first)
+    vals = jnp.concatenate(vals_cols, axis=1)        # [qcap, nsub*p]
+    idxs = jnp.concatenate(idx_cols, axis=1)
+    vals_ref[0] = vals
+    idx_ref[0] = jnp.where(vals == NEG_INF, -1, idxs)
+
+
+@functools.partial(jax.jit, static_argnames=("p", "interpret"))
+def ivf_list_scan(
+    qdisp: jnp.ndarray,       # [nlist, qcap, d] same dtype as lists
+    lists: jnp.ndarray,       # [nlist, cap_len, d]
+    row_ids: jnp.ndarray,     # [nlist, cap_len] int32 (-1 dead)
+    dispatch: jnp.ndarray,    # [nlist, qcap] int32 query ids (-1 dead)
+    *,
+    p: int = 2,
+    scale: jnp.ndarray | float = 1.0,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns ``(vals [nlist, qcap, w] f32, flat_idx [nlist, qcap, w])``
+    with ``w = (cap_len // 128) * p`` candidates per (list, query slot);
+    flat_idx indexes into the flattened ``[nlist*cap_len]`` corpus.
+    """
+    nlist, qcap, d = qdisp.shape
+    cap_len = lists.shape[1]
+    width = (cap_len // SUB) * p
+    int8_mode = lists.dtype == jnp.int8
+    scale_arr = jnp.asarray(scale, jnp.float32).reshape(1)
+
+    kernel = functools.partial(_ivf_scan_kernel, p=p, cap_len=cap_len,
+                               int8_mode=int8_mode)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(nlist,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda l: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, qcap, d), lambda l: (l, 0, 0)),
+            pl.BlockSpec((1, cap_len, d), lambda l: (l, 0, 0)),
+            # shapes chosen so trailing block dims are full-size
+            # (Mosaic requires last-two dims (8,128)-aligned or full)
+            pl.BlockSpec((1, 1, cap_len), lambda l: (l, 0, 0)),
+            pl.BlockSpec((1, qcap, 1), lambda l: (l, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, qcap, width), lambda l: (l, 0, 0)),
+            pl.BlockSpec((1, qcap, width), lambda l: (l, 0, 0)),
+        ],
+    )
+    vals, idxs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nlist, qcap, width), jnp.float32),
+            jax.ShapeDtypeStruct((nlist, qcap, width), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nlist * qcap * cap_len * d,
+            bytes_accessed=lists.size * lists.dtype.itemsize
+            + qdisp.size * qdisp.dtype.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(scale_arr.reshape(1, 1), qdisp, lists,
+      row_ids[:, None, :], dispatch[:, :, None])
+    return vals, idxs

@@ -1,0 +1,28 @@
+"""Symmetric int8 quantization for corpus storage and MXU int8 matmuls.
+
+v5e's MXU runs int8 x int8 -> int32 at 2x the bf16 rate and int8 halves
+HBM traffic vs bf16 — the enabler for HBM-resident 10M x 768 corpora
+(SURVEY.md §7 "hard parts": 10M bf16 = 15.4 GB vs 16 GB/chip).
+Per-tensor symmetric scaling keeps score ORDER intact (cosine ranking is
+scale-invariant); returned scales restore absolute scores.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.jit
+def quantize_int8(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """``x [N, d]`` float -> ``(q [N, d] int8, scale f32 scalar)`` with
+    ``x ≈ q * scale``."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    scale = jnp.maximum(absmax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+@jax.jit
+def dequantize_int8(q: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
+    return q.astype(jnp.float32) * scale

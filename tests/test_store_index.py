@@ -1,0 +1,85 @@
+"""StoreIndex: streaming tail + IVF body, rebuild, deletes, merge."""
+
+import numpy as np
+
+from rag_foundation_tpu.engine.index import StoreIndex
+
+
+def _vecs(n, d=32, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((32, d)).astype(np.float32)
+    x = (centers[rng.integers(0, 32, n)]
+         + 0.1 * rng.standard_normal((n, d)).astype(np.float32))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    return x
+
+
+def test_exact_mode_unchanged():
+    x = _vecs(500)
+    idx = StoreIndex(32, mode="exact")
+    idx.add(x, np.arange(500))
+    _, ids = idx.search(x[:3], 1)
+    assert list(ids[:, 0]) == [0, 1, 2]
+
+
+def test_ivf_build_triggers_and_merges_tail():
+    x = _vecs(3000)
+    idx = StoreIndex(32, mode="ivf_flat", nlist=16, nprobe=16,
+                     build_threshold=2000)
+    idx.add(x[:2500], np.arange(2500))   # crosses threshold -> body built
+    assert idx.body is not None
+    assert idx.tail.count == 0
+    idx.add(x[2500:], np.arange(2500, 3000))  # fresh tail
+    assert idx.tail.count == 500
+    assert idx.count == 3000
+    # queries hit both body and tail
+    _, ids = idx.search(x[[100, 2700]], 1)
+    assert list(ids[:, 0]) == [100, 2700]
+
+
+def test_ivf_recall_full_probe_matches_exact():
+    x = _vecs(4000, seed=1)
+    exact = StoreIndex(32, mode="exact")
+    exact.add(x, np.arange(4000))
+    ivf = StoreIndex(32, mode="ivf_flat", nlist=16, nprobe=16,
+                     build_threshold=1000)
+    ivf.add(x, np.arange(4000))
+    q = x[:32]
+    _, ei = exact.search(q, 5)
+    _, ai = ivf.search(q, 5)
+    rec = np.mean([len(set(a) & set(b)) / 5 for a, b in zip(ai, ei)])
+    assert rec >= 0.95, rec
+
+
+def test_delete_in_body_and_tail():
+    x = _vecs(3000, seed=2)
+    idx = StoreIndex(32, mode="ivf_flat", nlist=16, nprobe=16,
+                     build_threshold=2000)
+    idx.add(x, np.arange(3000))           # body built at 2000... then tail
+    q = x[[5, 2500]]
+    _, ids = idx.search(q, 1)
+    assert list(ids[:, 0]) == [5, 2500]
+    idx.delete_ids({5, 2500})
+    _, ids = idx.search(q, 3)
+    assert 5 not in ids and 2500 not in ids
+    # rebuild reclaims tombstones and results stay correct
+    idx.rebuild()
+    assert not idx._dead
+    _, ids2 = idx.search(q, 3)
+    assert 5 not in ids2 and 2500 not in ids2
+
+
+def test_int8_mode_roundtrip_state():
+    x = _vecs(2500, seed=3)
+    idx = StoreIndex(32, mode="ivf_flat_int8", nlist=16, nprobe=16,
+                     build_threshold=1000)
+    idx.add(x, np.arange(2500))
+    st = idx.state()
+    assert len(st["ids"]) == 2500
+    idx2 = StoreIndex.from_state(st, mode="ivf_flat_int8", nlist=16,
+                                 nprobe=16, build_threshold=1000)
+    q = x[:8]
+    _, a = idx.search(q, 3)
+    _, b = idx2.search(q, 3)
+    # same top-1 for every query (int8 reconstruction is lossy but stable)
+    assert list(a[:, 0]) == list(b[:, 0])
