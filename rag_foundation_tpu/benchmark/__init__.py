@@ -1,0 +1,1 @@
+"""Benchmark & load-test harness (reference: /root/reference/scripts/benchmark/)."""

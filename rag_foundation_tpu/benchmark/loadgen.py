@@ -1,0 +1,113 @@
+"""Load generator: the reference's locust profile without locust.
+
+Reference parity: /root/reference/scripts/load_test/locustfile.py —
+4:1 chat:upload task mix, 0.5-2 s think time, streams consumed to
+[DONE]. Thread-per-user; reports request rates, error rate, latency
+avg/p95 per task.
+
+Usage:
+  python -m rag_foundation_tpu.benchmark.loadgen --base-url http://... \
+      --users 8 --duration 30 [--register]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import random
+import threading
+import time
+from pathlib import Path
+
+from rag_foundation_tpu.benchmark.metrics import mean, p95
+from rag_foundation_tpu.benchmark.runner import ApiClient
+
+DOC_TEXT = ("The quarterly revenue grew twelve percent driven by cloud "
+            "subscriptions. Operating margin expanded. " * 20)
+QUESTIONS = [
+    "How did revenue grow this quarter?",
+    "What happened to the operating margin?",
+    "Summarize the financial results.",
+    "What drove subscription growth?",
+]
+
+
+class _Stats:
+    def __init__(self):
+        self.lock = threading.Lock()
+        self.latencies: dict[str, list[float]] = {"chat": [], "upload": []}
+        self.errors: dict[str, int] = {"chat": 0, "upload": 0}
+
+    def record(self, task: str, latency: float | None):
+        with self.lock:
+            if latency is None:
+                self.errors[task] += 1
+            else:
+                self.latencies[task].append(latency)
+
+
+def _user_loop(client: ApiClient, store_id: int, stop: threading.Event,
+               stats: _Stats, rng: random.Random, tmp: Path):
+    while not stop.is_set():
+        task = "chat" if rng.random() < 0.8 else "upload"  # 4:1 mix
+        t0 = time.perf_counter()
+        try:
+            if task == "chat":
+                client.ask(rng.choice(QUESTIONS), [store_id])
+            else:
+                p = tmp / f"load-{rng.randrange(1 << 30)}.txt"
+                p.write_text(DOC_TEXT)
+                client.upload_and_poll(store_id, p, timeout_s=60)
+                p.unlink()
+            stats.record(task, time.perf_counter() - t0)
+        except Exception:  # noqa: BLE001 — load test records failures
+            stats.record(task, None)
+        stop.wait(rng.uniform(0.5, 2.0))  # think time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--base-url", required=True)
+    ap.add_argument("--users", type=int, default=4)
+    ap.add_argument("--duration", type=float, default=30.0)
+    ap.add_argument("--email", default="load@example.com")
+    ap.add_argument("--password", default="Load-Passw0rd-1")
+    ap.add_argument("--register", action="store_true")
+    ap.add_argument("--tmp", type=Path, default=Path("/tmp/ragtpu-load"))
+    args = ap.parse_args()
+
+    client = ApiClient.from_credentials(args.base_url, args.email,
+                                        args.password,
+                                        register=args.register)
+    store = client.ensure_store("load-test")
+    args.tmp.mkdir(parents=True, exist_ok=True)
+    stats = _Stats()
+    stop = threading.Event()
+    threads = [
+        threading.Thread(target=_user_loop,
+                         args=(client, store["id"], stop, stats,
+                               random.Random(i), args.tmp), daemon=True)
+        for i in range(args.users)]
+    t0 = time.time()
+    for t in threads:
+        t.start()
+    time.sleep(args.duration)
+    stop.set()
+    for t in threads:
+        t.join(timeout=30)
+    wall = time.time() - t0
+    out = {}
+    for task in ("chat", "upload"):
+        lat = stats.latencies[task]
+        out[task] = {
+            "requests": len(lat),
+            "errors": stats.errors[task],
+            "rps": len(lat) / wall,
+            "latency_avg_s": mean(lat),
+            "latency_p95_s": p95(lat),
+        }
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()

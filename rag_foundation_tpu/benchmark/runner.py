@@ -1,0 +1,226 @@
+"""End-to-end benchmark runner against a live API deployment.
+
+Reference parity: /root/reference/scripts/benchmark/run_benchmark.py —
+authenticate, ensure a store, upload + poll documents, then fire
+questions concurrently over the SSE chat endpoint and score EM/F1,
+refusal behavior, citation hits, and latency (avg/p95); writes
+results.jsonl and summary.json.
+
+Questions file: jsonl rows
+  {"question": ..., "answers": [...], "answerable": true,
+   "expected_sources": ["doc.txt"]}
+
+Usage:
+  python -m rag_foundation_tpu.benchmark.runner --base-url http://...
+      --email bench@example.com --password ... --docs dir/ \
+      --questions q.jsonl --concurrency 4 [--register]
+"""
+
+from __future__ import annotations
+
+import argparse
+import concurrent.futures
+import json
+import time
+import urllib.error
+import urllib.request
+from pathlib import Path
+
+from rag_foundation_tpu.benchmark import metrics
+
+
+class ApiClient:
+    """Minimal stdlib HTTP client (keeps the harness dependency-free)."""
+
+    def __init__(self, base_url: str, token: str | None = None,
+                 timeout: float = 60.0):
+        self.base_url = base_url.rstrip("/")
+        self.token = token
+        self.timeout = timeout
+
+    def _request(self, method: str, path: str, *, json_body=None,
+                 body: bytes | None = None, headers=None, stream=False):
+        hdrs = dict(headers or {})
+        data = body
+        if json_body is not None:
+            data = json.dumps(json_body).encode()
+            hdrs["Content-Type"] = "application/json"
+        if self.token:
+            hdrs["Authorization"] = f"Bearer {self.token}"
+        req = urllib.request.Request(self.base_url + path, data=data,
+                                     headers=hdrs, method=method)
+        resp = urllib.request.urlopen(req, timeout=self.timeout)  # noqa: S310
+        if stream:
+            return resp
+        payload = resp.read()
+        return resp.status, json.loads(payload) if payload else {}
+
+    @classmethod
+    def from_credentials(cls, base_url: str, email: str, password: str,
+                         *, register: bool = False) -> "ApiClient":
+        c = cls(base_url)
+        if register:
+            try:
+                c._request("POST", "/api/auth/register",
+                           json_body={"email": email, "password": password})
+            except urllib.error.HTTPError as e:
+                if e.code != 409:
+                    raise
+        _, out = c._request("POST", "/api/auth/login",
+                            json_body={"email": email, "password": password})
+        return cls(base_url, token=out["access_token"])
+
+    def ensure_store(self, name: str) -> dict:
+        _, out = self._request("GET", "/api/stores")
+        for s in out["stores"]:
+            if s["name"] == name:
+                return s
+        _, store = self._request("POST", "/api/stores",
+                                 json_body={"name": name})
+        return store
+
+    def upload_and_poll(self, store_id: int, path: Path,
+                        timeout_s: float = 120.0) -> dict:
+        boundary = "ragtpubench0123456789"
+        data = path.read_bytes()
+        ctype = "text/markdown" if path.suffix == ".md" else "text/plain"
+        body = (
+            f"--{boundary}\r\nContent-Disposition: form-data;"
+            f" name=\"store_id\"\r\n\r\n{store_id}\r\n"
+            f"--{boundary}\r\nContent-Disposition: form-data;"
+            f" name=\"file\"; filename=\"{path.name}\"\r\n"
+            f"Content-Type: {ctype}\r\n\r\n").encode() + data + \
+            f"\r\n--{boundary}--\r\n".encode()
+        _, out = self._request(
+            "POST", "/api/upload", body=body,
+            headers={"Content-Type":
+                     f"multipart/form-data; boundary={boundary}"})
+        op_id = out["op_id"]
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            _, st = self._request("GET", f"/api/upload/op-status/{op_id}")
+            if st["done"]:
+                return st
+            time.sleep(0.5)
+        raise TimeoutError(f"ingestion timeout for {path.name}")
+
+    def ask(self, question: str, store_ids: list[int],
+            timeout_s: float = 120.0) -> dict:
+        """POST /api/chat and consume the SSE stream to [DONE]."""
+        t0 = time.perf_counter()
+        resp = self._request("POST", "/api/chat",
+                             json_body={"question": question,
+                                        "store_ids": store_ids},
+                             stream=True)
+        text_parts: list[str] = []
+        citations: list[dict] = []
+        error = None
+        ttft = None
+        for raw in resp:
+            line = raw.decode("utf-8", "replace").strip()
+            if not line.startswith("data: "):
+                continue
+            payload = line[len("data: "):]
+            if payload == "[DONE]":
+                break
+            frame = json.loads(payload)
+            kind = frame.get("type")
+            if kind == "text-delta":
+                if ttft is None:
+                    ttft = time.perf_counter() - t0
+                text_parts.append(frame.get("delta", ""))
+            elif kind == "source-document":
+                citations.append(frame)
+            elif kind == "error":
+                error = frame.get("message")
+        return {
+            "answer": "".join(text_parts),
+            "citations": citations,
+            "error": error,
+            "latency_s": time.perf_counter() - t0,
+            "ttft_s": ttft,
+        }
+
+
+def run_benchmark(client: ApiClient, store_id: int, questions: list[dict],
+                  concurrency: int = 4) -> dict:
+    results: list[dict] = []
+
+    def _one(q: dict) -> dict:
+        try:
+            out = client.ask(q["question"], [store_id])
+        except Exception as e:  # noqa: BLE001 — record, don't abort run
+            return {"question": q["question"], "error": str(e)}
+        answers = q.get("answers", [])
+        return {
+            "question": q["question"],
+            "answer": out["answer"],
+            "error": out["error"],
+            "latency_s": out["latency_s"],
+            "ttft_s": out["ttft_s"],
+            "em": metrics.exact_match(out["answer"], answers),
+            "contains": metrics.contains_match(out["answer"], answers),
+            "f1": metrics.f1_score(out["answer"], answers),
+            "refusal_ok": metrics.refusal_ok(
+                out["answer"], q.get("answerable", True)),
+            "citation_hit": metrics.citation_hit(
+                out["citations"], q.get("expected_sources", [])),
+        }
+
+    with concurrent.futures.ThreadPoolExecutor(concurrency) as pool:
+        results = list(pool.map(_one, questions))
+
+    ok = [r for r in results if not r.get("error")]
+    latencies = [r["latency_s"] for r in ok]
+    summary = {
+        "total": len(results),
+        "errors": len(results) - len(ok),
+        "error_rate": (len(results) - len(ok)) / max(1, len(results)),
+        "em": metrics.mean([r["em"] for r in ok]),
+        "contains": metrics.mean([r["contains"] for r in ok]),
+        "f1": metrics.mean([r["f1"] for r in ok]),
+        "refusal_ok": metrics.mean([r["refusal_ok"] for r in ok]),
+        "citation_hit": metrics.mean([r["citation_hit"] for r in ok]),
+        "latency_avg_s": metrics.mean(latencies),
+        "latency_p95_s": metrics.p95(latencies),
+    }
+    return {"results": results, "summary": summary}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--base-url", required=True)
+    ap.add_argument("--email", default="bench@example.com")
+    ap.add_argument("--password", default="Bench-Passw0rd-1")
+    ap.add_argument("--register", action="store_true")
+    ap.add_argument("--store", default="benchmark")
+    ap.add_argument("--docs", type=Path)
+    ap.add_argument("--questions", type=Path, required=True)
+    ap.add_argument("--concurrency", type=int, default=4)
+    ap.add_argument("--out-dir", type=Path, default=Path("bench-out"))
+    args = ap.parse_args()
+
+    client = ApiClient.from_credentials(args.base_url, args.email,
+                                        args.password,
+                                        register=args.register)
+    store = client.ensure_store(args.store)
+    if args.docs:
+        for path in sorted(args.docs.glob("*")):
+            if path.is_file():
+                st = client.upload_and_poll(store["id"], path)
+                print(f"ingested {path.name}: {st['status']}")
+    questions = [json.loads(line) for line in
+                 args.questions.read_text().splitlines() if line.strip()]
+    out = run_benchmark(client, store["id"], questions,
+                        concurrency=args.concurrency)
+    args.out_dir.mkdir(parents=True, exist_ok=True)
+    with open(args.out_dir / "results.jsonl", "w") as f:
+        for r in out["results"]:
+            f.write(json.dumps(r) + "\n")
+    (args.out_dir / "summary.json").write_text(
+        json.dumps(out["summary"], indent=2))
+    print(json.dumps(out["summary"], indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,98 @@
+"""Benchmark metrics unit tests + end-to-end runner over a real socket."""
+
+import asyncio
+import json
+import threading
+from pathlib import Path
+
+from rag_foundation_tpu.benchmark import metrics
+from rag_foundation_tpu.benchmark.runner import ApiClient, run_benchmark
+
+
+def test_em_f1_normalization():
+    assert metrics.exact_match("The Answer!", ["answer"]) == 1.0
+    assert metrics.exact_match("an answer", ["answer"]) == 1.0
+    assert metrics.exact_match("wrong", ["answer"]) == 0.0
+    assert metrics.f1_score("revenue grew twelve percent",
+                            ["twelve percent"]) > 0.5
+    assert metrics.f1_score("totally unrelated", ["twelve percent"]) == 0.0
+    assert metrics.contains_match(
+        "Based on sources: revenue grew twelve percent.",
+        ["twelve percent"]) == 1.0
+
+
+def test_refusal_detection():
+    assert metrics.is_refusal("I could not find relevant information.")
+    assert not metrics.is_refusal("Revenue grew 12%.")
+    assert metrics.refusal_ok("I could not find it", answerable=False) == 1.0
+    assert metrics.refusal_ok("I could not find it", answerable=True) == 0.0
+    assert metrics.refusal_ok("Revenue grew", answerable=True) == 1.0
+
+
+def test_citation_hit_and_stats():
+    cits = [{"title": "finance.txt", "snippet": "revenue"}]
+    assert metrics.citation_hit(cits, ["finance.txt"]) == 1.0
+    assert metrics.citation_hit(cits, ["other.pdf"]) == 0.0
+    assert metrics.citation_hit([], []) == 1.0
+    assert metrics.p95([1.0] * 100) == 1.0
+    assert metrics.mean([]) == 0.0
+    assert metrics.recall_at_k([1, 2, 3], [2, 9], 3) == 0.5
+
+
+def test_runner_end_to_end(tmp_path):
+    """Full loop: live socket server -> register/upload/ingest -> SSE
+    benchmark -> summary metrics (reference: run_benchmark.py flow)."""
+    from rag_foundation_tpu.app.main import build_context, create_app
+    from rag_foundation_tpu.runtime.http import serve
+    from tests.app_helpers import make_settings
+
+    settings = make_settings(tmp_path)
+    ctx = build_context(settings)
+    app = create_app(ctx, start_worker=True)  # real worker thread
+    ready = threading.Event()
+    holder = {}
+
+    def run():
+        async def main():
+            stop = asyncio.Event()
+            holder["stop"], holder["loop"] = stop, asyncio.get_running_loop()
+            aready = asyncio.Event()
+
+            async def flag():
+                await aready.wait()
+                ready.set()
+            task = asyncio.create_task(flag())
+            await serve(app, "127.0.0.1", 8799, ready=aready, stop=stop)
+            task.cancel()
+        asyncio.run(main())
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    assert ready.wait(15)
+    try:
+        client = ApiClient.from_credentials(
+            "http://127.0.0.1:8799", "bench@example.com",
+            "Bench-Passw0rd-1", register=True)
+        store = client.ensure_store("benchmark")
+        doc = tmp_path / "finance.txt"
+        doc.write_text("The quarterly revenue grew twelve percent driven "
+                       "by cloud subscriptions. " * 10)
+        st = client.upload_and_poll(store["id"], doc, timeout_s=60)
+        assert st["status"] == "DONE"
+        questions = [
+            {"question": "How did revenue grow?",
+             "answers": ["twelve percent"], "answerable": True,
+             "expected_sources": ["finance.txt"]},
+            {"question": "What is the airspeed of a swallow?",
+             "answers": [], "answerable": False},
+        ]
+        out = run_benchmark(client, store["id"], questions, concurrency=2)
+        s = out["summary"]
+        assert s["errors"] == 0
+        assert s["contains"] >= 0.5      # answerable one grounded
+        assert s["citation_hit"] >= 0.5
+        assert s["latency_p95_s"] > 0
+        assert out["results"][0]["ttft_s"] is not None
+    finally:
+        holder["loop"].call_soon_threadsafe(holder["stop"].set)
+        th.join(10)
