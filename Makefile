@@ -1,0 +1,27 @@
+# Developer entry points (reference parity: /root/reference/Makefile).
+
+.PHONY: test serve worker bench bench-ivf spec spec-check admin lint
+
+test:
+	python -m pytest tests/ -x -q
+
+serve:
+	python -m rag_foundation_tpu.app.main --host 127.0.0.1 --port 8000
+
+worker:
+	python -m rag_foundation_tpu.app.worker_main
+
+bench:
+	python bench.py
+
+bench-ivf:
+	python benchmarks/bench_ivf_10m.py
+
+spec:
+	python scripts/export_api_spec.py
+
+spec-check:
+	python scripts/export_api_spec.py --check
+
+admin:
+	python scripts/create_first_admin.py --email $(EMAIL) --password $(PASSWORD)

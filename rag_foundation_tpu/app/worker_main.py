@@ -1,0 +1,51 @@
+"""Standalone ingestion worker process.
+
+Reference parity: the separate ARQ worker process
+(/root/reference/backend/app/worker.py, ``arq app.worker.WorkerSettings``).
+Coordinates with any number of API processes through the sqlite-backed
+job queue (leases make crashed-worker jobs reclaimable); runs the
+watchdog and stale-store janitor crons.
+
+Usage: python -m rag_foundation_tpu.app.worker_main
+"""
+
+from __future__ import annotations
+
+import signal
+
+from rag_foundation_tpu.app.config import load_settings
+from rag_foundation_tpu.app.dbschema import MIGRATIONS
+from rag_foundation_tpu.app.services.cleanup import cleanup_stale_stores
+from rag_foundation_tpu.app.services.ingestion import (reset_stuck_documents,
+                                                       run_ingestion_sync)
+from rag_foundation_tpu.app.services.rag import make_rag_client
+from rag_foundation_tpu.app.telemetry import configure_logging, log_json
+from rag_foundation_tpu.runtime.db import Database
+from rag_foundation_tpu.runtime.jobqueue import JobQueue, Worker
+
+
+def main() -> None:
+    configure_logging()
+    settings = load_settings()
+    db = Database(settings.DATABASE_PATH, migrations=MIGRATIONS)
+    rag = make_rag_client(settings)
+    queue = JobQueue(db, lease_s=settings.WORKER_JOB_TIMEOUT_S)
+    worker = Worker(queue)
+    worker.register(
+        "ingest_document",
+        lambda payload: run_ingestion_sync(db, rag, settings,
+                                           payload["document_id"]))
+    worker.cron(settings.WATCHDOG_CRON_S,
+                lambda: reset_stuck_documents(db, settings))
+    worker.cron(settings.WATCHDOG_CRON_S * 4,
+                lambda: cleanup_stale_stores(db, rag))
+    log_json(20, "worker_started", database=settings.DATABASE_PATH)
+
+    signal.signal(signal.SIGTERM, lambda *_: worker.stop())
+    signal.signal(signal.SIGINT, lambda *_: worker.stop())
+    worker.run_forever()
+    log_json(20, "worker_stopped")
+
+
+if __name__ == "__main__":
+    main()

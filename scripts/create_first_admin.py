@@ -1,0 +1,46 @@
+"""Bootstrap the first admin user (reference:
+/root/reference/backend/scripts/create_first_admin.py).
+
+Usage: python scripts/create_first_admin.py --email a@b.co --password ...
+Reads RAGTPU_* env for the database location.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from rag_foundation_tpu.app.auth import check_password_policy, hash_password
+from rag_foundation_tpu.app.config import load_settings
+from rag_foundation_tpu.app.dbschema import MIGRATIONS
+from rag_foundation_tpu.runtime.db import Database
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--email", required=True)
+    ap.add_argument("--password", required=True)
+    args = ap.parse_args()
+    settings = load_settings()
+    check_password_policy(args.password, settings.PASSWORD_MIN_LENGTH)
+    db = Database(settings.DATABASE_PATH, migrations=MIGRATIONS)
+    email = args.email.strip().lower()
+    row = db.one("SELECT id FROM users WHERE email=?", (email,))
+    if row is not None:
+        db.execute("UPDATE users SET role='admin' WHERE id=?", (row["id"],))
+        print(f"promoted existing user {email} (id={row['id']}) to admin")
+        return
+    uid = db.execute(
+        "INSERT INTO users(email, password_hash, role, created_at)"
+        " VALUES(?,?,?,?)",
+        (email, hash_password(args.password), "admin", time.time()))
+    print(f"created admin {email} (id={uid})")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,57 @@
+"""Export the API route spec — the OpenAPI drift gate input (reference:
+/root/reference/backend/scripts/export_openapi.py + ci-basic.yml).
+
+Writes a deterministic JSON listing of every route; CI (or
+tests/test_api_spec.py) diffs it against the committed docs/api_spec.json
+so accidental surface changes fail loudly.
+
+Usage: python scripts/export_api_spec.py [--check]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+SPEC_PATH = Path(__file__).resolve().parent.parent / "docs" / "api_spec.json"
+
+
+def build_spec() -> dict:
+    from rag_foundation_tpu.app.config import Settings
+    from rag_foundation_tpu.app.main import build_context, create_app
+    settings = Settings(ENVIRONMENT="test", DATABASE_PATH=":memory:",
+                        DATA_DIR="/tmp/ragtpu-spec", MOCK_MODE=True)
+    app = create_app(build_context(settings, with_worker=False),
+                     start_worker=False)
+    routes = sorted({f"{m} {raw}" for m, _pat, raw, _fn in app._routes})
+    return {"framework": "rag_foundation_tpu", "routes": routes}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--check", action="store_true",
+                    help="fail if the committed spec differs")
+    args = ap.parse_args()
+    spec = build_spec()
+    rendered = json.dumps(spec, indent=2) + "\n"
+    if args.check:
+        if not SPEC_PATH.exists() or SPEC_PATH.read_text() != rendered:
+            print("API spec drift detected — run "
+                  "scripts/export_api_spec.py to regenerate",
+                  file=sys.stderr)
+            sys.exit(1)
+        print("API spec up to date")
+        return
+    SPEC_PATH.parent.mkdir(parents=True, exist_ok=True)
+    SPEC_PATH.write_text(rendered)
+    print(f"wrote {SPEC_PATH} ({len(spec['routes'])} routes)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,36 @@
+"""Operator tool: flip stale RUNNING documents to ERROR (reference:
+/root/reference/backend/scripts/mark_stuck_documents_error.py).
+
+Usage: python scripts/mark_stuck_documents_error.py [--stale-s 600]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from rag_foundation_tpu.app.config import load_settings
+from rag_foundation_tpu.app.dbschema import MIGRATIONS
+from rag_foundation_tpu.app.services.ingestion import reset_stuck_documents
+from rag_foundation_tpu.runtime.db import Database
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stale-s", type=float, default=None)
+    args = ap.parse_args()
+    settings = load_settings()
+    if args.stale_s is not None:
+        settings = settings.model_copy(
+            update={"WATCHDOG_STALE_S": args.stale_s})
+    db = Database(settings.DATABASE_PATH, migrations=MIGRATIONS)
+    n = reset_stuck_documents(db, settings)
+    print(f"reset {n} stuck document(s) to ERROR")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,15 @@
+"""API-surface drift gate (reference: OpenAPI export + ci-basic.yml)."""
+
+import json
+from pathlib import Path
+
+
+def test_api_spec_matches_committed():
+    import scripts.export_api_spec as gate
+    spec = gate.build_spec()
+    committed = json.loads(
+        (Path(__file__).parent.parent / "docs" / "api_spec.json")
+        .read_text())
+    assert spec == committed, (
+        "API routes changed — regenerate docs/api_spec.json via "
+        "scripts/export_api_spec.py and review the diff")
