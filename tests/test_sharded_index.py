@@ -1,0 +1,68 @@
+"""ShardedVectorStore on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import pytest
+
+from rag_foundation_tpu.engine.segments import VectorSegment
+from rag_foundation_tpu.parallel.mesh import make_mesh
+from rag_foundation_tpu.parallel.sharded_index import ShardedVectorStore
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(8)
+
+
+def _vecs(n, d=32, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    return x
+
+
+def test_sharded_matches_single_device_segment(mesh8):
+    x = _vecs(4000)
+    ids = np.arange(4000) * 7  # non-contiguous ids
+    single = VectorSegment(32)
+    single.add(x, ids)
+    sharded = ShardedVectorStore(32, mesh8)
+    sharded.add(x, ids)
+    q = _vecs(9, seed=1)
+    sv, si = single.search(q, 10)
+    mv, mi = sharded.search(q, 10)
+    # same id SETS and scores per query (shard layout permutes rows, so
+    # exact tie ordering may differ, but top-k contents must not)
+    for a, b, va, vb in zip(si, mi, sv, mv):
+        assert set(a) == set(b)
+        np.testing.assert_allclose(sorted(va), sorted(vb), rtol=1e-5)
+
+
+def test_sharded_growth_and_balance(mesh8):
+    s = ShardedVectorStore(16, mesh8, shard_capacity=1024)
+    x = _vecs(3000, d=16)
+    s.add(x[:1000], np.arange(1000))
+    s.add(x[1000:], np.arange(1000, 3000))
+    assert s.count == 3000
+    # balanced within 1
+    assert s._counts.max() - s._counts.min() <= 1
+    _, ids = s.search(x[:4], 1)
+    assert list(ids[:, 0]) == [0, 1, 2, 3]
+
+
+def test_sharded_delete_and_compact(mesh8):
+    s = ShardedVectorStore(16, mesh8)
+    x = _vecs(500, d=16, seed=2)
+    s.add(x, np.arange(500))
+    q = x[:3]
+    _, ids = s.search(q, 1)
+    assert list(ids[:, 0]) == [0, 1, 2]
+    s.delete_ids({0, 1, 2})
+    _, ids2 = s.search(q, 2)
+    assert not ({0, 1, 2} & set(ids2.reshape(-1)))
+    s.compact()
+    assert s.count == 497
+    _, ids3 = s.search(q, 2)
+    assert set(ids3[:, 0]) == set(ids2[:, 0])
