@@ -12,6 +12,7 @@ import asyncio
 import logging
 import time
 import uuid
+from pathlib import Path
 
 from rag_foundation_tpu.app import metrics
 from rag_foundation_tpu.app.config import Settings, load_settings
@@ -206,6 +207,27 @@ def create_app(ctx: AppContext | None = None, *,
             raise HTTPError(403, "Metrics restricted to loopback")
         return Response(metrics.render(),
                         content_type="text/plain; version=0.0.4")
+
+    # -- frontend (static SPA; reference served React via Vite/nginx) ------
+    static_dir = Path(__file__).resolve().parent / "static"
+    _TYPES = {".html": "text/html; charset=utf-8",
+              ".js": "application/javascript", ".css": "text/css",
+              ".svg": "image/svg+xml", ".ico": "image/x-icon"}
+
+    @app.get("/")
+    async def index(req):
+        return Response((static_dir / "index.html").read_bytes(),
+                        content_type=_TYPES[".html"])
+
+    @app.get("/static/{name}")
+    async def static_file(req):
+        name = req.path_params["name"]
+        target = (static_dir / name).resolve()
+        if target.parent != static_dir or not target.is_file():
+            raise HTTPError(404, "Not Found")
+        return Response(target.read_bytes(),
+                        content_type=_TYPES.get(target.suffix,
+                                                "application/octet-stream"))
 
     # -- routers -----------------------------------------------------------
     for module in (auth_routes, stores, documents, uploads, chat,

@@ -1,0 +1,398 @@
+/* Frontend logic — REST + SSE client for the rag-foundation-tpu API.
+ * SSE adapter parity with the reference's useSseRuntime.ts: parses the
+ * start/text-start/text-delta/text-end/source-document/error/finish
+ * frames terminated by [DONE], skipping ": keepalive" comments. */
+"use strict";
+
+const state = {
+  token: localStorage.getItem("ragtpu-token") || null,
+  stores: [],
+  selectedStores: new Set(),
+  sessionId: null,
+  role: "user",
+  streaming: false,
+};
+
+const $ = (id) => document.getElementById(id);
+
+async function api(method, path, body, isForm = false) {
+  const headers = {};
+  if (state.token) headers["Authorization"] = `Bearer ${state.token}`;
+  if (body && !isForm) headers["Content-Type"] = "application/json";
+  const resp = await fetch(path, {
+    method,
+    headers,
+    body: body ? (isForm ? body : JSON.stringify(body)) : undefined,
+  });
+  if (resp.status === 401 && state.token) return logout();
+  const data = resp.headers.get("content-type")?.includes("json")
+    ? await resp.json() : await resp.text();
+  if (!resp.ok) throw new Error(data.detail || resp.statusText);
+  return data;
+}
+
+/* ---- auth ---------------------------------------------------------- */
+function setLoggedIn(token) {
+  state.token = token;
+  localStorage.setItem("ragtpu-token", token);
+  $("view-login").hidden = true;
+  $("logout").hidden = false;
+  showView("chat");
+  refreshStores();
+  refreshSessions();
+  probeAdmin();
+}
+
+function logout() {
+  state.token = null;
+  localStorage.removeItem("ragtpu-token");
+  location.reload();
+}
+
+$("login-form").addEventListener("submit", async (e) => {
+  e.preventDefault();
+  try {
+    const out = await api("POST", "/api/auth/login", {
+      email: $("login-email").value, password: $("login-password").value,
+    });
+    setLoggedIn(out.access_token);
+  } catch (err) { $("login-error").textContent = err.message; }
+});
+
+$("register-btn").addEventListener("click", async () => {
+  try {
+    await api("POST", "/api/auth/register", {
+      email: $("login-email").value, password: $("login-password").value,
+    });
+    $("login-form").dispatchEvent(new Event("submit"));
+  } catch (err) { $("login-error").textContent = err.message; }
+});
+
+$("logout").addEventListener("click", async () => {
+  try { await api("POST", "/api/auth/logout"); } catch (e) { /* ignore */ }
+  logout();
+});
+
+/* ---- navigation ----------------------------------------------------- */
+function showView(name) {
+  for (const v of ["chat", "stores", "costs", "admin"]) {
+    $(`view-${v}`).hidden = v !== name;
+  }
+  document.querySelectorAll("nav button[data-view]").forEach((b) =>
+    b.classList.toggle("active", b.dataset.view === name));
+  if (name === "costs") refreshCosts();
+  if (name === "admin") refreshAdmin();
+  if (name === "stores") refreshStores();
+}
+document.querySelectorAll("nav button[data-view]").forEach((b) =>
+  b.addEventListener("click", () => showView(b.dataset.view)));
+
+async function probeAdmin() {
+  try {
+    await api("GET", "/api/admin/system");
+    state.role = "admin";
+    $("nav-admin").hidden = false;
+  } catch (e) { state.role = "user"; }
+}
+
+/* ---- stores + uploads ------------------------------------------------ */
+async function refreshStores() {
+  const out = await api("GET", "/api/stores");
+  state.stores = out.stores;
+  if (!state.selectedStores.size && out.stores.length) {
+    state.selectedStores.add(out.stores[0].id);
+  }
+  renderChatStores();
+  renderStoreCards();
+}
+
+function renderChatStores() {
+  const ul = $("chat-store-list");
+  ul.innerHTML = "";
+  for (const s of state.stores) {
+    const li = document.createElement("li");
+    const cb = document.createElement("input");
+    cb.type = "checkbox";
+    cb.checked = state.selectedStores.has(s.id);
+    cb.addEventListener("change", () => {
+      cb.checked ? state.selectedStores.add(s.id)
+                 : state.selectedStores.delete(s.id);
+    });
+    li.append(cb, ` ${s.name}`);
+    ul.appendChild(li);
+  }
+}
+
+async function renderStoreCards() {
+  const root = $("store-cards");
+  root.innerHTML = "";
+  for (const s of state.stores) {
+    const card = document.createElement("div");
+    card.className = "card";
+    card.innerHTML = `<h4>${s.name}</h4>`;
+    const del = document.createElement("button");
+    del.textContent = "Delete store";
+    del.addEventListener("click", async () => {
+      await api("DELETE", `/api/stores/${s.id}`);
+      refreshStores();
+    });
+    const up = document.createElement("input");
+    up.type = "file";
+    up.addEventListener("change", () => uploadFile(s.id, up, card));
+    const docs = document.createElement("ul");
+    card.append(del, up, docs);
+    root.appendChild(card);
+    const out = await api("GET", `/api/stores/${s.id}/documents`);
+    for (const d of out.documents) {
+      const li = document.createElement("li");
+      li.textContent = `${d.filename} — ${d.status}` +
+        (d.last_error ? ` (${d.last_error})` : "");
+      const rm = document.createElement("button");
+      rm.textContent = "✕";
+      rm.addEventListener("click", async () => {
+        await api("DELETE", `/api/documents/${d.id}`);
+        renderStoreCards();
+      });
+      li.appendChild(rm);
+      docs.appendChild(li);
+    }
+  }
+}
+
+async function uploadFile(storeId, input, card) {
+  const file = input.files[0];
+  if (!file) return;
+  const form = new FormData();
+  form.append("store_id", String(storeId));
+  form.append("file", file);
+  const out = await api("POST", "/api/upload", form, true);
+  const status = document.createElement("p");
+  status.textContent = `ingesting ${file.name}…`;
+  card.appendChild(status);
+  const poll = setInterval(async () => {   // op-status loop (useUploads.ts)
+    const st = await api("GET", `/api/upload/op-status/${out.op_id}`);
+    if (st.done) {
+      clearInterval(poll);
+      status.remove();
+      renderStoreCards();
+    }
+  }, 800);
+}
+
+$("store-form").addEventListener("submit", async (e) => {
+  e.preventDefault();
+  await api("POST", "/api/stores", { name: $("store-name").value });
+  $("store-name").value = "";
+  refreshStores();
+});
+
+/* ---- chat (SSE) ------------------------------------------------------ */
+async function refreshSessions() {
+  const out = await api("GET", "/api/chat/sessions");
+  const ul = $("session-list");
+  ul.innerHTML = "";
+  for (const s of out.sessions) {
+    const li = document.createElement("li");
+    li.textContent = s.title || `session ${s.id}`;
+    li.classList.toggle("active", s.id === state.sessionId);
+    li.addEventListener("click", () => loadSession(s.id));
+    ul.appendChild(li);
+  }
+}
+
+async function loadSession(id) {
+  state.sessionId = id;
+  const out = await api("GET", `/api/chat/sessions/${id}/messages`);
+  $("messages").innerHTML = "";
+  for (const m of out.messages) addMessage(m.role, m.content);
+  refreshSessions();
+}
+
+$("new-session").addEventListener("click", () => {
+  state.sessionId = null;
+  $("messages").innerHTML = "";
+  $("citation-list").innerHTML = "";
+  $("citations").hidden = true;
+});
+
+function addMessage(role, text) {
+  const div = document.createElement("div");
+  div.className = `msg ${role}`;
+  div.textContent = text;
+  $("messages").appendChild(div);
+  $("messages").scrollTop = $("messages").scrollHeight;
+  return div;
+}
+
+$("chat-form").addEventListener("submit", async (e) => {
+  e.preventDefault();
+  if (state.streaming) return;
+  const q = $("question").value.trim();
+  if (!q || !state.selectedStores.size) {
+    $("chat-error").textContent = q ? "Select at least one store"
+                                    : "";
+    return;
+  }
+  $("question").value = "";
+  $("chat-error").textContent = "";
+  addMessage("user", q);
+  const target = addMessage("assistant", "");
+  state.streaming = true;
+  $("send").disabled = true;
+  try {
+    const headers = { "Content-Type": "application/json",
+                      Authorization: `Bearer ${state.token}` };
+    const resp = await fetch("/api/chat", {
+      method: "POST", headers,
+      body: JSON.stringify({
+        question: q,
+        store_ids: [...state.selectedStores],
+        session_id: state.sessionId,
+      }),
+    });
+    if (!resp.ok) {
+      const err = await resp.json();
+      throw new Error(err.detail || resp.statusText);
+    }
+    const sid = resp.headers.get("x-session-id");
+    if (sid) state.sessionId = parseInt(sid, 10);
+    $("citation-list").innerHTML = "";
+    $("citations").hidden = true;
+    await consumeSse(resp, target);
+    refreshSessions();
+  } catch (err) {
+    $("chat-error").textContent = err.message;
+  } finally {
+    state.streaming = false;
+    $("send").disabled = false;
+  }
+});
+
+async function consumeSse(resp, target) {
+  const reader = resp.body.getReader();
+  const decoder = new TextDecoder();
+  let buffer = "";
+  for (;;) {
+    const { value, done } = await reader.read();
+    if (done) break;
+    buffer += decoder.decode(value, { stream: true });
+    let idx;
+    while ((idx = buffer.indexOf("\n\n")) >= 0) {
+      const raw = buffer.slice(0, idx);
+      buffer = buffer.slice(idx + 2);
+      for (const line of raw.split("\n")) {
+        if (!line.startsWith("data: ")) continue;  // keepalive comments
+        const payload = line.slice(6);
+        if (payload === "[DONE]") return;
+        handleFrame(JSON.parse(payload), target);
+      }
+    }
+  }
+}
+
+function handleFrame(frame, target) {
+  switch (frame.type) {
+    case "text-delta":
+      target.textContent += frame.delta;
+      $("messages").scrollTop = $("messages").scrollHeight;
+      break;
+    case "source-document": {
+      $("citations").hidden = false;
+      const li = document.createElement("li");
+      li.innerHTML = `<b>${frame.title}</b> — ${frame.snippet || ""}`;
+      $("citation-list").appendChild(li);
+      break;
+    }
+    case "error":
+    case "budget_exceeded":
+      $("chat-error").textContent = frame.message || frame.errorText;
+      break;
+    default:  /* start / text-start / text-end / finish */
+      break;
+  }
+}
+
+/* ---- costs ----------------------------------------------------------- */
+async function refreshCosts() {
+  const c = await api("GET", "/api/costs/summary");
+  $("cost-panel").innerHTML = `
+    <div class="card"><h4>Month to date</h4>
+      <p>$${(+c.month_to_date_usd).toFixed(4)}</p></div>
+    <div class="card"><h4>Queries</h4><p>${c.queries}
+      (${c.prompt_tokens} in / ${c.completion_tokens} out tok)</p></div>
+    <div class="card"><h4>Indexing</h4><p>${c.index_tokens} tokens,
+      $${(+c.index_cost_usd).toFixed(4)}</p></div>
+    <div class="card"><h4>Budget</h4><p>${c.budget_usd === null ?
+      "no budget set" : `$${c.budget_usd} ($${c.remaining_usd} left)`}
+    </p></div>`;
+}
+
+/* ---- admin ------------------------------------------------------------ */
+async function refreshAdmin() {
+  const users = await api("GET", "/api/admin/users");
+  const table = $("admin-users");
+  table.innerHTML = "<tr><th>id</th><th>email</th><th>role</th>" +
+                    "<th>active</th><th></th></tr>";
+  for (const u of users.users) {
+    const tr = document.createElement("tr");
+    tr.innerHTML = `<td>${u.id}</td><td>${u.email}</td><td>${u.role}</td>` +
+                   `<td>${u.is_active ? "yes" : "no"}</td>`;
+    const td = document.createElement("td");
+    const toggle = document.createElement("button");
+    toggle.textContent = u.role === "admin" ? "demote" : "promote";
+    toggle.addEventListener("click", async () => {
+      await api("PATCH", `/api/admin/users/${u.id}`,
+                { role: u.role === "admin" ? "user" : "admin" });
+      refreshAdmin();
+    });
+    td.appendChild(toggle);
+    tr.appendChild(td);
+    table.appendChild(tr);
+  }
+  const sys = await api("GET", "/api/admin/system");
+  $("admin-system").textContent = JSON.stringify(sys, null, 2);
+  const audit = await api("GET", "/api/admin/audit");
+  const at = $("admin-audit");
+  at.innerHTML = "<tr><th>time</th><th>admin</th><th>action</th>" +
+                 "<th>target</th></tr>";
+  for (const a of audit.audit.slice(0, 25)) {
+    const tr = document.createElement("tr");
+    const when = new Date(a.created_at * 1000).toISOString();
+    tr.innerHTML = `<td>${when}</td><td>${a.admin_user_id}</td>` +
+                   `<td>${a.action}</td><td>${a.target}</td>`;
+    at.appendChild(tr);
+  }
+}
+
+$("watchdog-btn").addEventListener("click", async () => {
+  const out = await api("POST", "/api/admin/watchdog/reset-stuck");
+  alert(`reset ${out.reset} stuck ingestion(s)`);
+});
+
+$("branding-form").addEventListener("submit", async (e) => {
+  e.preventDefault();
+  const body = {};
+  if ($("branding-name").value) body.app_name = $("branding-name").value;
+  if ($("branding-theme").value) body.theme = $("branding-theme").value;
+  await api("PUT", "/api/settings", body);
+  applyBranding();
+});
+
+async function applyBranding() {
+  try {
+    const out = await api("GET", "/api/settings");
+    const s = out.settings;
+    if (s.app_name) {
+      $("app-name").textContent = s.app_name;
+      document.title = s.app_name;
+    }
+    if (s.theme) document.body.dataset.theme = s.theme;
+  } catch (e) { /* pre-auth errors fine */ }
+}
+
+/* ---- boot -------------------------------------------------------------- */
+applyBranding();
+if (state.token) {
+  api("GET", "/api/stores").then(() => setLoggedIn(state.token))
+    .catch(() => logout());
+}

@@ -1,0 +1,31 @@
+"""Static SPA serving: index, assets, traversal protection, contract."""
+
+from tests.app_helpers import make_app
+
+
+def test_index_and_assets_served(tmp_path):
+    client, _ = make_app(tmp_path)
+    r = client.get("/")
+    assert r.status_code == 200
+    assert "text/html" in r.headers["content-type"]
+    assert "rag-foundation-tpu" in r.text
+    r = client.get("/static/app.js")
+    assert r.status_code == 200
+    assert "application/javascript" in r.headers["content-type"]
+    # the SSE adapter handles the product wire contract
+    for frame in ("text-delta", "source-document", "[DONE]",
+                  "budget_exceeded"):
+        assert frame in r.text
+    assert client.get("/static/style.css").status_code == 200
+
+
+def test_static_traversal_blocked(tmp_path):
+    client, _ = make_app(tmp_path)
+    assert client.get("/static/..%2Fmain.py").status_code == 404
+    assert client.get("/static/nope.js").status_code == 404
+
+
+def test_csp_allows_self_only(tmp_path):
+    client, _ = make_app(tmp_path)
+    csp = client.get("/").headers["content-security-policy"]
+    assert "default-src 'self'" in csp
