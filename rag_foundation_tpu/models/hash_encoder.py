@@ -1,56 +1,94 @@
 """Deterministic feature-hashing sentence encoder.
 
 A dependency-free, fully deterministic embedder used for mock/demo mode
-and CI: word + character-n-gram feature hashing into ``dim`` buckets with
-sign hashing, then L2 normalization. Lexically similar texts get high
-cosine similarity, so exact-retrieval tests behave sensibly without any
-trained weights. Mirrors the determinism contract of the reference's
-MockGeminiRag (/root/reference/backend/app/services/gemini_rag.py:602-718).
+and CI: word + character-n-gram feature hashing (FNV-1a 64) into ``dim``
+sign buckets, L2-normalized. Lexically similar texts get high cosine
+similarity, so exact-retrieval tests behave sensibly without trained
+weights — the determinism contract of the reference's MockGeminiRag
+(/root/reference/backend/app/services/gemini_rag.py:602-718).
 
-The production path is the MiniLM-class JAX transformer in
-``models/encoder.py``; both satisfy the same ``encode(texts) -> [n, dim]``
-protocol.
+Two implementations with bit-identical output:
+- native C++ (rag_foundation_tpu/native/hasher.cpp, ctypes) — the
+  ingestion hot path;
+- pure Python fallback (below) for toolchain-less environments.
+
+The production semantic path is models/encoder.MiniLMEncoder; both
+satisfy ``encode(texts) -> np.ndarray [n, dim]``.
 """
 
 from __future__ import annotations
 
-import hashlib
+import ctypes
 import re
 
 import numpy as np
 
 _WORD_RE = re.compile(r"[a-z0-9]+")
+_FNV_OFFSET = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+_MASK64 = (1 << 64) - 1
 
 
-def _bucket(token: str, dim: int, salt: str) -> tuple[int, float]:
-    h = hashlib.blake2b(f"{salt}:{token}".encode(), digest_size=8).digest()
-    v = int.from_bytes(h, "little")
-    return v % dim, 1.0 if (v >> 63) & 1 else -1.0
+def _fnv1a(data: bytes, seed: int = 0) -> int:
+    h = _FNV_OFFSET ^ seed
+    for b in data:
+        h = ((h ^ b) * _FNV_PRIME) & _MASK64
+    return h
 
 
 class HashingEncoder:
     """``encode(list[str]) -> np.ndarray [n, dim] f32`` (unit rows)."""
 
-    name = "hash-v1"
+    name = "hash-fnv-v2"
 
-    def __init__(self, dim: int = 384, char_ngrams: tuple[int, ...] = (3,)):
+    def __init__(self, dim: int = 384, ngram: int = 3, seed: int = 0,
+                 use_native: bool = True):
         self.dim = dim
-        self.char_ngrams = char_ngrams
+        self.ngram = ngram
+        self.seed = seed
+        self._lib = None
+        if use_native:
+            from rag_foundation_tpu.native import load_hasher
+            self._lib = load_hasher()
 
-    def encode(self, texts: list[str]) -> np.ndarray:
+    # -- native path --------------------------------------------------------
+    def _encode_native(self, texts: list[str]) -> np.ndarray:
+        blobs = [t.encode("utf-8", "ignore") for t in texts]
+        blob = b"".join(blobs)
+        lens = (ctypes.c_long * len(blobs))(*[len(b) for b in blobs])
         out = np.zeros((len(texts), self.dim), np.float32)
+        self._lib.ragtpu_hash_encode(
+            blob, lens, len(blobs),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self.dim, self.ngram, ctypes.c_uint64(self.seed))
+        return out
+
+    # -- python fallback ------------------------------------------------------
+    def _encode_python(self, texts: list[str]) -> np.ndarray:
+        out = np.zeros((len(texts), self.dim), np.float32)
+        word_re = re.compile(rb"[a-z0-9]+")
         for i, text in enumerate(texts):
-            words = _WORD_RE.findall(text.lower())
-            feats: list[str] = list(words)
-            joined = " ".join(words)
-            for n in self.char_ngrams:
-                feats.extend(joined[j : j + n]
-                             for j in range(max(0, len(joined) - n + 1)))
+            # byte-level, ASCII-only lowercasing — exactly the C++ logic
+            data = text.encode("utf-8", "ignore")
+            lowered = bytes((b + 32) if 65 <= b <= 90 else b for b in data)
+            words = word_re.findall(lowered)
             row = out[i]
+            feats = list(words)
+            joined = b" ".join(words)
+            feats.extend(joined[j : j + self.ngram]
+                         for j in range(max(0, len(joined) - self.ngram + 1)))
             for tok in feats:
-                b, sign = _bucket(tok, self.dim, "feat")
-                row[b] += sign
+                h = _fnv1a(tok, self.seed)
+                sign = 1.0 if (h >> 63) else -1.0
+                row[h % self.dim] += sign
             norm = float(np.linalg.norm(row))
             if norm > 0:
                 row /= norm
         return out
+
+    def encode(self, texts: list[str]) -> np.ndarray:
+        if not texts:
+            return np.zeros((0, self.dim), np.float32)
+        if self._lib is not None:
+            return self._encode_native(texts)
+        return self._encode_python(texts)

@@ -1,0 +1,65 @@
+"""Native (C++) host components, built on demand and loaded via ctypes.
+
+pybind11 is not in this image, so the boundary is a plain C ABI: g++
+compiles ``hasher.cpp`` into a cached shared library on first use; every
+native function has a bit-identical Python fallback so the framework runs
+(slower) where no toolchain exists.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+
+_SRC = Path(__file__).resolve().parent / "hasher.cpp"
+_LOCK = threading.Lock()
+_LIB: ctypes.CDLL | None = None
+_FAILED = False
+
+
+def _cache_dir() -> Path:
+    root = os.environ.get("RAGTPU_NATIVE_CACHE",
+                          os.path.expanduser("~/.cache/ragtpu"))
+    p = Path(root)
+    p.mkdir(parents=True, exist_ok=True)
+    return p
+
+
+def _build() -> Path | None:
+    lib_path = _cache_dir() / "libragtpu_hasher.so"
+    if lib_path.exists() and lib_path.stat().st_mtime >= _SRC.stat().st_mtime:
+        return lib_path
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+             str(_SRC), "-o", str(lib_path)],
+            check=True, capture_output=True, timeout=120)
+        return lib_path
+    except (OSError, subprocess.SubprocessError):
+        return None
+
+
+def load_hasher() -> ctypes.CDLL | None:
+    """Return the native hasher library, building it on first use.
+    None when no toolchain is available (callers fall back to Python)."""
+    global _LIB, _FAILED
+    if _LIB is not None or _FAILED:
+        return _LIB
+    with _LOCK:
+        if _LIB is not None or _FAILED:
+            return _LIB
+        path = _build()
+        if path is None:
+            _FAILED = True
+            return None
+        lib = ctypes.CDLL(str(path))
+        lib.ragtpu_hash_encode.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_long), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.c_uint64]
+        lib.ragtpu_hash_encode.restype = None
+        _LIB = lib
+        return _LIB

@@ -1,0 +1,103 @@
+// Native feature-hash encoder — the host-side ingestion hot loop.
+//
+// The reference had no native code anywhere (SURVEY.md §2); this is new:
+// chunk featurization (tokenize + word/char-trigram FNV-1a hashing into
+// sign buckets) runs per document chunk during ingestion and is
+// pure-Python-slow. This C++ implementation is bit-identical to the
+// Python fallback in models/hash_encoder.py (same FNV-1a 64 bucketing).
+//
+// Built on demand with `g++ -O3 -shared -fPIC` (rag_foundation_tpu/
+// native/__init__.py) and loaded via ctypes — no pybind11 in this image.
+
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+constexpr uint64_t FNV_OFFSET = 0xcbf29ce484222325ULL;
+constexpr uint64_t FNV_PRIME = 0x100000001b3ULL;
+
+inline uint64_t fnv1a(const char* data, size_t len, uint64_t seed) {
+  uint64_t h = FNV_OFFSET ^ seed;
+  for (size_t i = 0; i < len; ++i) {
+    h ^= static_cast<unsigned char>(data[i]);
+    h *= FNV_PRIME;
+  }
+  return h;
+}
+
+inline void add_feature(const char* data, size_t len, float* row, int dim,
+                        uint64_t seed) {
+  uint64_t h = fnv1a(data, len, seed);
+  int bucket = static_cast<int>(h % static_cast<uint64_t>(dim));
+  float sign = (h >> 63) ? 1.0f : -1.0f;
+  row[bucket] += sign;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Encode one UTF-8 text into `row` (length `dim`, pre-zeroed by caller).
+// Tokenization: runs of [a-z0-9] after ASCII lowercasing (non-ASCII bytes
+// are treated as separators — matches the Python re [a-z0-9]+ on lower()
+// for ASCII content, the dominant case). Features: every token, plus
+// char n-grams over the space-joined token stream.
+void ragtpu_hash_encode_one(const char* text, long text_len, float* row,
+                            int dim, int ngram, uint64_t seed) {
+  std::string joined;
+  joined.reserve(static_cast<size_t>(text_len));
+  size_t i = 0;
+  const size_t n = static_cast<size_t>(text_len);
+  bool in_token = false;
+  size_t tok_start = 0;
+  std::string lowered;
+  lowered.resize(n);
+  for (size_t j = 0; j < n; ++j) {
+    char c = text[j];
+    if (c >= 'A' && c <= 'Z') c = static_cast<char>(c - 'A' + 'a');
+    lowered[j] = c;
+  }
+  for (i = 0; i <= n; ++i) {
+    const bool alnum =
+        i < n && ((lowered[i] >= 'a' && lowered[i] <= 'z') ||
+                  (lowered[i] >= '0' && lowered[i] <= '9'));
+    if (alnum && !in_token) {
+      in_token = true;
+      tok_start = i;
+    } else if (!alnum && in_token) {
+      in_token = false;
+      add_feature(lowered.data() + tok_start, i - tok_start, row, dim, seed);
+      if (!joined.empty()) joined.push_back(' ');
+      joined.append(lowered, tok_start, i - tok_start);
+    }
+  }
+  if (ngram > 0 && joined.size() >= static_cast<size_t>(ngram)) {
+    for (size_t j = 0; j + ngram <= joined.size(); ++j) {
+      add_feature(joined.data() + j, static_cast<size_t>(ngram), row, dim,
+                  seed);
+    }
+  }
+  // L2 normalize in place
+  double sq = 0.0;
+  for (int b = 0; b < dim; ++b) sq += static_cast<double>(row[b]) * row[b];
+  if (sq > 0.0) {
+    const float inv = static_cast<float>(1.0 / __builtin_sqrt(sq));
+    for (int b = 0; b < dim; ++b) row[b] *= inv;
+  }
+}
+
+// Batch entry: texts are concatenated in `blob` with lengths in `lens`.
+void ragtpu_hash_encode(const char* blob, const long* lens, int count,
+                        float* out, int dim, int ngram, uint64_t seed) {
+  const char* cursor = blob;
+  for (int t = 0; t < count; ++t) {
+    ragtpu_hash_encode_one(cursor, lens[t], out + static_cast<size_t>(t) * dim,
+                           dim, ngram, seed);
+    cursor += lens[t];
+  }
+}
+
+}  // extern "C"

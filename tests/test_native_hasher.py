@@ -1,0 +1,50 @@
+"""Native C++ hasher vs Python fallback: bit-identical output."""
+
+import numpy as np
+import pytest
+
+from rag_foundation_tpu.models.hash_encoder import HashingEncoder
+from rag_foundation_tpu.native import load_hasher
+
+TEXTS = [
+    "The quarterly revenue grew twelve percent.",
+    "Penguins live in Antarctica — naïve café crème!",  # non-ASCII
+    "",
+    "UPPER lower MiXeD 123 456",
+    "word " * 500,
+]
+
+
+def test_python_fallback_deterministic_unit_norm():
+    enc = HashingEncoder(dim=128, use_native=False)
+    a = enc.encode(TEXTS)
+    b = enc.encode(TEXTS)
+    np.testing.assert_array_equal(a, b)
+    norms = np.linalg.norm(a, axis=1)
+    assert np.allclose(norms[[0, 1, 3, 4]], 1.0, atol=1e-5)
+    assert norms[2] == 0.0  # empty text -> zero row
+
+
+def test_native_matches_python_exactly():
+    if load_hasher() is None:
+        pytest.skip("no g++ toolchain")
+    native = HashingEncoder(dim=384, use_native=True)
+    assert native._lib is not None
+    python = HashingEncoder(dim=384, use_native=False)
+    np.testing.assert_allclose(native.encode(TEXTS), python.encode(TEXTS),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_native_is_fast_enough():
+    if load_hasher() is None:
+        pytest.skip("no g++ toolchain")
+    import time
+    enc = HashingEncoder(dim=384, use_native=True)
+    chunk = "some moderately long chunk of document text " * 30
+    texts = [chunk] * 200
+    enc.encode(texts[:2])  # warm
+    t0 = time.perf_counter()
+    enc.encode(texts)
+    dt = time.perf_counter() - t0
+    # 200 chunks x ~1.3KB in well under a second
+    assert dt < 1.0, dt
