@@ -1,0 +1,104 @@
+"""Streaming edge cases: capacity 503 frame, backpressure, keepalive plumb.
+
+Reference analog: backend/tests/test_streaming.py (semaphore,
+backpressure, retry suppression).
+"""
+
+import json
+import threading
+import time
+
+from rag_foundation_tpu.app.services.rag import StreamResult
+from tests.app_helpers import create_store, make_app, signup
+
+
+def _events(resp):
+    out = []
+    for payload in resp.iter_sse():
+        out.append(json.loads(payload) if payload != "[DONE]"
+                   else {"type": "[DONE]"})
+    return out
+
+
+def test_capacity_semaphore_emits_503_frame(tmp_path):
+    client, ctx = make_app(tmp_path, MOCK_MODE=True,
+                           MAX_CONCURRENT_STREAMS=1,
+                           STREAM_SEMAPHORE_TIMEOUT_S=0.1)
+    headers = signup(client)
+    store = create_store(client, headers)
+    sid = store["id"]
+
+    release = threading.Event()
+    orig = ctx.rag.ask_stream
+
+    def slow_ask_stream(question, keys, **kw):
+        if "SLOW" in question:
+            result = StreamResult(prompt_tokens=1)
+
+            def gen():
+                yield "started "
+                release.wait(10)  # hold the stream (and the semaphore)
+                yield "done"
+                result.finished = True
+            return gen(), result
+        return orig(question, keys, **kw)
+
+    ctx.rag.ask_stream = slow_ask_stream
+
+    out = {}
+
+    def slow_call():
+        out["slow"] = client.post(
+            "/api/chat", headers=headers,
+            json_body={"question": "SLOW one", "store_ids": [sid]})
+
+    t = threading.Thread(target=slow_call)
+    t.start()
+    time.sleep(0.4)  # let the slow stream acquire the semaphore
+    r = client.post("/api/chat", headers=headers,
+                    json_body={"question": "fast one", "store_ids": [sid]})
+    release.set()
+    t.join(15)
+    events = _events(r)
+    types = [e["type"] for e in events]
+    assert "error" in types
+    err = events[types.index("error")]
+    assert err["code"] == "capacity" and err["status"] == 503
+    assert types[-1] == "[DONE]"
+    # the slow stream itself completed normally
+    slow_types = [e["type"] for e in _events(out["slow"])]
+    assert "finish" in slow_types
+
+
+def test_backpressure_error_frame(tmp_path):
+    """Producer overrunning the bounded queue surfaces an explicit
+    backpressure error (reference: chat.py:486-520)."""
+    client, ctx = make_app(tmp_path, MOCK_MODE=True, STREAM_QUEUE_MAX=2)
+    headers = signup(client)
+    store = create_store(client, headers)
+
+    def flood_ask_stream(question, keys, **kw):
+        result = StreamResult(prompt_tokens=1)
+
+        def gen():
+            for i in range(10_000):
+                yield f"x{i} "
+        return gen(), result
+
+    ctx.rag.ask_stream = flood_ask_stream
+
+    # monkeypatch the pump's queue timeout by consuming slowly: the
+    # TestClient drains as fast as possible, so force slowness by
+    # patching the route's queue size to 2 and the producer to flood —
+    # with a fast consumer backpressure may not trigger; instead patch
+    # _pump's timeout to ~0 via a tiny queue plus a stalled consumer is
+    # not reachable here, so drive _pump directly.
+    import queue as qm
+    from rag_foundation_tpu.app.routes.chat import _Backpressure, _pump
+    out_q = qm.Queue(maxsize=2)
+    stop = threading.Event()
+    deltas, _ = flood_ask_stream("q", [])
+    _pump(deltas, out_q, stop, queue_timeout_s=0.05)
+    # queue was cleared and an error enqueued
+    kind, payload = out_q.get_nowait()
+    assert kind == "error" and isinstance(payload, _Backpressure)
