@@ -16,6 +16,7 @@ mid-stream budget cut-off (chat.py:1036-1049).
 from __future__ import annotations
 
 import asyncio
+import functools
 import json
 import logging
 import queue as queue_mod
@@ -50,6 +51,8 @@ class ChatRequest(BaseModel):
     model: str | None = None
     session_id: int | None = None
     sessionId: int | None = None
+    document_ids: list[int] | None = None
+    documentIds: list[int] | None = None
 
     @property
     def resolved_store_ids(self) -> list[int]:
@@ -60,6 +63,11 @@ class ChatRequest(BaseModel):
     def resolved_session_id(self) -> int | None:
         return self.session_id if self.session_id is not None \
             else self.sessionId
+
+    @property
+    def resolved_document_ids(self) -> list[int] | None:
+        return self.document_ids if self.document_ids is not None \
+            else self.documentIds
 
 
 class _Backpressure(RuntimeError):
@@ -227,6 +235,25 @@ def register(app, ctx):
         # budget pre-check with hold (reference: chat.py:916-935)
         remaining = check_budget_or_402(db, user.id, settings)
 
+        # document filter: allowlist-validated against the selected
+        # stores (metadata-filter sanitization analog, reference
+        # chat.py:250-335)
+        doc_filter = None
+        doc_ids = body.resolved_document_ids
+        if doc_ids is not None:
+            if not doc_ids or len(doc_ids) > 50:
+                raise HTTPError(422, "document_ids must list 1-50 ids")
+            allowed_store_ids = {s["id"] for s in stores}
+            doc_filter = set()
+            for did in doc_ids:
+                row = db.one(
+                    "SELECT id, store_id, engine_doc_id FROM documents"
+                    " WHERE id=? AND user_id=? AND deleted_at IS NULL",
+                    (int(did), user.id))
+                if row is None or row["store_id"] not in allowed_store_ids:
+                    raise HTTPError(404, "Document not found")
+                doc_filter.add(row["engine_doc_id"] or f"doc-{row['id']}")
+
         session_id = _ensure_session(
             db, user.id, stores[0]["id"], body.resolved_session_id, question)
         _persist_message(db, session_id, user.id, "user", question)
@@ -262,13 +289,19 @@ def register(app, ctx):
                 for attempt in range(attempts):
                     try:
                         deltas, result = await asyncio.to_thread(
-                            ctx.rag.ask_stream, question, engine_keys,
-                            model=model, history=history)
+                            functools.partial(
+                                ctx.rag.ask_stream, question, engine_keys,
+                                model=model, history=history,
+                                doc_filter=doc_filter))
                     except RagError as e:
                         if attempt + 1 < attempts:
                             continue  # retry-on-transient
-                        yield _sse_error("upstream", f"Engine error: {e}",
-                                         502)
+                        # scrubbed client message; detail stays in logs
+                        # (reference: redact_llm_error, genai.py:109-122)
+                        log_json(logging.ERROR, "stream_engine_error",
+                                 error=type(e).__name__)
+                        yield _sse_error("upstream",
+                                         "Retrieval engine error", 502)
                         yield sse_frame("[DONE]")
                         status = "error"
                         return

@@ -99,12 +99,14 @@ class EngineRag:
     # -- query (reference: gemini_rag.py:463-551) --------------------------
     def ask_stream(self, question: str, engine_keys: list[str],
                    *, model: str, history: list[dict] | None = None,
-                   top_k: int | None = None
+                   top_k: int | None = None,
+                   doc_filter: set[str] | None = None
                    ) -> tuple[Iterator[str], StreamResult]:
         result = StreamResult()
         k = top_k or self.settings.ENGINE_TOP_K
         t0 = time.perf_counter()
-        hits = self.engine.search(engine_keys, question, k=k)
+        hits = self.engine.search(engine_keys, question, k=k,
+                                  doc_filter=doc_filter)
         metrics.engine_latency_seconds.labels("search").observe(
             time.perf_counter() - t0)
         metrics.engine_calls_total.labels("search", "ok").inc()
@@ -183,7 +185,8 @@ class MockRag:
 
     def ask_stream(self, question: str, engine_keys: list[str],
                    *, model: str, history: list[dict] | None = None,
-                   top_k: int | None = None
+                   top_k: int | None = None,
+                   doc_filter: set[str] | None = None
                    ) -> tuple[Iterator[str], StreamResult]:
         if self.stream_should_fail:
             raise RagError("mock stream failure")

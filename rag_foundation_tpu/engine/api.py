@@ -186,19 +186,26 @@ class Engine:
                 "vectors": store.segment.count}
 
     # -- query (the hot path) ------------------------------------------------
-    def search(self, store_keys: list[str], query: str, k: int = 5
-               ) -> list[SearchHit]:
-        """Embed the query, top-k scan each store, merge host-side."""
+    def search(self, store_keys: list[str], query: str, k: int = 5,
+               doc_filter: set[str] | None = None) -> list[SearchHit]:
+        """Embed the query, top-k scan each store, merge host-side.
+
+        ``doc_filter`` restricts results to specific engine doc ids
+        (over-fetching to keep k results when the filter is selective).
+        """
         qv = self.encoder.encode([query])
+        fetch = k if doc_filter is None else max(4 * k, 32)
         hits: list[SearchHit] = []
         for key in store_keys:
             store = self._store(key)
-            scores, cids = store.segment.search(qv, min(k, max(1, k)))
+            scores, cids = store.segment.search(qv, fetch)
             for score, cid in zip(scores[0], cids[0]):
                 if cid < 0 or not np.isfinite(score):
                     continue
                 meta = store.chunks.get(int(cid))
                 if meta is None:
+                    continue
+                if doc_filter is not None and meta.doc_id not in doc_filter:
                     continue
                 hits.append(SearchHit(
                     store_key=key, doc_id=meta.doc_id, doc_name=meta.doc_name,

@@ -229,3 +229,23 @@ def test_history_trimming_preserves_newest():
     assert "turn 9" in hist[-1]["content"]
     total = sum(len(m["content"]) for m in hist)
     assert total <= 120
+
+
+def test_document_filter_restricts_citations(tmp_path):
+    client, ctx, headers, store = _setup_corpus(tmp_path)
+    docs = client.get(f"/api/stores/{store['id']}/documents",
+                      headers=headers).json()["documents"]
+    fin = next(d for d in docs if d["filename"] == "finance.txt")
+    # a penguins question restricted to the finance doc must cite only it
+    r = client.post("/api/chat", headers=headers,
+                    json_body={"question": "Where do penguins live?",
+                               "store_ids": [store["id"]],
+                               "documentIds": [fin["id"]]})
+    events = _events(r)
+    cits = [e for e in events if e["type"] == "source-document"]
+    assert cits and all(c["title"] == "finance.txt" for c in cits)
+    # unknown / foreign document id -> 404
+    r = client.post("/api/chat", headers=headers,
+                    json_body={"question": "hi", "store_ids": [store["id"]],
+                               "document_ids": [99999]})
+    assert r.status_code == 404
