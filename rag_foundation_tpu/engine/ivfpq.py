@@ -1,0 +1,165 @@
+"""IVF-PQ index: coarse quantizer + residual product quantization.
+
+Memory ladder below int8 IVF-Flat (SURVEY.md §2.5 item 2): vectors are
+stored as ``m`` uint8 codes over RESIDUALS (x - coarse_centroid), so
+``score(q, x) = q·c_list + ADC(q, codes)`` with per-query LUTs — exact
+LUT semantics, ~d/m x smaller than int8 storage (e.g. 768-d, m=48:
+48 B/vector vs 768 B).
+
+Query path shares the IVF batch-inversion dispatch (engine/ivf.py) and
+runs the ADC scan in blocked XLA (take_along_axis gathers). ADC is
+gather-bound on TPU (the VPU has no indexed-load path to the MXU), so
+this mode trades QPS for memory; the int8 IVF-Flat mode is the
+performance path (docs/ENGINE.md "quantization ladder"). A Pallas ADC
+kernel is future work.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rag_foundation_tpu.engine.ivf import LBLOCK, build_dispatch
+from rag_foundation_tpu.ops.kmeans import assign_clusters, kmeans_fit
+from rag_foundation_tpu.ops.pq import PQCodebook, pq_encode, pq_lut, pq_train
+
+
+class IVFPQIndex(NamedTuple):
+    centroids: jnp.ndarray     # [nlist, d] f32 coarse quantizer
+    codebook_centroids: jnp.ndarray  # [m, 256, dsub] f32 (residual PQ)
+    codes: jnp.ndarray         # [nlist, cap_len, m] uint8
+    row_ids: jnp.ndarray       # [nlist, cap_len] int32, -1 dead
+    n: int
+
+    @property
+    def nlist(self) -> int:
+        return self.centroids.shape[0]
+
+    @property
+    def cap_len(self) -> int:
+        return self.codes.shape[1]
+
+    @property
+    def codebook(self) -> PQCodebook:
+        return PQCodebook(centroids=self.codebook_centroids)
+
+
+def build_ivf_pq(vectors: jnp.ndarray, nlist: int, m: int, *,
+                 key: jax.Array, kmeans_iters: int = 10,
+                 pq_iters: int = 8, sample: int | None = None) -> IVFPQIndex:
+    """Train coarse + residual-PQ codebooks and encode ``vectors``."""
+    n, d = vectors.shape
+    k1, k2 = jax.random.split(key)
+    sample = min(n, sample or max(nlist * 64, 16384))
+    centroids, _ = kmeans_fit(vectors[:sample].astype(jnp.float32), nlist,
+                              key=k1, iters=kmeans_iters, spherical=True)
+    assign, _ = assign_clusters(vectors, centroids)
+    residuals = vectors.astype(jnp.float32) - centroids[assign]
+    codebook = pq_train(residuals[:sample], m, key=k2, iters=pq_iters)
+    codes = pq_encode(codebook, residuals)
+
+    assign_h = np.asarray(assign)
+    counts = np.bincount(assign_h, minlength=nlist)
+    cap_len = max(LBLOCK, int(-(-counts.max() // LBLOCK) * LBLOCK))
+    order = np.argsort(assign_h, kind="stable")
+    starts = np.zeros(nlist + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    rank = np.arange(n) - starts[assign_h[order]]
+    dest = assign_h[order].astype(np.int64) * cap_len + rank
+
+    flat_codes = np.zeros((nlist * cap_len, m), np.uint8)
+    flat_codes[dest] = np.asarray(codes)[order]
+    ids = np.full((nlist * cap_len,), -1, np.int32)
+    ids[dest] = order.astype(np.int32)
+    return IVFPQIndex(
+        centroids=centroids,
+        codebook_centroids=codebook.centroids,
+        codes=jnp.asarray(flat_codes).reshape(nlist, cap_len, m),
+        row_ids=jnp.asarray(ids).reshape(nlist, cap_len),
+        n=n)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "nprobe", "p", "qcap", "list_block"))
+def ivfpq_search(
+    index: IVFPQIndex,
+    queries: jnp.ndarray,
+    k: int,
+    *,
+    nprobe: int = 32,
+    p: int = 8,
+    qcap: int | None = None,
+    list_block: int = 32,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """IVF-PQ top-k: (values [Q,k], row_ids [Q,k], dropped_probes)."""
+    q_n, d = queries.shape
+    nlist, cap_len, m = index.codes.shape
+    nprobe = min(nprobe, nlist)
+    if qcap is None:
+        qcap = max(8, int(-(-(q_n * nprobe * 2) // nlist // 8) * 8))
+
+    q32 = queries.astype(jnp.float32)
+    coarse = jnp.dot(q32, index.centroids.T,
+                     preferred_element_type=jnp.float32)   # [Q, nlist]
+    probe_lists, dispatch, slot, dropped = build_dispatch(
+        coarse, nprobe, qcap)
+    lut = pq_lut(index.codebook, q32)                       # [Q, m, 256]
+
+    safe_q = jnp.clip(dispatch, 0, q_n - 1)                 # [nlist, qcap]
+    list_block = min(list_block, nlist)
+    while nlist % list_block:  # keep blocks exact (no clamped overlap,
+        list_block -= 1        # which would duplicate candidates)
+    n_blocks = nlist // list_block
+
+    def scan_block(b, _):
+        sl = b * list_block
+        disp_b = jax.lax.dynamic_slice_in_dim(dispatch, sl, list_block, 0)
+        safe_b = jax.lax.dynamic_slice_in_dim(safe_q, sl, list_block, 0)
+        codes_b = jax.lax.dynamic_slice_in_dim(index.codes, sl,
+                                               list_block, 0)
+        ids_b = jax.lax.dynamic_slice_in_dim(index.row_ids, sl,
+                                             list_block, 0)
+        lut_b = lut[safe_b]                      # [LB, qcap, m, 256]
+        # ADC: gather LUT entries at each code -> [LB, qcap, cap_len, m]
+        gathered = jnp.take_along_axis(
+            lut_b[:, :, None, :, :],             # [LB, qcap, 1, m, 256]
+            codes_b[:, None, :, :, None].astype(jnp.int32),
+            axis=4)[..., 0]
+        scores = jnp.sum(gathered, axis=3)       # [LB, qcap, cap_len]
+        # + coarse term for the (query, list) pair
+        list_ids = sl + jnp.arange(list_block)
+        coarse_term = coarse[safe_b, list_ids[:, None]]    # [LB, qcap]
+        scores = scores + coarse_term[:, :, None]
+        live = (ids_b[:, None, :] >= 0) & (disp_b[:, :, None] >= 0)
+        scores = jnp.where(live, scores, -jnp.inf)
+        top_vals, top_pos = jax.lax.top_k(scores, p)       # [LB, qcap, p]
+        flat_idx = (list_ids[:, None, None] * cap_len + top_pos)
+        flat_idx = jnp.where(jnp.isfinite(top_vals), flat_idx, -1)
+        return b + 1, (top_vals, flat_idx)
+
+    _, (vals_b, idx_b) = jax.lax.scan(
+        scan_block, 0, None, length=n_blocks)
+    # [n_blocks, LB, qcap, p] -> [nlist, qcap, p]
+    vals = vals_b.reshape(nlist, qcap, p)
+    flat_idx = idx_b.reshape(nlist, qcap, p)
+
+    safe_slot = jnp.clip(slot, 0, qcap - 1)
+    cand_vals = vals[probe_lists, safe_slot]
+    cand_idx = flat_idx[probe_lists, safe_slot]
+    valid = (slot >= 0)[:, :, None]
+    cand_vals = jnp.where(valid, cand_vals, -jnp.inf)
+    cand_idx = jnp.where(valid, cand_idx, -1)
+    cand_vals = cand_vals.reshape(q_n, nprobe * p)
+    cand_idx = cand_idx.reshape(q_n, nprobe * p)
+    top_vals, pos = jax.lax.top_k(cand_vals, k)
+    top_flat = jnp.take_along_axis(cand_idx, pos, axis=-1)
+    safe_flat = jnp.clip(top_flat, 0, nlist * cap_len - 1)
+    row_ids = index.row_ids.reshape(-1)[safe_flat]
+    row_ids = jnp.where((top_flat >= 0) & jnp.isfinite(top_vals),
+                        row_ids, -1)
+    top_vals = jnp.where(row_ids >= 0, top_vals, -jnp.inf)
+    return top_vals, row_ids, dropped

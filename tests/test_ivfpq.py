@@ -1,0 +1,83 @@
+"""IVF-PQ: build, residual ADC scoring, recall vs exact."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rag_foundation_tpu.engine.ivfpq import build_ivf_pq, ivfpq_search
+from rag_foundation_tpu.ops.topk import exact_topk
+from tests.test_ivf import _clustered_corpus, _recall
+
+
+def test_ivfpq_layout_and_codes():
+    x = _clustered_corpus(2048, 32, seed=4)
+    idx = build_ivf_pq(jnp.asarray(x), nlist=16, m=8,
+                       key=jax.random.key(0))
+    assert idx.codes.dtype == jnp.uint8
+    assert idx.codes.shape[2] == 8
+    ids = np.asarray(idx.row_ids)
+    assert sorted(ids[ids >= 0]) == list(range(2048))
+
+
+def test_ivfpq_recall_matches_pq_bound():
+    """The search pipeline must be lossless relative to PQ itself: its
+    recall equals the recall of exact search over PQ-reconstructed
+    vectors (the quantization upper bound). Absolute recall is a PQ
+    quality property, checked in the separable regime below."""
+    from rag_foundation_tpu.ops.pq import PQCodebook, pq_decode
+
+    x = _clustered_corpus(8192, 64, seed=5)
+    rng = np.random.default_rng(5)
+    q = x[:64] + 0.02 * rng.standard_normal((64, 64)).astype(np.float32)
+    idx = build_ivf_pq(jnp.asarray(x), nlist=64, m=16,
+                       key=jax.random.key(1))
+    _, ei = exact_topk(jnp.asarray(q), jnp.asarray(x), 10)
+    _, ids, _ = ivfpq_search(idx, jnp.asarray(q), 10, nprobe=64, p=10)
+    rec = _recall(np.asarray(ids), np.asarray(ei), 10)
+
+    # reconstruction upper bound
+    ids_flat = np.asarray(idx.row_ids.reshape(-1))
+    codes_flat = np.asarray(idx.codes.reshape(-1, 16))
+    live = ids_flat >= 0
+    cents = np.asarray(idx.centroids)
+    list_of_slot = np.repeat(np.arange(idx.nlist), idx.cap_len)
+    recon = np.zeros_like(x)
+    dec = np.asarray(pq_decode(PQCodebook(idx.codebook_centroids),
+                               jnp.asarray(codes_flat[live])))
+    recon[ids_flat[live]] = cents[list_of_slot[live]] + dec
+    ub_ids = np.argsort(-(q @ recon.T), axis=1)[:, :10]
+    ub = _recall(ub_ids, np.asarray(ei), 10)
+    assert rec >= ub - 0.02, (rec, ub)
+    # no duplicate row ids within a query's results
+    for row in np.asarray(ids):
+        liv = row[row >= 0]
+        assert len(liv) == len(set(liv))
+
+
+def test_ivfpq_recall_separable_regime():
+    """With neighbor gaps larger than PQ distortion, recall is high."""
+    rng = np.random.default_rng(9)
+    # well-separated mini-clusters of 4: query's top-4 are its clones
+    base = rng.standard_normal((1024, 64)).astype(np.float32) * 2
+    x = np.repeat(base, 4, axis=0) + \
+        0.05 * rng.standard_normal((4096, 64)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    q = x[::4][:64]
+    idx = build_ivf_pq(jnp.asarray(x), nlist=32, m=16,
+                       key=jax.random.key(3))
+    _, ei = exact_topk(jnp.asarray(q), jnp.asarray(x), 4)
+    _, ids, _ = ivfpq_search(idx, jnp.asarray(q), 4, nprobe=16, p=8)
+    rec = _recall(np.asarray(ids), np.asarray(ei), 4)
+    assert rec >= 0.9, rec
+
+
+def test_ivfpq_scores_monotonic_vs_exact():
+    """ADC approximates q.x via q.c + q.residual_decoded; the top-1
+    should score close to the true dot product."""
+    x = _clustered_corpus(4096, 32, seed=6)
+    idx = build_ivf_pq(jnp.asarray(x), nlist=32, m=16,
+                       key=jax.random.key(2))
+    q = x[:16]
+    vals, ids, _ = ivfpq_search(idx, jnp.asarray(q), 1, nprobe=32, p=4)
+    true = np.sum(q * x[np.clip(np.asarray(ids)[:, 0], 0, None)], axis=1)
+    np.testing.assert_allclose(np.asarray(vals)[:, 0], true, atol=0.15)
