@@ -150,7 +150,6 @@ class Engine:
         with store.lock:
             self._delete_doc_locked(store, doc_id)
             if chunks:
-                vecs = self.encoder.encode([c.text for c in chunks])
                 ids = np.arange(store.next_chunk_id,
                                 store.next_chunk_id + len(chunks), dtype=np.int64)
                 store.next_chunk_id += len(chunks)
@@ -158,7 +157,12 @@ class Engine:
                     store.chunks[int(cid)] = _ChunkMeta(
                         doc_id=doc_id, doc_name=doc_name, text=c.text,
                         start=c.start, end=c.end, ordinal=c.ordinal)
-                store.segment.add(vecs, ids)
+                # double-buffered encode->insert (PP analog; large docs
+                # overlap host featurization with device appends)
+                from rag_foundation_tpu.engine.pipeline import \
+                    pipelined_ingest
+                pipelined_ingest(self.encoder.encode, store.segment.add,
+                                 [c.text for c in chunks], ids)
             if self.config.data_dir:
                 self._save_store(store)
         return {"chunks": len(chunks),
@@ -193,25 +197,39 @@ class Engine:
         ``doc_filter`` restricts results to specific engine doc ids
         (over-fetching to keep k results when the filter is selective).
         """
-        qv = self.encoder.encode([query])
+        from rag_foundation_tpu.app import metrics as _metrics
+        from rag_foundation_tpu.utils.profiling import StageTimer, maybe_trace
+        timer = StageTimer(histogram=_metrics.query_stage_seconds)
+        with timer.stage("embed"):
+            qv = self.encoder.encode([query])
         fetch = k if doc_filter is None else max(4 * k, 32)
         hits: list[SearchHit] = []
-        for key in store_keys:
-            store = self._store(key)
-            scores, cids = store.segment.search(qv, fetch)
-            for score, cid in zip(scores[0], cids[0]):
-                if cid < 0 or not np.isfinite(score):
-                    continue
-                meta = store.chunks.get(int(cid))
-                if meta is None:
-                    continue
-                if doc_filter is not None and meta.doc_id not in doc_filter:
-                    continue
-                hits.append(SearchHit(
-                    store_key=key, doc_id=meta.doc_id, doc_name=meta.doc_name,
-                    chunk_id=int(cid), text=meta.text, score=float(score),
-                    start=meta.start, end=meta.end, ordinal=meta.ordinal))
-        hits.sort(key=lambda h: (-h.score, h.store_key, h.chunk_id))
+        per_store: list[tuple] = []
+        with maybe_trace("engine_search"), timer.stage("scan"):
+            for key in store_keys:
+                store = self._store(key)
+                per_store.append(
+                    (key, store, store.segment.search(qv, fetch)))
+        timer.stages.setdefault("merge", 0.0)
+        for key, store, (scores, cids) in per_store:
+            with timer.stage("merge"):
+                for score, cid in zip(scores[0], cids[0]):
+                    if cid < 0 or not np.isfinite(score):
+                        continue
+                    meta = store.chunks.get(int(cid))
+                    if meta is None:
+                        continue
+                    if doc_filter is not None \
+                            and meta.doc_id not in doc_filter:
+                        continue
+                    hits.append(SearchHit(
+                        store_key=key, doc_id=meta.doc_id,
+                        doc_name=meta.doc_name, chunk_id=int(cid),
+                        text=meta.text, score=float(score),
+                        start=meta.start, end=meta.end,
+                        ordinal=meta.ordinal))
+        with timer.stage("merge"):
+            hits.sort(key=lambda h: (-h.score, h.store_key, h.chunk_id))
         return hits[:k]
 
     def search_batch(self, store_key: str, queries: list[str], k: int = 10

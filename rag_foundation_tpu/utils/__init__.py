@@ -1,0 +1,6 @@
+"""Shared utilities: stage timing, profiling hooks, shape math."""
+
+from rag_foundation_tpu.utils.profiling import StageTimer, maybe_trace
+from rag_foundation_tpu.utils.shapes import round_up
+
+__all__ = ["StageTimer", "maybe_trace", "round_up"]

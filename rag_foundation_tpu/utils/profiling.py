@@ -1,0 +1,47 @@
+"""Per-stage timing + optional jax.profiler tracing.
+
+SURVEY.md §5 "Tracing / profiling": the reference had correlation-id
+request tracing + Prometheus histograms; the TPU build adds per-kernel
+stage timing around the query path and an env-gated
+``jax.profiler.trace`` hook (set ``RAGTPU_TRACE_DIR``) for XLA/Pallas
+timeline capture.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+import time
+
+
+class StageTimer:
+    """Collects named stage durations; optionally mirrors to a
+    prometheus histogram with a ``stage`` label."""
+
+    def __init__(self, histogram=None):
+        self.stages: dict[str, float] = {}
+        self._histogram = histogram
+
+    @contextlib.contextmanager
+    def stage(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            dt = time.perf_counter() - t0
+            self.stages[name] = self.stages.get(name, 0.0) + dt
+            if self._histogram is not None:
+                self._histogram.labels(name).observe(dt)
+
+
+@contextlib.contextmanager
+def maybe_trace(name: str = "ragtpu"):
+    """Wrap a block in ``jax.profiler.trace`` when RAGTPU_TRACE_DIR is
+    set; no-op otherwise."""
+    trace_dir = os.environ.get("RAGTPU_TRACE_DIR")
+    if not trace_dir:
+        yield
+        return
+    import jax
+    with jax.profiler.trace(os.path.join(trace_dir, name)):
+        yield

@@ -1,0 +1,63 @@
+"""Pipelined ingestion + utils."""
+
+import numpy as np
+import pytest
+
+from rag_foundation_tpu.engine.pipeline import pipelined_ingest
+from rag_foundation_tpu.utils import StageTimer, round_up
+from rag_foundation_tpu.utils.shapes import bucket_pow2, cdiv
+
+
+def test_pipelined_ingest_batches_everything():
+    texts = [f"t{i}" for i in range(1000)]
+    ids = np.arange(1000)
+    got = []
+
+    def encode(batch):
+        return np.array([[float(len(b))] for b in batch], np.float32)
+
+    def insert(vecs, batch_ids):
+        got.append((vecs.copy(), batch_ids.copy()))
+
+    n = pipelined_ingest(encode, insert, texts, ids, batch_size=128)
+    assert n == 1000
+    all_ids = np.concatenate([i for _, i in got])
+    np.testing.assert_array_equal(all_ids, ids)
+    assert sum(len(v) for v, _ in got) == 1000
+
+
+def test_pipelined_ingest_propagates_errors():
+    def encode(batch):
+        raise ValueError("encoder exploded")
+
+    with pytest.raises(ValueError, match="encoder exploded"):
+        pipelined_ingest(encode, lambda v, i: None,
+                         ["x"] * 600, np.arange(600), batch_size=100)
+
+
+def test_small_input_bypasses_pipeline():
+    calls = []
+    pipelined_ingest(lambda b: np.zeros((len(b), 2), np.float32),
+                     lambda v, i: calls.append(len(i)),
+                     ["a", "b"], np.arange(2), batch_size=256)
+    assert calls == [2]
+
+
+def test_shape_utils():
+    assert round_up(1, 128) == 128
+    assert round_up(129, 128) == 256
+    assert cdiv(10, 3) == 4
+    assert bucket_pow2(5) == 8
+    assert bucket_pow2(8) == 8
+
+
+def test_stage_timer_accumulates():
+    t = StageTimer()
+    with t.stage("a"):
+        pass
+    with t.stage("a"):
+        pass
+    with t.stage("b"):
+        pass
+    assert set(t.stages) == {"a", "b"}
+    assert t.stages["a"] >= 0
