@@ -1,0 +1,99 @@
+"""MiniLM-class JAX encoder: shapes, masking, determinism, training step."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from rag_foundation_tpu.models.encoder import (EncoderConfig, MiniLMEncoder,
+                                               contrastive_loss,
+                                               encode_tokens, init_params,
+                                               load_params, make_train_step,
+                                               save_params)
+from rag_foundation_tpu.models.tokenizer import CLS_ID, PAD_ID, SEP_ID, Tokenizer
+
+CFG = EncoderConfig(vocab_size=512, hidden=64, layers=2, heads=4, ffn=128,
+                    max_len=32, dtype="float32")
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_params(jax.random.key(0), CFG)
+
+
+def test_tokenizer_structure():
+    tok = Tokenizer(vocab_size=512)
+    ids = tok.encode("Hello, TPU world!", max_len=16)
+    assert ids.shape == (16,) and ids.dtype == np.int32
+    assert ids[0] == CLS_ID
+    sep_pos = np.nonzero(ids == SEP_ID)[0]
+    assert len(sep_pos) == 1
+    assert np.all(ids[sep_pos[0] + 1 :] == PAD_ID)
+    # deterministic
+    np.testing.assert_array_equal(ids, tok.encode("Hello, TPU world!",
+                                                  max_len=16))
+    # long words split into pieces
+    long_ids = tok.encode("a" * 100, max_len=16)
+    assert (long_ids != PAD_ID).sum() > 3
+
+
+def test_encode_shapes_and_unit_norm(params):
+    tok = Tokenizer(vocab_size=512)
+    ids = jnp.asarray(tok.encode_batch(
+        ["revenue grew", "penguins live in antarctica", "x"], max_len=32))
+    out = encode_tokens(params, ids, CFG)
+    assert out.shape == (3, 64)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(out), axis=1),
+                               1.0, atol=1e-5)
+
+
+def test_padding_invariance(params):
+    """Embedding must not depend on padding length (mask correctness)."""
+    tok = Tokenizer(vocab_size=512)
+    short = jnp.asarray(tok.encode_batch(["hello world"], max_len=8))
+    longp = jnp.asarray(tok.encode_batch(["hello world"], max_len=32))
+    cfg8 = CFG._replace(max_len=8)
+    a = np.asarray(encode_tokens(params, short, cfg8))
+    b = np.asarray(encode_tokens(params, longp, CFG))
+    np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_train_step_reduces_loss(params):
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+    step = jax.jit(make_train_step(CFG, optimizer))
+    rng = np.random.default_rng(0)
+    q_ids = np.full((8, 32), PAD_ID, np.int32)
+    q_ids[:, 0] = CLS_ID
+    q_ids[:, 1:8] = rng.integers(3, 500, (8, 7))
+    d_ids = np.roll(q_ids, 1, axis=1)
+    p = params
+    first = None
+    for i in range(8):
+        p, opt_state, loss = step(p, opt_state, jnp.asarray(q_ids),
+                                  jnp.asarray(d_ids))
+        if first is None:
+            first = float(loss)
+    assert float(loss) < first, (first, float(loss))
+    assert np.isfinite(float(loss))
+
+
+def test_checkpoint_roundtrip(tmp_path, params):
+    path = str(tmp_path / "enc.npz")
+    save_params(params, path)
+    loaded = load_params(path, CFG)
+    ids = jnp.asarray([[CLS_ID, 5, 6, SEP_ID] + [PAD_ID] * 28])
+    a = encode_tokens(params, ids, CFG)
+    b = encode_tokens(loaded, ids, CFG)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_minilm_encoder_protocol():
+    enc = MiniLMEncoder(dim=64, cfg=CFG)
+    out = enc.encode(["hello", "world", "third text"])
+    assert out.shape == (3, 64) and out.dtype == np.float32
+    # deterministic + batch-size independent (bucketing)
+    again = enc.encode(["hello"])
+    np.testing.assert_allclose(out[0], again[0], atol=2e-5)
+    assert enc.encode([]).shape == (0, 64)
