@@ -95,6 +95,7 @@ class Settings(BaseModel):
 
     # -- worker / ingestion ------------------------------------------------
     WORKER_MAX_ATTEMPTS: int = 3
+    WORKER_CONCURRENCY: int = 4
     WORKER_JOB_TIMEOUT_S: float = 300.0
     INGESTION_TIMEOUT_S: float = 180.0
     WATCHDOG_STALE_S: float = 600.0

@@ -50,9 +50,20 @@ def build_context(settings: Settings | None = None, *, db=None, kv=None,
     rag = rag or make_rag_client(settings)
     ctx = AppContext(settings=settings, db=db, kv=kv, rag=rag,
                      limiter=RateLimiter(kv))
+
+    def engine_probe() -> bool:
+        # cheap engine liveness roundtrip (reference cached its external
+        # Gemini probe, main.py:352-423; ours is in-process)
+        engine = getattr(ctx.rag, "engine", None)
+        if engine is None:
+            return True  # mock mode
+        engine.list_stores()
+        return True
+
+    ctx.extra["engine_probe"] = engine_probe
     if with_worker:
         queue = JobQueue(db, lease_s=settings.WORKER_JOB_TIMEOUT_S)
-        worker = Worker(queue)
+        worker = Worker(queue, concurrency=settings.WORKER_CONCURRENCY)
         worker.register(
             "ingest_document",
             lambda payload: run_ingestion_sync(

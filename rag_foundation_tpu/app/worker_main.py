@@ -30,7 +30,7 @@ def main() -> None:
     db = Database(settings.DATABASE_PATH, migrations=MIGRATIONS)
     rag = make_rag_client(settings)
     queue = JobQueue(db, lease_s=settings.WORKER_JOB_TIMEOUT_S)
-    worker = Worker(queue)
+    worker = Worker(queue, concurrency=settings.WORKER_CONCURRENCY)
     worker.register(
         "ingest_document",
         lambda payload: run_ingestion_sync(db, rag, settings,

@@ -104,13 +104,15 @@ class Worker:
     hooks run between polls at their configured cadence.
     """
 
-    def __init__(self, queue: JobQueue, *, poll_interval: float = 0.2):
+    def __init__(self, queue: JobQueue, *, poll_interval: float = 0.2,
+                 concurrency: int = 1):
         self.queue = queue
         self.poll_interval = poll_interval
+        self.concurrency = max(1, concurrency)  # reference max_jobs analog
         self.handlers: dict[str, Callable[[dict], None]] = {}
         self.crons: list[tuple[float, Callable[[], None], list[float]]] = []
         self._stop = threading.Event()
-        self._thread: threading.Thread | None = None
+        self._threads: list[threading.Thread] = []
 
     def register(self, job_type: str, fn: Callable[[dict], None]):
         self.handlers[job_type] = fn
@@ -147,20 +149,39 @@ class Worker:
                     traceback.print_exc()
 
     def run_forever(self):
+        """Run the claim loop (+ crons) in the calling thread; with
+        ``concurrency > 1``, extra claim-only threads process jobs in
+        parallel (ARQ ``max_jobs`` analog — the sqlite claim transaction
+        keeps each job exclusive)."""
+        extras = [threading.Thread(target=self._claim_loop, daemon=True,
+                                   name=f"ragtpu-worker-{i}")
+                  for i in range(1, self.concurrency)]
+        for t in extras:
+            t.start()
+        try:
+            while not self._stop.is_set():
+                self._tick_crons()
+                if not self.run_once():
+                    self._stop.wait(self.poll_interval)
+        finally:
+            for t in extras:
+                t.join(timeout=5)
+
+    def _claim_loop(self):
         while not self._stop.is_set():
-            self._tick_crons()
             if not self.run_once():
                 self._stop.wait(self.poll_interval)
 
     def start(self) -> threading.Thread:
         self._stop.clear()
-        self._thread = threading.Thread(target=self.run_forever, daemon=True,
-                                        name="ragtpu-worker")
-        self._thread.start()
-        return self._thread
+        thread = threading.Thread(target=self.run_forever, daemon=True,
+                                  name="ragtpu-worker")
+        self._threads.append(thread)
+        thread.start()
+        return thread
 
     def stop(self, timeout: float = 5.0):
         self._stop.set()
-        if self._thread is not None:
-            self._thread.join(timeout)
-            self._thread = None
+        for t in self._threads:
+            t.join(timeout)
+        self._threads.clear()

@@ -254,3 +254,27 @@ def test_worker_cron_ticks(tmp_path):
     time.sleep(0.15)
     w.stop()
     assert len(hits) >= 2
+
+
+def test_worker_concurrent_claims(tmp_path):
+    """concurrency>1 processes jobs in parallel without double-claiming."""
+    db = Database(tmp_path / "qc.db")
+    q = JobQueue(db)
+    w = Worker(q, poll_interval=0.01, concurrency=4)
+    seen = []
+    gate = threading.Barrier(4, timeout=10)
+
+    def handler(p):
+        gate.wait()  # forces 4 jobs to be in flight simultaneously
+        seen.append(p["v"])
+
+    w.register("j", handler)
+    for i in range(8):
+        q.enqueue("j", {"v": i})
+    w.start()
+    deadline = time.time() + 15
+    while q.pending() and time.time() < deadline:
+        time.sleep(0.05)
+    w.stop()
+    assert sorted(seen) == list(range(8))  # each exactly once
+    assert q.stats().get("done") == 8
