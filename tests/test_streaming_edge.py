@@ -102,3 +102,31 @@ def test_backpressure_error_frame(tmp_path):
     # queue was cleared and an error enqueued
     kind, payload = out_q.get_nowait()
     assert kind == "error" and isinstance(payload, _Backpressure)
+
+
+def test_keepalive_comments_during_slow_stream(tmp_path):
+    """Gaps between deltas emit ': keepalive' comments (reference:
+    chat.py:1030)."""
+    client, ctx = make_app(tmp_path, MOCK_MODE=True,
+                           STREAM_KEEPALIVE_S=0.05)
+    headers = signup(client)
+    store = create_store(client, headers)
+
+    def slow_ask_stream(question, keys, **kw):
+        result = StreamResult(prompt_tokens=1)
+
+        def gen():
+            yield "first"
+            time.sleep(0.25)
+            yield " second"
+            result.finished = True
+        return gen(), result
+
+    ctx.rag.ask_stream = slow_ask_stream
+    r = client.post("/api/chat", headers=headers,
+                    json_body={"question": "hi", "store_ids": [store["id"]]})
+    assert ": keepalive" in r.text
+    events = _events(r)
+    text = "".join(e.get("delta", "") for e in events
+                   if e["type"] == "text-delta")
+    assert text == "first second"
