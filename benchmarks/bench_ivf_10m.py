@@ -171,16 +171,34 @@ def main():
     rtt = (time.perf_counter() - t0) / 3
     log(f"RTT {rtt*1000:.1f} ms")
 
+    def measure(nprobe, qcap, p, q_batch):
+        kw = dict(nprobe=nprobe, p=p, qcap=qcap)
+        vv, ii, dd = ivf_search(index, q_batch, args.k, **kw)
+        _ = np.asarray(vv)
+        reps = 10
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            vv, ii, dd = ivf_search(index, q_batch, args.k, **kw)
+        _ = np.asarray(vv)
+        per = (time.perf_counter() - t0 - rtt) / reps
+        log(f"ivf nprobe={nprobe} qcap={qcap} p={p} Q={q_batch.shape[0]}:"
+            f" {per*1000:.2f} ms -> {q_batch.shape[0]/per:.0f} QPS"
+            f" (drops {int(dd)})")
+        return per, ii
+
+    if "--variants" in sys.argv or os.environ.get("IVF_VARIANTS"):
+        q2 = jnp.concatenate([q_dev, q_dev], axis=0)
+        for np_, qc, p_ in [(64, 32, 2), (48, 24, 2), (32, 16, 2),
+                            (64, 16, 2)]:
+            measure(np_, qc, p_, q_dev)
+        measure(64, 64, 2, q2)
+        measure(32, 32, 2, q2)
+
     kw = dict(nprobe=args.nprobe, p=args.p, qcap=args.qcap)
     vals, ids, dropped = ivf_search(index, q_dev, args.k, **kw)
     _ = np.asarray(vals)
     log(f"probe drops: {int(dropped)}")
-    reps = 10
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        vals, ids, dropped = ivf_search(index, q_dev, args.k, **kw)
-    _ = np.asarray(vals)
-    per = (time.perf_counter() - t0 - rtt) / reps
+    per, ids = measure(args.nprobe, args.qcap, args.p, q_dev)
     qps = args.q / per
     log(f"ivf_search: {per*1000:.2f} ms/batch -> {qps:.0f} QPS")
 

@@ -1,0 +1,98 @@
+"""End-to-end demo: boot the app in-process, ingest the sample report,
+ask questions over SSE, print grounded answers with citations.
+
+The mock-demo configuration from BASELINE.json config 1 (reference flow:
+docs/demo/sample-report.md + README quickstart): deterministic, CPU-only
+(hash encoder + exact index), no external services.
+
+Usage: python scripts/demo.py [--mock]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+QUESTIONS = [
+    "How did revenue grow this quarter?",
+    "What happened to query latency after the TPU migration?",
+    "How many employees does the company have?",
+    "What risks does management highlight?",
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mock", action="store_true",
+                    help="use the deterministic mock RAG client")
+    ap.add_argument("--data-dir", default="/tmp/ragtpu-demo")
+    args = ap.parse_args()
+
+    # the demo config is deterministic CPU (BASELINE config 1); also
+    # avoids contending for the TPU with running benchmarks
+    try:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass  # backend already initialized
+    from rag_foundation_tpu.app.config import Settings
+    from rag_foundation_tpu.app.main import build_context, create_app
+    from rag_foundation_tpu.runtime.http import TestClient
+
+    settings = Settings(
+        ENVIRONMENT="development", DEV_LOGIN_ENABLED=True,
+        MOCK_MODE=args.mock, DATA_DIR=args.data_dir,
+        DATABASE_PATH=":memory:", ENGINE_CHUNK_TOKENS=120,
+        ENGINE_CHUNK_OVERLAP=24)
+    ctx = build_context(settings)
+    client = TestClient(create_app(ctx, start_worker=False))
+
+    token = client.post("/api/auth/dev-token").json()["access_token"]
+    headers = {"authorization": f"Bearer {token}"}
+    store = client.post("/api/stores", json_body={"name": "Demo"},
+                        headers=headers).json()
+    report = (Path(__file__).resolve().parent.parent
+              / "docs" / "demo" / "sample-report.md")
+    up = client.post(
+        "/api/upload", headers=headers,
+        data={"store_id": str(store["id"])},
+        files={"file": ("sample-report.md", report.read_bytes(),
+                        "text/markdown")}).json()
+    while ctx.worker.run_once():
+        pass
+    st = client.get(f"/api/upload/op-status/{up['op_id']}",
+                    headers=headers).json()
+    print(f"ingested sample-report.md: {st['status']}"
+          f" ({st['chunks']} chunks)\n")
+
+    for q in QUESTIONS:
+        r = client.post("/api/chat", headers=headers,
+                        json_body={"question": q,
+                                   "store_ids": [store["id"]]})
+        answer, cites = [], []
+        for payload in r.iter_sse():
+            if payload == "[DONE]":
+                break
+            frame = json.loads(payload)
+            if frame["type"] == "text-delta":
+                answer.append(frame["delta"])
+            elif frame["type"] == "source-document":
+                cites.append(frame["title"])
+        print(f"Q: {q}")
+        print(f"A: {''.join(answer)}")
+        print(f"   sources: {sorted(set(cites))}\n")
+    costs = client.get("/api/costs/summary", headers=headers).json()
+    print(f"month-to-date cost: ${costs['month_to_date_usd']}"
+          f" ({costs['queries']} queries,"
+          f" {costs['index_tokens']} index tokens)")
+    client.close()
+
+
+if __name__ == "__main__":
+    main()
