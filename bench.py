@@ -1,100 +1,131 @@
-"""Headline benchmark: batched cosine top-10 QPS at measured recall@10.
-
-Prints ONE JSON line:
+"""Headline benchmark. Prints ONE JSON line:
   {"metric": ..., "value": QPS, "unit": "qps", "vs_baseline": value/50000}
 
-Baseline (BASELINE.json): >= 50,000 QPS batched cosine top-10 on one
-TPU v5e chip (north-star scale 10M x 768; this round benches the largest
-HBM-resident bf16 config, 1M x 768, via the fused Pallas two-stage kernel
-ops/pallas_block_topk.py p=2, whose recall@10 vs the exact scan is also
-measured and reported on stderr). Detail lines go to stderr; stdout gets
-exactly the one JSON line.
+Primary config — the BASELINE.json north-star metric ("QPS + p50 query
+latency at recall@10 (10M x 768-d); index build vectors/sec"):
+10M x 768 int8 IVF-Flat, HBM-resident on one TPU v5e chip, 1k-query
+batches, top-10, recall measured against an exact scan of the stored
+corpus, build throughput measured. Runs as a subprocess
+(benchmarks/bench_ivf_10m.py) with a hard timeout so a wedged TPU tunnel
+can't hang the driver.
+
+Fallback (subprocess failure/timeout, or no TPU): 1M x 768 bf16 exact
+two-stage fused kernel in-process (55k+ QPS, recall@10 = 1.0000).
 """
 
 from __future__ import annotations
 
 import json
+import os
+import re
+import subprocess
 import sys
 import time
 
 import numpy as np
 
 BASELINE_QPS = 50_000.0
-N, D, Q, K = 1_000_000, 768, 1024, 10
-P_KEEP = 2
-BLOCK_Q, BLOCK_N = 512, 1024
+REPO = os.path.dirname(os.path.abspath(__file__))
 
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def main() -> None:
+def run_ivf_10m() -> dict | None:
+    cmd = [sys.executable, "-u",
+           os.path.join(REPO, "benchmarks", "bench_ivf_10m.py"),
+           "--nprobe", "32", "--qcap", "16", "--p", "2"]
+    log(f"primary: {' '.join(cmd)}")
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              timeout=1500, cwd=REPO)
+    except subprocess.TimeoutExpired:
+        log("primary bench timed out")
+        return None
+    log(proc.stderr[-2000:])
+    m = re.search(r"RESULT qps=(\d+) recall=([\d.]+) build_Mvps=([\d.]+)",
+                  proc.stdout)
+    if proc.returncode != 0 or not m:
+        log(f"primary bench failed rc={proc.returncode}")
+        return None
+    qps, recall, build = float(m[1]), float(m[2]), float(m[3])
+    p50 = re.search(r"ivf_search: ([\d.]+) ms/batch", proc.stderr)
+    p50_ms = float(p50[1]) if p50 else 1024.0 / qps * 1000
+    return {
+        "metric": (f"10Mx768 int8 IVF-Flat batched top-10 QPS, 1 v5e chip,"
+                   f" recall@10={recall:.4f}, p50={p50_ms:.1f}ms/1k-batch,"
+                   f" build={build:.2f}M vec/s"),
+        "value": round(qps),
+        "unit": "qps",
+        "vs_baseline": round(qps / BASELINE_QPS, 4),
+    }
+
+
+def run_exact_1m() -> dict:
     import jax
     import jax.numpy as jnp
     from rag_foundation_tpu.ops.pallas_block_topk import block_topk
     from rag_foundation_tpu.ops.topk import exact_topk
 
     dev = jax.devices()[0]
-    log(f"device: {dev} platform={dev.platform}")
     on_tpu = dev.platform != "cpu"
-    n = N if on_tpu else 65_536  # CPU fallback keeps the harness runnable
-
+    n, d, q_n, k = (1_000_000 if on_tpu else 65_536), 768, 1024, 10
+    log(f"fallback: exact 1M on {dev}")
     rng = np.random.default_rng(0)
-    log(f"building corpus {n}x{D} bf16 ...")
-    chunks = []
-    step = 131_072
-    for start in range(0, n, step):
-        m = min(step, n - start)
-        chunks.append(jnp.asarray(
-            rng.standard_normal((m, D), dtype=np.float32), jnp.bfloat16))
+    chunks = [jnp.asarray(
+        rng.standard_normal((min(131_072, n - s), d), dtype=np.float32),
+        jnp.bfloat16) for s in range(0, n, 131_072)]
     corpus = jnp.concatenate(chunks, axis=0)
     del chunks
-    base = np.asarray(corpus[:Q], np.float32)
     queries = jnp.asarray(
-        base + 0.1 * rng.standard_normal((Q, D), dtype=np.float32),
+        np.asarray(corpus[:q_n], np.float32)
+        + 0.1 * rng.standard_normal((q_n, d), dtype=np.float32),
         jnp.bfloat16)
 
-    # Tunnel round-trip latency (axon remote execution): measured and
-    # subtracted, since a production server amortizes it away.
     f_add = jax.jit(lambda x: x + 1)
-    tiny = jnp.ones((2, 2))
-    _ = np.asarray(f_add(tiny))
+    _ = np.asarray(f_add(jnp.ones((2, 2))))
     t0 = time.perf_counter()
     for _ in range(3):
-        _ = np.asarray(f_add(tiny))
+        _ = np.asarray(f_add(jnp.ones((2, 2))))
     rtt = (time.perf_counter() - t0) / 3
-    log(f"dispatch RTT: {rtt*1000:.1f} ms")
 
-    kw = dict(p=P_KEEP, block_q=BLOCK_Q, block_n=BLOCK_N)
-    v, i = block_topk(queries, corpus, K, **kw)
+    kw = dict(p=2, block_q=512, block_n=1024)
+    v, i = block_topk(queries, corpus, k, **kw)
     _ = np.asarray(v)
     reps = 10
     t0 = time.perf_counter()
     for _ in range(reps):
-        v, i = block_topk(queries, corpus, K, **kw)
+        v, i = block_topk(queries, corpus, k, **kw)
     _ = np.asarray(v)
-    per_batch = (time.perf_counter() - t0 - rtt) / reps
-    qps = Q / per_batch
-    log(f"fused p={P_KEEP}: {per_batch*1000:.2f} ms / {Q}-query batch"
-        f" -> {qps:.0f} QPS (p50 latency {per_batch*1000:.2f} ms)")
-
-    # recall@10 vs exact scan on a query subsample
+    per = (time.perf_counter() - t0 - rtt) / reps
+    qps = q_n / per
     sub = 256
-    ev, ei = exact_topk(queries[:sub], corpus, K)
-    fi = np.asarray(i[:sub])
-    ei = np.asarray(ei)
-    recall = float(np.mean([len(set(a) & set(b)) / K
-                            for a, b in zip(fi, ei)]))
-    log(f"recall@10 vs exact: {recall:.4f}")
-
-    print(json.dumps({
-        "metric": f"batched cosine top-10 QPS over {n}x{D} bf16,"
-                  f" recall@10={recall:.4f}, 1 chip",
+    _, ei = exact_topk(queries[:sub], corpus, k)
+    recall = float(np.mean([len(set(a) & set(b)) / k for a, b in
+                            zip(np.asarray(i[:sub]), np.asarray(ei))]))
+    return {
+        "metric": (f"{n}x768 bf16 exact fused top-10 QPS, 1 chip,"
+                   f" recall@10={recall:.4f}, p50={per*1000:.1f}ms"),
         "value": round(qps),
         "unit": "qps",
         "vs_baseline": round(qps / BASELINE_QPS, 4),
-    }))
+    }
+
+
+def main() -> None:
+    result = None
+    # platform check WITHOUT initializing jax here: the parent must not
+    # claim the single TPU lease before the subprocess needs it
+    platform_env = os.environ.get("JAX_PLATFORMS", "")
+    if "cpu" not in platform_env.lower():
+        try:
+            result = run_ivf_10m()
+        except Exception as e:  # noqa: BLE001 — fall back below
+            log(f"primary path error: {type(e).__name__}: {e}")
+    if result is None:
+        result = run_exact_1m()
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
