@@ -51,6 +51,7 @@ class EngineConfig:
     nlist: int = 256
     nprobe: int = 32
     build_threshold: int = 100_000  # tail size that triggers IVF build
+    mesh_shards: int = 1            # corpus shards across chips (ICI merge)
     data_dir: str | None = None    # checkpoint root; None = memory-only
 
 
@@ -123,11 +124,20 @@ class Engine:
     def has_store(self, key: str) -> bool:
         return key in self._stores
 
+    def _mesh(self):
+        if self.config.mesh_shards <= 1:
+            return None
+        if not hasattr(self, "_mesh_cache"):
+            from rag_foundation_tpu.parallel.mesh import make_mesh
+            self._mesh_cache = make_mesh(self.config.mesh_shards)
+        return self._mesh_cache
+
     def _new_index(self) -> StoreIndex:
         cfg = self.config
         return StoreIndex(cfg.dim, mode=cfg.index_mode, nlist=cfg.nlist,
                           nprobe=cfg.nprobe,
-                          build_threshold=cfg.build_threshold)
+                          build_threshold=cfg.build_threshold,
+                          mesh=self._mesh())
 
     def _store(self, key: str) -> _Store:
         try:

@@ -34,7 +34,7 @@ class StoreIndex:
 
     def __init__(self, dim: int, *, mode: str = "exact", nlist: int = 256,
                  nprobe: int = 32, build_threshold: int = 100_000,
-                 seed: int = 0):
+                 seed: int = 0, mesh=None):
         if mode not in ("exact", "ivf_flat", "ivf_flat_int8"):
             raise ValueError(f"unknown index mode {mode!r}")
         self.dim = dim
@@ -43,10 +43,18 @@ class StoreIndex:
         self.nprobe = nprobe
         self.build_threshold = build_threshold
         self.seed = seed
-        self.tail = VectorSegment(dim)
+        self.mesh = mesh  # multi-chip: shard the exact tier over the mesh
+        self.tail = self._new_tail()
         self.body: IVFFlatIndex | None = None
         self.body_chunk_ids: np.ndarray | None = None  # row -> chunk id
         self._dead: set[int] = set()
+
+    def _new_tail(self):
+        if self.mesh is not None:
+            from rag_foundation_tpu.parallel.sharded_index import \
+                ShardedVectorStore
+            return ShardedVectorStore(self.dim, self.mesh)
+        return VectorSegment(self.dim)
 
     # -- mutation ---------------------------------------------------------
     @property
@@ -92,7 +100,7 @@ class StoreIndex:
             jnp.asarray(vecs), nlist, key=jax.random.key(self.seed),
             int8=self.mode.endswith("int8"))
         self.body_chunk_ids = cids
-        self.tail = VectorSegment(self.dim)
+        self.tail = self._new_tail()
         self._dead.clear()  # rebuild compacted all tombstones away
 
     def _body_vectors(self) -> np.ndarray:

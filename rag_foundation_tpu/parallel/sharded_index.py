@@ -125,6 +125,24 @@ class ShardedVectorStore:
             jnp.asarray(host.reshape(-1, self.dim)), self._sharding)
         self._dead.clear()
 
+    # -- persistence ----------------------------------------------------------
+    def state(self) -> dict:
+        """Live vectors+ids (same contract as VectorSegment.state)."""
+        self.compact()
+        host = np.asarray(self._buf).reshape(
+            self.n_shards, self._shard_cap, self.dim)
+        parts_v, parts_i = [], []
+        for s in range(self.n_shards):
+            m = int(self._counts[s])
+            if m:
+                parts_v.append(host[s, :m])
+                parts_i.append(self._ids[s, :m])
+        if parts_v:
+            return {"vectors": np.concatenate(parts_v).astype(np.float32),
+                    "ids": np.concatenate(parts_i), "dim": self.dim}
+        return {"vectors": np.zeros((0, self.dim), np.float32),
+                "ids": np.zeros((0,), np.int64), "dim": self.dim}
+
     # -- search ---------------------------------------------------------------
     def search(self, queries: np.ndarray, k: int
                ) -> tuple[np.ndarray, np.ndarray]:

@@ -66,3 +66,19 @@ def test_sharded_delete_and_compact(mesh8):
     assert s.count == 497
     _, ids3 = s.search(q, 2)
     assert set(ids3[:, 0]) == set(ids2[:, 0])
+
+
+def test_engine_with_mesh_shards(mesh8, tmp_path):
+    """ENGINE_MESH_SHARDS wires a sharded exact tier into the engine."""
+    from rag_foundation_tpu.engine import Engine, EngineConfig
+    e = Engine(EngineConfig(dim=64, chunk_tokens=20, chunk_overlap=4,
+                            mesh_shards=8))
+    e.create_store("s")
+    text = ("Penguins are flightless seabirds living in Antarctica. " * 40
+            + "The quarterly revenue grew twelve percent this year. " * 40)
+    e.ingest_document("s", "d1", "mixed.txt", text)
+    store = e._stores["s"]
+    from rag_foundation_tpu.parallel.sharded_index import ShardedVectorStore
+    assert isinstance(store.segment.tail, ShardedVectorStore)
+    hits = e.search(["s"], "penguins antarctica", k=3)
+    assert hits and "penguin" in hits[0].text.lower()
