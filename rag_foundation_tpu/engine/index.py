@@ -96,10 +96,13 @@ class StoreIndex:
         cids = np.concatenate(parts_i)
         n = len(cids)
         nlist = max(8, min(self.nlist, n // 64 or 8))
-        self.body = build_ivf_flat(
+        new_body = build_ivf_flat(
             jnp.asarray(vecs), nlist, key=jax.random.key(self.seed),
             int8=self.mode.endswith("int8"))
+        # publish body+ids together, THEN swap the tail; a racing search
+        # may briefly see rows in both (deduped at merge), never neither
         self.body_chunk_ids = cids
+        self.body = new_body
         self.tail = self._new_tail()
         self._dead.clear()  # rebuild compacted all tombstones away
 
@@ -141,14 +144,28 @@ class StoreIndex:
         order = np.argsort(-b_vals, axis=1, kind="stable")
         b_vals = np.take_along_axis(b_vals, order, axis=1)[:, :k]
         b_ids = np.take_along_axis(b_ids, order, axis=1)[:, :k]
-        # merge tail + body (host: tiny)
+        # merge tail + body (host: tiny); dedup chunk ids (a rebuild
+        # racing this search can surface a row in both tiers)
         vals = np.concatenate([b_vals, t_vals], axis=1)
         ids = np.concatenate([b_ids, t_ids], axis=1)
         order = np.argsort(-vals, axis=1, kind="stable")
-        vals = np.take_along_axis(vals, order, axis=1)[:, :k]
-        ids = np.take_along_axis(ids, order, axis=1)[:, :k]
-        ids = np.where(np.isneginf(vals), -1, ids)
-        return vals.astype(np.float32), ids.astype(np.int64)
+        vals = np.take_along_axis(vals, order, axis=1)
+        ids = np.take_along_axis(ids, order, axis=1)
+        out_v = np.full((q_n, k), -np.inf, np.float32)
+        out_i = np.full((q_n, k), -1, np.int64)
+        for r in range(q_n):
+            seen: set[int] = set()
+            w = 0
+            for v, i in zip(vals[r], ids[r]):
+                if w >= k or not np.isfinite(v):
+                    break
+                if i in seen:
+                    continue
+                seen.add(int(i))
+                out_v[r, w] = v
+                out_i[r, w] = i
+                w += 1
+        return out_v, out_i
 
     # -- persistence ------------------------------------------------------
     def state(self) -> dict:

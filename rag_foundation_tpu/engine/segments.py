@@ -47,11 +47,15 @@ def _masked_topk(buf, q, live_mask, count, k):
 class VectorSegment:
     """A growable [capacity, dim] unit-vector buffer with int32 chunk ids.
 
-    Host-side object; all heavy math stays on device. Not thread-safe —
-    callers (the engine) serialize writes per store.
+    Host-side object; all heavy math stays on device. Thread-safe: an
+    internal lock serializes mutations AND searches — required because
+    writes run under buffer donation (in-place on TPU), which DELETES the
+    old buffer a concurrent reader might still hold.
     """
 
     def __init__(self, dim: int, *, dtype=jnp.float32, capacity: int = _BLOCK):
+        import threading
+        self._lock = threading.RLock()
         self.dim = dim
         self.dtype = dtype
         capacity = _round_up(capacity, _BLOCK)
@@ -92,6 +96,10 @@ class VectorSegment:
         n = int(vecs.shape[0])
         if n == 0:
             return
+        with self._lock:
+            self._add_locked(vecs, ids, n)
+
+    def _add_locked(self, vecs, ids, n: int) -> None:
         # Bucket the write size to limit jit retraces (shapes are static
         # under XLA); padded rows carry id=-1 and sit past ``count`` so the
         # next add overwrites them.
@@ -109,11 +117,16 @@ class VectorSegment:
         self._live_mask_dev = None
 
     def delete_ids(self, ids: set[int]) -> None:
-        self._dead |= ids
-        self._live_mask_dev = None
+        with self._lock:
+            self._dead |= ids
+            self._live_mask_dev = None
 
     def compact(self) -> None:
         """Physically drop tombstoned rows (copy-on-compact)."""
+        with self._lock:
+            self._compact_locked()
+
+    def _compact_locked(self) -> None:
         if not self._dead:
             return
         ids_host = np.asarray(self._ids[: self._count])
@@ -151,27 +164,30 @@ class VectorSegment:
 
         Missing results (store smaller than k) have score=-inf, id=-1.
         """
-        if self._count == 0:
-            q = int(queries.shape[0])
-            return (np.full((q, k), -np.inf, np.float32),
-                    np.full((q, k), -1, np.int32))
-        vals, idxs = _masked_topk(self._buf, jnp.asarray(queries),
-                                  self._live_mask(), jnp.int32(self._count), k)
+        with self._lock:
+            if self._count == 0:
+                q = int(queries.shape[0])
+                return (np.full((q, k), -np.inf, np.float32),
+                        np.full((q, k), -1, np.int32))
+            vals, idxs = _masked_topk(self._buf, jnp.asarray(queries),
+                                      self._live_mask(),
+                                      jnp.int32(self._count), k)
+            ids_h = np.asarray(self._ids)  # _ids is donated too
         vals_h = np.asarray(vals)
         idx_h = np.asarray(idxs)
-        ids_h = np.asarray(self._ids)
         out_ids = np.where(idx_h >= 0, ids_h[np.clip(idx_h, 0, None)], -1)
         out_ids = np.where(np.isneginf(vals_h), -1, out_ids)
         return vals_h, out_ids
 
     # -- persistence ------------------------------------------------------
     def state(self) -> dict:
-        self.compact()
-        return {
-            "vectors": np.asarray(self._buf[: self._count]),
-            "ids": np.asarray(self._ids[: self._count]),
-            "dim": self.dim,
-        }
+        with self._lock:
+            self._compact_locked()
+            return {
+                "vectors": np.asarray(self._buf[: self._count]),
+                "ids": np.asarray(self._ids[: self._count]),
+                "dim": self.dim,
+            }
 
     @classmethod
     def from_state(cls, state: dict, *, dtype=jnp.float32) -> "VectorSegment":

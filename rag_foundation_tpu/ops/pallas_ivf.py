@@ -6,13 +6,24 @@ INVERTED — for each list, the (capacity-bounded) set of queries probing
 it is gathered host-of-kernel-side into ``qdisp [nlist, qcap, d]``, and
 this kernel scans each list exactly once per batch:
 
-    grid cell l:  scores = qdisp[l] @ list_vecs[l].T   (MXU)
-                  mask dead rows / dead query slots
-                  per-row top-p extraction             (VPU, p passes)
+    grid cell (l, cb):  scores = qdisp[l] @ list_chunk[l, cb].T   (MXU)
+                        mask dead rows
+                        per-SUB-BLOCK top-p extraction            (VPU)
 
-Corpus reads are therefore sequential and each padded list is read at
-most once per batch — the scan is MXU/HBM-roofline bound like the flat
-kernel, but over ~nprobe/nlist of the data.
+Corpus reads are sequential and each padded list is read at most once
+per batch — the scan runs at the MXU/HBM roofline, over ~nprobe/nlist of
+the data. The cap dimension is blocked (``cap_block``) so list chunks
+stream through VMEM with tight double-buffering while the (small) qdisp
+block is revisited.
+
+Per-sub-block (128-lane) top-p instead of per-list: clustered corpora
+co-locate a query's whole top-k inside one list, so per-list top-p would
+cap recall at p; sub-block extraction costs the same p passes.
+
+Dead QUERY slots are deliberately NOT masked — their rows produce
+garbage candidates that the per-query regather never reads (slot == -1),
+saving a [qcap, cap] select per chunk. Dead CORPUS slots must be masked
+(zero vectors score 0, which can outrank negative true scores).
 
 Supports bf16/f32 and int8 (int8 x int8 -> int32 MXU path; scores scaled
 back to f32 with the per-tensor scales).
@@ -31,12 +42,13 @@ NEG_INF = float("-inf")
 SUB = 128  # sub-block width (one lane register)
 
 
-def _ivf_scan_kernel(scale_ref, qdisp_ref, lists_ref, ids_ref, disp_ref,
-                     vals_ref, idx_ref, *, p: int, cap_len: int,
-                     int8_mode: bool):
+def _ivf_scan_kernel(scale_ref, qdisp_ref, lists_ref, ids_ref,
+                     vals_ref, idx_ref, *, p: int, cap_block: int,
+                     cap_len: int, int8_mode: bool):
     li = pl.program_id(0)
+    cb = pl.program_id(1)
     q = qdisp_ref[0]          # [qcap, d]
-    c = lists_ref[0]          # [cap_len, d]
+    c = lists_ref[0]          # [cap_block, d]
     acc = jnp.int32 if int8_mode else jnp.float32
     scores = jax.lax.dot_general(
         q, c, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -45,44 +57,42 @@ def _ivf_scan_kernel(scale_ref, qdisp_ref, lists_ref, ids_ref, disp_ref,
         scores = scores * scale_ref[0, 0]
 
     qcap = scores.shape[0]
-    # masks computed natively 2D: Mosaic cannot reshape 1-bit vectors
-    live_col = ids_ref[0] >= 0        # [1, cap_len]
-    live_row = disp_ref[0] >= 0       # [qcap, 1]
-    scores = jnp.where(live_col & live_row, scores, NEG_INF)
+    # dead-slot mask only (see module docstring); natively 2D — Mosaic
+    # cannot reshape 1-bit vectors
+    live_col = ids_ref[0] >= 0        # [1, cap_block]
+    scores = jnp.where(live_col, scores, NEG_INF)
 
-    # Per-SUB-BLOCK top-p: clustered corpora co-locate a query's whole
-    # top-k inside one list, so per-list top-p would cap recall at p.
-    # Splitting the list into 128-lane sub-blocks spreads co-located
-    # neighbors (in-list order is insertion order) across sub-blocks;
-    # p passes cost the same VPU work as over the flat width.
-    nsub = cap_len // SUB
+    nsub = cap_block // SUB
     s = scores.reshape(qcap, nsub, SUB)
     col = jax.lax.broadcasted_iota(jnp.int32, (qcap, nsub, SUB), 2)
-    base = li * cap_len + jax.lax.broadcasted_iota(
+    base = li * cap_len + cb * cap_block + jax.lax.broadcasted_iota(
         jnp.int32, (qcap, nsub), 1) * SUB
     vals_cols, idx_cols = [], []
     for j in range(p):
-        m = jnp.max(s, axis=2)                       # [qcap, nsub]
+        m = jnp.max(s, axis=2)                        # [qcap, nsub]
         am = jnp.argmax(s, axis=2).astype(jnp.int32)  # first max wins ties
         vals_cols.append(m)
         idx_cols.append(base + am)
         if j + 1 < p:
             s = jnp.where(col == am[:, :, None], NEG_INF, s)
     # pass-major layout: ties prefer earlier passes (higher scores first)
-    vals = jnp.concatenate(vals_cols, axis=1)        # [qcap, nsub*p]
+    vals = jnp.concatenate(vals_cols, axis=1)         # [qcap, nsub*p]
     idxs = jnp.concatenate(idx_cols, axis=1)
-    vals_ref[0] = vals
-    idx_ref[0] = jnp.where(vals == NEG_INF, -1, idxs)
+    vals_ref[0, 0] = vals
+    idx_ref[0, 0] = jnp.where(vals == NEG_INF, -1, idxs)
 
 
-@functools.partial(jax.jit, static_argnames=("p", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("p", "cap_block", "interpret"))
 def ivf_list_scan(
     qdisp: jnp.ndarray,       # [nlist, qcap, d] same dtype as lists
     lists: jnp.ndarray,       # [nlist, cap_len, d]
     row_ids: jnp.ndarray,     # [nlist, cap_len] int32 (-1 dead)
-    dispatch: jnp.ndarray,    # [nlist, qcap] int32 query ids (-1 dead)
+    dispatch: jnp.ndarray,    # [nlist, qcap] int32 query ids (unused in
+                              # the kernel; kept for interface stability)
     *,
     p: int = 2,
+    cap_block: int | None = None,
     scale: jnp.ndarray | float = 1.0,
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -92,39 +102,51 @@ def ivf_list_scan(
     """
     nlist, qcap, d = qdisp.shape
     cap_len = lists.shape[1]
-    width = (cap_len // SUB) * p
     int8_mode = lists.dtype == jnp.int8
     scale_arr = jnp.asarray(scale, jnp.float32).reshape(1)
 
-    kernel = functools.partial(_ivf_scan_kernel, p=p, cap_len=cap_len,
-                               int8_mode=int8_mode)
+    if cap_block is None:
+        # ~1-2 MB list chunks stream well through VMEM
+        cap_block = min(cap_len, 1536 if int8_mode else 512)
+    while cap_len % cap_block or cap_block % SUB:
+        cap_block -= SUB
+    cap_block = max(cap_block, SUB)
+    n_cb = cap_len // cap_block
+    width_cell = (cap_block // SUB) * p
+
+    kernel = functools.partial(_ivf_scan_kernel, p=p, cap_block=cap_block,
+                               cap_len=cap_len, int8_mode=int8_mode)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(nlist,),
+        grid=(nlist, n_cb),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda l: (0, 0),
+            pl.BlockSpec((1, 1), lambda l, cb: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, qcap, d), lambda l: (l, 0, 0)),
-            pl.BlockSpec((1, cap_len, d), lambda l: (l, 0, 0)),
-            # shapes chosen so trailing block dims are full-size
+            pl.BlockSpec((1, qcap, d), lambda l, cb: (l, 0, 0)),
+            pl.BlockSpec((1, cap_block, d), lambda l, cb: (l, cb, 0)),
+            # row_ids: trailing block dims full-size via singleton middle
             # (Mosaic requires last-two dims (8,128)-aligned or full)
-            pl.BlockSpec((1, 1, cap_len), lambda l: (l, 0, 0)),
-            pl.BlockSpec((1, qcap, 1), lambda l: (l, 0, 0)),
+            pl.BlockSpec((1, 1, cap_block), lambda l, cb: (l, 0, cb)),
         ],
         out_specs=[
-            pl.BlockSpec((1, qcap, width), lambda l: (l, 0, 0)),
-            pl.BlockSpec((1, qcap, width), lambda l: (l, 0, 0)),
+            # 4D [nlist, n_cb, qcap, w]: trailing block dims full-size
+            pl.BlockSpec((1, 1, qcap, width_cell),
+                         lambda l, cb: (l, cb, 0, 0)),
+            pl.BlockSpec((1, 1, qcap, width_cell),
+                         lambda l, cb: (l, cb, 0, 0)),
         ],
     )
     vals, idxs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((nlist, qcap, width), jnp.float32),
-            jax.ShapeDtypeStruct((nlist, qcap, width), jnp.int32),
+            jax.ShapeDtypeStruct((nlist, n_cb, qcap, width_cell),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((nlist, n_cb, qcap, width_cell),
+                                 jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
+            dimension_semantics=("parallel", "parallel"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * nlist * qcap * cap_len * d,
@@ -132,6 +154,10 @@ def ivf_list_scan(
             + qdisp.size * qdisp.dtype.itemsize,
             transcendentals=0),
         interpret=interpret,
-    )(scale_arr.reshape(1, 1), qdisp, lists,
-      row_ids[:, None, :], dispatch[:, :, None])
+    )(scale_arr.reshape(1, 1), qdisp, lists, row_ids[:, None, :])
+    # [nlist, n_cb, qcap, w] -> [nlist, qcap, n_cb*w]
+    vals = vals.transpose(0, 2, 1, 3).reshape(nlist, qcap,
+                                              n_cb * width_cell)
+    idxs = idxs.transpose(0, 2, 1, 3).reshape(nlist, qcap,
+                                              n_cb * width_cell)
     return vals, idxs

@@ -115,3 +115,66 @@ def test_quantize_roundtrip():
     rec = dequantize_int8(q, scale)
     err = np.abs(np.asarray(rec) - np.asarray(x)).max()
     assert err <= float(scale) * 0.51
+
+
+def test_ivf_list_scan_cap_block_invariant():
+    """Blocking the cap dimension must not change results."""
+    import jax
+    from rag_foundation_tpu.ops.pallas_ivf import ivf_list_scan
+    rng = np.random.default_rng(11)
+    nlist, cap, d, qcap = 8, 512, 32, 8
+    lists = jnp.asarray(rng.standard_normal((nlist, cap, d)), jnp.float32)
+    row_ids = jnp.asarray(
+        np.where(rng.random((nlist, cap)) < 0.9,
+                 rng.integers(0, 10_000, (nlist, cap)), -1), jnp.int32)
+    dispatch = jnp.asarray(rng.integers(-1, 16, (nlist, qcap)), jnp.int32)
+    qdisp = jnp.asarray(rng.standard_normal((nlist, qcap, d)), jnp.float32)
+    a = ivf_list_scan(qdisp, lists, row_ids, dispatch, p=2,
+                      cap_block=512, interpret=True)
+    b = ivf_list_scan(qdisp, lists, row_ids, dispatch, p=2,
+                      cap_block=128, interpret=True)
+    # candidate SETS per (list, slot) must match (layout order differs)
+    av, ai = np.asarray(a[0]), np.asarray(a[1])
+    bv, bi = np.asarray(b[0]), np.asarray(b[1])
+    assert av.shape == bv.shape
+    for l in range(nlist):
+        for s in range(qcap):
+            assert set(ai[l, s]) == set(bi[l, s])
+            np.testing.assert_allclose(sorted(av[l, s]), sorted(bv[l, s]),
+                                       rtol=1e-5)
+
+
+def test_engine_concurrent_ingest_and_search():
+    """Searches racing ingestion never crash or return foreign chunks
+    (structural race prevention, SURVEY.md §5)."""
+    import threading
+    from rag_foundation_tpu.engine import Engine, EngineConfig
+    e = Engine(EngineConfig(dim=64, chunk_tokens=20, chunk_overlap=4))
+    e.create_store("s")
+    e.ingest_document("s", "seed", "seed.txt",
+                      "penguins antarctica seabirds " * 30)
+    stop = threading.Event()
+    errors = []
+
+    def ingester():
+        i = 0
+        while not stop.is_set():
+            try:
+                e.ingest_document("s", f"d{i % 3}", f"d{i % 3}.txt",
+                                  f"document number {i} text body " * 20)
+                i += 1
+            except Exception as exc:  # noqa: BLE001
+                errors.append(exc)
+                return
+
+    t = threading.Thread(target=ingester)
+    t.start()
+    try:
+        for _ in range(30):
+            hits = e.search(["s"], "penguins antarctica", k=3)
+            for h in hits:
+                assert h.text  # metadata always consistent
+    finally:
+        stop.set()
+        t.join(10)
+    assert not errors
