@@ -23,7 +23,7 @@ from pathlib import Path
 
 import numpy as np
 
-from rag_foundation_tpu.engine.chunker import Chunk, chunk_text
+from rag_foundation_tpu.engine.chunker import chunk_text
 from rag_foundation_tpu.engine.index import StoreIndex
 from rag_foundation_tpu.models.hash_encoder import HashingEncoder
 

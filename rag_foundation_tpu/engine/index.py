@@ -22,7 +22,6 @@ import numpy as np
 from rag_foundation_tpu.engine.ivf import (IVFFlatIndex, build_ivf_flat,
                                            ivf_search)
 from rag_foundation_tpu.engine.segments import VectorSegment
-from rag_foundation_tpu.ops.topk import merge_topk
 
 
 def _on_cpu() -> bool:
