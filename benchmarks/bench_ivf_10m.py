@@ -55,7 +55,7 @@ def main():
 
     n, d, nlist = args.n, args.d, args.nlist
     mean_len = n / nlist
-    cap_len = int(-(-(mean_len * 1.18) // 512) * 512)
+    cap_len = int(-(-(mean_len * 1.18) // 128) * 128)
     log(f"n={n} nlist={nlist} cap_len={cap_len} "
         f"padded={nlist*cap_len/1e6:.1f}M rows "
         f"({nlist*cap_len*d/2**30:.1f} GiB int8)")

@@ -29,8 +29,7 @@ from rag_foundation_tpu.ops.kmeans import assign_clusters, kmeans_fit
 from rag_foundation_tpu.ops.pallas_ivf import ivf_list_scan
 from rag_foundation_tpu.ops.quantize import quantize_int8
 
-LBLOCK = 512  # list capacity granularity (4x128 lanes: keeps
-              # cap_len divisible by efficient kernel chunk sizes)
+LBLOCK = 128  # list capacity granularity (lane alignment)
 
 
 class IVFFlatIndex(NamedTuple):
