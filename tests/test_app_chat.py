@@ -249,3 +249,46 @@ def test_document_filter_restricts_citations(tmp_path):
                     json_body={"question": "hi", "store_ids": [store["id"]],
                                "document_ids": [99999]})
     assert r.status_code == 404
+
+
+def test_mid_stream_budget_cutoff(tmp_path):
+    """A stream whose accruing cost crosses the remaining budget is cut
+    with a budget_exceeded frame (reference: chat.py:1036-1049)."""
+    from tests.app_helpers import make_settings
+    from rag_foundation_tpu.app.main import build_context, create_app
+    from rag_foundation_tpu.runtime.http import TestClient
+    from rag_foundation_tpu.app.services.rag import StreamResult
+
+    settings = make_settings(
+        tmp_path, MOCK_MODE=True, BUDGET_HOLD_USD="0",
+        MODEL_PRICING={"ragtpu-retrieval-v1":
+                       {"input": "0", "output": "2000"},
+                       "INDEX": {"input": "0", "output": "0"}})
+    ctx = build_context(settings)
+    client = TestClient(create_app(ctx, start_worker=False))
+    headers = signup(client)
+    store = create_store(client, headers)
+    uid = ctx.db.one("SELECT id FROM users")["id"]
+    ctx.db.execute("INSERT INTO budgets(user_id, monthly_usd, updated_at)"
+                   " VALUES(?, '0.01', 0)", (uid,))
+
+    def long_ask_stream(question, keys, **kw):
+        result = StreamResult(prompt_tokens=1)
+
+        def gen():
+            for i in range(5000):
+                yield f"word{i} "
+        return gen(), result
+
+    ctx.rag.ask_stream = long_ask_stream
+    r = client.post("/api/chat", headers=headers,
+                    json_body={"question": "hi", "store_ids": [store["id"]]})
+    events = _events(r)
+    types = [e["type"] for e in events]
+    assert "budget_exceeded" in types
+    assert types[-1] == "[DONE]"
+    # ledger row marks the cut
+    row = ctx.db.one("SELECT status FROM query_log WHERE model != 'INDEX'")
+    assert row["status"] == "over_budget"
+    # partial deltas were streamed before the cut
+    assert any(t == "text-delta" for t in types)
