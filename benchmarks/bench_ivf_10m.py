@@ -171,8 +171,8 @@ def main():
     rtt = (time.perf_counter() - t0) / 3
     log(f"RTT {rtt*1000:.1f} ms")
 
-    def measure(nprobe, qcap, p, q_batch):
-        kw = dict(nprobe=nprobe, p=p, qcap=qcap)
+    def measure(nprobe, qcap, p, q_batch, approx=False):
+        kw = dict(nprobe=nprobe, p=p, qcap=qcap, approx_select=approx)
         vv, ii, dd = ivf_search(index, q_batch, args.k, **kw)
         _ = np.asarray(vv)
         reps = 10
@@ -181,7 +181,8 @@ def main():
             vv, ii, dd = ivf_search(index, q_batch, args.k, **kw)
         _ = np.asarray(vv)
         per = (time.perf_counter() - t0 - rtt) / reps
-        log(f"ivf nprobe={nprobe} qcap={qcap} p={p} Q={q_batch.shape[0]}:"
+        log(f"ivf nprobe={nprobe} qcap={qcap} p={p} Q={q_batch.shape[0]}"
+            f" approx={approx}:"
             f" {per*1000:.2f} ms -> {q_batch.shape[0]/per:.0f} QPS"
             f" (drops {int(dd)})")
         return per, ii
@@ -193,6 +194,9 @@ def main():
             measure(np_, qc, p_, q_dev)
         measure(64, 64, 2, q2)
         measure(32, 32, 2, q2)
+        measure(32, 16, 2, q_dev, approx=True)
+        _, ii_a = measure(32, 16, 2, q_dev, approx=True)
+        globals()["_approx_ids"] = ii_a
 
     kw = dict(nprobe=args.nprobe, p=args.p, qcap=args.qcap)
     vals, ids, dropped = ivf_search(index, q_dev, args.k, **kw)

@@ -99,11 +99,12 @@ def build_ivf_flat(
         n=n)
 
 
-@functools.partial(jax.jit, static_argnames=("nprobe", "qcap"))
+@functools.partial(jax.jit, static_argnames=("nprobe", "qcap", "approx"))
 def build_dispatch(
     coarse_scores: jnp.ndarray,   # [Q, nlist] f32
     nprobe: int,
     qcap: int,
+    approx: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Invert per-query probe lists into per-list query slots.
 
@@ -113,7 +114,13 @@ def build_dispatch(
     its i-th probed list (-1 if dropped by capacity).
     """
     q_n, nlist = coarse_scores.shape
-    _, probe_lists = jax.lax.top_k(coarse_scores, nprobe)  # [Q, nprobe]
+    if approx:
+        # TPU-native approximate top-k (avoids a full sort over nlist);
+        # coarse routing tolerates slight probe-set perturbation
+        _, probe_lists = jax.lax.approx_max_k(coarse_scores, nprobe)
+        probe_lists = probe_lists.astype(jnp.int32)
+    else:
+        _, probe_lists = jax.lax.top_k(coarse_scores, nprobe)
 
     flat_l = probe_lists.reshape(-1)
     flat_q = jnp.repeat(jnp.arange(q_n, dtype=jnp.int32), nprobe)
@@ -140,7 +147,8 @@ def build_dispatch(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "nprobe", "p", "qcap", "interpret"))
+    jax.jit, static_argnames=("k", "nprobe", "p", "qcap",
+                              "approx_select", "interpret"))
 def ivf_search(
     index: IVFFlatIndex,
     queries: jnp.ndarray,     # [Q, d] float
@@ -149,6 +157,7 @@ def ivf_search(
     nprobe: int = 64,
     p: int = 2,
     qcap: int | None = None,
+    approx_select: bool = False,
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """IVF top-k. Returns (values [Q,k] f32, row_ids [Q,k] int32 global
@@ -164,7 +173,7 @@ def ivf_search(
     coarse = jnp.dot(q32, index.centroids.T,
                      preferred_element_type=jnp.float32)
     probe_lists, dispatch, slot, dropped = build_dispatch(
-        coarse, nprobe, qcap)
+        coarse, nprobe, qcap, approx=approx_select)
 
     # gather dispatched queries (XLA gather; [nlist, qcap, d])
     safe_q = jnp.clip(dispatch, 0, q_n - 1)
@@ -192,7 +201,11 @@ def ivf_search(
 
     cand_vals = cand_vals.reshape(q_n, nprobe * w)
     cand_idx = cand_idx.reshape(q_n, nprobe * w)
-    top_vals, pos = jax.lax.top_k(cand_vals, k)
+    if approx_select:
+        top_vals, pos = jax.lax.approx_max_k(cand_vals, k)
+        pos = pos.astype(jnp.int32)
+    else:
+        top_vals, pos = jax.lax.top_k(cand_vals, k)
     top_flat = jnp.take_along_axis(cand_idx, pos, axis=-1)
     # flat corpus position -> original row id
     safe_flat = jnp.clip(top_flat, 0, index.nlist * index.cap_len - 1)
