@@ -39,6 +39,7 @@ def main():
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--p", type=int, default=2)
     ap.add_argument("--gt_sub", type=int, default=128)
+    ap.add_argument("--approx", action="store_true")
     ap.add_argument("--chunk", type=int, default=524_288)
     ap.add_argument("--noise", type=float, default=0.5,
                     help="cluster noise as a NORM ratio vs the center")
@@ -198,11 +199,13 @@ def main():
         _, ii_a = measure(32, 16, 2, q_dev, approx=True)
         globals()["_approx_ids"] = ii_a
 
-    kw = dict(nprobe=args.nprobe, p=args.p, qcap=args.qcap)
+    kw = dict(nprobe=args.nprobe, p=args.p, qcap=args.qcap,
+              approx_select=args.approx)
     vals, ids, dropped = ivf_search(index, q_dev, args.k, **kw)
     _ = np.asarray(vals)
     log(f"probe drops: {int(dropped)}")
-    per, ids = measure(args.nprobe, args.qcap, args.p, q_dev)
+    per, ids = measure(args.nprobe, args.qcap, args.p, q_dev,
+                       approx=args.approx)
     qps = args.q / per
     log(f"ivf_search: {per*1000:.2f} ms/batch -> {qps:.0f} QPS")
 

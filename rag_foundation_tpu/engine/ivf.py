@@ -201,11 +201,9 @@ def ivf_search(
 
     cand_vals = cand_vals.reshape(q_n, nprobe * w)
     cand_idx = cand_idx.reshape(q_n, nprobe * w)
-    if approx_select:
-        top_vals, pos = jax.lax.approx_max_k(cand_vals, k)
-        pos = pos.astype(jnp.int32)
-    else:
-        top_vals, pos = jax.lax.top_k(cand_vals, k)
+    # final selection stays exact — approx_max_k here would directly
+    # lose true top-k members; the big win is the coarse routing sort
+    top_vals, pos = jax.lax.top_k(cand_vals, k)
     top_flat = jnp.take_along_axis(cand_idx, pos, axis=-1)
     # flat corpus position -> original row id
     safe_flat = jnp.clip(top_flat, 0, index.nlist * index.cap_len - 1)

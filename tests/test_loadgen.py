@@ -1,0 +1,65 @@
+"""Load generator end-to-end over a live socket server (short burst)."""
+
+import asyncio
+import random
+import threading
+from pathlib import Path
+
+from rag_foundation_tpu.benchmark.loadgen import _Stats, _user_loop
+from rag_foundation_tpu.benchmark.runner import ApiClient
+from rag_foundation_tpu.runtime.http import serve
+from tests.app_helpers import make_settings
+
+
+def test_loadgen_mixed_traffic(tmp_path):
+    from rag_foundation_tpu.app.main import build_context, create_app
+
+    settings = make_settings(tmp_path)
+    ctx = build_context(settings)
+    app = create_app(ctx, start_worker=True)
+    ready = threading.Event()
+    holder = {}
+
+    def run():
+        async def main():
+            stop = asyncio.Event()
+            holder["stop"], holder["loop"] = stop, asyncio.get_running_loop()
+            aready = asyncio.Event()
+
+            async def flag():
+                await aready.wait()
+                ready.set()
+            task = asyncio.create_task(flag())
+            await serve(app, "127.0.0.1", 8801, ready=aready, stop=stop)
+            task.cancel()
+        asyncio.run(main())
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    assert ready.wait(15)
+    try:
+        client = ApiClient.from_credentials(
+            "http://127.0.0.1:8801", "load@example.com", "Load-Passw0rd-1",
+            register=True)
+        store = client.ensure_store("load-test")
+        stats = _Stats()
+        stop = threading.Event()
+        users = [threading.Thread(
+            target=_user_loop,
+            args=(client, store["id"], stop, stats,
+                  random.Random(i), Path(tmp_path)))
+            for i in range(3)]
+        for u in users:
+            u.start()
+        import time
+        time.sleep(4)
+        stop.set()
+        for u in users:
+            u.join(30)
+        total = sum(len(v) for v in stats.latencies.values())
+        errors = sum(stats.errors.values())
+        assert total >= 3, (stats.latencies, stats.errors)
+        assert errors == 0, stats.errors
+    finally:
+        holder["loop"].call_soon_threadsafe(holder["stop"].set)
+        th.join(10)
