@@ -1,0 +1,126 @@
+"""Sharded IVF: posting lists partitioned across chips, ICI top-k merge.
+
+BASELINE config 5 (100M x 768 on v5e-8): each chip owns ``nlist/n_shards``
+posting lists (coarse centroids row-sharded with them), so both the
+coarse routing and the list scans are fully local; only the per-chip
+``[Q, k]`` candidate sets cross ICI (one ``all_gather`` + local merge).
+
+Probe semantics: each shard probes its local top-``nprobe_local`` lists.
+With balanced k-means this upper-bounds global-nprobe recall when
+``nprobe_local = ceil(nprobe / n_shards)`` per shard probes at least the
+lists a global router would have chosen on that shard — the union over
+shards always covers the global top-``nprobe`` (every globally-chosen
+list is also among its own shard's best). Total scanned work matches the
+single-chip configuration at ``nprobe = n_shards * nprobe_local``.
+
+Pallas kernels run inside ``shard_map`` on each chip's local partition;
+tested on the virtual CPU mesh with kernel interpret mode.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rag_foundation_tpu.engine.ivf import IVFFlatIndex, build_dispatch
+from rag_foundation_tpu.ops.pallas_ivf import ivf_list_scan
+
+
+def shard_ivf_index(index: IVFFlatIndex, mesh: Mesh) -> IVFFlatIndex:
+    """Re-place an IVF index with its list dimension sharded over the
+    mesh "shard" axis (centroids/lists/row_ids together)."""
+    n_shards = mesh.shape["shard"]
+    if index.nlist % n_shards:
+        raise ValueError(f"nlist {index.nlist} must divide by "
+                         f"{n_shards} shards")
+    row = NamedSharding(mesh, P("shard", None))
+    row3 = NamedSharding(mesh, P("shard", None, None))
+    repl = NamedSharding(mesh, P())
+    return IVFFlatIndex(
+        centroids=jax.device_put(index.centroids, row),
+        lists=jax.device_put(index.lists, row3),
+        row_ids=jax.device_put(index.row_ids, row),
+        scale=jax.device_put(index.scale, repl),
+        n=index.n)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "nprobe_local", "p", "qcap", "mesh", "interpret"))
+def sharded_ivf_search(
+    index: IVFFlatIndex,      # list-dim sharded (shard_ivf_index)
+    queries: jnp.ndarray,     # [Q, d] replicated
+    k: int,
+    *,
+    mesh: Mesh,
+    nprobe_local: int = 8,
+    p: int = 2,
+    qcap: int | None = None,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns replicated ``(values [Q, k], global row ids [Q, k])``."""
+    n_shards = mesh.shape["shard"]
+    nlist_local = index.nlist // n_shards
+    cap_len = index.cap_len
+    q_n = queries.shape[0]
+    if qcap is None:
+        qcap = max(8, int(-(-(q_n * nprobe_local * 2)
+                           // nlist_local // 8) * 8))
+
+    def local(q, cents, lists, row_ids, scale):
+        sid = jax.lax.axis_index("shard")
+        q32 = q.astype(jnp.float32)
+        coarse = jnp.dot(q32, cents.T, preferred_element_type=jnp.float32)
+        probe_lists, dispatch, slot, _ = build_dispatch(
+            coarse, min(nprobe_local, nlist_local), qcap)
+        safe_q = jnp.clip(dispatch, 0, q_n - 1)
+        if lists.dtype == jnp.int8:
+            qq = jnp.clip(jnp.round(q32 / scale), -127, 127
+                          ).astype(jnp.int8)
+            qdisp = qq[safe_q]
+            scan_scale = scale * scale
+        else:
+            qdisp = q.astype(lists.dtype)[safe_q]
+            scan_scale = jnp.float32(1.0)
+        vals, flat_idx = ivf_list_scan(qdisp, lists, row_ids, dispatch,
+                                       p=p, scale=scan_scale,
+                                       interpret=interpret)
+        w = vals.shape[-1]
+        safe_slot = jnp.clip(slot, 0, qcap - 1)
+        cand_vals = vals[probe_lists, safe_slot]
+        cand_idx = flat_idx[probe_lists, safe_slot]
+        valid = (slot >= 0)[:, :, None]
+        cand_vals = jnp.where(valid, cand_vals, -jnp.inf)
+        cand_idx = jnp.where(valid, cand_idx, -1)
+        np_l = probe_lists.shape[1]
+        cand_vals = cand_vals.reshape(q_n, np_l * w)
+        cand_idx = cand_idx.reshape(q_n, np_l * w)
+        top_vals, pos = jax.lax.top_k(cand_vals, k)
+        top_flat = jnp.take_along_axis(cand_idx, pos, axis=-1)
+        # local flat index -> local row id -> global row space is the
+        # caller's (row_ids already carry global ids)
+        safe_flat = jnp.clip(top_flat, 0, nlist_local * cap_len - 1)
+        rows = row_ids.reshape(-1)[safe_flat]
+        rows = jnp.where((top_flat >= 0) & jnp.isfinite(top_vals), rows, -1)
+        top_vals = jnp.where(rows >= 0, top_vals, -jnp.inf)
+        # ICI merge: gather every shard's [Q, k] candidates
+        all_vals = jax.lax.all_gather(top_vals, "shard")   # [S, Q, k]
+        all_rows = jax.lax.all_gather(rows, "shard")
+        cat_vals = all_vals.transpose(1, 0, 2).reshape(q_n, n_shards * k)
+        cat_rows = all_rows.transpose(1, 0, 2).reshape(q_n, n_shards * k)
+        m_vals, m_pos = jax.lax.top_k(cat_vals, k)
+        m_rows = jnp.take_along_axis(cat_rows, m_pos, axis=-1)
+        del sid
+        return m_vals, m_rows
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P("shard", None), P("shard", None, None),
+                  P("shard", None), P()),
+        out_specs=(P(), P()), check_vma=False)
+    return fn(queries, index.centroids, index.lists, index.row_ids,
+              index.scale)
