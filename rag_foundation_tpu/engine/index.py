@@ -19,8 +19,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import threading
+
 from rag_foundation_tpu.engine.ivf import (IVFFlatIndex, build_ivf_flat,
-                                           ivf_search)
+                                           ivf_append, ivf_search)
 from rag_foundation_tpu.engine.segments import VectorSegment
 
 
@@ -43,6 +45,9 @@ class StoreIndex:
         self.build_threshold = build_threshold
         self.seed = seed
         self.mesh = mesh  # multi-chip: shard the exact tier over the mesh
+        # serializes body mutation vs body reads: appends donate the body
+        # buffers, which would delete arrays a racing search still holds
+        self._body_lock = threading.RLock()
         self.tail = self._new_tail()
         self.body: IVFFlatIndex | None = None
         self.body_chunk_ids: np.ndarray | None = None  # row -> chunk id
@@ -63,7 +68,37 @@ class StoreIndex:
 
     def add(self, vecs: np.ndarray, ids: np.ndarray) -> None:
         self.tail.add(vecs, ids)
-        if self.mode != "exact" and self.tail.count >= self.build_threshold:
+        if self.mode == "exact":
+            return
+        if self.body is None:
+            if self.tail.count >= self.build_threshold:
+                self.rebuild()
+        elif self.tail.count >= max(1024, self.build_threshold // 8):
+            self._flush_tail_to_body()
+
+    def _flush_tail_to_body(self) -> None:
+        """Streaming insert: append the tail into the existing IVF body
+        (no retrain/relayout); capacity overflow triggers a full rebuild
+        (which retrains the coarse quantizer and resizes lists)."""
+        st = self.tail.state()
+        if not len(st["ids"]):
+            return
+        row_base = len(self.body_chunk_ids)
+        new_rows = np.arange(row_base, row_base + len(st["ids"]),
+                             dtype=np.int32)
+        with self._body_lock:
+            new_body, overflow = ivf_append(
+                self.body, jnp.asarray(st["vectors"], jnp.float32),
+                new_rows)
+            # publish ids first: a racing search on the OLD body only
+            # references old rows, all < the extended id table
+            self.body_chunk_ids = np.concatenate(
+                [self.body_chunk_ids, np.asarray(st["ids"], np.int64)])
+            self.body = new_body
+        self.tail = self._new_tail()
+        if overflow:
+            # overflowed rows were dropped by the scatter; a rebuild
+            # re-places every live vector with fresh capacity
             self.rebuild()
 
     def delete_ids(self, ids: set[int]) -> None:
@@ -97,11 +132,12 @@ class StoreIndex:
         nlist = max(8, min(self.nlist, n // 64 or 8))
         new_body = build_ivf_flat(
             jnp.asarray(vecs), nlist, key=jax.random.key(self.seed),
-            int8=self.mode.endswith("int8"))
+            int8=self.mode.endswith("int8"), capacity_slack=1.5)
         # publish body+ids together, THEN swap the tail; a racing search
         # may briefly see rows in both (deduped at merge), never neither
-        self.body_chunk_ids = cids
-        self.body = new_body
+        with self._body_lock:
+            self.body_chunk_ids = cids
+            self.body = new_body
         self.tail = self._new_tail()
         self._dead.clear()  # rebuild compacted all tombstones away
 
@@ -126,10 +162,11 @@ class StoreIndex:
         if self.body is None:
             return t_vals, t_ids
         fetch = min(k + len(self._dead), k * 4 + 16)
-        b_vals, b_rows, _ = ivf_search(
-            self.body, jnp.asarray(queries), fetch,
-            nprobe=min(self.nprobe, self.body.nlist),
-            p=min(4, fetch), interpret=_on_cpu())
+        with self._body_lock:
+            b_vals, b_rows, _ = ivf_search(
+                self.body, jnp.asarray(queries), fetch,
+                nprobe=min(self.nprobe, self.body.nlist),
+                p=min(4, fetch), interpret=_on_cpu())
         b_vals = np.asarray(b_vals)
         b_rows = np.asarray(b_rows)
         # row -> chunk id, tombstone filter

@@ -57,6 +57,7 @@ def build_ivf_flat(
     sample: int | None = None,
     dtype: jnp.dtype | None = None,
     int8: bool = False,
+    capacity_slack: float = 1.0,
 ) -> IVFFlatIndex:
     """Train + populate an IVF-Flat index from ``vectors [N, d]``."""
     n, d = vectors.shape
@@ -69,7 +70,10 @@ def build_ivf_flat(
     # host-side layout (build path; one-time cost)
     assign_h = np.asarray(assign)
     counts = np.bincount(assign_h, minlength=nlist)
-    cap_len = max(LBLOCK, int(-(-counts.max() // LBLOCK) * LBLOCK))
+    # capacity_slack > 1 leaves headroom for streaming appends
+    # (ivf_append) before a rebuild becomes necessary
+    need = int(counts.max() * capacity_slack)
+    cap_len = max(LBLOCK, int(-(-need // LBLOCK) * LBLOCK))
 
     order = np.argsort(assign_h, kind="stable")
     sorted_assign = assign_h[order]
@@ -97,6 +101,72 @@ def build_ivf_flat(
         row_ids=jnp.asarray(ids).reshape(nlist, cap_len),
         scale=jnp.asarray(scale, jnp.float32),
         n=n)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _scatter_rows(lists3d, ids2d, vecs, dest, row_ids):
+    # reshapes stay inside the jit: bitcasts on the donated buffers, so
+    # no copy of the (multi-GB) index is ever materialized
+    nlist, cap_len, d = lists3d.shape
+    flat = lists3d.reshape(nlist * cap_len, d)
+    idsf = ids2d.reshape(nlist * cap_len)
+    flat = flat.at[dest].set(vecs, mode="drop")
+    idsf = idsf.at[dest].set(row_ids, mode="drop")
+    return flat.reshape(nlist, cap_len, d), idsf.reshape(nlist, cap_len)
+
+
+def ivf_append(
+    index: IVFFlatIndex,
+    vectors: jnp.ndarray,     # [n, d] float
+    row_ids: np.ndarray,      # [n] int32 global ids
+) -> tuple[IVFFlatIndex, int]:
+    """Streaming insert: assign new vectors to existing lists and scatter
+    into free slots (donated, in-place on device). Returns the updated
+    index and the number of rows DROPPED by list-capacity overflow
+    (callers route overflow to the exact tail / trigger a rebuild).
+
+    This is the config-5 "streaming inserts" path: no retraining, no
+    relayout — identical to the bulk-build layout so queries are
+    unaffected (SURVEY.md §2.5 item 4).
+    """
+    n, d = vectors.shape
+    nlist, cap_len = index.row_ids.shape
+    assign, _ = assign_clusters(vectors.astype(jnp.float32),
+                                index.centroids)
+    assign_h = np.asarray(assign)
+    # current fill per list (host count of live slots)
+    ids_h = np.asarray(index.row_ids)
+    fill = (ids_h >= 0).sum(axis=1)
+    order = np.argsort(assign_h, kind="stable")
+    sa = assign_h[order]
+    counts = np.bincount(assign_h, minlength=nlist)
+    starts = np.zeros(nlist + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    rank = np.arange(n) - starts[sa]
+    slots = np.empty(n, np.int64)
+    slots[order] = rank + fill[sa]
+    dest = np.where(slots < cap_len,
+                    assign_h.astype(np.int64) * cap_len + slots,
+                    nlist * cap_len)  # OOB -> dropped
+    overflow = int((slots >= cap_len).sum())
+
+    if index.lists.dtype == jnp.int8:
+        vecs_dev = jnp.clip(jnp.round(vectors.astype(jnp.float32)
+                                      / index.scale), -127, 127
+                            ).astype(jnp.int8)
+    else:
+        vecs_dev = vectors.astype(index.lists.dtype)
+    lists3d, ids2d = _scatter_rows(
+        index.lists, index.row_ids,
+        vecs_dev, jnp.asarray(dest.astype(np.int32)),
+        jnp.asarray(np.asarray(row_ids, np.int32)))
+    new_index = IVFFlatIndex(
+        centroids=index.centroids,
+        lists=lists3d,
+        row_ids=ids2d,
+        scale=index.scale,
+        n=index.n + n - overflow)
+    return new_index, overflow
 
 
 @functools.partial(jax.jit, static_argnames=("nprobe", "qcap", "approx"))

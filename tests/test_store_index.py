@@ -83,3 +83,34 @@ def test_int8_mode_roundtrip_state():
     _, b = idx2.search(q, 3)
     # same top-1 for every query (int8 reconstruction is lossy but stable)
     assert list(a[:, 0]) == list(b[:, 0])
+
+
+def test_streaming_append_into_body():
+    """After the first build, inserts stream into the IVF body without a
+    full rebuild (config-5 streaming inserts at the engine level)."""
+    x = _vecs(6000, seed=5)
+    idx = StoreIndex(32, mode="ivf_flat", nlist=16, nprobe=16,
+                     build_threshold=2048)
+    idx.add(x[:2048], np.arange(2048))          # initial bulk build
+    body_before = idx.body
+    assert body_before is not None
+    centroids_before = body_before.centroids
+    # stream a batch past the flush floor (max(1024, threshold//8));
+    # 1.5x capacity slack absorbs it without retraining
+    idx.add(x[2048:3072], np.arange(2048, 3072))
+    assert idx.body is not None
+    assert idx.body.centroids is centroids_before  # NOT retrained
+    assert idx.tail.count == 0
+    assert idx.count == 3072
+    # everything findable
+    _, ids = idx.search(x[[10, 2300, 3000]], 1)
+    assert list(ids[:, 0]) == [10, 2300, 3000]
+    # deletes still work across appended rows
+    idx.delete_ids({3000})
+    _, ids2 = idx.search(x[[3000]], 2)
+    assert 3000 not in ids2
+    # a huge append that overflows capacity falls back to a full rebuild
+    idx.add(x[3072:6000], np.arange(3072, 6000))
+    assert idx.count == 5999  # id 3000 was deleted and compacted away
+    _, ids3 = idx.search(x[[5999]], 1)
+    assert ids3[0, 0] == 5999
