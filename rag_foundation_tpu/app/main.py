@@ -270,10 +270,41 @@ def main():  # pragma: no cover — production entrypoint
     parser = argparse.ArgumentParser(description="ragtpu API server")
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--workers", type=int, default=1,
+                        help="forked API processes sharing the port via"
+                        " SO_REUSEPORT (gunicorn-workers analog;"
+                        " requires sqlite KV + a persistent DB path)")
     args = parser.parse_args()
-    app = create_app()
     from rag_foundation_tpu.runtime.http import serve
-    asyncio.run(serve(app, args.host, args.port))
+    if args.workers <= 1:
+        asyncio.run(serve(create_app(), args.host, args.port))
+        return
+    import os as _os
+    import signal as _signal
+    settings = load_settings()
+    if settings.DATABASE_PATH == ":memory:" or \
+            settings.KV_BACKEND != "sqlite":
+        raise SystemExit("--workers > 1 requires RAGTPU_DATABASE_PATH to "
+                         "be a file and RAGTPU_KV_BACKEND=sqlite so "
+                         "processes share state")
+    children = []
+    for _ in range(args.workers):
+        pid = _os.fork()
+        if pid == 0:
+            # each worker builds its own app (own engine/event loop) over
+            # the shared sqlite DB/KV/queue; kernel balances accepts
+            asyncio.run(serve(create_app(), args.host, args.port,
+                              reuse_port=True))
+            _os._exit(0)
+        children.append(pid)
+
+    def _reap(*_a):
+        for pid in children:
+            _os.kill(pid, _signal.SIGTERM)
+    _signal.signal(_signal.SIGTERM, _reap)
+    _signal.signal(_signal.SIGINT, _reap)
+    for pid in children:
+        _os.waitpid(pid, 0)
 
 
 if __name__ == "__main__":  # pragma: no cover

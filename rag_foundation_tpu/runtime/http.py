@@ -382,11 +382,12 @@ async def _connection(app: App, reader: asyncio.StreamReader,
 async def serve(app: App, host: str = "127.0.0.1", port: int = 8000,
                 *, max_body: int = DEFAULT_MAX_BODY,
                 ready: asyncio.Event | None = None,
-                stop: asyncio.Event | None = None):
+                stop: asyncio.Event | None = None,
+                reuse_port: bool = False):
     await app.startup()
     server = await asyncio.start_server(
         lambda r, w: _connection(app, r, w, max_body), host, port,
-        limit=MAX_HEADER_BYTES)
+        limit=MAX_HEADER_BYTES, reuse_port=reuse_port or None)
     if ready is not None:
         ready.set()
     try:

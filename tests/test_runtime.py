@@ -278,3 +278,44 @@ def test_worker_concurrent_claims(tmp_path):
     w.stop()
     assert sorted(seen) == list(range(8))  # each exactly once
     assert q.stats().get("done") == 8
+
+
+def test_reuse_port_two_servers():
+    """Two event loops share one port via SO_REUSEPORT (multi-worker)."""
+    import http.client
+
+    apps = [_make_app(), _make_app()]
+    readies = [threading.Event(), threading.Event()]
+    holders = [{}, {}]
+
+    def run(i):
+        async def main():
+            stop = asyncio.Event()
+            holders[i]["stop"], holders[i]["loop"] = \
+                stop, asyncio.get_running_loop()
+            aready = asyncio.Event()
+
+            async def flag():
+                await aready.wait()
+                readies[i].set()
+            task = asyncio.create_task(flag())
+            await serve(apps[i], "127.0.0.1", 8821, ready=aready,
+                        stop=stop, reuse_port=True)
+            task.cancel()
+        asyncio.run(main())
+
+    threads = [threading.Thread(target=run, args=(i,), daemon=True)
+               for i in range(2)]
+    for t in threads:
+        t.start()
+    assert all(r.wait(10) for r in readies)
+    try:
+        for _ in range(6):
+            conn = http.client.HTTPConnection("127.0.0.1", 8821, timeout=10)
+            conn.request("GET", "/hello/w?x=1")
+            assert conn.getresponse().status == 200
+            conn.close()
+    finally:
+        for h, t in zip(holders, threads):
+            h["loop"].call_soon_threadsafe(h["stop"].set)
+            t.join(5)
