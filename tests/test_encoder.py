@@ -97,3 +97,25 @@ def test_minilm_encoder_protocol():
     again = enc.encode(["hello"])
     np.testing.assert_allclose(out[0], again[0], atol=2e-5)
     assert enc.encode([]).shape == (0, 64)
+
+
+def test_minilm_engine_integration():
+    """The transformer encoder drives the full engine pipeline (shapes,
+    determinism, idempotent re-ingest) even with random-init weights."""
+    from rag_foundation_tpu.engine import Engine, EngineConfig
+    e = Engine(EngineConfig(dim=64, chunk_tokens=20, chunk_overlap=4,
+                            encoder="minilm"))
+    # swap in the tiny test config to keep CPU time low
+    from rag_foundation_tpu.models.encoder import MiniLMEncoder
+    e.encoder = MiniLMEncoder(dim=64, cfg=CFG)
+    e.create_store("s")
+    text = "alpha beta gamma delta " * 40
+    stats = e.ingest_document("s", "d", "a.txt", text)
+    assert stats["chunks"] > 1
+    hits1 = e.search(["s"], "alpha beta", k=2)
+    hits2 = e.search(["s"], "alpha beta", k=2)
+    assert [(h.chunk_id, h.score) for h in hits1] == \
+           [(h.chunk_id, h.score) for h in hits2]
+    # idempotent re-ingest keeps the count stable
+    e.ingest_document("s", "d", "a.txt", text)
+    assert e.store_stats("s")["chunks"] == stats["chunks"]
