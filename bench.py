@@ -35,7 +35,7 @@ def log(msg: str) -> None:
 def run_ivf_10m() -> dict | None:
     cmd = [sys.executable, "-u",
            os.path.join(REPO, "benchmarks", "bench_ivf_10m.py"),
-           "--nprobe", "32", "--qcap", "16", "--p", "2", "--approx"]
+           "--nprobe", "32", "--qcap", "16", "--p", "3", "--approx"]
     log(f"primary: {' '.join(cmd)}")
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True,
