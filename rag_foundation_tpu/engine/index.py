@@ -31,13 +31,17 @@ def _on_cpu() -> bool:
 
 
 class StoreIndex:
-    """Mode-aware store index: 'exact' | 'ivf_flat' | 'ivf_flat_int8'."""
+    """Mode-aware store index:
+    'exact' | 'ivf_flat' | 'ivf_flat_int8' | 'ivf_pq'."""
 
     def __init__(self, dim: int, *, mode: str = "exact", nlist: int = 256,
                  nprobe: int = 32, build_threshold: int = 100_000,
-                 seed: int = 0, mesh=None):
-        if mode not in ("exact", "ivf_flat", "ivf_flat_int8"):
+                 pq_m: int = 48, seed: int = 0, mesh=None):
+        if mode not in ("exact", "ivf_flat", "ivf_flat_int8", "ivf_pq"):
             raise ValueError(f"unknown index mode {mode!r}")
+        if mode == "ivf_pq" and dim % pq_m:
+            raise ValueError(f"dim {dim} not divisible by pq_m {pq_m}")
+        self.pq_m = pq_m
         self.dim = dim
         self.mode = mode
         self.nlist = nlist
@@ -63,7 +67,8 @@ class StoreIndex:
     # -- mutation ---------------------------------------------------------
     @property
     def count(self) -> int:
-        body_n = 0 if self.body is None else len(self.body_chunk_ids)
+        body_n = 0 if self.body is None else int(
+            (self.body_chunk_ids >= 0).sum())
         return body_n + self.tail.count
 
     def add(self, vecs: np.ndarray, ids: np.ndarray) -> None:
@@ -80,6 +85,9 @@ class StoreIndex:
         """Streaming insert: append the tail into the existing IVF body
         (no retrain/relayout); capacity overflow triggers a full rebuild
         (which retrains the coarse quantizer and resizes lists)."""
+        if self.mode == "ivf_pq":
+            self.rebuild()  # PQ appends need re-encoding; rebuild for now
+            return
         st = self.tail.state()
         if not len(st["ids"]):
             return
@@ -87,18 +95,27 @@ class StoreIndex:
         new_rows = np.arange(row_base, row_base + len(st["ids"]),
                              dtype=np.int32)
         with self._body_lock:
-            new_body, overflow = ivf_append(
+            new_body, dropped = ivf_append(
                 self.body, jnp.asarray(st["vectors"], jnp.float32),
                 new_rows)
+            # Only rows that actually landed extend the id table; the
+            # scatter wrote them at exactly these row positions. Dropped
+            # (capacity-overflow) rows keep their vectors and re-enter
+            # through a fresh tail + rebuild below. Row positions of
+            # landed rows stay correct because dropped rows scattered
+            # out-of-bounds (their table slots hold a -1 sentinel no
+            # row_id references).
+            ids64 = np.asarray(st["ids"], np.int64)
+            table_ext = np.where(dropped, -1, ids64)
             # publish ids first: a racing search on the OLD body only
             # references old rows, all < the extended id table
             self.body_chunk_ids = np.concatenate(
-                [self.body_chunk_ids, np.asarray(st["ids"], np.int64)])
+                [self.body_chunk_ids, table_ext])
             self.body = new_body
         self.tail = self._new_tail()
-        if overflow:
-            # overflowed rows were dropped by the scatter; a rebuild
-            # re-places every live vector with fresh capacity
+        if dropped.any():
+            # re-add the dropped rows, then rebuild (retrains + resizes)
+            self.tail.add(st["vectors"][dropped], ids64[dropped])
             self.rebuild()
 
     def delete_ids(self, ids: set[int]) -> None:
@@ -115,10 +132,11 @@ class StoreIndex:
             parts_v.append(np.asarray(st["vectors"], np.float32))
             parts_i.append(np.asarray(st["ids"]))
         if self.body is not None:
-            keep = ~np.isin(self.body_chunk_ids,
-                            np.fromiter(self._dead, np.int64,
-                                        len(self._dead)) if self._dead
-                            else np.empty(0, np.int64))
+            keep = self.body_chunk_ids >= 0
+            if self._dead:
+                keep &= ~np.isin(self.body_chunk_ids,
+                                 np.fromiter(self._dead, np.int64,
+                                             len(self._dead)))
             body_vecs = self._body_vectors()[keep]
             parts_v.append(body_vecs)
             parts_i.append(self.body_chunk_ids[keep])
@@ -130,9 +148,18 @@ class StoreIndex:
         cids = np.concatenate(parts_i)
         n = len(cids)
         nlist = max(8, min(self.nlist, n // 64 or 8))
-        new_body = build_ivf_flat(
-            jnp.asarray(vecs), nlist, key=jax.random.key(self.seed),
-            int8=self.mode.endswith("int8"), capacity_slack=1.5)
+        if self.mode == "ivf_pq":
+            from rag_foundation_tpu.engine.ivfpq import build_ivf_pq
+            new_body = build_ivf_pq(
+                jnp.asarray(vecs), nlist, self.pq_m,
+                key=jax.random.key(self.seed))
+            # PQ is lossy: keep the float vectors host-side for
+            # persistence / rebuild fidelity (memory saving is on DEVICE)
+            self._pq_source = vecs
+        else:
+            new_body = build_ivf_flat(
+                jnp.asarray(vecs), nlist, key=jax.random.key(self.seed),
+                int8=self.mode.endswith("int8"), capacity_slack=1.5)
         # publish body+ids together, THEN swap the tail; a racing search
         # may briefly see rows in both (deduped at merge), never neither
         with self._body_lock:
@@ -142,14 +169,18 @@ class StoreIndex:
         self._dead.clear()  # rebuild compacted all tombstones away
 
     def _body_vectors(self) -> np.ndarray:
-        """Reconstruct body vectors in original row order (build path)."""
+        """Reconstruct body vectors in original row order (build path).
+        Rows whose table slot is a -1 sentinel (dropped appends) stay
+        zero and are filtered by _live_table_mask in callers."""
+        if self.mode == "ivf_pq":
+            return self._pq_source  # exact host copy kept at build
         idx = self.body
         flat = np.asarray(idx.lists.reshape(-1, self.dim), np.float32)
         if idx.lists.dtype == jnp.int8:
             flat = flat * float(idx.scale)
         ids = np.asarray(idx.row_ids.reshape(-1))
         live = ids >= 0
-        out = np.empty((len(self.body_chunk_ids), self.dim), np.float32)
+        out = np.zeros((len(self.body_chunk_ids), self.dim), np.float32)
         out[ids[live]] = flat[live]
         return out
 
@@ -163,10 +194,17 @@ class StoreIndex:
             return t_vals, t_ids
         fetch = min(k + len(self._dead), k * 4 + 16)
         with self._body_lock:
-            b_vals, b_rows, _ = ivf_search(
-                self.body, jnp.asarray(queries), fetch,
-                nprobe=min(self.nprobe, self.body.nlist),
-                p=min(4, fetch), interpret=_on_cpu())
+            if self.mode == "ivf_pq":
+                from rag_foundation_tpu.engine.ivfpq import ivfpq_search
+                b_vals, b_rows, _ = ivfpq_search(
+                    self.body, jnp.asarray(queries), fetch,
+                    nprobe=min(self.nprobe, self.body.nlist),
+                    p=min(8, fetch))
+            else:
+                b_vals, b_rows, _ = ivf_search(
+                    self.body, jnp.asarray(queries), fetch,
+                    nprobe=min(self.nprobe, self.body.nlist),
+                    p=min(4, fetch), interpret=_on_cpu())
         b_vals = np.asarray(b_vals)
         b_rows = np.asarray(b_rows)
         # row -> chunk id, tombstone filter
@@ -213,11 +251,11 @@ class StoreIndex:
             parts_v.append(np.asarray(st["vectors"], np.float32))
             parts_i.append(np.asarray(st["ids"], np.int64))
         if self.body is not None:
-            keep = np.ones(len(self.body_chunk_ids), bool)
+            keep = self.body_chunk_ids >= 0
             if self._dead:
-                keep = ~np.isin(self.body_chunk_ids,
-                                np.fromiter(self._dead, np.int64,
-                                            len(self._dead)))
+                keep &= ~np.isin(self.body_chunk_ids,
+                                 np.fromiter(self._dead, np.int64,
+                                             len(self._dead)))
             parts_v.append(self._body_vectors()[keep])
             parts_i.append(self.body_chunk_ids[keep].astype(np.int64))
         if parts_v:

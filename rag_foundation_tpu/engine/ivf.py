@@ -119,11 +119,12 @@ def ivf_append(
     index: IVFFlatIndex,
     vectors: jnp.ndarray,     # [n, d] float
     row_ids: np.ndarray,      # [n] int32 global ids
-) -> tuple[IVFFlatIndex, int]:
+) -> tuple[IVFFlatIndex, np.ndarray]:
     """Streaming insert: assign new vectors to existing lists and scatter
     into free slots (donated, in-place on device). Returns the updated
-    index and the number of rows DROPPED by list-capacity overflow
-    (callers route overflow to the exact tail / trigger a rebuild).
+    index and a boolean mask of rows DROPPED by list-capacity overflow —
+    callers MUST re-route dropped rows (exact tail / rebuild); their
+    vectors are not in the index.
 
     This is the config-5 "streaming inserts" path: no retraining, no
     relayout — identical to the bulk-build layout so queries are
@@ -145,10 +146,10 @@ def ivf_append(
     rank = np.arange(n) - starts[sa]
     slots = np.empty(n, np.int64)
     slots[order] = rank + fill[sa]
-    dest = np.where(slots < cap_len,
+    dropped = slots >= cap_len
+    dest = np.where(~dropped,
                     assign_h.astype(np.int64) * cap_len + slots,
-                    nlist * cap_len)  # OOB -> dropped
-    overflow = int((slots >= cap_len).sum())
+                    nlist * cap_len)  # OOB -> dropped by the scatter
 
     if index.lists.dtype == jnp.int8:
         vecs_dev = jnp.clip(jnp.round(vectors.astype(jnp.float32)
@@ -165,8 +166,8 @@ def ivf_append(
         lists=lists3d,
         row_ids=ids2d,
         scale=index.scale,
-        n=index.n + n - overflow)
-    return new_index, overflow
+        n=index.n + n - int(dropped.sum()))
+    return new_index, dropped
 
 
 @functools.partial(jax.jit, static_argnames=("nprobe", "qcap", "approx"))

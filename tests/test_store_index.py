@@ -114,3 +114,27 @@ def test_streaming_append_into_body():
     assert idx.count == 5999  # id 3000 was deleted and compacted away
     _, ids3 = idx.search(x[[5999]], 1)
     assert ids3[0, 0] == 5999
+
+
+def test_ivf_pq_mode():
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((3000, 32)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    idx = StoreIndex(32, mode="ivf_pq", nlist=16, nprobe=16,
+                     build_threshold=2048, pq_m=8)
+    idx.add(x, np.arange(3000))
+    assert idx.body is not None and idx.body.codes.dtype.name == "uint8"
+    # device memory: m bytes/vector instead of d*4
+    _, ids = idx.search(x[[5, 2500]], 3)
+    # PQ is lossy: accept top-3 containment for self-queries
+    assert 5 in ids[0] and 2500 in ids[1]
+    # deletes + persistence roundtrip
+    idx.delete_ids({5})
+    _, ids2 = idx.search(x[[5]], 3)
+    assert 5 not in ids2
+    st = idx.state()
+    assert len(st["ids"]) == 2999
+    idx2 = StoreIndex.from_state(st, mode="ivf_pq", nlist=16, nprobe=16,
+                                 build_threshold=2048, pq_m=8)
+    _, ids3 = idx2.search(x[[2500]], 3)
+    assert 2500 in ids3[0]
