@@ -104,7 +104,7 @@ class Settings(BaseModel):
     # -- engine (TPU data plane) -------------------------------------------
     ENGINE_DIM: int = 384
     ENGINE_ENCODER: str = "hash"          # hash|minilm
-    ENGINE_INDEX_MODE: str = "exact"      # exact|ivf_flat|ivf_flat_int8
+    ENGINE_INDEX_MODE: str = "exact"      # exact|ivf_flat|ivf_flat_int8|ivf_pq
     ENGINE_CHUNK_TOKENS: int = 200
     ENGINE_CHUNK_OVERLAP: int = 40
     ENGINE_TOP_K: int = 5
@@ -169,7 +169,7 @@ class Settings(BaseModel):
         if self.ENGINE_CHUNK_OVERLAP >= self.ENGINE_CHUNK_TOKENS:
             raise ValueError("ENGINE_CHUNK_OVERLAP must be < ENGINE_CHUNK_TOKENS")
         if self.ENGINE_INDEX_MODE not in {"exact", "ivf_flat",
-                                           "ivf_flat_int8"}:
+                                           "ivf_flat_int8", "ivf_pq"}:
             raise ValueError(f"invalid ENGINE_INDEX_MODE "
                              f"{self.ENGINE_INDEX_MODE!r}")
         return self

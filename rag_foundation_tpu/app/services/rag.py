@@ -59,6 +59,7 @@ class EngineRag:
             nlist=settings.ENGINE_NLIST,
             nprobe=settings.ENGINE_NPROBE,
             build_threshold=settings.ENGINE_BUILD_THRESHOLD,
+            pq_m=settings.ENGINE_PQ_M,
             mesh_shards=settings.ENGINE_MESH_SHARDS,
             data_dir=(str(settings.DATA_DIR) + "/engine"
                       if settings.DATA_DIR else None),

@@ -51,6 +51,7 @@ class EngineConfig:
     nlist: int = 256
     nprobe: int = 32
     build_threshold: int = 100_000  # tail size that triggers IVF build
+    pq_m: int = 48                  # PQ subspaces (ivf_pq mode)
     mesh_shards: int = 1            # corpus shards across chips (ICI merge)
     data_dir: str | None = None    # checkpoint root; None = memory-only
 
@@ -137,7 +138,7 @@ class Engine:
         return StoreIndex(cfg.dim, mode=cfg.index_mode, nlist=cfg.nlist,
                           nprobe=cfg.nprobe,
                           build_threshold=cfg.build_threshold,
-                          mesh=self._mesh())
+                          pq_m=cfg.pq_m, mesh=self._mesh())
 
     def _store(self, key: str) -> _Store:
         try:
