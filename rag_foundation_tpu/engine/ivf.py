@@ -217,6 +217,55 @@ def build_dispatch(
     return probe_lists, dispatch, slot, dropped
 
 
+@functools.partial(jax.jit, static_argnames=("k", "nprobe"))
+def ivf_search_small(
+    index: IVFFlatIndex,
+    queries: jnp.ndarray,     # [Q, d] float, Q small
+    k: int,
+    *,
+    nprobe: int = 32,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Latency-oriented IVF path for small batches: gather ONLY the
+    probed lists per query and brute-force them.
+
+    The batched path (ivf_search) sweeps every list once per batch —
+    optimal when most lists are probed by someone, but for Q=1 that is
+    the whole index (~10 ms at 10M). Here the data moved is
+    ``Q x nprobe x cap_len x d`` bytes (~1 ms at Q<=8), so single-query
+    p50 drops by an order of magnitude. Crossover handled by callers
+    (engine.StoreIndex uses it when Q*nprobe*cap << nlist*cap).
+
+    Returns (values [Q, k], row ids [Q, k]).
+    """
+    q_n, d = queries.shape
+    nlist, cap_len = index.row_ids.shape
+    nprobe = min(nprobe, nlist)
+    q32 = queries.astype(jnp.float32)
+    coarse = jnp.dot(q32, index.centroids.T,
+                     preferred_element_type=jnp.float32)
+    _, probe_lists = jax.lax.top_k(coarse, nprobe)      # [Q, nprobe]
+
+    cand = index.lists[probe_lists]          # [Q, nprobe, cap, d] gather
+    cand_ids = index.row_ids[probe_lists]    # [Q, nprobe, cap]
+    if index.lists.dtype == jnp.int8:
+        qq = jnp.clip(jnp.round(q32 / index.scale), -127, 127
+                      ).astype(jnp.int8)
+        scores = jnp.einsum("qd,qncd->qnc", qq.astype(jnp.int32),
+                            cand.astype(jnp.int32)
+                            ).astype(jnp.float32) * (index.scale ** 2)
+    else:
+        scores = jnp.einsum("qd,qncd->qnc", q32,
+                            cand.astype(jnp.float32),
+                            preferred_element_type=jnp.float32)
+    scores = jnp.where(cand_ids >= 0, scores, -jnp.inf)
+    flat_scores = scores.reshape(q_n, nprobe * cap_len)
+    flat_ids = cand_ids.reshape(q_n, nprobe * cap_len)
+    top_vals, pos = jax.lax.top_k(flat_scores, k)
+    rows = jnp.take_along_axis(flat_ids, pos, axis=-1)
+    rows = jnp.where(jnp.isfinite(top_vals), rows, -1)
+    return top_vals, rows
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "nprobe", "p", "qcap",
                               "approx_select", "interpret"))

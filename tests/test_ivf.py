@@ -178,3 +178,24 @@ def test_engine_concurrent_ingest_and_search():
         stop.set()
         t.join(10)
     assert not errors
+
+
+def test_ivf_search_small_matches_batched():
+    """The small-batch gather path returns the same results as the
+    batched sweep at full probe (both exact over the stored corpus)."""
+    from rag_foundation_tpu.engine.ivf import ivf_search_small
+    x = _clustered_corpus(4096, 32, seed=31)
+    rng = np.random.default_rng(31)
+    q = x[:4] + 0.02 * rng.standard_normal((4, 32)).astype(np.float32)
+    idx = build_ivf_flat(jnp.asarray(x), nlist=32, key=jax.random.key(0))
+    bv, br, _ = ivf_search(idx, jnp.asarray(q), 5, nprobe=32, p=5,
+                           interpret=True)
+    sv, sr = ivf_search_small(idx, jnp.asarray(q), 5, nprobe=32)
+    np.testing.assert_array_equal(np.asarray(sr), np.asarray(br))
+    np.testing.assert_allclose(np.asarray(sv), np.asarray(bv), rtol=1e-5)
+    # int8 variant agrees with itself deterministically
+    idx8 = build_ivf_flat(jnp.asarray(x), nlist=32, key=jax.random.key(0),
+                          int8=True)
+    a = ivf_search_small(idx8, jnp.asarray(q), 5, nprobe=16)
+    b = ivf_search_small(idx8, jnp.asarray(q), 5, nprobe=16)
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
