@@ -193,11 +193,14 @@ def main():
         for np_, qc, p_ in [(64, 32, 2), (48, 24, 2), (32, 16, 2),
                             (64, 16, 2)]:
             measure(np_, qc, p_, q_dev)
-        measure(64, 64, 2, q2)
         measure(32, 32, 2, q2)
-        measure(32, 16, 2, q_dev, approx=True)
-        _, ii_a = measure(32, 16, 2, q_dev, approx=True)
-        globals()["_approx_ids"] = ii_a
+        measure(32, 16, 3, q_dev, approx=True)
+        # throughput ceiling: large batches fill the MXU M-dimension
+        # (per-list matmul cost is constant for qcap <= 128)
+        q4 = jnp.concatenate([q_dev, q_dev, q_dev, q_dev], axis=0)
+        q8 = jnp.concatenate([q4, q4], axis=0)
+        measure(32, 64, 3, q4, approx=True)
+        measure(32, 128, 3, q8, approx=True)
 
     kw = dict(nprobe=args.nprobe, p=args.p, qcap=args.qcap,
               approx_select=args.approx)

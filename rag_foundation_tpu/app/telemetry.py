@@ -42,7 +42,7 @@ class JsonFormatter(logging.Formatter):
             out["user_id"] = uid
         extra = getattr(record, "fields", None)
         if extra:
-            out.update(extra)
+            out.update(scrub_fields(extra))  # defense in depth
         if record.exc_info and record.exc_info[0] is not None:
             out["exc_type"] = record.exc_info[0].__name__
         return json.dumps(out, default=str)

@@ -1,0 +1,55 @@
+"""Telemetry: header/PII scrubbing, correlation binding, JSON shape.
+
+Reference analog: backend/tests/test_logging_scrub.py.
+"""
+
+import json
+import logging
+
+from rag_foundation_tpu.app.telemetry import (JsonFormatter, bind_request,
+                                              clear_request, hash_email,
+                                              scrub_fields, scrub_headers)
+
+
+def test_scrub_headers_redacts_sensitive():
+    headers = {
+        "Authorization": "Bearer secret-token",
+        "Cookie": "session=abc",
+        "X-Api-Key": "k",
+        "proxy-authorization": "x",
+        "my-refresh-token": "t",
+        "webhook-secret": "s",
+        "signing-key": "k2",
+        "Content-Type": "application/json",
+        "X-Request-ID": "req-1",
+    }
+    out = scrub_headers(headers)
+    for k in ("Authorization", "Cookie", "X-Api-Key", "proxy-authorization",
+              "my-refresh-token", "webhook-secret", "signing-key"):
+        assert out[k] == "[REDACTED]", k
+    assert out["Content-Type"] == "application/json"
+    assert out["X-Request-ID"] == "req-1"
+
+
+def test_scrub_fields_and_email_hash():
+    out = scrub_fields({"api-key": "x", "detail": "ok"})
+    assert out["api-key"] == "[REDACTED]" and out["detail"] == "ok"
+    h1 = hash_email("User@Example.com ")
+    h2 = hash_email("user@example.com")
+    assert h1 == h2 and "@" not in h1 and len(h1) == 16
+
+
+def test_json_formatter_carries_context():
+    bind_request(request_id="rid-123", user_id=7)
+    try:
+        record = logging.LogRecord("ragtpu", logging.INFO, __file__, 1,
+                                   "hello", None, None)
+        record.fields = {"custom": 1, "session-token": "leak"}
+        out = json.loads(JsonFormatter().format(record))
+        assert out["msg"] == "hello"
+        assert out["request_id"] == "rid-123"
+        assert out["user_id"] == 7
+        assert out["custom"] == 1
+        assert out["session-token"] == "[REDACTED]"
+    finally:
+        clear_request()
