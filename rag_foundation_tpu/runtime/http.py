@@ -363,6 +363,16 @@ async def _connection(app: App, reader: asyncio.StreamReader,
                     writer.write(b"0\r\n\r\n")
                     await writer.drain()
                 except (ConnectionResetError, BrokenPipeError):
+                    # client went away mid-stream: close the generator so
+                    # its finally-block finalizers run (cost ledger,
+                    # message persistence — reference logs failed streams,
+                    # chat.py:653-788)
+                    aclose = getattr(resp.iterator, "aclose", None)
+                    if aclose is not None:
+                        try:
+                            await aclose()
+                        except Exception:  # noqa: BLE001 — teardown
+                            pass
                     return
             else:
                 writer.write(_response_head(resp, chunked=False) + resp.body)

@@ -130,3 +130,48 @@ def test_keepalive_comments_during_slow_stream(tmp_path):
     text = "".join(e.get("delta", "") for e in events
                    if e["type"] == "text-delta")
     assert text == "first second"
+
+
+def test_disconnect_mid_stream_still_finalizes(tmp_path):
+    """Client disconnects mid-SSE: the generator is closed and the cost
+    ledger row is still written (reference persists failed streams)."""
+    import asyncio
+    from rag_foundation_tpu.runtime.http import Request
+
+    client, ctx = make_app(tmp_path, MOCK_MODE=True)
+    headers = signup(client)
+    store = create_store(client, headers)
+
+    def long_ask_stream(question, keys, **kw):
+        result = StreamResult(prompt_tokens=1)
+
+        def gen():
+            for i in range(1000):
+                yield f"word{i} "
+            result.finished = True
+        return gen(), result
+
+    ctx.rag.ask_stream = long_ask_stream
+
+    async def partial_consume():
+        req = Request("POST", "/api/chat",
+                      {**headers, "content-type": "application/json"},
+                      json.dumps({"question": "hi",
+                                  "store_ids": [store["id"]]}).encode(),
+                      client=("127.0.0.1", 0))
+        resp = await ctx_app.handle(req)
+        agen = resp.iterator
+        out = []
+        async for chunk in agen:
+            out.append(chunk)
+            if len(out) >= 4:
+                break  # simulate disconnect: stop consuming
+        await agen.aclose()  # what the socket layer now does
+        return out
+
+    ctx_app = client.app
+    out = client._run(partial_consume())
+    assert out  # some frames were streamed
+    # finalize ran: ledger row exists despite the disconnect
+    row = ctx.db.one("SELECT * FROM query_log WHERE model != 'INDEX'")
+    assert row is not None
