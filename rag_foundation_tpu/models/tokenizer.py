@@ -40,9 +40,11 @@ class Tokenizer:
 
     def _word_ids(self, word: str) -> list[int]:
         if self.vocab is not None:
-            wid = self.vocab.get(word)
-            if wid is not None:
-                return [wid]
+            from rag_foundation_tpu.models.vocab import tokenize_wordpiece
+            ids = tokenize_wordpiece(word, self.vocab)
+            if ids is not None:
+                return ids
+            # unknown word under the learned vocab -> hashing fallback
         if len(word) <= self.max_word_len:
             return [_hash_token(word, self.vocab_size)]
         # split long words into pieces so rare compounds share subwords

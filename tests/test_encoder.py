@@ -119,3 +119,30 @@ def test_minilm_engine_integration():
     # idempotent re-ingest keeps the count stable
     e.ingest_document("s", "d", "a.txt", text)
     assert e.store_stats("s")["chunks"] == stats["chunks"]
+
+
+def test_wordpiece_training_and_tokenization():
+    from rag_foundation_tpu.models.vocab import (tokenize_wordpiece,
+                                                 train_wordpiece)
+    corpus = ["the transformer encoder encodes tokens",
+              "the encoder transforms the token stream",
+              "tokens and encoders and transformers"] * 20
+    vocab = train_wordpiece(corpus, vocab_size=200)
+    assert vocab["[PAD]"] == PAD_ID and vocab["[CLS]"] == CLS_ID
+    assert len(vocab) <= 200
+    # frequent words end up as single tokens after merging
+    assert "the" in vocab
+    ids = tokenize_wordpiece("encoder", vocab)
+    assert ids is not None and len(ids) >= 1
+    # full coverage of corpus words
+    for w in ("transformer", "tokens", "stream"):
+        assert tokenize_wordpiece(w, vocab) is not None, w
+    # unseen characters fall back to None -> hashing path in Tokenizer
+    assert tokenize_wordpiece("解码", vocab) is None
+
+    tok = Tokenizer(vocab_size=512, vocab=vocab)
+    out = tok.encode("the transformer encoder", max_len=16)
+    assert out[0] == CLS_ID and SEP_ID in out
+    # deterministic and distinct from hashing tokenizer
+    np.testing.assert_array_equal(
+        out, tok.encode("the transformer encoder", max_len=16))
