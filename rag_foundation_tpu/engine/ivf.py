@@ -321,9 +321,12 @@ def ivf_search(
 
     cand_vals = cand_vals.reshape(q_n, nprobe * w)
     cand_idx = cand_idx.reshape(q_n, nprobe * w)
+    # k may exceed the candidate width for tiny stores (e.g. fetch
+    # inflation for tombstones); select what exists and pad below
+    k_eff = min(k, nprobe * w)
     # final selection stays exact — approx_max_k here would directly
     # lose true top-k members; the big win is the coarse routing sort
-    top_vals, pos = jax.lax.top_k(cand_vals, k)
+    top_vals, pos = jax.lax.top_k(cand_vals, k_eff)
     top_flat = jnp.take_along_axis(cand_idx, pos, axis=-1)
     # flat corpus position -> original row id
     safe_flat = jnp.clip(top_flat, 0, index.nlist * index.cap_len - 1)
@@ -331,4 +334,8 @@ def ivf_search(
     row_ids = jnp.where((top_flat >= 0) & jnp.isfinite(top_vals),
                         row_ids, -1)
     top_vals = jnp.where(row_ids >= 0, top_vals, -jnp.inf)
+    if k_eff < k:
+        pad = ((0, 0), (0, k - k_eff))
+        top_vals = jnp.pad(top_vals, pad, constant_values=-jnp.inf)
+        row_ids = jnp.pad(row_ids, pad, constant_values=-1)
     return top_vals, row_ids, dropped

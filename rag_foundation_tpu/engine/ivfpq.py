@@ -155,11 +155,16 @@ def ivfpq_search(
     cand_idx = jnp.where(valid, cand_idx, -1)
     cand_vals = cand_vals.reshape(q_n, nprobe * p)
     cand_idx = cand_idx.reshape(q_n, nprobe * p)
-    top_vals, pos = jax.lax.top_k(cand_vals, k)
+    k_eff = min(k, nprobe * p)
+    top_vals, pos = jax.lax.top_k(cand_vals, k_eff)
     top_flat = jnp.take_along_axis(cand_idx, pos, axis=-1)
     safe_flat = jnp.clip(top_flat, 0, nlist * cap_len - 1)
     row_ids = index.row_ids.reshape(-1)[safe_flat]
     row_ids = jnp.where((top_flat >= 0) & jnp.isfinite(top_vals),
                         row_ids, -1)
     top_vals = jnp.where(row_ids >= 0, top_vals, -jnp.inf)
+    if k_eff < k:
+        pad = ((0, 0), (0, k - k_eff))
+        top_vals = jnp.pad(top_vals, pad, constant_values=-jnp.inf)
+        row_ids = jnp.pad(row_ids, pad, constant_values=-1)
     return top_vals, row_ids, dropped

@@ -138,3 +138,19 @@ def test_ivf_pq_mode():
                                  build_threshold=2048, pq_m=8)
     _, ids3 = idx2.search(x[[2500]], 3)
     assert 2500 in ids3[0]
+
+
+def test_fetch_larger_than_candidate_width():
+    """Tombstone-inflated fetch beyond nprobe*w must not crash tiny
+    IVF bodies (k is padded with -inf/-1)."""
+    x = _vecs(1200, d=32, seed=12)
+    idx = StoreIndex(32, mode="ivf_flat", nlist=8, nprobe=8,
+                     build_threshold=1024)
+    idx.add(x, np.arange(1200))
+    assert idx.body is not None
+    # delete a pile of ids -> fetch = k + len(dead) explodes past width
+    idx.delete_ids(set(range(0, 200)))
+    vals, ids = idx.search(x[[500]], 10)
+    assert ids.shape == (1, 10)
+    assert 500 in ids[0]
+    assert not ({i for i in range(200)} & set(ids[0]))
