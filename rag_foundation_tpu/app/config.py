@@ -113,6 +113,7 @@ class Settings(BaseModel):
     ENGINE_BUILD_THRESHOLD: int = 100_000
     ENGINE_PQ_M: int = 48
     ENGINE_DTYPE: str = "float32"         # float32|bfloat16
+    ENGINE_BATCH_WINDOW_MS: float = 0.0   # micro-batch admission window
     ENGINE_MESH_SHARDS: int = 1           # corpus shards across chips
 
     # ---------------------------------------------------------------------

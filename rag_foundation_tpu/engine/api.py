@@ -52,6 +52,7 @@ class EngineConfig:
     nprobe: int = 32
     build_threshold: int = 100_000  # tail size that triggers IVF build
     pq_m: int = 48                  # PQ subspaces (ivf_pq mode)
+    batch_window_s: float = 0.0     # >0: micro-batch concurrent searches
     mesh_shards: int = 1            # corpus shards across chips (ICI merge)
     data_dir: str | None = None    # checkpoint root; None = memory-only
 
@@ -207,41 +208,67 @@ class Engine:
 
         ``doc_filter`` restricts results to specific engine doc ids
         (over-fetching to keep k results when the filter is selective).
+
+        With ``batch_window_s > 0`` concurrent unfiltered searches over
+        the same store-set coalesce into one device call (micro-batching
+        admission, SURVEY.md §7 "keeping host latency out of the QPS
+        path").
         """
+        if doc_filter is None and self.config.batch_window_s > 0:
+            return self._batcher().submit((tuple(store_keys), k), query)
+        return self._search_group(store_keys, [query], k,
+                                  doc_filter=doc_filter)[0]
+
+    def _batcher(self):
+        if not hasattr(self, "_batcher_obj"):
+            from rag_foundation_tpu.engine.batcher import QueryBatcher
+            with self._registry_lock:
+                if not hasattr(self, "_batcher_obj"):
+                    self._batcher_obj = QueryBatcher(
+                        lambda key, queries: self._search_group(
+                            list(key[0]), queries, key[1]),
+                        window_s=self.config.batch_window_s)
+        return self._batcher_obj
+
+    def _search_group(self, store_keys: list[str], queries: list[str],
+                      k: int, doc_filter: set[str] | None = None
+                      ) -> list[list[SearchHit]]:
+        """Batched core: one encode + one scan per store for Q queries."""
         from rag_foundation_tpu.app import metrics as _metrics
         from rag_foundation_tpu.utils.profiling import StageTimer, maybe_trace
         timer = StageTimer(histogram=_metrics.query_stage_seconds)
         with timer.stage("embed"):
-            qv = self.encoder.encode([query])
+            qv = self.encoder.encode(queries)
         fetch = k if doc_filter is None else max(4 * k, 32)
-        hits: list[SearchHit] = []
         per_store: list[tuple] = []
         with maybe_trace("engine_search"), timer.stage("scan"):
             for key in store_keys:
                 store = self._store(key)
                 per_store.append(
                     (key, store, store.segment.search(qv, fetch)))
-        timer.stages.setdefault("merge", 0.0)
-        for key, store, (scores, cids) in per_store:
-            with timer.stage("merge"):
-                for score, cid in zip(scores[0], cids[0]):
-                    if cid < 0 or not np.isfinite(score):
-                        continue
-                    meta = store.chunks.get(int(cid))
-                    if meta is None:
-                        continue
-                    if doc_filter is not None \
-                            and meta.doc_id not in doc_filter:
-                        continue
-                    hits.append(SearchHit(
-                        store_key=key, doc_id=meta.doc_id,
-                        doc_name=meta.doc_name, chunk_id=int(cid),
-                        text=meta.text, score=float(score),
-                        start=meta.start, end=meta.end,
-                        ordinal=meta.ordinal))
+        results: list[list[SearchHit]] = []
         with timer.stage("merge"):
-            hits.sort(key=lambda h: (-h.score, h.store_key, h.chunk_id))
-        return hits[:k]
+            for qi in range(len(queries)):
+                hits: list[SearchHit] = []
+                for key, store, (scores, cids) in per_store:
+                    for score, cid in zip(scores[qi], cids[qi]):
+                        if cid < 0 or not np.isfinite(score):
+                            continue
+                        meta = store.chunks.get(int(cid))
+                        if meta is None:
+                            continue
+                        if doc_filter is not None \
+                                and meta.doc_id not in doc_filter:
+                            continue
+                        hits.append(SearchHit(
+                            store_key=key, doc_id=meta.doc_id,
+                            doc_name=meta.doc_name, chunk_id=int(cid),
+                            text=meta.text, score=float(score),
+                            start=meta.start, end=meta.end,
+                            ordinal=meta.ordinal))
+                hits.sort(key=lambda h: (-h.score, h.store_key, h.chunk_id))
+                results.append(hits[:k])
+        return results
 
     def search_batch(self, store_key: str, queries: list[str], k: int = 10
                      ) -> tuple[np.ndarray, np.ndarray]:

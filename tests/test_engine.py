@@ -109,3 +109,46 @@ def test_segment_growth_and_tombstones():
     assert seg.count == 2998
     _, ids3 = seg.search(q, 1)
     assert list(ids3[:, 0]) == list(ids2[:, 0])
+
+
+def test_micro_batching_coalesces_concurrent_searches():
+    """Concurrent searches inside the admission window run as ONE encode
+    + scan (SURVEY §7: batched query admission)."""
+    import threading
+    e = _engine()
+    e.config.batch_window_s = 0.05
+    e.create_store("s")
+    e.ingest_document("s", "dA", "finance.txt", DOC_A)
+    e.ingest_document("s", "dB", "penguins.txt", DOC_B)
+
+    calls = []
+    orig = e._search_group
+
+    def spy(store_keys, queries, k, doc_filter=None):
+        calls.append(len(queries))
+        return orig(store_keys, queries, k, doc_filter=doc_filter)
+    e._search_group = spy
+
+    results = {}
+
+    def ask(i, q):
+        results[i] = e.search(["s"], q, k=2)
+
+    threads = [threading.Thread(target=ask, args=(i, q)) for i, q in
+               enumerate(["revenue growth", "penguins antarctica",
+                          "operating margin", "southern hemisphere"])]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(10)
+    assert len(results) == 4
+    assert results[0][0].doc_id == "dA"
+    assert results[1][0].doc_id == "dB"
+    # fewer engine calls than requests => coalescing happened
+    assert sum(calls) == 4 and len(calls) < 4
+    # results identical to the unbatched path
+    e.config.batch_window_s = 0
+    for i, q in enumerate(["revenue growth", "penguins antarctica"]):
+        direct = e.search(["s"], q, k=2)
+        assert [(h.chunk_id, round(h.score, 5)) for h in direct] == \
+               [(h.chunk_id, round(h.score, 5)) for h in results[i]]
