@@ -89,6 +89,14 @@ def _layernorm(x: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return y.astype(x.dtype)
 
 
+def _use_flash(cfg: EncoderConfig, seq_len: int) -> bool:
+    """Pallas flash attention pays off for long sequences on TPU; the XLA
+    einsum path wins at chunk-size sequences (<=256) and is the only path
+    on CPU (long-chunk encoding, SURVEY.md §5 'long-context')."""
+    return (seq_len >= 512 and seq_len % 128 == 0
+            and jax.default_backend() == "tpu")
+
+
 def _attention(x: jnp.ndarray, blk: dict, mask: jnp.ndarray,
                cfg: EncoderConfig) -> jnp.ndarray:
     b, s, h = x.shape
@@ -99,14 +107,26 @@ def _attention(x: jnp.ndarray, blk: dict, mask: jnp.ndarray,
     def heads(t):
         return t.reshape(b, s, cfg.heads, cfg.head_dim).transpose(0, 2, 1, 3)
     q, k, v = heads(q), heads(k), heads(v)
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                        preferred_element_type=jnp.float32)
-    scores = scores * (cfg.head_dim ** -0.5)
-    neg = jnp.finfo(jnp.float32).min
-    scores = jnp.where(mask[:, None, None, :], scores, neg)
-    attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
-                     preferred_element_type=jnp.float32).astype(x.dtype)
+    if _use_flash(cfg, s):
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            SegmentIds, flash_attention)
+        # padding exclusion via segment ids: pad tokens get segment 0,
+        # real tokens segment 1 — flash masks cross-segment attention
+        seg = mask.astype(jnp.int32)
+        out = flash_attention(
+            q.astype(jnp.float32), k.astype(jnp.float32),
+            v.astype(jnp.float32),
+            segment_ids=SegmentIds(q=seg, kv=seg),
+            sm_scale=cfg.head_dim ** -0.5).astype(x.dtype)
+    else:
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores * (cfg.head_dim ** -0.5)
+        neg = jnp.finfo(jnp.float32).min
+        scores = jnp.where(mask[:, None, None, :], scores, neg)
+        attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
     out = out.transpose(0, 2, 1, 3).reshape(b, s, h)
     out = jnp.dot(out, blk["proj"], preferred_element_type=jnp.float32)
     return (out + blk["proj_b"].astype(jnp.float32)).astype(x.dtype)
