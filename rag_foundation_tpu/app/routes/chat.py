@@ -53,6 +53,8 @@ class ChatRequest(BaseModel):
     sessionId: int | None = None
     document_ids: list[int] | None = None
     documentIds: list[int] | None = None
+    top_k: int | None = None
+    topK: int | None = None
 
     @property
     def resolved_store_ids(self) -> list[int]:
@@ -68,6 +70,10 @@ class ChatRequest(BaseModel):
     def resolved_document_ids(self) -> list[int] | None:
         return self.document_ids if self.document_ids is not None \
             else self.documentIds
+
+    @property
+    def resolved_top_k(self) -> int | None:
+        return self.top_k if self.top_k is not None else self.topK
 
 
 class _Backpressure(RuntimeError):
@@ -231,6 +237,9 @@ def register(app, ctx):
         model = body.model or settings.DEFAULT_MODEL
         if model not in settings.ALLOWED_MODELS:
             raise HTTPError(422, f"Model {model!r} not allowed")
+        top_k = body.resolved_top_k
+        if top_k is not None and not 1 <= top_k <= 20:
+            raise HTTPError(422, "top_k must be between 1 and 20")
         require_pricing_configured(settings, model)
         # budget pre-check with hold (reference: chat.py:916-935)
         remaining = check_budget_or_402(db, user.id, settings)
@@ -292,7 +301,7 @@ def register(app, ctx):
                             functools.partial(
                                 ctx.rag.ask_stream, question, engine_keys,
                                 model=model, history=history,
-                                doc_filter=doc_filter))
+                                top_k=top_k, doc_filter=doc_filter))
                     except RagError as e:
                         if attempt + 1 < attempts:
                             continue  # retry-on-transient

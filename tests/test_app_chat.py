@@ -292,3 +292,23 @@ def test_mid_stream_budget_cutoff(tmp_path):
     assert row["status"] == "over_budget"
     # partial deltas were streamed before the cut
     assert any(t == "text-delta" for t in types)
+
+
+def test_top_k_controls_citation_count(tmp_path):
+    """Reference benchmark clients send top_k per request
+    (run_benchmark.py:180); it bounds retrieved citations."""
+    client, ctx, headers, store = _setup_corpus(tmp_path)
+    r = client.post("/api/chat", headers=headers,
+                    json_body={"question": "Where do penguins live?",
+                               "store_ids": [store["id"]], "top_k": 1})
+    cits = [e for e in _events(r) if e["type"] == "source-document"]
+    assert len(cits) == 1
+    r = client.post("/api/chat", headers=headers,
+                    json_body={"question": "Where do penguins live?",
+                               "storeIds": [store["id"]], "topK": 4})
+    cits = [e for e in _events(r) if e["type"] == "source-document"]
+    assert len(cits) >= 2
+    r = client.post("/api/chat", headers=headers,
+                    json_body={"question": "hi", "store_ids": [store["id"]],
+                               "top_k": 0})
+    assert r.status_code == 422
