@@ -105,12 +105,13 @@ class ApiClient:
         raise TimeoutError(f"ingestion timeout for {path.name}")
 
     def ask(self, question: str, store_ids: list[int],
-            timeout_s: float = 120.0) -> dict:
+            timeout_s: float = 120.0, top_k: int | None = None) -> dict:
         """POST /api/chat and consume the SSE stream to [DONE]."""
         t0 = time.perf_counter()
-        resp = self._request("POST", "/api/chat",
-                             json_body={"question": question,
-                                        "store_ids": store_ids},
+        body = {"question": question, "store_ids": store_ids}
+        if top_k is not None:
+            body["top_k"] = top_k
+        resp = self._request("POST", "/api/chat", json_body=body,
                              stream=True)
         text_parts: list[str] = []
         citations: list[dict] = []
