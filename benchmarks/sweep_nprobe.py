@@ -1,0 +1,123 @@
+"""BASELINE config 3: 1M x 768 IVF-Flat, nprobe swept to recall@10 >= 0.95.
+
+Builds a 1M bf16 IVF-Flat index (nlist=4096, k-means-trained coarse
+quantizer — unlike the 10M bench's generator-centroids, this exercises
+the full training path at scale) and sweeps nprobe, reporting recall@10
+against the exact scan plus QPS per point. Writes
+benchmarks/results/nprobe_sweep.json.
+
+Usage: python benchmarks/sweep_nprobe.py [--n 1000000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--d", type=int, default=768)
+    ap.add_argument("--nlist", type=int, default=4096)
+    ap.add_argument("--q", type=int, default=1024)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--p", type=int, default=3)
+    ap.add_argument("--centers", type=int, default=8192)
+    ap.add_argument("--noise", type=float, default=0.5)
+    ap.add_argument("--qnoise", type=float, default=0.2)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from rag_foundation_tpu.engine.ivf import build_ivf_flat, ivf_search
+    from rag_foundation_tpu.ops.l2norm import l2_normalize
+    from rag_foundation_tpu.ops.topk import exact_topk
+
+    n, d = args.n, args.d
+    key = jax.random.key(0)
+    kc, kv, kq, kb = jax.random.split(key, 4)
+    # clustered corpus with MORE centers than nlist so the trained coarse
+    # quantizer has real work to do
+    centers = l2_normalize(
+        jax.random.normal(kc, (args.centers, d), jnp.float32))
+
+    @jax.jit
+    def gen(key):
+        k1, k2 = jax.random.split(key)
+        cid = jax.random.randint(k1, (n,), 0, args.centers)
+        v = centers[cid] + (args.noise / np.sqrt(d)) * jax.random.normal(
+            k2, (n, d), jnp.float32)
+        return l2_normalize(v)
+
+    log("generating corpus on-device…")
+    corpus = gen(kv)
+    corpus_bf16 = corpus.astype(jnp.bfloat16)
+    queries = l2_normalize(
+        corpus[: args.q]
+        + (args.qnoise / np.sqrt(d)) * jax.random.normal(
+            kq, (args.q, d), jnp.float32))
+
+    log("building IVF-Flat (k-means coarse training included)…")
+    t0 = time.perf_counter()
+    index = build_ivf_flat(corpus_bf16, args.nlist, key=kb,
+                           kmeans_iters=8, sample=262_144)
+    jax.tree_util.tree_leaves(index.lists)[0].block_until_ready()
+    build_s = time.perf_counter() - t0
+    log(f"build: {build_s:.1f}s (incl. k-means + remote compiles)")
+
+    log("exact ground truth…")
+    _, exact_ids = exact_topk(queries.astype(jnp.bfloat16), corpus_bf16,
+                              args.k, block_size=65_536)
+    exact_h = np.asarray(exact_ids)
+
+    f_add = jax.jit(lambda x: x + 1)
+    _ = np.asarray(f_add(jnp.ones((2, 2))))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        _ = np.asarray(f_add(jnp.ones((2, 2))))
+    rtt = (time.perf_counter() - t0) / 3
+
+    rows = []
+    for nprobe in (4, 8, 16, 32, 64, 128):
+        kw = dict(nprobe=nprobe, p=args.p, approx_select=True)
+        vals, ids, dropped = ivf_search(index, queries, args.k, **kw)
+        ids_h = np.asarray(ids)
+        recall = float(np.mean([len(set(a) & set(b)) / args.k
+                                for a, b in zip(ids_h, exact_h)]))
+        reps = 5
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            vals, ids, dropped = ivf_search(index, queries, args.k, **kw)
+        _ = np.asarray(vals)
+        per = (time.perf_counter() - t0 - rtt) / reps
+        rows.append({"nprobe": nprobe, "recall_at_10": round(recall, 4),
+                     "qps": round(args.q / per),
+                     "p50_ms": round(per * 1000, 2),
+                     "dropped_probes": int(dropped)})
+        log(f"nprobe={nprobe}: recall@10={recall:.4f} "
+            f"{args.q/per:.0f} QPS ({per*1000:.2f} ms)")
+
+    out = {"config": vars(args), "build_s": round(build_s, 1),
+           "sweep": rows}
+    out_path = Path(__file__).parent / "results" / "nprobe_sweep.json"
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    out_path.write_text(json.dumps(out, indent=2))
+    print(json.dumps(out["sweep"]))
+
+
+if __name__ == "__main__":
+    main()

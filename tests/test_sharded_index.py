@@ -82,3 +82,22 @@ def test_engine_with_mesh_shards(mesh8, tmp_path):
     assert isinstance(store.segment.tail, ShardedVectorStore)
     hits = e.search(["s"], "penguins antarctica", k=3)
     assert hits and "penguin" in hits[0].text.lower()
+
+
+def test_app_end_to_end_with_mesh_shards(mesh8, tmp_path):
+    """Full app flow (upload -> ingest -> SSE chat) with the engine's
+    sharded tier active (ENGINE_MESH_SHARDS=8 on the CPU mesh)."""
+    from tests.app_helpers import (create_store, drain_worker, make_app,
+                                   signup, upload_text)
+    client, ctx = make_app(tmp_path, ENGINE_MESH_SHARDS=8, ENGINE_DIM=64)
+    headers = signup(client)
+    store = create_store(client, headers)
+    upload_text(client, headers, store["id"],
+                "Penguins are flightless seabirds of Antarctica. " * 30,
+                "penguins.txt")
+    drain_worker(ctx)
+    r = client.post("/api/chat", headers=headers,
+                    json_body={"question": "where do penguins live",
+                               "store_ids": [store["id"]]})
+    assert r.status_code == 200
+    assert "penguins.txt" in r.text
