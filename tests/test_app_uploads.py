@@ -138,3 +138,40 @@ def test_ingestion_failure_marks_error_and_rolls_back(tmp_path):
                      (doc_id,))
     assert row["status"] == "ERROR"
     assert "mock ingestion failure" in row["last_error"]
+
+
+def test_upload_503_when_queue_unavailable(tmp_path):
+    """Queue down => 503 and the document is marked ERROR, never lost
+    silently (reference: uploads.py:263-293)."""
+    from rag_foundation_tpu.app.main import build_context, create_app
+    from rag_foundation_tpu.runtime.http import TestClient
+    from tests.app_helpers import make_settings
+
+    settings = make_settings(tmp_path)
+    ctx = build_context(settings, with_worker=False)  # no queue
+    client = TestClient(create_app(ctx, start_worker=False))
+    headers = signup(client)
+    store = create_store(client, headers)
+    r = upload_text(client, headers, store["id"], DOC)
+    assert r.status_code == 503
+    row = ctx.db.one("SELECT status, last_error FROM documents")
+    assert row["status"] == "ERROR"
+    assert "queue" in row["last_error"]
+
+
+def test_ingestion_store_deleted_mid_flight(tmp_path):
+    """Store soft-deleted between upload and worker run => doc ERRORs
+    cleanly (reference: ingestion store guard)."""
+    client, ctx = make_app(tmp_path)
+    headers = signup(client)
+    store = create_store(client, headers)
+    r = upload_text(client, headers, store["id"], DOC)
+    doc_id = r.json()["document_id"]
+    # soft-delete the store before the worker picks the job up
+    assert client.delete(f"/api/stores/{store['id']}",
+                         headers=headers).status_code == 200
+    drain_worker(ctx)
+    row = ctx.db.one("SELECT status, last_error, deleted_at FROM documents"
+                     " WHERE id=?", (doc_id,))
+    # cascade soft-delete marked it deleted; the worker skipped it
+    assert row["deleted_at"] is not None
