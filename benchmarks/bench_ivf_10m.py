@@ -49,7 +49,8 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    from rag_foundation_tpu.engine.ivf import IVFFlatIndex, ivf_search
+    from rag_foundation_tpu.engine.ivf import (IVFFlatIndex,
+                                               interleave_slots, ivf_search)
     from rag_foundation_tpu.ops.kmeans import assign_clusters
     from rag_foundation_tpu.ops.l2norm import l2_normalize
     from rag_foundation_tpu.ops.topk import exact_topk
@@ -114,7 +115,8 @@ def main():
         slots[order] = (np.arange(m) - starts[sa]) + next_slot[sa]
         next_slot += counts
         dest = np.where(slots < cap_len,
-                        assign_h.astype(np.int64) * cap_len + slots,
+                        assign_h.astype(np.int64) * cap_len
+                        + interleave_slots(slots, cap_len),
                         nlist * cap_len)  # OOB row -> dropped by scatter
         overflow += int((slots >= cap_len).sum())
         if m < args.chunk:  # keep scatter shapes constant (no recompile)

@@ -32,6 +32,21 @@ from rag_foundation_tpu.ops.quantize import quantize_int8
 LBLOCK = 128  # list capacity granularity (lane alignment)
 
 
+def interleave_slots(rank: np.ndarray, cap_len: int) -> np.ndarray:
+    """Map in-list insertion ranks to sub-block-interleaved slots.
+
+    The list-scan kernel extracts top-p PER 128-wide SUB-BLOCK; with
+    front-packed layout a short list (or the occupied prefix of any
+    list) concentrates a query's neighbors into few sub-blocks, capping
+    capture at p. Round-robin placement (slot = (rank % nsub)*128 +
+    rank//nsub) spreads any m members evenly across sub-blocks, making
+    the per-sub-block capture model hold for every list length. Bijection
+    on [0, cap_len) for cap_len = nsub*128.
+    """
+    nsub = cap_len // LBLOCK
+    return (rank % nsub) * LBLOCK + rank // nsub
+
+
 class IVFFlatIndex(NamedTuple):
     centroids: jnp.ndarray    # [nlist, d] f32
     lists: jnp.ndarray        # [nlist, cap_len, d] storage dtype
@@ -80,7 +95,8 @@ def build_ivf_flat(
     starts = np.zeros(nlist + 1, np.int64)
     np.cumsum(counts, out=starts[1:])
     rank = np.arange(n) - starts[sorted_assign]
-    dest = sorted_assign.astype(np.int64) * cap_len + rank
+    dest = sorted_assign.astype(np.int64) * cap_len \
+        + interleave_slots(rank, cap_len)
 
     storage_dtype = jnp.int8 if int8 else (dtype or vectors.dtype)
     if int8:
@@ -144,11 +160,12 @@ def ivf_append(
     starts = np.zeros(nlist + 1, np.int64)
     np.cumsum(counts, out=starts[1:])
     rank = np.arange(n) - starts[sa]
-    slots = np.empty(n, np.int64)
-    slots[order] = rank + fill[sa]
-    dropped = slots >= cap_len
+    ranks_full = np.empty(n, np.int64)
+    ranks_full[order] = rank + fill[sa]
+    dropped = ranks_full >= cap_len
     dest = np.where(~dropped,
-                    assign_h.astype(np.int64) * cap_len + slots,
+                    assign_h.astype(np.int64) * cap_len
+                    + interleave_slots(ranks_full, cap_len),
                     nlist * cap_len)  # OOB -> dropped by the scatter
 
     if index.lists.dtype == jnp.int8:

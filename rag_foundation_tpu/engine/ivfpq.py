@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rag_foundation_tpu.engine.ivf import LBLOCK, build_dispatch
+from rag_foundation_tpu.engine.ivf import (LBLOCK, build_dispatch,
+                                           interleave_slots)
 from rag_foundation_tpu.ops.kmeans import assign_clusters, kmeans_fit
 from rag_foundation_tpu.ops.pq import PQCodebook, pq_encode, pq_lut, pq_train
 
@@ -69,7 +70,8 @@ def build_ivf_pq(vectors: jnp.ndarray, nlist: int, m: int, *,
     starts = np.zeros(nlist + 1, np.int64)
     np.cumsum(counts, out=starts[1:])
     rank = np.arange(n) - starts[assign_h[order]]
-    dest = assign_h[order].astype(np.int64) * cap_len + rank
+    dest = assign_h[order].astype(np.int64) * cap_len \
+        + interleave_slots(rank, cap_len)
 
     flat_codes = np.zeros((nlist * cap_len, m), np.uint8)
     flat_codes[dest] = np.asarray(codes)[order]
