@@ -72,8 +72,8 @@ def _update_centroids(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "iters", "block_size", "spherical")
-)
+    jax.jit,
+    static_argnames=("k", "iters", "block_size", "spherical", "seed_method"))
 def kmeans_fit(
     x: jnp.ndarray,
     k: int,
@@ -82,38 +82,46 @@ def kmeans_fit(
     iters: int = 12,
     block_size: int = 16384,
     spherical: bool = False,
+    seed_method: str = "auto",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fit ``k`` centroids to ``x [N, d]`` with Lloyd iterations.
 
-    Seeding: a deterministic sample of rows (shuffled by ``key``).
-    Empty clusters are reseeded each round from the currently
-    worst-assigned rows. ``spherical=True`` renormalizes centroids each
-    round (for cosine/IP coarse quantizers over unit-norm corpora).
+    Seeding: ``"farthest"`` (greedy k-means++ — immune to the duplicate-
+    seeds-in-one-blob failure, k sequential distance passes) for small k;
+    ``"random"`` sampled rows for large k where the sequential seeding
+    loop dominates build time and Lloyd + empty-cluster reseeding washes
+    init quality out. ``"auto"`` switches at k=512. Empty clusters are
+    reseeded each round from the currently worst-assigned rows.
+    ``spherical=True`` renormalizes centroids each round (cosine/IP
+    coarse quantizers over unit-norm corpora).
 
     Returns ``(centroids [k, d] f32, assignment [N] int32)``.
     """
     n, d = x.shape
     x32 = x.astype(jnp.float32)
-    # Farthest-point ("greedy k-means++") seeding: deterministic given
-    # ``key`` (which only picks the first seed), immune to the duplicate-
-    # seeds-in-one-blob failure of random-row init, and costs the same
-    # FLOPs as a single assignment pass (k sequential [N,d] distance
-    # updates).
-    first = jax.random.randint(key, (), 0, n)
-    init_c = jnp.zeros((k, d), jnp.float32).at[0].set(x32[first])
+    if seed_method == "auto":
+        seed_method = "farthest" if k <= 512 else "random"
 
-    def seed_step(i, carry):
-        centroids, min_d = carry
-        new_c = centroids[i - 1]
-        dist = jnp.sum((x32 - new_c[None, :]) ** 2, axis=1)
-        min_d = jnp.minimum(min_d, dist)
-        nxt = jnp.argmax(min_d)
-        centroids = centroids.at[i].set(x32[nxt])
-        return centroids, min_d
+    if seed_method == "random":
+        rows = jax.random.choice(key, n, (k,), replace=False) if n >= k \
+            else jax.random.randint(key, (k,), 0, n)
+        centroids = x32[rows]
+    else:
+        first = jax.random.randint(key, (), 0, n)
+        init_c = jnp.zeros((k, d), jnp.float32).at[0].set(x32[first])
 
-    centroids, _ = jax.lax.fori_loop(
-        1, k, seed_step,
-        (init_c, jnp.full((n,), jnp.inf, jnp.float32)))
+        def seed_step(i, carry):
+            centroids, min_d = carry
+            new_c = centroids[i - 1]
+            dist = jnp.sum((x32 - new_c[None, :]) ** 2, axis=1)
+            min_d = jnp.minimum(min_d, dist)
+            nxt = jnp.argmax(min_d)
+            centroids = centroids.at[i].set(x32[nxt])
+            return centroids, min_d
+
+        centroids, _ = jax.lax.fori_loop(
+            1, k, seed_step,
+            (init_c, jnp.full((n,), jnp.inf, jnp.float32)))
     if spherical:
         centroids = l2_normalize(centroids)
 
