@@ -1,0 +1,56 @@
+"""Microbenchmark: build_dispatch sort vs cumsum inversion on TPU.
+
+Headline shape: Q=1024, nlist=4096, nprobe=32, qcap=16, approx routing.
+Each variant is wrapped in a jit that reduces its outputs to ONE scalar
+before fetching (tunnel methodology — see CLAUDE.md / docs/ENGINE.md).
+"""
+from __future__ import annotations
+
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from rag_foundation_tpu.engine.ivf import build_dispatch
+
+    q_n, nlist, nprobe, qcap = 1024, 4096, 32, 16
+    rng = np.random.default_rng(0)
+    coarse = jnp.asarray(rng.standard_normal((q_n, nlist)).astype(np.float32))
+
+    f_add = jax.jit(lambda x: x + 1)
+    _ = np.asarray(f_add(jnp.ones((2, 2))))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        _ = np.asarray(f_add(jnp.ones((2, 2))))
+    rtt = (time.perf_counter() - t0) / 5
+    print(f"RTT {rtt*1000:.1f} ms", file=sys.stderr)
+
+    for method in ("sort", "cumsum"):
+        @functools.partial(jax.jit, static_argnames=("m",))
+        def run(c, m):
+            pl, disp, slot, drop = build_dispatch(
+                c, nprobe, qcap, approx=True, method=m)
+            return (jnp.sum(pl) + jnp.sum(disp) + jnp.sum(slot)
+                    + drop).astype(jnp.int32)
+
+        _ = np.asarray(run(coarse, m=method))
+        reps = 30
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = run(coarse, m=method)
+        _ = np.asarray(out)
+        per = (time.perf_counter() - t0 - rtt) / reps
+        print(f"{method}: {per*1000:.3f} ms  checksum={int(np.asarray(run(coarse, m=method)))}")
+
+
+if __name__ == "__main__":
+    main()

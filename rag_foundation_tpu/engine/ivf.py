@@ -187,12 +187,14 @@ def ivf_append(
     return new_index, dropped
 
 
-@functools.partial(jax.jit, static_argnames=("nprobe", "qcap", "approx"))
+@functools.partial(
+    jax.jit, static_argnames=("nprobe", "qcap", "approx", "method"))
 def build_dispatch(
     coarse_scores: jnp.ndarray,   # [Q, nlist] f32
     nprobe: int,
     qcap: int,
     approx: bool = False,
+    method: str = "cumsum",
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Invert per-query probe lists into per-list query slots.
 
@@ -200,6 +202,16 @@ def build_dispatch(
     slot [Q, nprobe], dropped [] int32). ``dispatch[l, s]`` is the query
     id in slot s of list l (-1 empty); ``slot[q, i]`` is q's slot within
     its i-th probed list (-1 if dropped by capacity).
+
+    ``method="cumsum"`` (default) computes ranks sort-free: the rank of
+    query q within list l is the number of queries < q that also probe l,
+    i.e. an exclusive cumsum over the query axis of the one-hot
+    [Q, nlist] probe-count matrix. VPU compare/reduce + log-depth scan —
+    no argsort/searchsorted (which are sort-bound on TPU and dominated
+    the dispatch stage at ~3 ms for Q=1k, nprobe=32).
+    ``method="sort"`` keeps the stable-argsort inversion; both produce
+    BIT-IDENTICAL outputs (test_ivf.py) because stable sort over flat
+    index (q*nprobe+i) orders by q, matching the cumsum rank.
     """
     q_n, nlist = coarse_scores.shape
     if approx:
@@ -209,6 +221,30 @@ def build_dispatch(
         probe_lists = probe_lists.astype(jnp.int32)
     else:
         _, probe_lists = jax.lax.top_k(coarse_scores, nprobe)
+
+    if method == "cumsum":
+        # one-hot probe counts: C[q, l] = 1 iff q probes l (top-k lists
+        # are distinct). The [Q, nprobe, nlist] compare fuses into the
+        # reduction — never materialized.
+        hot = (probe_lists[:, :, None]
+               == jnp.arange(nlist, dtype=jnp.int32)[None, None, :])
+        counts = jnp.sum(hot, axis=1, dtype=jnp.int32)     # [Q, nlist]
+        start = jnp.cumsum(counts, axis=0) - counts        # exclusive
+        rank = jnp.take_along_axis(start, probe_lists, axis=1)
+        keep = rank < qcap
+        dropped = jnp.sum(~keep).astype(jnp.int32)
+        q_ids = jnp.broadcast_to(
+            jnp.arange(q_n, dtype=jnp.int32)[:, None], (q_n, nprobe))
+        write_l = jnp.where(keep, probe_lists, nlist)
+        safe_rank = jnp.where(keep, rank, 0)
+        dispatch = jnp.full((nlist, qcap), -1, jnp.int32)
+        # dropped probes scatter to an out-of-bounds row, which
+        # mode="drop" discards — never clobbering a live slot
+        dispatch = dispatch.at[
+            write_l.reshape(-1), safe_rank.reshape(-1)].set(
+            q_ids.reshape(-1), mode="drop")
+        slot = jnp.where(keep, rank, -1)
+        return probe_lists, dispatch, slot, dropped
 
     flat_l = probe_lists.reshape(-1)
     flat_q = jnp.repeat(jnp.arange(q_n, dtype=jnp.int32), nprobe)

@@ -49,6 +49,18 @@ def test_build_dispatch_inversion():
             assert dispatch[l, s] == q
 
 
+def test_build_dispatch_methods_bit_identical():
+    # cumsum (sort-free) and stable-argsort inversions must agree exactly,
+    # including capacity-drop behavior (qcap=4 forces drops)
+    rng = np.random.default_rng(7)
+    coarse = jnp.asarray(rng.standard_normal((64, 48)).astype(np.float32))
+    for qcap in (4, 16):
+        a = build_dispatch(coarse, nprobe=8, qcap=qcap, method="cumsum")
+        b = build_dispatch(coarse, nprobe=8, qcap=qcap, method="sort")
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_build_dispatch_capacity_drop():
     # all queries probe the same lists -> capacity overflow is counted
     coarse = jnp.asarray(np.tile(np.arange(64, dtype=np.float32), (32, 1)))
