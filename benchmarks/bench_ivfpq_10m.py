@@ -1,0 +1,229 @@
+"""10M x 768 IVF-PQ benchmark on one TPU v5e chip (BASELINE config 4).
+
+Chunked build (the full f32 corpus never exists on device): train coarse
++ residual-PQ codebooks on a sample, then per 512k-row chunk generate ->
+assign -> residual -> pq_encode -> scatter codes into the padded
+[nlist, cap_len, m] layout. Ground truth is a STREAMING exact f32 scan:
+each generated chunk is scored against the query subset before being
+discarded, so recall is measured against the true (unquantized) corpus —
+stricter than the flat bench's quantized-corpus GT.
+
+Memory at m=96: codes 1.16 GiB + ids — ~7x below the int8 IVF-Flat
+footprint (8.6 GiB); the QPS cost of ADC's gathers vs the int8 MXU path
+is what this benchmark quantifies (docs/ENGINE.md quantization ladder).
+
+Usage: python benchmarks/bench_ivfpq_10m.py [--n 10000000] [--m 96]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=10_000_000)
+    ap.add_argument("--d", type=int, default=768)
+    ap.add_argument("--nlist", type=int, default=4096)
+    ap.add_argument("--m", type=int, default=96)
+    ap.add_argument("--nprobe", type=int, default=32)
+    ap.add_argument("--qcap", type=int, default=16)
+    ap.add_argument("--q", type=int, default=1024)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--p", type=int, default=8)
+    ap.add_argument("--gt_sub", type=int, default=128)
+    ap.add_argument("--chunk", type=int, default=524_288)
+    ap.add_argument("--pq_sample", type=int, default=131_072)
+    ap.add_argument("--pq_iters", type=int, default=6)
+    ap.add_argument("--noise", type=float, default=0.5)
+    ap.add_argument("--qnoise", type=float, default=0.2)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from rag_foundation_tpu.engine.ivf import interleave_slots
+    from rag_foundation_tpu.engine.ivfpq import IVFPQIndex, ivfpq_search
+    from rag_foundation_tpu.ops.kmeans import assign_clusters
+    from rag_foundation_tpu.ops.l2norm import l2_normalize
+    from rag_foundation_tpu.ops.pq import pq_encode, pq_train
+
+    n, d, nlist, m = args.n, args.d, args.nlist, args.m
+    mean_len = n / nlist
+    cap_len = int(-(-(mean_len * 1.18) // 128) * 128)
+    log(f"n={n} nlist={nlist} m={m} cap_len={cap_len} "
+        f"codes={nlist*cap_len*m/2**30:.2f} GiB uint8")
+
+    key = jax.random.key(0)
+    k_centers, k_noise, k_pq = jax.random.split(key, 3)
+    centers = l2_normalize(
+        jax.random.normal(k_centers, (nlist, d), jnp.float32))
+
+    @jax.jit
+    def gen_chunk(ck, centers):
+        k1, k2 = jax.random.split(ck)
+        cid = jax.random.randint(k1, (args.chunk,), 0, nlist)
+        sigma = args.noise / np.sqrt(d)
+        v = centers[cid] + sigma * jax.random.normal(
+            k2, (args.chunk, d), jnp.float32)
+        return l2_normalize(v)
+
+    @jax.jit
+    def encode_chunk(v, centers, cb_centroids):
+        from rag_foundation_tpu.ops.pq import PQCodebook
+        assign, _ = assign_clusters(v, centers, block_size=args.chunk)
+        residual = v - centers[assign]
+        codes = pq_encode(PQCodebook(centroids=cb_centroids), residual)
+        return assign, codes
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def scatter_chunk(codes_flat, ids_flat, codes, dest, row_ids):
+        codes_flat = codes_flat.at[dest].set(codes, mode="drop")
+        ids_flat = ids_flat.at[dest].set(row_ids, mode="drop")
+        return codes_flat, ids_flat
+
+    # streaming exact f32 ground truth for the query subset
+    @jax.jit
+    def gt_merge(run_vals, run_ids, q_sub, chunk_v, row_base):
+        scores = jnp.dot(q_sub, chunk_v.T,
+                         preferred_element_type=jnp.float32)
+        v, i = jax.lax.top_k(scores, args.k)
+        ids = row_base + i.astype(jnp.int32)
+        allv = jnp.concatenate([run_vals, v], axis=1)
+        alli = jnp.concatenate([run_ids, ids], axis=1)
+        nv, pos = jax.lax.top_k(allv, args.k)
+        return nv, jnp.take_along_axis(alli, pos, axis=1)
+
+    # -- train codebooks on a first sample ------------------------------
+    t0 = time.perf_counter()
+    v0 = gen_chunk(k_noise, centers)  # reused as chunk 0 below
+    assign0, _ = assign_clusters(v0[:args.pq_sample], centers,
+                                 block_size=args.pq_sample)
+    res0 = v0[:args.pq_sample] - centers[assign0]
+    codebook = pq_train(res0, m, key=k_pq, iters=args.pq_iters)
+    codebook.centroids.block_until_ready()
+    log(f"pq_train({args.pq_sample}x{d}, m={m}): "
+        f"{time.perf_counter()-t0:.1f}s")
+
+    codes_flat = jnp.zeros((nlist * cap_len, m), jnp.uint8)
+    ids_flat = jnp.full((nlist * cap_len,), -1, jnp.int32)
+    next_slot = np.zeros(nlist, np.int64)
+    overflow = 0
+    run_vals = jnp.full((args.gt_sub, args.k), -jnp.inf, jnp.float32)
+    run_ids = jnp.full((args.gt_sub, args.k), -1, jnp.int32)
+    queries = None
+    q_sub = None
+
+    t_build = 0.0
+    t_first = 0.0
+    row_base = 0
+    keys = jax.random.split(k_noise, -(-n // args.chunk))
+    rngq = np.random.default_rng(0)
+    for ci, ck in enumerate(keys):
+        mrows = min(args.chunk, n - row_base)
+        t0 = time.perf_counter()
+        v = v0 if ci == 0 else gen_chunk(ck, centers)
+        assign, codes = encode_chunk(v, centers, codebook.centroids)
+        assign_h = np.asarray(assign[:mrows])   # sync
+        t_enc = time.perf_counter() - t0
+        if ci == 0:
+            qnp = np.asarray(v[: args.q], np.float32)
+            qnp = qnp + (args.qnoise / np.sqrt(d)) * \
+                rngq.standard_normal((args.q, d)).astype(np.float32)
+            qnp /= np.linalg.norm(qnp, axis=1, keepdims=True)
+            queries = jnp.asarray(qnp)
+            q_sub = queries[: args.gt_sub]
+        # ground truth merge BEFORE the chunk is discarded
+        run_vals, run_ids = gt_merge(run_vals, run_ids, q_sub,
+                                     v[:mrows], row_base)
+        t0 = time.perf_counter()
+        order = np.argsort(assign_h, kind="stable")
+        sa = assign_h[order]
+        counts = np.bincount(assign_h, minlength=nlist)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        slots = np.empty(mrows, np.int64)
+        slots[order] = (np.arange(mrows) - starts[sa]) + next_slot[sa]
+        next_slot += counts
+        dest = np.where(slots < cap_len,
+                        assign_h.astype(np.int64) * cap_len
+                        + interleave_slots(slots, cap_len),
+                        nlist * cap_len)
+        overflow += int((slots >= cap_len).sum())
+        if mrows < args.chunk:
+            dest = np.concatenate([dest, np.full(args.chunk - mrows,
+                                                 nlist * cap_len,
+                                                 np.int64)])
+        row_ids = np.arange(row_base, row_base + args.chunk,
+                            dtype=np.int32)
+        t_host = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        codes_flat, ids_flat = scatter_chunk(
+            codes_flat, ids_flat, codes,
+            jnp.asarray(dest.astype(np.int32)), jnp.asarray(row_ids))
+        ids_flat.block_until_ready()
+        t_scat = time.perf_counter() - t0
+        t_build += t_enc + t_host + t_scat
+        if ci == 0:
+            t_first = t_enc + t_host + t_scat
+        row_base += mrows
+        log(f"chunk {ci+1}/{len(keys)}: enc {t_enc:.2f}s host "
+            f"{t_host:.2f}s scatter {t_scat:.2f}s")
+
+    steady = t_build - t_first
+    mvps = (n - args.chunk) / steady / 1e6 if steady > 0 else 0
+    log(f"build: {t_build:.1f}s total; steady-state {mvps:.2f}M vec/s; "
+        f"overflow dropped {overflow} ({overflow/n*100:.3f}%)")
+
+    reshape3d = jax.jit(lambda x: x.reshape(nlist, cap_len, m),
+                        donate_argnums=0)
+    index = IVFPQIndex(
+        centroids=centers,
+        codebook_centroids=codebook.centroids,
+        codes=reshape3d(codes_flat),
+        row_ids=ids_flat.reshape(nlist, cap_len),
+        n=n - overflow)
+    del codes_flat, ids_flat
+
+    f_add = jax.jit(lambda x: x + 1)
+    _ = np.asarray(f_add(jnp.ones((2, 2))))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        _ = np.asarray(f_add(jnp.ones((2, 2))))
+    rtt = (time.perf_counter() - t0) / 3
+    log(f"RTT {rtt*1000:.1f} ms")
+
+    kw = dict(nprobe=args.nprobe, p=args.p, qcap=args.qcap)
+    vals, ids, dropped = ivfpq_search(index, queries, args.k, **kw)
+    _ = np.asarray(vals)
+    log(f"probe drops: {int(dropped)}")
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        vals, ids, dropped = ivfpq_search(index, queries, args.k, **kw)
+    _ = np.asarray(vals)
+    per = (time.perf_counter() - t0 - rtt) / reps
+    qps = args.q / per
+    log(f"ivfpq_search: {per*1000:.2f} ms/batch -> {qps:.0f} QPS")
+
+    exact_ids = np.asarray(run_ids)
+    approx_ids = np.asarray(ids[: args.gt_sub])
+    rec = np.mean([len(set(a) & set(b)) / args.k
+                   for a, b in zip(approx_ids, exact_ids)])
+    log(f"recall@{args.k} vs exact(f32 corpus): {rec:.4f}")
+    print(f"RESULT qps={qps:.0f} recall={rec:.4f} build_Mvps={mvps:.2f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -56,6 +56,14 @@ class EngineConfig:
     mesh_shards: int = 1            # corpus shards across chips (ICI merge)
     data_dir: str | None = None    # checkpoint root; None = memory-only
 
+    def __post_init__(self):
+        # fail fast at startup, not inside a worker job at first index
+        # build (security-gate spirit: /root/reference config.py:348-399)
+        if self.index_mode == "ivf_pq" and self.dim % self.pq_m:
+            raise ValueError(
+                f"ENGINE_PQ_M={self.pq_m} must divide ENGINE_DIM="
+                f"{self.dim} for ivf_pq mode")
+
 
 @dataclass
 class _ChunkMeta:

@@ -6,12 +6,15 @@ stored as ``m`` uint8 codes over RESIDUALS (x - coarse_centroid), so
 LUT semantics, ~d/m x smaller than int8 storage (e.g. 768-d, m=48:
 48 B/vector vs 768 B).
 
-Query path shares the IVF batch-inversion dispatch (engine/ivf.py) and
-runs the ADC scan in blocked XLA (take_along_axis gathers). ADC is
-gather-bound on TPU (the VPU has no indexed-load path to the MXU), so
-this mode trades QPS for memory; the int8 IVF-Flat mode is the
-performance path (docs/ENGINE.md "quantization ladder"). A Pallas ADC
-kernel is future work.
+Query path shares the IVF batch-inversion dispatch (engine/ivf.py); the
+ADC scan is a one-hot DECODE (batched matmul against the codebook, which
+XLA fuses with the code==k compare) followed by an MXU q·decoded score —
+per-code gathers are pathological on TPU (measured 84 QPS at 10M vs
+~1.4k for this formulation, benchmarks/bench_ivfpq_10m.py). Decode costs
+256·d MACs/vector, so this mode trades QPS for ~8x memory vs int8
+IVF-Flat, which remains the performance path (docs/ENGINE.md
+"quantization ladder"): PQ's niche is corpora beyond the int8 HBM budget
+(>100M/chip) and dense multi-tenant packing.
 """
 
 from __future__ import annotations
@@ -26,7 +29,7 @@ import numpy as np
 from rag_foundation_tpu.engine.ivf import (LBLOCK, build_dispatch,
                                            interleave_slots)
 from rag_foundation_tpu.ops.kmeans import assign_clusters, kmeans_fit
-from rag_foundation_tpu.ops.pq import PQCodebook, pq_encode, pq_lut, pq_train
+from rag_foundation_tpu.ops.pq import PQCodebook, pq_encode, pq_train
 
 
 class IVFPQIndex(NamedTuple):
@@ -109,13 +112,14 @@ def ivfpq_search(
                      preferred_element_type=jnp.float32)   # [Q, nlist]
     probe_lists, dispatch, slot, dropped = build_dispatch(
         coarse, nprobe, qcap)
-    lut = pq_lut(index.codebook, q32)                       # [Q, m, 256]
 
     safe_q = jnp.clip(dispatch, 0, q_n - 1)                 # [nlist, qcap]
     list_block = min(list_block, nlist)
     while nlist % list_block:  # keep blocks exact (no clamped overlap,
         list_block -= 1        # which would duplicate candidates)
     n_blocks = nlist // list_block
+    cb_bf16 = index.codebook_centroids.astype(jnp.bfloat16)
+    q_bf16 = q32.astype(jnp.bfloat16)
 
     def scan_block(b, _):
         sl = b * list_block
@@ -125,13 +129,20 @@ def ivfpq_search(
                                                list_block, 0)
         ids_b = jax.lax.dynamic_slice_in_dim(index.row_ids, sl,
                                              list_block, 0)
-        lut_b = lut[safe_b]                      # [LB, qcap, m, 256]
-        # ADC: gather LUT entries at each code -> [LB, qcap, cap_len, m]
-        gathered = jnp.take_along_axis(
-            lut_b[:, :, None, :, :],             # [LB, qcap, 1, m, 256]
-            codes_b[:, None, :, :, None].astype(jnp.int32),
-            axis=4)[..., 0]
-        scores = jnp.sum(gathered, axis=3)       # [LB, qcap, cap_len]
+        # ADC via one-hot DECODE + MXU score. Per-code gathers (either
+        # LUT[q, m, code] or table[m, code]) lower to pathological
+        # scatter/gather loops on TPU — measured ~90 ms per 32-list
+        # block at 10M scale vs ~5 ms for this formulation
+        # (benchmarks/bench_ivfpq_10m.py; docs/ENGINE.md). The compare
+        # fuses into the batched matmul over the m axis.
+        oh = (codes_b[:, :, :, None]
+              == jnp.arange(256, dtype=jnp.uint8)[None, None, None, :])
+        dec = jnp.einsum("lcmk,mkd->lcmd", oh.astype(jnp.bfloat16),
+                         cb_bf16)                # [LB, cap, m, dsub]
+        dec = dec.reshape(list_block, cap_len, m * cb_bf16.shape[-1])
+        qd = q_bf16[safe_b]                      # [LB, qcap, d]
+        scores = jnp.einsum("lqd,lcd->lqc", qd, dec,
+                            preferred_element_type=jnp.float32)
         # + coarse term for the (query, list) pair
         list_ids = sl + jnp.arange(list_block)
         coarse_term = coarse[safe_b, list_ids[:, None]]    # [LB, qcap]

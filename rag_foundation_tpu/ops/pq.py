@@ -7,8 +7,11 @@ by building a per-query lookup table ``LUT[m, 256]`` (one small matmul)
 and summing ``m`` gathers.
 
 This is new native capability (the reference delegated indexing to Gemini
-File Search — SURVEY.md §2.5 item 2); the Pallas fused ADC scan lives in
-ops/pallas_adc.py, this module is the XLA baseline + training path.
+File Search — SURVEY.md §2.5 item 2). This module is the XLA ADC path +
+training; a Pallas ADC kernel is deliberately not built — ADC's per-code
+gathers are VPU/gather-bound on TPU while the int8 IVF-Flat path rides
+the MXU (docs/ENGINE.md "quantization ladder"), so PQ here trades QPS
+for an ~8x memory reduction.
 """
 
 from __future__ import annotations
@@ -109,8 +112,7 @@ def pq_adc_scores(
 ) -> jnp.ndarray:
     """ADC scores ``[Q, N]`` from ``lut [Q, m, 256]`` and ``codes [N, m]``.
 
-    Blockwise over N to bound the gather working set. XLA baseline; the
-    fused streaming-top-k variant is ops/pallas_adc.py.
+    Blockwise over N to bound the gather working set (XLA path).
     """
     q, m, _ = lut.shape
     n = codes.shape[0]
