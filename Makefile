@@ -1,6 +1,6 @@
 # Developer entry points (reference parity: /root/reference/Makefile).
 
-.PHONY: test serve worker bench bench-ivf spec spec-check admin lint
+.PHONY: test serve worker bench bench-ivf spec spec-check admin lint check cleanup-uploads
 
 test:
 	python -m pytest tests/ -x -q
@@ -25,3 +25,9 @@ spec-check:
 
 admin:
 	python scripts/create_first_admin.py --email $(EMAIL) --password $(PASSWORD)
+
+check: spec-check
+	python scripts/check_admin_patterns.py
+
+cleanup-uploads:
+	python scripts/cleanup_uploads.py

@@ -1,0 +1,84 @@
+"""CI guard: every admin MUTATION route must audit-log and rate-limit
+(reference: /root/reference/backend/scripts/check_admin_patterns.py).
+
+AST walk over app/routes/admin.py: any handler registered with
+``@app.post/put/patch/delete`` must call ``record_admin_action`` and
+``check_rate_limit`` somewhere in its body. Exits non-zero listing
+violations; wired into `make check` alongside the API-spec drift gate.
+"""
+
+from __future__ import annotations
+
+import ast
+import sys
+from pathlib import Path
+
+MUTATING = {"post", "put", "patch", "delete"}
+RATE_LIMIT_PRIMITIVES = {"check_rate_limit", "check"}  # limiter.check
+
+
+def _route_method(dec: ast.AST) -> str | None:
+    if (isinstance(dec, ast.Call) and isinstance(dec.func, ast.Attribute)
+            and dec.func.attr in MUTATING):
+        return dec.func.attr
+    return None
+
+
+def _called_names(fn: ast.AST) -> set[str]:
+    names = set()
+    for node in ast.walk(fn):
+        if isinstance(node, ast.Call):
+            f = node.func
+            if isinstance(f, ast.Name):
+                names.add(f.id)
+            elif isinstance(f, ast.Attribute):
+                names.add(f.attr)
+    return names
+
+
+def check_file(path: Path) -> list[str]:
+    tree = ast.parse(path.read_text())
+    # one level of helper resolution: a local function whose body calls a
+    # rate-limit primitive (e.g. _admin -> ctx.limiter.check) satisfies
+    # the rate-limit requirement for handlers that call it
+    limiting_helpers = set()
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            if _called_names(node) & RATE_LIMIT_PRIMITIVES:
+                limiting_helpers.add(node.name)
+    rate_ok = RATE_LIMIT_PRIMITIVES | limiting_helpers
+
+    problems = []
+    for node in ast.walk(tree):
+        if not isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            continue
+        methods = [m for d in node.decorator_list
+                   if (m := _route_method(d))]
+        if not methods:
+            continue
+        called = _called_names(node)
+        if "record_admin_action" not in called:
+            problems.append(
+                f"{path.name}:{node.lineno} {node.name} "
+                f"({methods[0].upper()}) missing record_admin_action()")
+        if not called & rate_ok:
+            problems.append(
+                f"{path.name}:{node.lineno} {node.name} "
+                f"({methods[0].upper()}) missing rate limiting")
+    return problems
+
+
+def main() -> int:
+    repo = Path(__file__).resolve().parent.parent
+    target = repo / "rag_foundation_tpu" / "app" / "routes" / "admin.py"
+    problems = check_file(target)
+    for p in problems:
+        print(f"ADMIN PATTERN VIOLATION: {p}", file=sys.stderr)
+    if problems:
+        return 1
+    print(f"check_admin_patterns: OK ({target.relative_to(repo)})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

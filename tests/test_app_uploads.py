@@ -175,3 +175,46 @@ def test_ingestion_store_deleted_mid_flight(tmp_path):
                      " WHERE id=?", (doc_id,))
     # cascade soft-delete marked it deleted; the worker skipped it
     assert row["deleted_at"] is not None
+
+
+def test_cleanup_uploads_janitor(tmp_path):
+    """scripts/cleanup_uploads removes stale payloads for finished/orphaned
+    docs but never for PENDING/RUNNING (reference cleanup_tmp analog)."""
+    import os
+
+    from scripts.cleanup_uploads import cleanup_uploads
+
+    client, ctx = make_app(tmp_path)
+    headers = signup(client)
+    store = create_store(client, headers)
+    # DONE doc (ingested; payload normally removed — recreate one to age)
+    up = upload_text(client, headers, store["id"], "alpha beta " * 50)
+    drain_worker(ctx)
+    from rag_foundation_tpu.app.services.ingestion import upload_path
+    stale = time.time() - 48 * 3600
+    done_p = upload_path(ctx.settings, up.json()["document_id"])
+    done_p.write_bytes(b"x")
+    os.utime(done_p, (stale, stale))
+    # PENDING doc with a stale-looking payload: must be kept
+    up2 = upload_text(client, headers, store["id"], "gamma delta " * 50)
+    pend_p = upload_path(ctx.settings, up2.json()["document_id"])
+    assert pend_p.exists()
+    os.utime(pend_p, (stale, stale))
+    # orphan payload (no document row)
+    orphan = upload_path(ctx.settings, 9999)
+    orphan.write_bytes(b"x")
+    os.utime(orphan, (stale, stale))
+    # fresh orphan: kept by age
+    fresh = upload_path(ctx.settings, 9998)
+    fresh.write_bytes(b"x")
+
+    removed = cleanup_uploads(ctx.settings, ctx.db, max_age_hours=24)
+    assert removed == 2
+    assert not done_p.exists() and not orphan.exists()
+    assert pend_p.exists() and fresh.exists()
+    # dry-run mode reports without deleting
+    os.utime(fresh, (stale, stale))
+    db_rows_before = fresh.exists()
+    assert cleanup_uploads(ctx.settings, ctx.db, max_age_hours=24,
+                           dry_run=True) == 1
+    assert fresh.exists() == db_rows_before
