@@ -37,6 +37,27 @@ index_vectors = Gauge(
     registry=registry)
 ingest_vectors_total = Counter(
     "engine_ingest_vectors_total", "Vectors ingested", registry=registry)
+recall_at_k = Gauge(
+    "engine_recall_at_k", "Sampled recall vs exact scan (recall audit)",
+    ["store", "k"], registry=registry)
+device_bytes_in_use = Gauge(
+    "engine_device_bytes_in_use", "Accelerator HBM bytes in use",
+    registry=registry)
+
+
+def update_device_memory() -> int | None:
+    """Refresh the HBM-occupancy gauge from the backend allocator (the
+    SURVEY.md §5 "HBM occupancy" observable). Returns bytes or None when
+    the platform does not report memory stats (CPU)."""
+    try:
+        import jax
+        stats = jax.local_devices()[0].memory_stats() or {}
+    except Exception:  # noqa: BLE001 — observability must never raise
+        return None
+    used = stats.get("bytes_in_use")
+    if used is not None:
+        device_bytes_in_use.set(used)
+    return used
 
 
 def render() -> bytes:

@@ -135,6 +135,33 @@ def register(app, ctx):
                             action="watchdog_reset", detail=f"count={n}")
         return Response({"reset": n})
 
+    @app.post("/api/admin/engine/recall-probe")
+    async def recall_probe(req):
+        """Sampled recall-vs-exact audit for one store (SURVEY.md §5
+        recall gauge); records engine_recall_at_k + HBM occupancy."""
+        admin = _admin(req)
+        body = req.json()
+        store_id = body.get("store_id")
+        if not isinstance(store_id, int):
+            raise HTTPError(422, "store_id (int) required")
+        store = db.one("SELECT * FROM stores WHERE id=? AND"
+                       " deleted_at IS NULL", (store_id,))
+        if store is None:
+            raise HTTPError(404, "Store not found")
+        engine = getattr(ctx.rag, "engine", None)
+        if engine is None:
+            raise HTTPError(501, "recall probe unavailable in mock mode")
+        k = int(body.get("k", 10))
+        if not 1 <= k <= 100:
+            raise HTTPError(422, "k must be between 1 and 100")
+        result = engine.recall_probe(
+            store["engine_key"], k=k,
+            sample=min(int(body.get("sample", 32)), 256))
+        record_admin_action(
+            db, admin_user_id=admin.id, action="recall_probe",
+            detail=f"store={store_id} recall={result['recall']}")
+        return Response(result)
+
     @app.get("/api/admin/deletions")
     async def deletion_audit(req):
         _admin(req)

@@ -1,0 +1,80 @@
+"""Host-streaming exact top-k for corpora larger than device HBM.
+
+SURVEY.md §7 hard parts: "the exact kernel must also support streaming
+from host for oversubscribed corpora". The corpus stays in host RAM (or
+an np.memmap) and is swept in fixed-shape blocks: block ``i+1`` is
+``jax.device_put`` BEFORE block ``i``'s scores are computed, so the
+host->device transfer overlaps compute (JAX async dispatch double
+buffering — the PP-analog pipeline from SURVEY.md §2.4 applied to the
+read path). The running ``[Q, k]`` top-k carry lives on device; ties
+break toward the lowest global row id, matching ops/topk.exact_topk
+bit-for-bit.
+
+Throughput is transfer-bound: ~bytes(corpus)/H2D-bandwidth per query
+batch, amortized over Q. This is the correctness backstop for corpora
+that exceed the quantization ladder (docs/ENGINE.md), not a hot path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=("k",), donate_argnums=(0, 1))
+def _merge_block(run_vals, run_ids, queries, block, row_base, valid, k):
+    """Score one corpus block and fold it into the running top-k."""
+    n = block.shape[0]
+    scores = jnp.dot(queries.astype(block.dtype), block.T,
+                     preferred_element_type=jnp.float32)
+    live = jnp.arange(n, dtype=jnp.int32)[None, :] < valid
+    scores = jnp.where(live, scores, -jnp.inf)
+    ids = row_base + jnp.arange(n, dtype=jnp.int32)[None, :]
+    ids = jnp.broadcast_to(ids, scores.shape)
+    allv = jnp.concatenate([run_vals, scores], axis=1)
+    alli = jnp.concatenate([run_ids, ids], axis=1)
+    # lowest-global-id tie-break: top_k is stable over position, and the
+    # carry (older = lower ids) sits before the new block's columns
+    nv, pos = jax.lax.top_k(allv, k)
+    ni = jnp.take_along_axis(alli, pos, axis=1)
+    ni = jnp.where(jnp.isfinite(nv), ni, -1)
+    return nv, ni
+
+
+def exact_topk_hosted(
+    queries: jnp.ndarray,          # [Q, d] on device (or host array)
+    corpus: np.ndarray,            # [N, d] HOST-resident (ndarray/memmap)
+    k: int,
+    *,
+    block_rows: int = 262_144,
+    device=None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k over a host-resident corpus. Returns ``([Q,k] f32
+    values, [Q,k] int32 row ids)``; semantics match exact_topk."""
+    n, d = corpus.shape
+    q_dev = jnp.asarray(queries)
+    block_rows = min(block_rows, n)
+    run_vals = jnp.full((q_dev.shape[0], k), -jnp.inf, jnp.float32)
+    run_ids = jnp.full((q_dev.shape[0], k), -1, jnp.int32)
+
+    def put(i: int):
+        """Pad the tail block so every step reuses one compiled shape."""
+        blk = corpus[i: i + block_rows]
+        m = blk.shape[0]
+        if m < block_rows:
+            pad = np.zeros((block_rows - m, d), corpus.dtype)
+            blk = np.concatenate([blk, pad], axis=0)
+        return jax.device_put(blk, device), m
+
+    nxt = put(0)
+    for start in range(0, n, block_rows):
+        blk, m = nxt
+        if start + block_rows < n:            # prefetch: H2D overlaps the
+            nxt = put(start + block_rows)     # matmul of the current block
+        run_vals, run_ids = _merge_block(
+            run_vals, run_ids, q_dev, blk,
+            jnp.int32(start), jnp.int32(m), k)
+    return run_vals, run_ids

@@ -220,3 +220,36 @@ def test_branding_settings_roundtrip(tmp_path):
     r = client.put("/api/settings", headers=headers,
                    json_body={"unknown_key": "x"})
     assert r.status_code == 422
+
+
+def test_admin_recall_probe(tmp_path):
+    """POST /api/admin/engine/recall-probe: sampled recall audit against
+    the live engine state (SURVEY §5 recall gauge)."""
+    from tests.app_helpers import (create_store, drain_worker, make_admin,
+                                   make_app, signup, upload_text)
+
+    client, ctx = make_app(tmp_path)
+    headers = signup(client)
+    make_admin(ctx)
+    store = create_store(client, headers)
+    upload_text(client, headers, store["id"], "quick brown fox " * 80)
+    drain_worker(ctx)
+
+    r = client.post("/api/admin/engine/recall-probe",
+                    json_body={"store_id": store["id"], "k": 5},
+                    headers=headers)
+    assert r.status_code == 200, r.text
+    body = r.json()
+    assert body["sample"] > 0
+    # exact index mode: the approximate path IS the exact path
+    assert body["recall"] == 1.0
+    # bad store -> tenancy-shaped 404; bad k -> 422
+    assert client.post("/api/admin/engine/recall-probe",
+                       json_body={"store_id": 999},
+                       headers=headers).status_code == 404
+    assert client.post("/api/admin/engine/recall-probe",
+                       json_body={"store_id": store["id"], "k": 0},
+                       headers=headers).status_code == 422
+    # audited
+    audit = client.get("/api/admin/audit", headers=headers).json()
+    assert any(a["action"] == "recall_probe" for a in audit["audit"])

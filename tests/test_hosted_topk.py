@@ -1,0 +1,39 @@
+"""Host-streaming exact top-k: bit-equality with the device scan."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from rag_foundation_tpu.ops.hosted_topk import exact_topk_hosted
+from rag_foundation_tpu.ops.topk import exact_topk
+
+
+def test_hosted_matches_device_exact():
+    rng = np.random.default_rng(0)
+    corpus = rng.standard_normal((5000, 64)).astype(np.float32)
+    queries = rng.standard_normal((32, 64)).astype(np.float32)
+    hv, hi = exact_topk_hosted(jnp.asarray(queries), corpus, 10,
+                               block_rows=768)
+    dv, di = exact_topk(jnp.asarray(queries), jnp.asarray(corpus), 10)
+    np.testing.assert_array_equal(np.asarray(hi), np.asarray(di))
+    np.testing.assert_allclose(np.asarray(hv), np.asarray(dv), rtol=1e-5)
+
+
+def test_hosted_tie_break_lowest_id():
+    # duplicate rows across different blocks: the LOWER row id must win
+    rng = np.random.default_rng(1)
+    base = rng.standard_normal((600, 32)).astype(np.float32)
+    corpus = np.concatenate([base, base], axis=0)  # dup at +600
+    queries = base[:8] * 2.0
+    _, ids = exact_topk_hosted(jnp.asarray(queries), corpus, 1,
+                               block_rows=256)
+    assert (np.asarray(ids)[:, 0] == np.arange(8)).all()
+
+
+def test_hosted_k_wider_than_block():
+    rng = np.random.default_rng(2)
+    corpus = rng.standard_normal((300, 16)).astype(np.float32)
+    queries = rng.standard_normal((4, 16)).astype(np.float32)
+    hv, hi = exact_topk_hosted(jnp.asarray(queries), corpus, 64,
+                               block_rows=50)
+    dv, di = exact_topk(jnp.asarray(queries), jnp.asarray(corpus), 64)
+    np.testing.assert_array_equal(np.asarray(hi), np.asarray(di))
