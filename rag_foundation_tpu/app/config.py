@@ -112,6 +112,8 @@ class Settings(BaseModel):
     ENGINE_NPROBE: int = 64
     ENGINE_BUILD_THRESHOLD: int = 100_000
     ENGINE_PQ_M: int = 48
+    ENGINE_IVF_P: int = 4                 # per-sub-block top-p capture
+    ENGINE_APPROX_ROUTING: bool = False   # approx_max_k coarse routing
     ENGINE_DTYPE: str = "float32"         # float32|bfloat16
     ENGINE_BATCH_WINDOW_MS: float = 0.0   # micro-batch admission window
     ENGINE_MESH_SHARDS: int = 1           # corpus shards across chips

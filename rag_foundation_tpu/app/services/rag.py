@@ -60,6 +60,8 @@ class EngineRag:
             nprobe=settings.ENGINE_NPROBE,
             build_threshold=settings.ENGINE_BUILD_THRESHOLD,
             pq_m=settings.ENGINE_PQ_M,
+            ivf_p=settings.ENGINE_IVF_P,
+            approx_routing=settings.ENGINE_APPROX_ROUTING,
             batch_window_s=settings.ENGINE_BATCH_WINDOW_MS / 1000.0,
             mesh_shards=settings.ENGINE_MESH_SHARDS,
             data_dir=(str(settings.DATA_DIR) + "/engine"

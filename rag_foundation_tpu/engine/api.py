@@ -52,6 +52,8 @@ class EngineConfig:
     nprobe: int = 32
     build_threshold: int = 100_000  # tail size that triggers IVF build
     pq_m: int = 48                  # PQ subspaces (ivf_pq mode)
+    ivf_p: int = 4                  # per-sub-block top-p capture
+    approx_routing: bool = False    # lax.approx_max_k coarse routing
     batch_window_s: float = 0.0     # >0: micro-batch concurrent searches
     mesh_shards: int = 1            # corpus shards across chips (ICI merge)
     data_dir: str | None = None    # checkpoint root; None = memory-only
@@ -147,7 +149,9 @@ class Engine:
         return StoreIndex(cfg.dim, mode=cfg.index_mode, nlist=cfg.nlist,
                           nprobe=cfg.nprobe,
                           build_threshold=cfg.build_threshold,
-                          pq_m=cfg.pq_m, mesh=self._mesh())
+                          pq_m=cfg.pq_m, ivf_p=cfg.ivf_p,
+                          approx_routing=cfg.approx_routing,
+                          mesh=self._mesh())
 
     def _store(self, key: str) -> _Store:
         try:
@@ -361,7 +365,8 @@ class Engine:
                     {"vectors": z["vectors"], "ids": z["ids"],
                      "dim": meta["dim"]},
                     mode=cfg.index_mode, nlist=cfg.nlist,
-                    nprobe=cfg.nprobe,
+                    nprobe=cfg.nprobe, ivf_p=cfg.ivf_p,
+                    approx_routing=cfg.approx_routing,
                     build_threshold=cfg.build_threshold)
             store = _Store(key=meta["key"], segment=seg,
                            next_chunk_id=meta["next_chunk_id"])

@@ -37,7 +37,8 @@ class StoreIndex:
 
     def __init__(self, dim: int, *, mode: str = "exact", nlist: int = 256,
                  nprobe: int = 32, build_threshold: int = 100_000,
-                 pq_m: int = 48, seed: int = 0, mesh=None):
+                 pq_m: int = 48, ivf_p: int = 4, approx_routing: bool = False,
+                 seed: int = 0, mesh=None):
         if mode not in ("exact", "ivf_flat", "ivf_flat_int8", "ivf_pq"):
             raise ValueError(f"unknown index mode {mode!r}")
         if mode == "ivf_pq" and dim % pq_m:
@@ -47,6 +48,11 @@ class StoreIndex:
         self.mode = mode
         self.nlist = nlist
         self.nprobe = nprobe
+        # per-sub-block top-p capture and approximate coarse routing
+        # (lax.approx_max_k): the measured sweet spot at 10M is p=3 +
+        # approx (docs/ENGINE.md); defaults stay conservative
+        self.ivf_p = ivf_p
+        self.approx_routing = approx_routing
         self.build_threshold = build_threshold
         self.seed = seed
         self.mesh = mesh  # multi-chip: shard the exact tier over the mesh
@@ -209,7 +215,9 @@ class StoreIndex:
             else:
                 b_vals, b_rows, _ = ivf_search(
                     self.body, jnp.asarray(queries), fetch,
-                    nprobe=nprobe, p=min(4, fetch), interpret=_on_cpu())
+                    nprobe=nprobe, p=min(self.ivf_p, fetch),
+                    approx_select=self.approx_routing,
+                    interpret=_on_cpu())
         b_vals = np.asarray(b_vals)
         b_rows = np.asarray(b_rows)
         # row -> chunk id, tombstone filter

@@ -154,3 +154,25 @@ def test_fetch_larger_than_candidate_width():
     assert ids.shape == (1, 10)
     assert 500 in ids[0]
     assert not ({i for i in range(200)} & set(ids[0]))
+
+
+def test_ivf_p_and_approx_routing_knobs():
+    """ENGINE_IVF_P / ENGINE_APPROX_ROUTING plumb through to the search
+    path and preserve recall on a clustered corpus."""
+    import jax.numpy as jnp
+
+    from rag_foundation_tpu.engine.index import StoreIndex
+    from tests.test_ivf import _clustered_corpus
+
+    x = _clustered_corpus(4096, 64)
+    idx = StoreIndex(64, mode="ivf_flat", nlist=16, nprobe=16,
+                     build_threshold=2048, ivf_p=3, approx_routing=True)
+    idx.add(x, np.arange(len(x)))
+    assert idx.body is not None and idx.ivf_p == 3 and idx.approx_routing
+    vals, ids = idx.search(x[:64], 5)
+    exact = StoreIndex(64, mode="exact")
+    exact.add(x, np.arange(len(x)))
+    ev, ei = exact.search(x[:64], 5)
+    overlap = np.mean([len(set(a) & set(b)) / 5
+                       for a, b in zip(ids, ei)])
+    assert overlap >= 0.9
