@@ -1,6 +1,6 @@
 # Developer entry points (reference parity: /root/reference/Makefile).
 
-.PHONY: test serve worker bench bench-ivf spec spec-check admin lint check cleanup-uploads
+.PHONY: test serve worker bench bench-ivf spec spec-check admin lint check cleanup-uploads audit
 
 test:
 	python -m pytest tests/ -x -q
@@ -31,3 +31,6 @@ check: spec-check
 
 cleanup-uploads:
 	python scripts/cleanup_uploads.py
+
+audit:
+	bash scripts/run_audit.sh

@@ -1,0 +1,60 @@
+#!/usr/bin/env bash
+# First-party audit runner (reference analog:
+# /root/reference/quality_assurance/run_audit.sh + the Bandit/Gitleaks
+# CI tiers — neither tool exists in this image, so the static checks
+# are implemented as targeted greps with an allowlist).
+set -u
+cd "$(dirname "$0")/.."
+FAIL=0
+
+step() { echo "== $1"; }
+
+step "hermetic test suite"
+python -m pytest tests/ -x -q || FAIL=1
+
+step "API spec drift gate"
+python scripts/export_api_spec.py --check || FAIL=1
+
+step "admin route patterns (audit + rate limit)"
+python scripts/check_admin_patterns.py || FAIL=1
+
+step "dangerous-pattern scan (bandit analog)"
+# eval/exec/pickle/shell=True in product code; tests and this script are
+# out of scope. yaml.load is absent (no pyyaml dependency).
+if grep -rnE '\beval\(|\bexec\(|pickle\.loads?\(|shell=True' \
+    rag_foundation_tpu/ --include='*.py' \
+    | grep -v '# audit-ok'; then
+  echo "dangerous pattern found (annotate '# audit-ok' only with review)"
+  FAIL=1
+else
+  echo "clean"
+fi
+
+step "secret scan (gitleaks analog)"
+# long hex/base64 literals assigned to secret-ish names in the tree
+if grep -rnEi '(secret|password|api_key|token)\s*=\s*["'"'"'][A-Za-z0-9+/=]{24,}' \
+    rag_foundation_tpu/ scripts/ --include='*.py' \
+    | grep -v '# audit-ok'; then
+  echo "possible hardcoded secret"
+  FAIL=1
+else
+  echo "clean"
+fi
+
+step "log-scrub self-check"
+python - <<'EOF' || exit 1
+import logging
+from rag_foundation_tpu.app.telemetry import JsonFormatter
+rec = logging.LogRecord("t", logging.INFO, "f", 1, "msg", None, None)
+rec.fields = {"authorization": "Bearer abc", "x-api-key": "k",
+              "note": "ok"}
+out = JsonFormatter().format(rec)
+assert "abc" not in out and '"k"' not in out and "ok" in out, out
+print("scrub holds:", out[:120])
+EOF
+[ $? -ne 0 ] && FAIL=1
+
+if [ "$FAIL" -ne 0 ]; then
+  echo "AUDIT FAILED"; exit 1
+fi
+echo "AUDIT PASSED"
