@@ -252,9 +252,14 @@ def create_app(ctx: AppContext | None = None, *,
             settings.MAX_CONCURRENT_STREAMS)
         if start_worker and ctx.worker is not None:
             ctx.worker.start()
+        try:
+            import jax
+            platform = jax.default_backend()
+        except Exception:  # noqa: BLE001 — mock mode may lack a backend
+            platform = "unavailable"
         log_json(logging.INFO, "app_started",
                  environment=settings.ENVIRONMENT,
-                 mock_mode=settings.MOCK_MODE)
+                 mock_mode=settings.MOCK_MODE, platform=platform)
 
     async def _shutdown():
         if ctx.worker is not None:
@@ -267,6 +272,9 @@ def create_app(ctx: AppContext | None = None, *,
 
 def main():  # pragma: no cover — production entrypoint
     import argparse
+
+    from rag_foundation_tpu.utils.platform import pin_platform
+    pin_platform()  # RAGTPU_ENGINE_PLATFORM=cpu pins before backend init
     parser = argparse.ArgumentParser(description="ragtpu API server")
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8000)

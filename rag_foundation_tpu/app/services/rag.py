@@ -55,6 +55,7 @@ class EngineRag:
             chunk_tokens=settings.ENGINE_CHUNK_TOKENS,
             chunk_overlap=settings.ENGINE_CHUNK_OVERLAP,
             encoder=settings.ENGINE_ENCODER,
+            encoder_ckpt=settings.ENGINE_ENCODER_CKPT or None,
             index_mode=settings.ENGINE_INDEX_MODE,
             nlist=settings.ENGINE_NLIST,
             nprobe=settings.ENGINE_NPROBE,

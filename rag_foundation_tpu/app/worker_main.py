@@ -25,6 +25,8 @@ from rag_foundation_tpu.runtime.jobqueue import JobQueue, Worker
 
 
 def main() -> None:
+    from rag_foundation_tpu.utils.platform import pin_platform
+    pin_platform()  # RAGTPU_ENGINE_PLATFORM=cpu pins before backend init
     configure_logging()
     settings = load_settings()
     db = Database(settings.DATABASE_PATH, migrations=MIGRATIONS)

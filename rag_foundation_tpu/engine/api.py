@@ -47,6 +47,7 @@ class EngineConfig:
     chunk_tokens: int = 200
     chunk_overlap: int = 40
     encoder: str = "hash"          # "hash" | "minilm"
+    encoder_ckpt: str | None = None  # npz from scripts/train_encoder.py
     index_mode: str = "exact"      # "exact" | "ivf_flat" | "ivf_flat_int8"
     nlist: int = 256
     nprobe: int = 32
@@ -95,7 +96,21 @@ def _make_encoder(cfg: EngineConfig):
     if cfg.encoder == "hash":
         return HashingEncoder(dim=cfg.dim)
     if cfg.encoder == "minilm":
-        from rag_foundation_tpu.models.encoder import MiniLMEncoder
+        from rag_foundation_tpu.models.encoder import (MiniLMEncoder,
+                                                       checkpoint_config,
+                                                       load_params)
+        if cfg.encoder_ckpt:
+            # fail fast on a bad path/arch — a half-loaded encoder
+            # would silently embed garbage. The checkpoint carries its
+            # EncoderConfig (max_len etc.); dim must match the engine's.
+            enc_cfg = checkpoint_config(cfg.encoder_ckpt)
+            if enc_cfg is not None and enc_cfg.hidden != cfg.dim:
+                raise ValueError(
+                    f"encoder checkpoint hidden={enc_cfg.hidden} != "
+                    f"ENGINE_DIM={cfg.dim}")
+            enc = MiniLMEncoder(dim=cfg.dim, cfg=enc_cfg)
+            enc.params = load_params(cfg.encoder_ckpt, enc.cfg)
+            return enc
         return MiniLMEncoder(dim=cfg.dim)
     raise ValueError(f"unknown encoder {cfg.encoder!r}")
 

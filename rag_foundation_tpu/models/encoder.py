@@ -230,16 +230,55 @@ class MiniLMEncoder:
         return np.asarray(out[:n], np.float32)
 
 
-def save_params(params: dict, path: str) -> None:
+_CFG_FIELDS = ("hidden", "layers", "heads", "ffn", "vocab_size", "max_len")
+
+
+def save_params(params: dict, path: str,
+                cfg: EncoderConfig | None = None) -> None:
     flat, _ = jax.tree_util.tree_flatten_with_path(params)
-    arrays = {jax.tree_util.keystr(k): np.asarray(v) for k, v in flat}
+    arrays = {}
+    for k, v in flat:
+        arr = np.asarray(v)
+        if arr.dtype.kind not in "fiub":
+            # np.savez writes ml_dtypes (bfloat16) as raw void ("|V2"),
+            # which np.load cannot hand back to JAX — store as f32;
+            # load_params casts back to the template dtype
+            arr = arr.astype(np.float32)
+        arrays[jax.tree_util.keystr(k)] = arr
+    if cfg is not None:
+        # embed the architecture so loaders can rebuild the matching
+        # EncoderConfig instead of guessing (a max_len mismatch
+        # otherwise surfaces as a broadcast error mid-ingestion)
+        for f in _CFG_FIELDS:
+            arrays[f"__cfg_{f}"] = np.int64(getattr(cfg, f))
     np.savez_compressed(path, **arrays)
+
+
+def checkpoint_config(path: str, **overrides) -> EncoderConfig | None:
+    """EncoderConfig stored in a checkpoint, or None for config-less
+    (pre-metadata) checkpoints."""
+    with np.load(path) as z:
+        if "__cfg_hidden" not in z:
+            return None
+        fields = {f: int(z[f"__cfg_{f}"]) for f in _CFG_FIELDS}
+    fields.update(overrides)
+    return EncoderConfig(**fields)
 
 
 def load_params(path: str, cfg: EncoderConfig) -> dict:
     template = init_params(jax.random.key(0), cfg)
     flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
     with np.load(path) as z:
-        leaves = [jnp.asarray(z[jax.tree_util.keystr(k)]).astype(v.dtype)
-                  for k, v in flat]
+        for k, v in flat:
+            key = jax.tree_util.keystr(k)
+            if key not in z:
+                raise ValueError(f"checkpoint {path} missing {key}")
+            arr = z[key]
+            if arr.shape != v.shape:
+                raise ValueError(
+                    f"checkpoint {path} {key} shape {arr.shape} != "
+                    f"expected {v.shape} — was it trained with a "
+                    f"different EncoderConfig? (use checkpoint_config)")
+            leaves.append(jnp.asarray(arr).astype(v.dtype))
     return jax.tree_util.tree_unflatten(treedef, leaves)

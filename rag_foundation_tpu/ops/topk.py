@@ -24,7 +24,12 @@ import functools
 import jax
 import jax.numpy as jnp
 
-NEG_INF = jnp.float32(-jnp.inf)
+# plain float, NOT jnp.float32(...): a module-level jnp constant
+# initializes the JAX backend at import time — before app entrypoints
+# can pin the platform, and while another process may hold the single
+# TPU pool lease (import then dies with "Backend 'axon' is not in the
+# list of known backends")
+NEG_INF = float("-inf")
 
 
 def merge_topk(

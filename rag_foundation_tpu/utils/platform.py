@@ -1,0 +1,33 @@
+"""Backend platform pinning.
+
+In this deployment image a sitecustomize hook imports JAX at interpreter
+start with its own JAX_PLATFORMS, so the environment variable set by the
+operator is silently overridden (CLAUDE.md gotchas). The supported way to
+pin the backend is ``jax.config.update("jax_platforms", ...)`` BEFORE the
+first backend use — which is what this helper does, driven by
+``RAGTPU_ENGINE_PLATFORM`` (e.g. ``cpu`` for control-plane-only nodes or
+verification runs; empty = whatever JAX selects).
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def pin_platform(platform: str | None = None) -> str | None:
+    """Apply the requested (or env-requested) backend; returns the value
+    applied, or None if nothing was requested / backend already up."""
+    platform = platform or os.environ.get("RAGTPU_ENGINE_PLATFORM", "")
+    if not platform:
+        return None
+    import jax
+    try:
+        jax.config.update("jax_platforms", platform)
+        if platform == "cpu":
+            # virtual multi-device CPU meshes for sharding tests/dryruns
+            n = os.environ.get("RAGTPU_CPU_DEVICES", "")
+            if n:
+                jax.config.update("jax_num_cpu_devices", int(n))
+    except RuntimeError:
+        return None  # backend already initialized; too late to repin
+    return platform

@@ -1,0 +1,127 @@
+"""Fine-tune the MiniLM-class encoder with in-batch-negative contrastive
+training and save an npz checkpoint loadable via
+``RAGTPU_ENGINE_ENCODER_CKPT``.
+
+The reference trains nothing (generation and embedding were Gemini's);
+this script makes the framework's training path (models/encoder.py
+``make_train_step``) operational end-to-end: synthetic paraphrase pairs
+-> InfoNCE steps -> retrieval-accuracy eval before/after -> checkpoint.
+Runs on whatever backend JAX selects (CPU in CI, the TPU when present).
+
+Usage:
+  python scripts/train_encoder.py --steps 200 --out /tmp/minilm.npz
+  RAGTPU_ENGINE_ENCODER=minilm RAGTPU_ENGINE_ENCODER_CKPT=/tmp/minilm.npz \
+      python -m rag_foundation_tpu.app.main
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+
+TOPICS = [
+    "quarterly revenue growth", "tpu kernel latency", "customer churn",
+    "cloud migration cost", "security incident response",
+    "vector index rebuild", "employee onboarding", "api rate limits",
+    "budget forecast accuracy", "observability dashboards",
+    "posting list compaction", "contrastive encoder training",
+    "cache hit ratio", "database row locks", "streaming ingestion",
+    "citation extraction", "multi tenant isolation", "admin audit trail",
+    "token cost ledger", "watchdog recovery",
+]
+TEMPLATES_Q = [
+    "what changed about {t} this quarter",
+    "summary of {t}", "how did {t} evolve", "status report on {t}",
+]
+TEMPLATES_D = [
+    "the report covers {t} in detail with updated figures",
+    "{t} improved significantly according to the latest review",
+    "analysis: {t} trends, risks, and next steps",
+    "notes about {t} from the engineering retrospective",
+]
+
+
+def make_pairs(rng: np.random.Generator, n: int) -> list[tuple[str, str]]:
+    pairs = []
+    for _ in range(n):
+        t = TOPICS[rng.integers(len(TOPICS))]
+        q = TEMPLATES_Q[rng.integers(len(TEMPLATES_Q))].format(t=t)
+        d = TEMPLATES_D[rng.integers(len(TEMPLATES_D))].format(t=t)
+        pairs.append((q, d))
+    return pairs
+
+
+def retrieval_acc(enc, pairs) -> float:
+    """Top-1 accuracy matching each query to its paired doc."""
+    q = enc.encode([p[0] for p in pairs])
+    d = enc.encode([p[1] for p in pairs])
+    pred = np.argmax(q @ d.T, axis=1)
+    return float(np.mean(pred == np.arange(len(pairs))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dim", type=int, default=384)
+    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--max-len", type=int, default=32)
+    ap.add_argument("--out", default="/tmp/minilm_finetuned.npz")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from rag_foundation_tpu.models.encoder import (MiniLMEncoder,
+                                                   make_train_step,
+                                                   save_params)
+
+    rng = np.random.default_rng(args.seed)
+    enc = MiniLMEncoder(dim=args.dim, seed=args.seed, max_len=args.max_len)
+    cfg = enc.cfg
+
+    # deduplicated eval set (one query/doc per topic, unseen phrasings
+    # come from the same template universe — this measures alignment,
+    # not memorization of specific pairs)
+    eval_pairs = [(TEMPLATES_Q[0].format(t=t), TEMPLATES_D[0].format(t=t))
+                  for t in TOPICS]
+    acc0 = retrieval_acc(enc, eval_pairs)
+    print(f"retrieval top-1 before: {acc0:.3f}", file=sys.stderr)
+
+    optimizer = optax.adamw(args.lr)
+    opt_state = optimizer.init(enc.params)
+    step = jax.jit(make_train_step(cfg, optimizer))
+
+    params = enc.params
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        pairs = make_pairs(rng, args.batch)
+        q_ids = jnp.asarray(enc.tokenizer.encode_batch(
+            [p[0] for p in pairs], args.max_len))
+        d_ids = jnp.asarray(enc.tokenizer.encode_batch(
+            [p[1] for p in pairs], args.max_len))
+        params, opt_state, loss = step(params, opt_state, q_ids, d_ids)
+        if i % 25 == 0 or i == args.steps - 1:
+            print(f"step {i}: loss {float(loss):.4f}", file=sys.stderr)
+    dur = time.perf_counter() - t0
+    enc.params = params
+    acc1 = retrieval_acc(enc, eval_pairs)
+    print(f"retrieval top-1 after: {acc1:.3f} "
+          f"({args.steps} steps in {dur:.1f}s)", file=sys.stderr)
+
+    save_params(params, args.out, cfg=cfg)
+    print(f"RESULT acc_before={acc0:.3f} acc_after={acc1:.3f} "
+          f"ckpt={args.out}")
+
+
+if __name__ == "__main__":
+    main()
