@@ -146,3 +146,33 @@ def test_wordpiece_training_and_tokenization():
     # deterministic and distinct from hashing tokenizer
     np.testing.assert_array_equal(
         out, tok.encode("the transformer encoder", max_len=16))
+
+
+def test_checkpoint_carries_config_and_validates(tmp_path):
+    """Checkpoints embed EncoderConfig; shape mismatches fail loudly at
+    load instead of broadcasting errors mid-ingestion."""
+    import pytest
+
+    from rag_foundation_tpu.models.encoder import (EncoderConfig,
+                                                   MiniLMEncoder,
+                                                   checkpoint_config,
+                                                   load_params,
+                                                   save_params)
+
+    enc = MiniLMEncoder(dim=128, cfg=EncoderConfig(
+        hidden=128, layers=2, heads=4, ffn=256, max_len=16))
+    p = str(tmp_path / "ck.npz")
+    save_params(enc.params, p, cfg=enc.cfg)
+    cfg = checkpoint_config(p)
+    assert cfg.max_len == 16 and cfg.hidden == 128
+    # loading against the stored config round-trips
+    params = load_params(p, cfg)
+    out1 = enc.encode(["hello world"])
+    enc.params = params
+    np.testing.assert_allclose(enc.encode(["hello world"]), out1,
+                               atol=1e-5)
+    # loading against a mismatched template names the offending leaf
+    bad = EncoderConfig(hidden=128, layers=2, heads=4, ffn=256,
+                        max_len=64)
+    with pytest.raises(ValueError, match="shape"):
+        load_params(p, bad)
