@@ -204,6 +204,25 @@ def main():
         measure(32, 64, 3, q4, approx=True)
         measure(32, 128, 3, q8, approx=True)
 
+    if "--small" in sys.argv or os.environ.get("IVF_SMALL"):
+        # latency path: single/few queries gather only their probed
+        # lists (engine/ivf.ivf_search_small — the app's Q=1 route)
+        from rag_foundation_tpu.engine.ivf import ivf_search_small
+        for q_small in (1, 4, 8):
+            qs = q_dev[:q_small]
+            vv, ii = ivf_search_small(index, qs, args.k,
+                                      nprobe=args.nprobe)
+            _ = np.asarray(vv)
+            reps = 20
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                vv, ii = ivf_search_small(index, qs, args.k,
+                                          nprobe=args.nprobe)
+            _ = np.asarray(vv)
+            per = (time.perf_counter() - t0 - rtt) / reps
+            log(f"ivf_search_small Q={q_small} nprobe={args.nprobe}:"
+                f" {per*1000:.2f} ms")
+
     kw = dict(nprobe=args.nprobe, p=args.p, qcap=args.qcap,
               approx_select=args.approx)
     vals, ids, dropped = ivf_search(index, q_dev, args.k, **kw)

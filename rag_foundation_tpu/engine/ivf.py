@@ -298,8 +298,21 @@ def ivf_search_small(
                      preferred_element_type=jnp.float32)
     _, probe_lists = jax.lax.top_k(coarse, nprobe)      # [Q, nprobe]
 
-    cand = index.lists[probe_lists]          # [Q, nprobe, cap, d] gather
-    cand_ids = index.row_ids[probe_lists]    # [Q, nprobe, cap]
+    # fetch probed lists with scanned dynamic slices, NOT a fancy-index
+    # gather: XLA lowers the gather by materializing a relaid-out copy
+    # of the whole [nlist, cap, d] operand, which OOMs at 10M (8.6 GiB
+    # index -> 16.5 GiB peak). dynamic_index_in_dim reads only the
+    # probed rows.
+    def fetch(lid):
+        rows = jax.lax.dynamic_index_in_dim(index.lists, lid, axis=0,
+                                            keepdims=False)
+        ids = jax.lax.dynamic_index_in_dim(index.row_ids, lid, axis=0,
+                                           keepdims=False)
+        return rows, ids
+
+    cand_flat, ids_flat = jax.lax.map(fetch, probe_lists.reshape(-1))
+    cand = cand_flat.reshape(q_n, nprobe, cap_len, d)
+    cand_ids = ids_flat.reshape(q_n, nprobe, cap_len)
     if index.lists.dtype == jnp.int8:
         qq = jnp.clip(jnp.round(q32 / index.scale), -127, 127
                       ).astype(jnp.int8)
