@@ -351,6 +351,14 @@ async function refreshAdmin() {
   }
   const sys = await api("GET", "/api/admin/system");
   $("admin-system").textContent = JSON.stringify(sys, null, 2);
+  const sel = $("recall-store");
+  sel.innerHTML = "<option value=''>store…</option>";
+  for (const s of state.stores || []) {
+    const opt = document.createElement("option");
+    opt.value = s.id;
+    opt.textContent = s.name;
+    sel.appendChild(opt);
+  }
   const audit = await api("GET", "/api/admin/audit");
   const at = $("admin-audit");
   at.innerHTML = "<tr><th>time</th><th>admin</th><th>action</th>" +
@@ -367,6 +375,21 @@ async function refreshAdmin() {
 $("watchdog-btn").addEventListener("click", async () => {
   const out = await api("POST", "/api/admin/watchdog/reset-stuck");
   alert(`reset ${out.reset} stuck ingestion(s)`);
+});
+
+$("recall-btn").addEventListener("click", async () => {
+  const sid = parseInt($("recall-store").value, 10);
+  if (!sid) return;
+  $("recall-out").textContent = "probing…";
+  try {
+    const out = await api("POST", "/api/admin/engine/recall-probe",
+                          {store_id: sid, k: 10});
+    $("recall-out").textContent = out.recall === null
+      ? "store empty"
+      : `recall@${out.k} = ${out.recall.toFixed(4)} (n=${out.sample})`;
+  } catch (e) {
+    $("recall-out").textContent = `error: ${e.message}`;
+  }
 });
 
 $("branding-form").addEventListener("submit", async (e) => {
