@@ -351,12 +351,27 @@ class Engine:
 
     def _save_store(self, store: _Store) -> None:
         p = self._store_dir(store.key)
-        st = store.segment.state()
+        body = store.segment.body_state()
+        if body is not None:
+            # serialized index segments (SURVEY.md §5): the body reloads
+            # into HBM verbatim — no rebuild, no re-quantization drift —
+            # and vectors.npz holds only the streaming tail
+            tmp = p / "body.npz.tmp"
+            with open(tmp, "wb") as f:
+                np.savez(f, **body)
+            tmp.replace(p / "body.npz")
+            st = store.segment.tail.state()
+            layout = "tail+body"
+        else:
+            st = store.segment.state()
+            layout = "full"
+            (p / "body.npz").unlink(missing_ok=True)
         np.savez_compressed(p / "vectors.npz",
                             vectors=st["vectors"], ids=st["ids"])
         meta = {
             "key": store.key,
             "dim": self.config.dim,
+            "layout": layout,
             "next_chunk_id": store.next_chunk_id,
             "chunks": {str(cid): vars(m) for cid, m in store.chunks.items()},
         }
@@ -374,15 +389,26 @@ class Engine:
             if not (meta_f.exists() and vec_f.exists()):
                 continue
             meta = json.loads(meta_f.read_text())
-            with np.load(vec_f) as z:
-                cfg = self.config
-                seg = StoreIndex.from_state(
-                    {"vectors": z["vectors"], "ids": z["ids"],
-                     "dim": meta["dim"]},
-                    mode=cfg.index_mode, nlist=cfg.nlist,
-                    nprobe=cfg.nprobe, ivf_p=cfg.ivf_p,
-                    approx_routing=cfg.approx_routing,
-                    build_threshold=cfg.build_threshold)
+            cfg = self.config
+            kw = dict(mode=cfg.index_mode, nlist=cfg.nlist,
+                      nprobe=cfg.nprobe, ivf_p=cfg.ivf_p,
+                      approx_routing=cfg.approx_routing,
+                      build_threshold=cfg.build_threshold)
+            body_f = d / "body.npz"
+            if meta.get("layout") == "tail+body" and body_f.exists():
+                # reload the serialized body into HBM, then replay only
+                # the streaming tail (vectors.npz is tail-only here)
+                seg = StoreIndex(int(meta["dim"]), **kw)
+                with np.load(body_f) as z:
+                    seg.restore_body({k: z[k] for k in z.files})
+                with np.load(vec_f) as z:
+                    if len(z["ids"]):
+                        seg.tail.add(z["vectors"], z["ids"])
+            else:
+                with np.load(vec_f) as z:
+                    seg = StoreIndex.from_state(
+                        {"vectors": z["vectors"], "ids": z["ids"],
+                         "dim": meta["dim"]}, **kw)
             store = _Store(key=meta["key"], segment=seg,
                            next_chunk_id=meta["next_chunk_id"])
             store.chunks = {int(cid): _ChunkMeta(**m)

@@ -283,3 +283,46 @@ class StoreIndex:
         if len(state["ids"]):
             idx.add(state["vectors"], state["ids"])
         return idx
+
+    # -- direct body checkpointing (SURVEY.md §5 "checkpoint/resume":
+    # serialized index segments so a restart reloads HBM state without a
+    # rebuild — and, for int8/PQ bodies, without re-quantization drift)
+    def body_state(self) -> dict | None:
+        """Numpy snapshot of the IVF body, or None when tail-only."""
+        if self.body is None:
+            return None
+        with self._body_lock:
+            out = {
+                "kind": type(self.body).__name__,
+                "body_chunk_ids": np.asarray(self.body_chunk_ids),
+                "dead": np.fromiter(self._dead, np.int64,
+                                    len(self._dead)),
+            }
+            for name, val in self.body._asdict().items():
+                out["f_" + name] = (np.int64(val) if isinstance(val, int)
+                                    else np.asarray(val))
+        return out
+
+    def restore_body(self, state: dict) -> None:
+        """Install a checkpointed body (tail untouched)."""
+        kind = str(state["kind"])
+        fields = {}
+        for k, v in state.items():
+            if not k.startswith("f_"):
+                continue
+            name = k[2:]
+            fields[name] = int(v) if v.ndim == 0 and name == "n" \
+                else jnp.asarray(v)
+        if kind == "IVFFlatIndex":
+            body = IVFFlatIndex(**fields)
+        elif kind == "IVFPQIndex":
+            from rag_foundation_tpu.engine.ivfpq import IVFPQIndex
+            body = IVFPQIndex(**fields)
+        else:
+            raise ValueError(f"unknown body kind {kind!r}")
+        with self._body_lock:
+            self.body = body
+            self.body_chunk_ids = np.asarray(state["body_chunk_ids"],
+                                             np.int64)
+            self._dead = set(np.asarray(state["dead"], np.int64)
+                             .tolist())

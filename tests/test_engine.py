@@ -152,3 +152,38 @@ def test_micro_batching_coalesces_concurrent_searches():
         direct = e.search(["s"], q, k=2)
         assert [(h.chunk_id, round(h.score, 5)) for h in direct] == \
                [(h.chunk_id, round(h.score, 5)) for h in results[i]]
+
+
+def test_body_checkpoint_reload_without_rebuild(tmp_data_dir):
+    """IVF body persists as serialized segments (SURVEY §5) and reloads
+    verbatim — no rebuild, identical results, tombstones preserved."""
+    import jax.numpy as jnp
+
+    from rag_foundation_tpu.engine.api import Engine, EngineConfig
+
+    cfg = dict(dim=64, index_mode="ivf_flat_int8", nlist=8,
+               build_threshold=64, chunk_tokens=12, chunk_overlap=2,
+               data_dir=tmp_data_dir)
+    e = Engine(EngineConfig(**cfg))
+    e.create_store("s")
+    text = " ".join(f"token{i} alpha beta gamma" for i in range(600))
+    e.ingest_document("s", "dA", "a", text)
+    seg = e._store("s").segment
+    assert seg.body is not None  # crossed the threshold
+    e.delete_document("s", "dA")  # tombstones into body
+    e.ingest_document("s", "dB", "b", text.replace("token", "word"))
+    before = e.search(["s"], "word3 alpha", k=5)
+    assert before
+
+    e2 = Engine(EngineConfig(**cfg))
+    seg2 = e2._store("s").segment
+    assert seg2.body is not None          # reloaded, not rebuilt lazily
+    # verbatim reload: identical quantized lists, ids, and tombstones
+    np.testing.assert_array_equal(np.asarray(seg2.body.lists),
+                                  np.asarray(seg.body.lists))
+    np.testing.assert_array_equal(seg2.body_chunk_ids,
+                                  seg.body_chunk_ids)
+    assert seg2._dead == seg._dead
+    after = e2.search(["s"], "word3 alpha", k=5)
+    assert [(h.chunk_id, round(h.score, 5)) for h in before] == \
+           [(h.chunk_id, round(h.score, 5)) for h in after]
