@@ -393,7 +393,8 @@ class Engine:
             kw = dict(mode=cfg.index_mode, nlist=cfg.nlist,
                       nprobe=cfg.nprobe, ivf_p=cfg.ivf_p,
                       approx_routing=cfg.approx_routing,
-                      build_threshold=cfg.build_threshold)
+                      build_threshold=cfg.build_threshold,
+                      mesh=self._mesh())
             body_f = d / "body.npz"
             if meta.get("layout") == "tail+body" and body_f.exists():
                 # reload the serialized body into HBM, then replay only

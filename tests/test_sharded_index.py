@@ -101,3 +101,24 @@ def test_app_end_to_end_with_mesh_shards(mesh8, tmp_path):
                                "store_ids": [store["id"]]})
     assert r.status_code == 200
     assert "penguins.txt" in r.text
+
+
+def test_sharded_store_persistence_keeps_mesh(mesh8, tmp_path):
+    """Reloaded stores keep the sharded exact tier (the mesh kwarg flows
+    through _load_all, not just _new_index)."""
+    from rag_foundation_tpu.engine import Engine, EngineConfig
+    from rag_foundation_tpu.parallel.sharded_index import ShardedVectorStore
+
+    cfg = dict(dim=64, chunk_tokens=20, chunk_overlap=4, mesh_shards=8,
+               data_dir=str(tmp_path))
+    e = Engine(EngineConfig(**cfg))
+    e.create_store("s")
+    e.ingest_document("s", "d1", "a.txt",
+                      "Penguins live in Antarctica. " * 60)
+    before = e.search(["s"], "penguins", k=2)
+
+    e2 = Engine(EngineConfig(**cfg))
+    assert isinstance(e2._stores["s"].segment.tail, ShardedVectorStore)
+    after = e2.search(["s"], "penguins", k=2)
+    assert [(h.chunk_id, round(h.score, 5)) for h in before] == \
+           [(h.chunk_id, round(h.score, 5)) for h in after]
