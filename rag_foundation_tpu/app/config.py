@@ -97,6 +97,7 @@ class Settings(BaseModel):
     WORKER_MAX_ATTEMPTS: int = 3
     WORKER_CONCURRENCY: int = 4
     WORKER_JOB_TIMEOUT_S: float = 300.0
+    WORKER_RETRY_BACKOFF_S: float = 20.0  # 0 = immediate retry
     INGESTION_TIMEOUT_S: float = 180.0
     WATCHDOG_STALE_S: float = 600.0
     WATCHDOG_CRON_S: float = 300.0

@@ -62,7 +62,8 @@ def build_context(settings: Settings | None = None, *, db=None, kv=None,
 
     ctx.extra["engine_probe"] = engine_probe
     if with_worker:
-        queue = JobQueue(db, lease_s=settings.WORKER_JOB_TIMEOUT_S)
+        queue = JobQueue(db, lease_s=settings.WORKER_JOB_TIMEOUT_S,
+                 retry_backoff_s=settings.WORKER_RETRY_BACKOFF_S)
         worker = Worker(queue, concurrency=settings.WORKER_CONCURRENCY)
         worker.register(
             "ingest_document",

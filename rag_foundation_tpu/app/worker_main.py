@@ -31,7 +31,8 @@ def main() -> None:
     settings = load_settings()
     db = Database(settings.DATABASE_PATH, migrations=MIGRATIONS)
     rag = make_rag_client(settings)
-    queue = JobQueue(db, lease_s=settings.WORKER_JOB_TIMEOUT_S)
+    queue = JobQueue(db, lease_s=settings.WORKER_JOB_TIMEOUT_S,
+                 retry_backoff_s=settings.WORKER_RETRY_BACKOFF_S)
     worker = Worker(queue, concurrency=settings.WORKER_CONCURRENCY)
     worker.register(
         "ingest_document",

@@ -12,6 +12,7 @@ crashed worker's job is re-claimable after ``lease_s``.
 from __future__ import annotations
 
 import json
+import random
 import threading
 import time
 import traceback
@@ -37,11 +38,23 @@ CREATE INDEX IF NOT EXISTS jobs_status ON jobs(status, leased_until);
 
 
 class JobQueue:
-    def __init__(self, db: Database, *, lease_s: float = 300.0):
+    def __init__(self, db: Database, *, lease_s: float = 300.0,
+                 retry_backoff_s: float = 20.0):
+        """``retry_backoff_s`` caps the jittered exponential delay before
+        a failed job is re-claimable (0 disables — tests drain
+        synchronously)."""
         self.db = db
         self.lease_s = lease_s
+        self.retry_backoff_s = retry_backoff_s
         with db.tx() as conn:
             conn.executescript(_SCHEMA)
+            # retry backoff column (added after first release; ALTER is
+            # the sqlite-idiomatic in-place migration for this table)
+            cols = [r[1] for r in conn.execute(
+                "PRAGMA table_info(jobs)").fetchall()]
+            if "not_before" not in cols:
+                conn.execute("ALTER TABLE jobs ADD COLUMN not_before"
+                             " REAL NOT NULL DEFAULT 0")
 
     def enqueue(self, job_type: str, payload: dict | None = None,
                 *, max_attempts: int = 3) -> int:
@@ -57,8 +70,9 @@ class JobQueue:
         with self.db.tx() as conn:
             row = conn.execute(
                 "SELECT id FROM jobs WHERE "
-                " (status='queued' OR (status='running' AND leased_until<?))"
-                " ORDER BY id LIMIT 1", (now,)).fetchone()
+                " ((status='queued' AND not_before<=?)"
+                "  OR (status='running' AND leased_until<?))"
+                " ORDER BY id LIMIT 1", (now, now)).fetchone()
             if row is None:
                 return None
             conn.execute(
@@ -80,11 +94,17 @@ class JobQueue:
                     "SELECT attempts, max_attempts FROM jobs WHERE id=?",
                     (job_id,)).fetchone()
                 terminal = row is not None and row["attempts"] >= row["max_attempts"]
+                # jittered exponential retry delay (reference analog:
+                # ingestion.py:106-139 2s->20s backoff; ARQ defer_by)
+                delay = 0.0 if terminal else min(
+                    self.retry_backoff_s,
+                    2.0 ** row["attempts"]) * (0.5 + random.random())
                 conn.execute(
                     "UPDATE jobs SET status=?, finished_at=?, error=?,"
-                    " leased_until=NULL WHERE id=?",
+                    " leased_until=NULL, not_before=? WHERE id=?",
                     ("error" if terminal else "queued",
-                     time.time() if terminal else None, error[:2000], job_id))
+                     time.time() if terminal else None, error[:2000],
+                     time.time() + delay, job_id))
 
     def stats(self) -> dict[str, int]:
         rows = self.db.query(

@@ -22,6 +22,7 @@ def make_settings(tmp_path, **overrides) -> Settings:
         RATE_LIMIT_UPLOAD_PER_MIN=1_000,
         RATE_LIMIT_LOGIN_PER_MIN=1_000,
         STREAM_KEEPALIVE_S=5.0,
+        WORKER_RETRY_BACKOFF_S=0.0,  # drain synchronously
     )
     defaults.update(overrides)
     return Settings(**defaults)

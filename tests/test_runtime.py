@@ -205,7 +205,7 @@ def test_failing_kv_raises():
 
 def test_jobqueue_lifecycle(tmp_path):
     db = Database(tmp_path / "q.db")
-    q = JobQueue(db)
+    q = JobQueue(db, retry_backoff_s=0.0)
     w = Worker(q)
     done = []
     w.register("ok", lambda p: done.append(p["v"]))
@@ -319,3 +319,29 @@ def test_reuse_port_two_servers():
         for h, t in zip(holders, threads):
             h["loop"].call_soon_threadsafe(h["stop"].set)
             t.join(5)
+
+
+def test_job_retry_backoff(tmp_path):
+    """Failed jobs requeue with a jittered exponential not_before delay
+    (reference: ingestion poll backoff / ARQ defer); claim honors it."""
+    import time as _time
+
+    from rag_foundation_tpu.runtime.db import Database
+    from rag_foundation_tpu.runtime.jobqueue import JobQueue
+
+    db = Database(str(tmp_path / "q.db"))
+    q = JobQueue(db)
+    q.enqueue("j", {}, max_attempts=3)
+    job = q.claim()
+    q.finish(job["id"], error="boom")
+    row = db.query("SELECT status, not_before FROM jobs")[0]
+    assert row["status"] == "queued"
+    assert row["not_before"] > _time.time()  # delayed, not hot-looped
+    assert q.claim() is None                 # not claimable yet
+    db.execute("UPDATE jobs SET not_before=0")
+    job = q.claim()
+    assert job is not None                   # claimable after the delay
+    q.finish(job["id"], error="boom")
+    db.execute("UPDATE jobs SET not_before=0")
+    q.finish(q.claim()["id"], error="boom")  # third attempt -> terminal
+    assert db.query("SELECT status FROM jobs")[0]["status"] == "error"
