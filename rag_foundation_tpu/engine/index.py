@@ -92,8 +92,10 @@ class StoreIndex:
         """Streaming insert: append the tail into the existing IVF body
         (no retrain/relayout); capacity overflow triggers a full rebuild
         (which retrains the coarse quantizer and resizes lists)."""
-        if self.mode == "ivf_pq":
-            self.rebuild()  # PQ appends need re-encoding; rebuild for now
+        if self.mode == "ivf_pq" or self.mesh is not None:
+            # PQ appends need re-encoding; sharded bodies rebuild rather
+            # than scatter into donated sharded buffers
+            self.rebuild()
             return
         st = self.tail.state()
         if not len(st["ids"]):
@@ -155,6 +157,11 @@ class StoreIndex:
         cids = np.concatenate(parts_i)
         n = len(cids)
         nlist = max(8, min(self.nlist, n // 64 or 8))
+        if self.mesh is not None:
+            # list dim shards across chips (parallel/sharded_ivf); keep
+            # nlist divisible by the shard count
+            shards = self.mesh.shape["shard"]
+            nlist = max(shards, -(-nlist // shards) * shards)
         if self.mode == "ivf_pq":
             from rag_foundation_tpu.engine.ivfpq import build_ivf_pq
             new_body = build_ivf_pq(
@@ -167,6 +174,13 @@ class StoreIndex:
             new_body = build_ivf_flat(
                 jnp.asarray(vecs), nlist, key=jax.random.key(self.seed),
                 int8=self.mode.endswith("int8"), capacity_slack=1.5)
+        if self.mesh is not None and self.mode != "ivf_pq":
+            # partition posting lists (and their centroids) across the
+            # mesh; queries replicate and the [Q, k] candidates merge
+            # over ICI (SURVEY §2.4 sharded IVF / config 5)
+            from rag_foundation_tpu.parallel.sharded_ivf import \
+                shard_ivf_index
+            new_body = shard_ivf_index(new_body, self.mesh)
         # publish body+ids together, THEN swap the tail; a racing search
         # may briefly see rows in both (deduped at merge), never neither
         with self._body_lock:
@@ -207,6 +221,24 @@ class StoreIndex:
                 b_vals, b_rows, _ = ivfpq_search(
                     self.body, jnp.asarray(queries), fetch,
                     nprobe=nprobe, p=min(8, fetch))
+            elif self.mesh is not None:
+                from rag_foundation_tpu.parallel.sharded_ivf import \
+                    sharded_ivf_search
+                shards = self.mesh.shape["shard"]
+                nprobe_local = max(1, -(-nprobe // shards))
+                # candidate width per shard bounds the fetch
+                w = (self.body.cap_len // 128) * min(self.ivf_p, fetch) \
+                    or min(self.ivf_p, fetch)
+                fetch_s = min(fetch, nprobe_local * w)
+                b_vals, b_rows = sharded_ivf_search(
+                    self.body, jnp.asarray(queries), fetch_s,
+                    mesh=self.mesh, nprobe_local=nprobe_local,
+                    p=min(self.ivf_p, fetch), interpret=_on_cpu())
+                if fetch_s < fetch:
+                    pad = ((0, 0), (0, fetch - fetch_s))
+                    b_vals = jnp.pad(b_vals, pad,
+                                     constant_values=-jnp.inf)
+                    b_rows = jnp.pad(b_rows, pad, constant_values=-1)
             elif (q_n * nprobe * 8 <= self.body.nlist):
                 # small batch: gather only the probed lists (order of
                 # magnitude better single-query latency than the sweep)
@@ -315,6 +347,11 @@ class StoreIndex:
                 else jnp.asarray(v)
         if kind == "IVFFlatIndex":
             body = IVFFlatIndex(**fields)
+            if self.mesh is not None and \
+                    body.nlist % self.mesh.shape["shard"] == 0:
+                from rag_foundation_tpu.parallel.sharded_ivf import \
+                    shard_ivf_index
+                body = shard_ivf_index(body, self.mesh)
         elif kind == "IVFPQIndex":
             from rag_foundation_tpu.engine.ivfpq import IVFPQIndex
             body = IVFPQIndex(**fields)
