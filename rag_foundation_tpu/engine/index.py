@@ -209,6 +209,22 @@ class StoreIndex:
     def search(self, queries: np.ndarray, k: int
                ) -> tuple[np.ndarray, np.ndarray]:
         """Returns (scores [Q, k] f32, chunk_ids [Q, k] int64; -1 pads)."""
+        from rag_foundation_tpu.utils.shapes import bucket_pow2
+        real_q = queries.shape[0]
+        bucket = bucket_pow2(real_q)
+        if bucket != real_q:
+            # pow2 Q buckets bound jit retraces (SURVEY §7 "avoiding
+            # per-request jit retraces"): the micro-batcher emits
+            # variable batch sizes, and under the remote-compile tunnel
+            # every fresh (Q, ...) signature costs seconds to minutes
+            queries = np.concatenate(
+                [queries, np.zeros((bucket - real_q, queries.shape[1]),
+                                   np.asarray(queries).dtype)])
+        vals, ids = self._search_padded(queries, k)
+        return vals[:real_q], ids[:real_q]
+
+    def _search_padded(self, queries: np.ndarray, k: int
+                       ) -> tuple[np.ndarray, np.ndarray]:
         q_n = queries.shape[0]
         t_vals, t_ids = self.tail.search(queries, k)
         if self.body is None:

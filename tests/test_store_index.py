@@ -176,3 +176,21 @@ def test_ivf_p_and_approx_routing_knobs():
     overlap = np.mean([len(set(a) & set(b)) / 5
                        for a, b in zip(ids, ei)])
     assert overlap >= 0.9
+
+
+def test_search_q_bucketing_bounds_retraces():
+    """Variable micro-batch sizes share pow2-bucketed jit signatures and
+    padded rows never leak into results."""
+    from rag_foundation_tpu.engine.index import StoreIndex
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((512, 32)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    idx = StoreIndex(32, mode="exact")
+    idx.add(x, np.arange(512))
+    full_v, full_i = idx.search(x[:8], 4)
+    for q in (1, 3, 5, 7):
+        v, i = idx.search(x[:q], 4)
+        assert v.shape == (q, 4) and i.shape == (q, 4)
+        np.testing.assert_array_equal(i, full_i[:q])
+        np.testing.assert_allclose(v, full_v[:q], rtol=1e-5)
