@@ -118,6 +118,7 @@ class Settings(BaseModel):
     ENGINE_APPROX_ROUTING: bool = False   # approx_max_k coarse routing
     ENGINE_DTYPE: str = "float32"         # float32|bfloat16
     ENGINE_BATCH_WINDOW_MS: float = 0.0   # micro-batch admission window
+    ENGINE_RECALL_AUDIT_S: float = 0.0    # >0: periodic recall audit cron
     ENGINE_MESH_SHARDS: int = 1           # corpus shards across chips
 
     # ---------------------------------------------------------------------

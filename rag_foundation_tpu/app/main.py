@@ -73,6 +73,20 @@ def build_context(settings: Settings | None = None, *, db=None, kv=None,
                     lambda: reset_stuck_documents(db, settings))
         worker.cron(settings.WATCHDOG_CRON_S * 4,
                     lambda: cleanup_stale_stores(db, ctx.rag))
+        if settings.ENGINE_RECALL_AUDIT_S > 0:
+            def recall_audit():
+                engine = getattr(ctx.rag, "engine", None)
+                if engine is None:
+                    return
+                for key in engine.list_stores():
+                    try:
+                        out = engine.recall_probe(key, k=10)
+                        log_json(logging.INFO, "recall_audit",
+                                 store=key, **out)
+                    except Exception as e:  # noqa: BLE001 — cron isolation
+                        log_json(logging.WARNING, "recall_audit_failed",
+                                 store=key, error=str(e)[:200])
+            worker.cron(settings.ENGINE_RECALL_AUDIT_S, recall_audit)
         ctx.queue = queue
         ctx.worker = worker
     return ctx

@@ -253,3 +253,24 @@ def test_admin_recall_probe(tmp_path):
     # audited
     audit = client.get("/api/admin/audit", headers=headers).json()
     assert any(a["action"] == "recall_probe" for a in audit["audit"])
+
+
+def test_recall_audit_cron(tmp_path):
+    """ENGINE_RECALL_AUDIT_S>0 registers a cron that probes every store
+    and records the recall gauge."""
+    from rag_foundation_tpu.app import metrics as m
+    from tests.app_helpers import (create_store, drain_worker, make_app,
+                                   signup, upload_text)
+
+    client, ctx = make_app(tmp_path, ENGINE_RECALL_AUDIT_S=60.0)
+    headers = signup(client)
+    store = create_store(client, headers)
+    upload_text(client, headers, store["id"], "lorem ipsum dolor sit " * 400)
+    drain_worker(ctx)
+    # fire the registered crons directly (cadence logic is the worker's,
+    # tested in test_runtime)
+    for _, fn, _last in ctx.worker.crons:
+        fn()
+    key = ctx.rag.engine.list_stores()[0]
+    sample = m.recall_at_k.labels(store=key, k="10")._value.get()
+    assert sample == 1.0  # exact mode: approx path IS the exact path
