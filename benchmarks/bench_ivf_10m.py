@@ -151,6 +151,7 @@ def main():
         log(f"chunk {ci+1}/{len(keys)}: assign {t_gen_assign:.2f}s "
             f"host {t_host:.2f}s scatter {t_scatter:.2f}s")
 
+    del pending, qvecs, assign  # release the last chunk's device buffers
     steady = t_build - t_first
     steady_n = n - args.chunk
     mean_mvps = steady_n / steady / 1e6 if steady > 0 and steady_n > 0 \
