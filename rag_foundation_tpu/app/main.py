@@ -290,6 +290,22 @@ def main():  # pragma: no cover — production entrypoint
 
     from rag_foundation_tpu.utils.platform import pin_platform
     pin_platform()  # RAGTPU_ENGINE_PLATFORM=cpu pins before backend init
+    settings_probe = load_settings()
+    if not settings_probe.MOCK_MODE:
+        # fail fast instead of serving as a zombie: accelerator plugin
+        # registration happens once at interpreter start and cannot be
+        # retried in-process — a supervisor restart (systemd
+        # Restart=on-failure) is the recovery path
+        try:
+            import jax
+            jax.default_backend()
+        except RuntimeError as e:
+            raise SystemExit(
+                f"JAX backend unavailable at startup: {e}\nRefusing to "
+                "serve without the engine backend — restart when the "
+                "accelerator is claimable, or set "
+                "RAGTPU_ENGINE_PLATFORM=cpu / RAGTPU_MOCK_MODE=1"
+            ) from e
     parser = argparse.ArgumentParser(description="ragtpu API server")
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8000)

@@ -47,9 +47,10 @@ class _Stats:
 
 
 def _user_loop(client: ApiClient, store_id: int, stop: threading.Event,
-               stats: _Stats, rng: random.Random, tmp: Path):
+               stats: _Stats, rng: random.Random, tmp: Path,
+               chat_ratio: float = 0.8, think_max: float = 2.0):
     while not stop.is_set():
-        task = "chat" if rng.random() < 0.8 else "upload"  # 4:1 mix
+        task = "chat" if rng.random() < chat_ratio else "upload"
         t0 = time.perf_counter()
         try:
             if task == "chat":
@@ -62,7 +63,8 @@ def _user_loop(client: ApiClient, store_id: int, stop: threading.Event,
             stats.record(task, time.perf_counter() - t0)
         except Exception:  # noqa: BLE001 — load test records failures
             stats.record(task, None)
-        stop.wait(rng.uniform(0.5, 2.0))  # think time
+        if think_max > 0:
+            stop.wait(rng.uniform(think_max / 4, think_max))  # think time
 
 
 def main() -> None:
@@ -74,6 +76,12 @@ def main() -> None:
     ap.add_argument("--password", default="Load-Passw0rd-1")
     ap.add_argument("--register", action="store_true")
     ap.add_argument("--tmp", type=Path, default=Path("/tmp/ragtpu-load"))
+    ap.add_argument("--chat-ratio", type=float, default=0.8,
+                    help="fraction of chat tasks (1.0 = chat-only;"
+                    " reference locust mix is 0.8)")
+    ap.add_argument("--think", type=float, default=2.0,
+                    help="max think time seconds (0 = closed-loop"
+                    " capacity test)")
     args = ap.parse_args()
 
     client = ApiClient.from_credentials(args.base_url, args.email,
@@ -86,7 +94,8 @@ def main() -> None:
     threads = [
         threading.Thread(target=_user_loop,
                          args=(client, store["id"], stop, stats,
-                               random.Random(i), args.tmp), daemon=True)
+                               random.Random(i), args.tmp,
+                               args.chat_ratio, args.think), daemon=True)
         for i in range(args.users)]
     t0 = time.time()
     for t in threads:
