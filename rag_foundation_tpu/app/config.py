@@ -98,6 +98,7 @@ class Settings(BaseModel):
     WORKER_CONCURRENCY: int = 4
     WORKER_JOB_TIMEOUT_S: float = 300.0
     WORKER_RETRY_BACKOFF_S: float = 20.0  # 0 = immediate retry
+    WORKER_IN_PROCESS: bool = True        # 0: dedicated worker_main procs
     INGESTION_TIMEOUT_S: float = 180.0
     WATCHDOG_STALE_S: float = 600.0
     WATCHDOG_CRON_S: float = 300.0

@@ -61,6 +61,14 @@ def build_context(settings: Settings | None = None, *, db=None, kv=None,
         return True
 
     ctx.extra["engine_probe"] = engine_probe
+    # production topology (deploy/docker-compose.yml): API processes set
+    # WORKER_IN_PROCESS=0 and dedicated worker_main processes drain the
+    # shared sqlite queue — ingestion (encode + IVF rebuilds) then never
+    # contends with the serving path in-process
+    if with_worker and not settings.WORKER_IN_PROCESS:
+        ctx.queue = JobQueue(db, lease_s=settings.WORKER_JOB_TIMEOUT_S,
+                             retry_backoff_s=settings.WORKER_RETRY_BACKOFF_S)
+        with_worker = False
     if with_worker:
         queue = JobQueue(db, lease_s=settings.WORKER_JOB_TIMEOUT_S,
                  retry_backoff_s=settings.WORKER_RETRY_BACKOFF_S)

