@@ -194,7 +194,27 @@ class StoreIndex:
         Rows whose table slot is a -1 sentinel (dropped appends) stay
         zero and are filtered by _live_table_mask in callers."""
         if self.mode == "ivf_pq":
-            return self._pq_source  # exact host copy kept at build
+            if hasattr(self, "_pq_source"):
+                return self._pq_source  # exact host copy kept at build
+            # restored-from-checkpoint body: reconstruct approximately
+            # from the codes (coarse centroid + decoded residual) —
+            # lossy, but the only material left after a process restart,
+            # and only rebuilds (re-train + re-encode) consume it
+            from rag_foundation_tpu.ops.pq import pq_decode
+            idx = self.body
+            codes = np.asarray(idx.codes.reshape(-1, idx.codes.shape[-1]))
+            dec = np.asarray(pq_decode(idx.codebook,
+                                       jnp.asarray(codes)))
+            cents = np.asarray(idx.centroids, np.float32)
+            nlist, cap_len = idx.row_ids.shape
+            list_of_row = np.repeat(np.arange(nlist), cap_len)
+            flat = dec + cents[list_of_row]
+            ids = np.asarray(idx.row_ids.reshape(-1))
+            live = ids >= 0
+            out = np.zeros((len(self.body_chunk_ids), self.dim),
+                           np.float32)
+            out[ids[live]] = flat[live]
+            return out
         idx = self.body
         flat = np.asarray(idx.lists.reshape(-1, self.dim), np.float32)
         if idx.lists.dtype == jnp.int8:
