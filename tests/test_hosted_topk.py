@@ -37,3 +37,17 @@ def test_hosted_k_wider_than_block():
                                block_rows=50)
     dv, di = exact_topk(jnp.asarray(queries), jnp.asarray(corpus), 64)
     np.testing.assert_array_equal(np.asarray(hi), np.asarray(di))
+
+
+def test_hosted_memmap_corpus(tmp_path):
+    """The oversubscribed-corpus story: corpus as an np.memmap on disk,
+    never fully resident in host RAM either."""
+    rng = np.random.default_rng(3)
+    data = rng.standard_normal((4096, 32)).astype(np.float32)
+    path = tmp_path / "corpus.f32"
+    data.tofile(path)
+    mm = np.memmap(path, dtype=np.float32, mode="r", shape=(4096, 32))
+    q = jnp.asarray(data[:8])
+    hv, hi = exact_topk_hosted(q, mm, 5, block_rows=512)
+    dv, di = exact_topk(q, jnp.asarray(data), 5)
+    np.testing.assert_array_equal(np.asarray(hi), np.asarray(di))
