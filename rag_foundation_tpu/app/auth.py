@@ -125,6 +125,23 @@ def issue_token(user_id: int, settings) -> str:
     }, settings.JWT_SECRET)
 
 
+def peek_token_sub(token: str, settings) -> str | None:
+    """Signature-verified ``sub`` for rate-limit keying.
+
+    Verifies HMAC + exp/iss/aud (cheap, no KV or DB) so a client cannot
+    spray forged subs to mint fresh rate buckets; skips revocation —
+    auth proper (get_current_user) re-checks before any privileged action.
+    """
+    try:
+        claims = decode_jwt(token, settings.JWT_SECRET,
+                            issuer=settings.JWT_ISSUER,
+                            audience=settings.JWT_AUDIENCE)
+    except TokenError:
+        return None
+    sub = claims.get("sub")
+    return str(sub)[:64] if sub is not None else None
+
+
 # -- request guards ---------------------------------------------------------
 
 @dataclass(frozen=True)

@@ -169,15 +169,17 @@ def create_app(ctx: AppContext | None = None, *,
     @app.middleware
     async def csrf_guard(req: Request, call_next):
         # Header-based CSRF check for browser-origin mutations (reference:
-        # main.py:76-86): mutating requests must carry a custom header
-        # (bearer token or x-requested-with), which cross-site forms can't.
+        # main.py:76-86): EVERY mutating request that carries an Origin
+        # header (i.e. comes from a browser) must also carry a custom
+        # header (bearer token or x-requested-with) — cross-site forms
+        # can send neither. Allowlisted origins are not exempt: a same-
+        # origin form post is still a CSRF vector for cookie-ish clients.
         if settings.CSRF_ENABLED and req.method in _MUTATING \
-                and req.path.startswith("/api/"):
+                and req.path.startswith("/api/") \
+                and req.headers.get("origin"):
             if "authorization" not in req.headers and \
                     req.headers.get("x-requested-with") != "XMLHttpRequest":
-                origin = req.headers.get("origin")
-                if origin and origin not in settings.CORS_ORIGINS:
-                    raise HTTPError(403, "CSRF check failed")
+                raise HTTPError(403, "CSRF check failed")
         return await call_next(req)
 
     @app.middleware
@@ -192,7 +194,7 @@ def create_app(ctx: AppContext | None = None, *,
     @app.middleware
     async def global_rate_limit(req: Request, call_next):
         if req.path.startswith("/api/"):
-            key = global_rate_key(req, settings.TRUSTED_PROXIES)
+            key = global_rate_key(req, settings)
             ctx.limiter.check(f"global:{key}",
                               settings.RATE_LIMIT_GLOBAL_PER_MIN)
         return await call_next(req)

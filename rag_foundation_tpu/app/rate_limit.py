@@ -9,6 +9,7 @@ resolution, a global middleware keyed user-then-ip, and per-endpoint
 
 from __future__ import annotations
 
+import ipaddress
 import logging
 import threading
 import time
@@ -61,19 +62,47 @@ class RateLimiter:
             })
 
 
+def _trusted_networks(trusted_proxies: list[str]):
+    nets = []
+    for entry in trusted_proxies:
+        try:
+            nets.append(ipaddress.ip_network(entry, strict=False))
+        except ValueError:
+            continue  # non-IP entries (e.g. "unknown") never match
+    return nets
+
+
 def client_ip(request: Request, trusted_proxies: list[str]) -> str:
-    """Use X-Forwarded-For only when the peer is a trusted proxy
-    (reference: rate_limit.py:151-175)."""
+    """Use X-Forwarded-For only when the peer is a trusted proxy; entries
+    may be bare IPs or CIDR networks, matched via ipaddress (reference:
+    rate_limit.py:151-175 — deploy/docker-compose.yml ships a CIDR)."""
     peer = request.client[0] or "unknown"
-    if peer in trusted_proxies:
+    try:
+        peer_addr = ipaddress.ip_address(peer)
+    except ValueError:
+        return peer
+    if any(peer_addr in net for net in _trusted_networks(trusted_proxies)):
         fwd = request.headers.get("x-forwarded-for", "")
         if fwd:
             return fwd.split(",")[0].strip()
     return peer
 
 
-def global_rate_key(request: Request, trusted_proxies: list[str]) -> str:
+def global_rate_key(request: Request, settings) -> str:
+    """Key the global limit per-user when a bearer token is present.
+
+    The middleware runs before any handler sets request.state["user"], so
+    the subject is decoded (signature-verified) from the token directly
+    (reference keys user>ip the same way, rate_limit.py:187-219). An
+    invalid token falls back to the IP key — auth proper rejects it later.
+    """
     user = request.state.get("user")
     if user is not None:
         return f"user:{user.id}"
-    return f"ip:{client_ip(request, trusted_proxies)}"
+    authz = request.headers.get("authorization", "")
+    if authz.startswith("Bearer "):
+        from rag_foundation_tpu.app.auth import peek_token_sub
+        sub = peek_token_sub(authz[7:], settings)
+        if sub is not None:
+            return f"user:{sub}"
+    return f"ip:{client_ip(request, settings.TRUSTED_PROXIES)}"

@@ -9,6 +9,8 @@ enqueue-or-503, and the ``op-status`` polling endpoint.
 
 from __future__ import annotations
 
+import os
+import re
 import shutil
 import time
 from pathlib import Path
@@ -22,6 +24,17 @@ from rag_foundation_tpu.app.file_types import allowed_types, validate_magic
 from rag_foundation_tpu.app.services.ingestion import upload_path
 from rag_foundation_tpu.app.tenant import require_store_owned_by_user
 from rag_foundation_tpu.runtime.http import HTTPError, Response
+
+
+_SAFE_NAME = re.compile(r"[^A-Za-z0-9._\- ]+")
+
+
+def sanitize_name(filename: str) -> str:
+    """basename + character allowlist (reference: uploads.py:37-38,158) —
+    a client-supplied name must never influence the archive path."""
+    name = os.path.basename(filename.replace("\\", "/"))
+    name = _SAFE_NAME.sub("_", name).strip(". ") or "upload"
+    return name[:255]
 
 
 def register(app, ctx):
@@ -59,11 +72,12 @@ def register(app, ctx):
         est_cost = calc_index_cost(settings, est_tokens)
         check_budget_or_402(db, user.id, settings, hold=est_cost)
 
+        safe_name = sanitize_name(f.filename)
         doc_id = db.execute(
             "INSERT INTO documents(store_id, user_id, filename, content_type,"
             " size_bytes, status, status_updated_at, est_tokens, created_at)"
             " VALUES(?,?,?,?,?,?,?,?,?)",
-            (store["id"], user.id, f.filename[:255], f.content_type,
+            (store["id"], user.id, safe_name, f.content_type,
              len(f.data), dbschema.DOC_PENDING, time.time(), est_tokens,
              time.time()))
         path = upload_path(settings, doc_id)
@@ -74,7 +88,7 @@ def register(app, ctx):
             archive = (Path(settings.DATA_DIR) / "archive"
                        / store["engine_key"].replace("/", "_"))
             archive.mkdir(parents=True, exist_ok=True)
-            dst = archive / f"doc-{doc_id}-{f.filename[:100]}"
+            dst = archive / f"doc-{doc_id}-{safe_name[:100]}"
             shutil.copyfile(path, dst)
             db.execute("UPDATE documents SET archive_path=? WHERE id=?",
                        (str(dst), doc_id))

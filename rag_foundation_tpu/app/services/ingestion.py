@@ -12,6 +12,7 @@ engine (SURVEY.md §3.1).
 from __future__ import annotations
 
 import logging
+import re
 import time
 from pathlib import Path
 
@@ -19,6 +20,21 @@ from rag_foundation_tpu.app import dbschema
 from rag_foundation_tpu.app.costs import calc_index_cost, record_query_cost
 from rag_foundation_tpu.app.file_types import extract_text
 from rag_foundation_tpu.app.telemetry import log_json
+
+
+def _sanitize_error(e: Exception) -> str:
+    """Bounded, path-scrubbed message safe to surface via op-status
+    (reference: ingestion.py:64 keeps full detail in logs only)."""
+    msg = str(e)[:200]
+    # scrub anything that looks like a filesystem path or engine internals
+    msg = re.sub(r"(/[\w.\-]+)+", "<path>", msg)
+    generic = {
+        "ValueError": "document could not be processed",
+        "KeyError": "document could not be processed",
+        "MemoryError": "document too large for the engine",
+    }
+    label = generic.get(type(e).__name__, "ingestion failed")
+    return f"{label}: {msg}" if msg and "<path>" not in msg else label
 
 
 def upload_path(settings, document_id: int) -> Path:
@@ -121,9 +137,9 @@ def run_ingestion_sync(db, rag, settings, document_id: int) -> str:
         except Exception:  # noqa: BLE001 — best-effort rollback
             pass
         _set_status(db, document_id, dbschema.DOC_ERROR,
-                    error=f"{type(e).__name__}: {e}")
+                    error=_sanitize_error(e))
         log_json(logging.ERROR, "ingestion_failed", document_id=document_id,
-                 error=type(e).__name__)
+                 error=f"{type(e).__name__}: {str(e)[:500]}")
         raise
 
 

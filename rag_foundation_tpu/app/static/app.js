@@ -16,7 +16,7 @@ const state = {
 const $ = (id) => document.getElementById(id);
 
 async function api(method, path, body, isForm = false) {
-  const headers = {};
+  const headers = { "X-Requested-With": "XMLHttpRequest" };
   if (state.token) headers["Authorization"] = `Bearer ${state.token}`;
   if (body && !isForm) headers["Content-Type"] = "application/json";
   const resp = await fetch(path, {
@@ -241,6 +241,7 @@ $("chat-form").addEventListener("submit", async (e) => {
   $("send").disabled = true;
   try {
     const headers = { "Content-Type": "application/json",
+                      "X-Requested-With": "XMLHttpRequest",
                       Authorization: `Bearer ${state.token}` };
     const resp = await fetch("/api/chat", {
       method: "POST", headers,

@@ -251,6 +251,12 @@ class StoreIndex:
             return t_vals, t_ids
         fetch = min(k + len(self._dead), k * 4 + 16)
         with self._body_lock:
+            # snapshot the row->chunk-id table together with the body it
+            # matches: a racing rebuild() swaps in a compacted, reordered,
+            # possibly SHORTER table, so mapping device rows through
+            # self.body_chunk_ids after releasing the lock could return
+            # wrong ids or index out of range (ADVICE r1, index.py:292)
+            body_chunk_ids = self.body_chunk_ids
             nprobe = min(self.nprobe, self.body.nlist)
             if self.mode == "ivf_pq":
                 from rag_foundation_tpu.engine.ivfpq import ivfpq_search
@@ -290,7 +296,7 @@ class StoreIndex:
         b_rows = np.asarray(b_rows)
         # row -> chunk id, tombstone filter
         b_ids = np.where(b_rows >= 0,
-                         self.body_chunk_ids[np.clip(b_rows, 0, None)], -1)
+                         body_chunk_ids[np.clip(b_rows, 0, None)], -1)
         if self._dead:
             dead = np.isin(b_ids, np.fromiter(self._dead, np.int64,
                                               len(self._dead)))

@@ -109,10 +109,22 @@ def test_csrf_blocks_cross_origin_form_posts(tmp_path):
                     json_body={"email": "a@b.co", "password": "x"},
                     headers={"origin": "https://evil.example"})
     assert r.status_code == 403
-    # allowed origin passes CSRF (fails auth instead)
+    # browser-origin mutations need the custom header even from an
+    # ALLOWLISTED origin — a same-origin form post is still a CSRF
+    # vector (reference main.py:76-86 requires it unconditionally)
     r = client.post("/api/auth/login",
                     json_body={"email": "a@b.co", "password": "Xx1-xxxxxxx"},
                     headers={"origin": "http://localhost:5173"})
+    assert r.status_code == 403
+    # with the custom header the allowed origin passes CSRF (fails auth)
+    r = client.post("/api/auth/login",
+                    json_body={"email": "a@b.co", "password": "Xx1-xxxxxxx"},
+                    headers={"origin": "http://localhost:5173",
+                             "x-requested-with": "XMLHttpRequest"})
+    assert r.status_code == 401
+    # non-browser clients (no Origin header) are untouched
+    r = client.post("/api/auth/login",
+                    json_body={"email": "a@b.co", "password": "Xx1-xxxxxxx"})
     assert r.status_code == 401
 
 
@@ -274,3 +286,43 @@ def test_recall_audit_cron(tmp_path):
     key = ctx.rag.engine.list_stores()[0]
     sample = m.recall_at_k.labels(store=key, k="10")._value.get()
     assert sample == 1.0  # exact mode: approx path IS the exact path
+
+
+def test_trusted_proxy_cidr_and_token_keying(tmp_path):
+    """CIDR trusted-proxy entries must match (ADVICE r1 medium: the
+    shipped compose supplies 172.16.0.0/12), and the global limit must
+    key by verified token sub, not one shared IP bucket."""
+    from rag_foundation_tpu.app.auth import issue_token, peek_token_sub
+    from rag_foundation_tpu.app.rate_limit import client_ip
+
+    class FakeReq:
+        def __init__(self, peer, headers):
+            self.client = (peer, 0)
+            self.headers = headers
+            self.state = {}
+
+    # exact IP entry still matches
+    r = FakeReq("10.0.0.5", {"x-forwarded-for": "1.2.3.4"})
+    assert client_ip(r, ["10.0.0.5"]) == "1.2.3.4"
+    # CIDR entry matches any peer inside the network
+    r = FakeReq("172.18.0.9", {"x-forwarded-for": "1.2.3.4, 172.18.0.9"})
+    assert client_ip(r, ["172.16.0.0/12"]) == "1.2.3.4"
+    # untrusted peer ignores the header
+    r = FakeReq("8.8.8.8", {"x-forwarded-for": "1.2.3.4"})
+    assert client_ip(r, ["172.16.0.0/12"]) == "8.8.8.8"
+    # garbage entries never match and never crash
+    r = FakeReq("8.8.8.8", {"x-forwarded-for": "1.2.3.4"})
+    assert client_ip(r, ["not-an-ip"]) == "8.8.8.8"
+
+    client, ctx = make_app(tmp_path)
+    token = issue_token(42, ctx.settings)
+    assert peek_token_sub(token, ctx.settings) == "42"
+    # forged signature falls back to None (no bucket minting)
+    forged = token[:-4] + "AAAA"
+    assert peek_token_sub(forged, ctx.settings) is None
+
+    from rag_foundation_tpu.app.rate_limit import global_rate_key
+    req = FakeReq("9.9.9.9", {"authorization": f"Bearer {token}"})
+    assert global_rate_key(req, ctx.settings) == "user:42"
+    req = FakeReq("9.9.9.9", {"authorization": f"Bearer {forged}"})
+    assert global_rate_key(req, ctx.settings) == "ip:9.9.9.9"

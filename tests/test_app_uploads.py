@@ -218,3 +218,43 @@ def test_cleanup_uploads_janitor(tmp_path):
     assert cleanup_uploads(ctx.settings, ctx.db, max_age_hours=24,
                            dry_run=True) == 1
     assert fresh.exists() == db_rows_before
+
+
+def test_upload_filename_sanitized(tmp_path):
+    """Path-traversal filenames must not influence the archive path
+    (ADVICE r1 high: reference sanitizes via os.path.basename,
+    uploads.py:37-38,158)."""
+    from rag_foundation_tpu.app.routes.uploads import sanitize_name
+    assert sanitize_name("../../etc/passwd") == "passwd"
+    assert sanitize_name("..\\..\\boot.ini") == "boot.ini"
+    assert sanitize_name("a/b/c.txt") == "c.txt"
+    assert sanitize_name("we ird$$name!.pdf") == "we ird_name_.pdf"
+    assert sanitize_name("...") == "upload"
+    assert sanitize_name("") == "upload"
+
+    client, ctx = make_app(tmp_path, ARCHIVE_UPLOADS=True)
+    headers = signup(client)
+    store = create_store(client, headers)
+    r = upload_text(client, headers, store["id"], DOC,
+                    filename="../../../../tmp/evil.txt")
+    assert r.status_code == 201
+    doc_id = r.json()["document_id"]
+    row = ctx.db.one("SELECT filename, archive_path FROM documents"
+                     " WHERE id=?", (doc_id,))
+    assert row["filename"] == "evil.txt"
+    assert "/tmp/evil" not in row["archive_path"]
+    assert row["archive_path"].endswith(f"doc-{doc_id}-evil.txt")
+    drain_worker(ctx)
+    op = client.get(f"/api/upload/op-status/doc-{doc_id}",
+                    headers=headers).json()
+    assert op["status"] == "DONE"
+
+
+def test_ingestion_error_sanitized(tmp_path):
+    """last_error surfaced via op-status must not leak paths or raw
+    exception internals (ADVICE r1 low; reference ingestion.py:64)."""
+    from rag_foundation_tpu.app.services.ingestion import _sanitize_error
+    msg = _sanitize_error(ValueError("bad thing at /root/repo/secret.py"))
+    assert "/root" not in msg and "secret" not in msg
+    msg = _sanitize_error(RuntimeError("engine exploded"))
+    assert "ingestion failed" in msg
