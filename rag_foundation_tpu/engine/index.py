@@ -37,13 +37,16 @@ class StoreIndex:
 
     def __init__(self, dim: int, *, mode: str = "exact", nlist: int = 256,
                  nprobe: int = 32, build_threshold: int = 100_000,
-                 pq_m: int = 48, ivf_p: int = 4, approx_routing: bool = False,
+                 pq_m: int = 48, pq_nbits: int = 4, pq_refine: bool = True,
+                 ivf_p: int = 4, approx_routing: bool = False,
                  seed: int = 0, mesh=None):
         if mode not in ("exact", "ivf_flat", "ivf_flat_int8", "ivf_pq"):
             raise ValueError(f"unknown index mode {mode!r}")
         if mode == "ivf_pq" and dim % pq_m:
             raise ValueError(f"dim {dim} not divisible by pq_m {pq_m}")
         self.pq_m = pq_m
+        self.pq_nbits = pq_nbits
+        self.pq_refine = pq_refine
         self.dim = dim
         self.mode = mode
         self.nlist = nlist
@@ -166,6 +169,7 @@ class StoreIndex:
             from rag_foundation_tpu.engine.ivfpq import build_ivf_pq
             new_body = build_ivf_pq(
                 jnp.asarray(vecs), nlist, self.pq_m,
+                nbits=self.pq_nbits, refine=self.pq_refine,
                 key=jax.random.key(self.seed))
             # PQ is lossy: keep the float vectors host-side for
             # persistence / rebuild fidelity (memory saving is on DEVICE)
@@ -196,10 +200,22 @@ class StoreIndex:
         if self.mode == "ivf_pq":
             if hasattr(self, "_pq_source"):
                 return self._pq_source  # exact host copy kept at build
-            # restored-from-checkpoint body: reconstruct approximately
-            # from the codes (coarse centroid + decoded residual) —
-            # lossy, but the only material left after a process restart,
-            # and only rebuilds (re-train + re-encode) consume it
+            if self.body.refine.shape[0] > 0:
+                # restored body with a refine store: int8 originals are
+                # far higher fidelity than decoded PQ codes
+                out = np.asarray(self.body.refine, np.float32) \
+                    * float(self.body.refine_scale)
+                want = len(self.body_chunk_ids)
+                if len(out) >= want:
+                    return out[:want]
+                return np.concatenate(
+                    [out, np.zeros((want - len(out), self.dim),
+                                   np.float32)])
+            # restored-from-checkpoint body with refine disabled:
+            # reconstruct approximately from the codes (coarse centroid
+            # + decoded residual) — lossy, but the only material left
+            # after a process restart, and only rebuilds (re-train +
+            # re-encode) consume it
             from rag_foundation_tpu.ops.pq import pq_decode
             idx = self.body
             codes = np.asarray(idx.codes.reshape(-1, idx.codes.shape[-1]))
@@ -262,7 +278,8 @@ class StoreIndex:
                 from rag_foundation_tpu.engine.ivfpq import ivfpq_search
                 b_vals, b_rows, _ = ivfpq_search(
                     self.body, jnp.asarray(queries), fetch,
-                    nprobe=nprobe, p=min(8, fetch))
+                    nprobe=nprobe, p=min(8, fetch),
+                    interpret=_on_cpu())
             elif self.mesh is not None:
                 from rag_foundation_tpu.parallel.sharded_ivf import \
                     sharded_ivf_search
@@ -396,6 +413,9 @@ class StoreIndex:
                 body = shard_ivf_index(body, self.mesh)
         elif kind == "IVFPQIndex":
             from rag_foundation_tpu.engine.ivfpq import IVFPQIndex
+            # round-1 checkpoints predate the refine store fields
+            fields.setdefault("refine", jnp.zeros((0, 0), jnp.int8))
+            fields.setdefault("refine_scale", jnp.float32(1.0))
             body = IVFPQIndex(**fields)
         else:
             raise ValueError(f"unknown body kind {kind!r}")

@@ -1,20 +1,25 @@
 """IVF-PQ index: coarse quantizer + residual product quantization.
 
 Memory ladder below int8 IVF-Flat (SURVEY.md §2.5 item 2): vectors are
-stored as ``m`` uint8 codes over RESIDUALS (x - coarse_centroid), so
+stored as ``m`` codes over RESIDUALS (x - coarse_centroid), so
 ``score(q, x) = q·c_list + ADC(q, codes)`` with per-query LUTs — exact
-LUT semantics, ~d/m x smaller than int8 storage (e.g. 768-d, m=48:
-48 B/vector vs 768 B).
+LUT semantics at a fraction of int8 storage.
 
-Query path shares the IVF batch-inversion dispatch (engine/ivf.py); the
-ADC scan is a one-hot DECODE (batched matmul against the codebook, which
-XLA fuses with the code==k compare) followed by an MXU q·decoded score —
-per-code gathers are pathological on TPU (measured 84 QPS at 10M vs
-~1.4k for this formulation, benchmarks/bench_ivfpq_10m.py). Decode costs
-256·d MACs/vector, so this mode trades QPS for ~8x memory vs int8
-IVF-Flat, which remains the performance path (docs/ENGINE.md
-"quantization ladder"): PQ's niche is corpora beyond the int8 HBM budget
-(>100M/chip) and dense multi-tenant packing.
+Two ADC engines share the IVF batch-inversion dispatch (engine/ivf.py):
+
+- ``nbits=4`` (K=16, the default): the TPU-fast path. The ADC sum is a
+  one-hot-times-LUT MXU matmul inside a fused Pallas list-scan kernel
+  (ops/pallas_pq.py) — no per-element gathers (TPUs have none) and no
+  256-wide decode. Candidates are then RE-RANKED against an int8 copy of
+  the original vectors (``refine``), recovering the exactness 4-bit
+  codes give up. m=192 nbits=4 matches m=96 nbits=8 at 96 B/vector.
+- ``nbits=8`` (K=256): the legacy XLA one-hot DECODE formulation kept
+  for byte-code compatibility; 256·d MACs per vector makes it the slow
+  tier (~1k QPS at 10M, docs/ENGINE.md round-1 "quantization ladder").
+
+The refine store is optional: at bench scale (10M) codes + int8 refine
+both fit HBM; beyond the int8 ceiling run ``refine=None`` (pure-ADC
+ranking) or keep refine host-side and re-rank there.
 """
 
 from __future__ import annotations
@@ -29,15 +34,22 @@ import numpy as np
 from rag_foundation_tpu.engine.ivf import (LBLOCK, build_dispatch,
                                            interleave_slots)
 from rag_foundation_tpu.ops.kmeans import assign_clusters, kmeans_fit
-from rag_foundation_tpu.ops.pq import PQCodebook, pq_encode, pq_train
+from rag_foundation_tpu.ops.pallas_pq import flatten_luts, pq_list_scan
+from rag_foundation_tpu.ops.pq import (PQCodebook, pq_encode, pq_lut,
+                                       pq_train)
+from rag_foundation_tpu.ops.quantize import quantize_int8
+
+_NO_REFINE = np.zeros((0, 0), np.int8)
 
 
 class IVFPQIndex(NamedTuple):
     centroids: jnp.ndarray     # [nlist, d] f32 coarse quantizer
-    codebook_centroids: jnp.ndarray  # [m, 256, dsub] f32 (residual PQ)
-    codes: jnp.ndarray         # [nlist, cap_len, m] uint8
+    codebook_centroids: jnp.ndarray  # [m, K, dsub] f32 (residual PQ)
+    codes: jnp.ndarray         # [nlist, cap_len, m] uint8, values < K
     row_ids: jnp.ndarray       # [nlist, cap_len] int32, -1 dead
     n: int
+    refine: jnp.ndarray        # [N, d] int8 re-rank store ([0,0] = off)
+    refine_scale: jnp.ndarray  # f32 scalar (refine ≈ vectors/scale)
 
     @property
     def nlist(self) -> int:
@@ -48,13 +60,18 @@ class IVFPQIndex(NamedTuple):
         return self.codes.shape[1]
 
     @property
+    def k_codes(self) -> int:
+        return self.codebook_centroids.shape[1]
+
+    @property
     def codebook(self) -> PQCodebook:
         return PQCodebook(centroids=self.codebook_centroids)
 
 
 def build_ivf_pq(vectors: jnp.ndarray, nlist: int, m: int, *,
-                 key: jax.Array, kmeans_iters: int = 10,
-                 pq_iters: int = 8, sample: int | None = None) -> IVFPQIndex:
+                 key: jax.Array, nbits: int = 4, refine: bool = True,
+                 kmeans_iters: int = 10, pq_iters: int = 8,
+                 sample: int | None = None) -> IVFPQIndex:
     """Train coarse + residual-PQ codebooks and encode ``vectors``."""
     n, d = vectors.shape
     k1, k2 = jax.random.split(key)
@@ -63,7 +80,8 @@ def build_ivf_pq(vectors: jnp.ndarray, nlist: int, m: int, *,
                               key=k1, iters=kmeans_iters, spherical=True)
     assign, _ = assign_clusters(vectors, centroids)
     residuals = vectors.astype(jnp.float32) - centroids[assign]
-    codebook = pq_train(residuals[:sample], m, key=k2, iters=pq_iters)
+    codebook = pq_train(residuals[:sample], m, key=k2, iters=pq_iters,
+                        nbits=nbits)
     codes = pq_encode(codebook, residuals)
 
     assign_h = np.asarray(assign)
@@ -80,46 +98,59 @@ def build_ivf_pq(vectors: jnp.ndarray, nlist: int, m: int, *,
     flat_codes[dest] = np.asarray(codes)[order]
     ids = np.full((nlist * cap_len,), -1, np.int32)
     ids[dest] = order.astype(np.int32)
+    if refine:
+        refine_q, refine_scale = quantize_int8(vectors)
+    else:
+        refine_q = jnp.asarray(_NO_REFINE)
+        refine_scale = jnp.float32(1.0)
     return IVFPQIndex(
         centroids=centroids,
         codebook_centroids=codebook.centroids,
         codes=jnp.asarray(flat_codes).reshape(nlist, cap_len, m),
         row_ids=jnp.asarray(ids).reshape(nlist, cap_len),
-        n=n)
+        n=n,
+        refine=refine_q,
+        refine_scale=jnp.asarray(refine_scale, jnp.float32))
 
 
-@functools.partial(
-    jax.jit, static_argnames=("k", "nprobe", "p", "qcap", "list_block"))
-def ivfpq_search(
-    index: IVFPQIndex,
-    queries: jnp.ndarray,
-    k: int,
-    *,
-    nprobe: int = 32,
-    p: int = 8,
-    qcap: int | None = None,
-    list_block: int = 32,
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """IVF-PQ top-k: (values [Q,k], row_ids [Q,k], dropped_probes)."""
-    q_n, d = queries.shape
+def _adc_candidates_pallas(index: IVFPQIndex, q32, coarse, dispatch,
+                           probe_lists, slot, *, p, qcap, interpret):
+    """Kernel ADC path (K=16): per-query candidates [Q, nprobe*w]."""
+    q_n = q32.shape[0]
+    lut = pq_lut(index.codebook, q32)            # [Q, m, K] f32
+    lut_flat = flatten_luts(lut)                 # [Q, K*m] bf16
+    safe_q = jnp.clip(dispatch, 0, q_n - 1)
+    lut_disp = lut_flat[safe_q]                  # [nlist, qcap, K*m]
+    vals, flat_idx = pq_list_scan(
+        lut_disp, index.codes, index.row_ids,
+        k_codes=index.k_codes, p=p, interpret=interpret)
+    w = vals.shape[-1]
+    safe_slot = jnp.clip(slot, 0, qcap - 1)
+    cand_vals = vals[probe_lists, safe_slot]     # [Q, nprobe, w]
+    cand_idx = flat_idx[probe_lists, safe_slot]
+    # the coarse term q·c_list is constant within a (query, list) pair:
+    # adding it post-kernel cannot change the in-list top-p selection
+    coarse_term = jnp.take_along_axis(coarse, probe_lists, axis=1)
+    cand_vals = cand_vals + coarse_term[:, :, None]
+    valid = (slot >= 0)[:, :, None] & (cand_idx >= 0)
+    cand_vals = jnp.where(valid, cand_vals, -jnp.inf)
+    cand_idx = jnp.where(valid, cand_idx, -1)
+    return (cand_vals.reshape(q_n, -1), cand_idx.reshape(q_n, -1))
+
+
+def _adc_candidates_xla(index: IVFPQIndex, q32, coarse, dispatch,
+                        probe_lists, slot, *, p, qcap, list_block):
+    """Legacy one-hot-DECODE ADC (K=256 byte codes; round-1 path)."""
+    q_n = q32.shape[0]
     nlist, cap_len, m = index.codes.shape
-    nprobe = min(nprobe, nlist)
-    if qcap is None:
-        qcap = max(8, int(-(-(q_n * nprobe * 2) // nlist // 8) * 8))
-
-    q32 = queries.astype(jnp.float32)
-    coarse = jnp.dot(q32, index.centroids.T,
-                     preferred_element_type=jnp.float32)   # [Q, nlist]
-    probe_lists, dispatch, slot, dropped = build_dispatch(
-        coarse, nprobe, qcap)
-
-    safe_q = jnp.clip(dispatch, 0, q_n - 1)                 # [nlist, qcap]
+    safe_q = jnp.clip(dispatch, 0, q_n - 1)
     list_block = min(list_block, nlist)
     while nlist % list_block:  # keep blocks exact (no clamped overlap,
         list_block -= 1        # which would duplicate candidates)
     n_blocks = nlist // list_block
     cb_bf16 = index.codebook_centroids.astype(jnp.bfloat16)
     q_bf16 = q32.astype(jnp.bfloat16)
+    k_codes = index.k_codes
 
     def scan_block(b, _):
         sl = b * list_block
@@ -129,21 +160,17 @@ def ivfpq_search(
                                                list_block, 0)
         ids_b = jax.lax.dynamic_slice_in_dim(index.row_ids, sl,
                                              list_block, 0)
-        # ADC via one-hot DECODE + MXU score. Per-code gathers (either
-        # LUT[q, m, code] or table[m, code]) lower to pathological
-        # scatter/gather loops on TPU — measured ~90 ms per 32-list
-        # block at 10M scale vs ~5 ms for this formulation
-        # (benchmarks/bench_ivfpq_10m.py; docs/ENGINE.md). The compare
-        # fuses into the batched matmul over the m axis.
+        # ADC via one-hot DECODE + MXU score (the compare fuses into the
+        # batched matmul over the m axis). Kept for byte codes only; the
+        # K=16 Pallas kernel is ~50x faster (docs/ENGINE.md).
         oh = (codes_b[:, :, :, None]
-              == jnp.arange(256, dtype=jnp.uint8)[None, None, None, :])
+              == jnp.arange(k_codes, dtype=jnp.uint8)[None, None, None, :])
         dec = jnp.einsum("lcmk,mkd->lcmd", oh.astype(jnp.bfloat16),
                          cb_bf16)                # [LB, cap, m, dsub]
         dec = dec.reshape(list_block, cap_len, m * cb_bf16.shape[-1])
         qd = q_bf16[safe_b]                      # [LB, qcap, d]
         scores = jnp.einsum("lqd,lcd->lqc", qd, dec,
                             preferred_element_type=jnp.float32)
-        # + coarse term for the (query, list) pair
         list_ids = sl + jnp.arange(list_block)
         coarse_term = coarse[safe_b, list_ids[:, None]]    # [LB, qcap]
         scores = scores + coarse_term[:, :, None]
@@ -156,7 +183,6 @@ def ivfpq_search(
 
     _, (vals_b, idx_b) = jax.lax.scan(
         scan_block, 0, None, length=n_blocks)
-    # [n_blocks, LB, qcap, p] -> [nlist, qcap, p]
     vals = vals_b.reshape(nlist, qcap, p)
     flat_idx = idx_b.reshape(nlist, qcap, p)
 
@@ -166,18 +192,95 @@ def ivfpq_search(
     valid = (slot >= 0)[:, :, None]
     cand_vals = jnp.where(valid, cand_vals, -jnp.inf)
     cand_idx = jnp.where(valid, cand_idx, -1)
-    cand_vals = cand_vals.reshape(q_n, nprobe * p)
-    cand_idx = cand_idx.reshape(q_n, nprobe * p)
-    k_eff = min(k, nprobe * p)
-    top_vals, pos = jax.lax.top_k(cand_vals, k_eff)
+    return (cand_vals.reshape(q_n, -1), cand_idx.reshape(q_n, -1))
+
+
+def _refine_rerank(index: IVFPQIndex, q32, top_vals, top_rows, k):
+    """Re-rank ADC top-C rows against the int8 refine store.
+
+    ADC (especially 4-bit) is a candidate GENERATOR; exact int8 scores
+    restore ranking fidelity — the standard IVFPQR/refine design the
+    round-1 verdict called for. int8×int8 MXU scoring, no f32
+    materialization of the gathered rows.
+    """
+    q_n, c = top_rows.shape
+    safe_rows = jnp.clip(top_rows, 0, index.refine.shape[0] - 1)
+    vecs = jnp.take(index.refine, safe_rows.reshape(-1), axis=0)
+    vecs = vecs.reshape(q_n, c, -1)              # [Q, C, d] int8
+    qq, qscale = quantize_int8(q32)
+    scores = jnp.einsum("qd,qcd->qc", qq.astype(jnp.int32),
+                        vecs.astype(jnp.int32)).astype(jnp.float32)
+    scores = scores * (qscale * index.refine_scale)
+    scores = jnp.where(top_rows >= 0, scores, -jnp.inf)
+    k_eff = min(k, c)
+    vals, pos = jax.lax.top_k(scores, k_eff)
+    rows = jnp.take_along_axis(top_rows, pos, axis=-1)
+    rows = jnp.where(jnp.isfinite(vals), rows, -1)
+    return vals, rows, k_eff
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "nprobe", "p", "qcap", "refine_c",
+                              "list_block", "interpret"))
+def ivfpq_search(
+    index: IVFPQIndex,
+    queries: jnp.ndarray,
+    k: int,
+    *,
+    nprobe: int = 32,
+    p: int = 8,
+    qcap: int | None = None,
+    refine_c: int | None = None,
+    list_block: int = 32,
+    interpret: bool | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """IVF-PQ top-k: (values [Q,k], row_ids [Q,k], dropped_probes).
+
+    K=16 codes route through the Pallas ADC kernel; K=256 through the
+    legacy XLA decode. When the index carries a refine store, the ADC
+    top-``refine_c`` (default ``max(4k, 32)``) candidates are re-ranked
+    against int8 originals and values are exact int8 dot products;
+    otherwise values are (coarse + ADC) approximations.
+    """
+    q_n, d = queries.shape
+    nlist, cap_len, m = index.codes.shape
+    nprobe = min(nprobe, nlist)
+    if qcap is None:
+        qcap = max(8, int(-(-(q_n * nprobe * 2) // nlist // 8) * 8))
+
+    q32 = queries.astype(jnp.float32)
+    coarse = jnp.dot(q32, index.centroids.T,
+                     preferred_element_type=jnp.float32)   # [Q, nlist]
+    probe_lists, dispatch, slot, dropped = build_dispatch(
+        coarse, nprobe, qcap)
+
+    if index.k_codes == 16:
+        cand_vals, cand_idx = _adc_candidates_pallas(
+            index, q32, coarse, dispatch, probe_lists, slot,
+            p=p, qcap=qcap, interpret=interpret)
+    else:
+        cand_vals, cand_idx = _adc_candidates_xla(
+            index, q32, coarse, dispatch, probe_lists, slot,
+            p=p, qcap=qcap, list_block=list_block)
+
+    width = cand_vals.shape[1]
+    has_refine = index.refine.shape[0] > 0
+    c_eff = min(refine_c or max(4 * k, 32), width) if has_refine \
+        else min(k, width)
+    top_vals, pos = jax.lax.top_k(cand_vals, c_eff)
     top_flat = jnp.take_along_axis(cand_idx, pos, axis=-1)
     safe_flat = jnp.clip(top_flat, 0, nlist * cap_len - 1)
-    row_ids = index.row_ids.reshape(-1)[safe_flat]
-    row_ids = jnp.where((top_flat >= 0) & jnp.isfinite(top_vals),
-                        row_ids, -1)
-    top_vals = jnp.where(row_ids >= 0, top_vals, -jnp.inf)
+    rows = index.row_ids.reshape(-1)[safe_flat]
+    rows = jnp.where((top_flat >= 0) & jnp.isfinite(top_vals), rows, -1)
+
+    if has_refine:
+        top_vals, rows, k_eff = _refine_rerank(index, q32, top_vals,
+                                               rows, k)
+    else:
+        top_vals = jnp.where(rows >= 0, top_vals, -jnp.inf)
+        k_eff = c_eff
     if k_eff < k:
         pad = ((0, 0), (0, k - k_eff))
         top_vals = jnp.pad(top_vals, pad, constant_values=-jnp.inf)
-        row_ids = jnp.pad(row_ids, pad, constant_values=-1)
-    return top_vals, row_ids, dropped
+        rows = jnp.pad(rows, pad, constant_values=-1)
+    return top_vals[:, :k], rows[:, :k], dropped

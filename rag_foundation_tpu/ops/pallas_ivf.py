@@ -42,26 +42,16 @@ NEG_INF = float("-inf")
 SUB = 128  # sub-block width (one lane register)
 
 
-def _ivf_scan_kernel(scale_ref, qdisp_ref, lists_ref, ids_ref,
-                     vals_ref, idx_ref, *, p: int, cap_block: int,
-                     cap_len: int, int8_mode: bool):
-    li = pl.program_id(0)
-    cb = pl.program_id(1)
-    q = qdisp_ref[0]          # [qcap, d]
-    c = lists_ref[0]          # [cap_block, d]
-    acc = jnp.int32 if int8_mode else jnp.float32
-    scores = jax.lax.dot_general(
-        q, c, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=acc).astype(jnp.float32)
-    if int8_mode:
-        scores = scores * scale_ref[0, 0]
+def extract_subblock_topp(scores, li, cb, *, p: int, cap_block: int,
+                          cap_len: int):
+    """Per-128-lane-sub-block top-p over ``scores [qcap, cap_block]``.
 
+    Returns ``(vals [qcap, nsub*p] f32, idxs [qcap, nsub*p] int32)`` with
+    idxs flat into the ``[nlist*cap_len]`` corpus (-1 for -inf entries).
+    Shared by the flat (pallas_ivf) and PQ-ADC (pallas_pq) list-scan
+    kernels — identical selection keeps their recall models comparable.
+    """
     qcap = scores.shape[0]
-    # dead-slot mask only (see module docstring); natively 2D — Mosaic
-    # cannot reshape 1-bit vectors
-    live_col = ids_ref[0] >= 0        # [1, cap_block]
-    scores = jnp.where(live_col, scores, NEG_INF)
-
     nsub = cap_block // SUB
     s = scores.reshape(qcap, nsub, SUB)
     col = jax.lax.broadcasted_iota(jnp.int32, (qcap, nsub, SUB), 2)
@@ -78,8 +68,32 @@ def _ivf_scan_kernel(scale_ref, qdisp_ref, lists_ref, ids_ref,
     # pass-major layout: ties prefer earlier passes (higher scores first)
     vals = jnp.concatenate(vals_cols, axis=1)         # [qcap, nsub*p]
     idxs = jnp.concatenate(idx_cols, axis=1)
+    return vals, jnp.where(vals == NEG_INF, -1, idxs)
+
+
+def _ivf_scan_kernel(scale_ref, qdisp_ref, lists_ref, ids_ref,
+                     vals_ref, idx_ref, *, p: int, cap_block: int,
+                     cap_len: int, int8_mode: bool):
+    li = pl.program_id(0)
+    cb = pl.program_id(1)
+    q = qdisp_ref[0]          # [qcap, d]
+    c = lists_ref[0]          # [cap_block, d]
+    acc = jnp.int32 if int8_mode else jnp.float32
+    scores = jax.lax.dot_general(
+        q, c, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=acc).astype(jnp.float32)
+    if int8_mode:
+        scores = scores * scale_ref[0, 0]
+
+    # dead-slot mask only (see module docstring); natively 2D — Mosaic
+    # cannot reshape 1-bit vectors
+    live_col = ids_ref[0] >= 0        # [1, cap_block]
+    scores = jnp.where(live_col, scores, NEG_INF)
+
+    vals, idxs = extract_subblock_topp(
+        scores, li, cb, p=p, cap_block=cap_block, cap_len=cap_len)
     vals_ref[0, 0] = vals
-    idx_ref[0, 0] = jnp.where(vals == NEG_INF, -1, idxs)
+    idx_ref[0, 0] = idxs
 
 
 @functools.partial(jax.jit,

@@ -1,0 +1,159 @@
+"""Pallas IVF-PQ ADC scan kernel: one-hot LUT scoring on the MXU.
+
+The "Pallas IVF-PQ ADC scan kernel" of SURVEY.md §2.5 item 2 (the
+reference has no analog — retrieval was hosted, reference
+gemini_rag.py:463-551). Replaces the round-1 XLA one-hot-DECODE ADC
+(256*d MACs per vector; 1.06k QPS at 10M, docs/ENGINE.md) with a fused
+per-list kernel built for the 4-bit (K=16) code regime:
+
+    score(q, c) = sum_m LUT[q, m, codes[c, m]]
+                = onehot(codes)[c, :] . lut_flat[q, :]     (width m*K)
+
+With K=16 the flattened one-hot is only ``m*16`` wide (e.g. 3072 at
+m=192, d=768) so the ADC sum is an MXU matmul at ``m*16`` MACs per
+(query, code) — ~16x less decode work than K=256 and no per-element
+gathers, which TPUs lack. Same bytes/vector as classic byte-code PQ at
+2x m (m=192 nbits=4 == m=96 nbits=8 == 96 B at d=768); the quality gap
+vs K=256 is recovered by the re-rank stage (engine/ivfpq.py).
+
+Layout notes (Mosaic):
+- The one-hot is built natively 2D: ``pltpu.repeat`` tiles the code row
+  K times along lanes (rep[c, j] = codes[c, j % m]) and a lane-iota
+  compare selects the hot slot — a 3D ``[cap, m, 16]`` one-hot would pad
+  the K=16 axis to 128 lanes (8x VMEM/VPU waste).
+- Because repeat is TILE-style, LUTs must be flattened K-MAJOR:
+  ``lut_flat[q, k*m + mm] = LUT[q, mm, k]`` (see ``flatten_luts``).
+- Per-sub-block top-p extraction is shared with the flat kernel
+  (ops/pallas_ivf.extract_subblock_topp) — same capture model, same
+  tie-breaking determinism.
+
+Dead QUERY slots are not masked (their candidates are never regathered,
+matching pallas_ivf); dead CORPUS slots are masked (codes there decode
+to a real centroid and could outrank true candidates).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rag_foundation_tpu.ops.pallas_ivf import NEG_INF, SUB, \
+    extract_subblock_topp
+
+
+def flatten_luts(lut: jnp.ndarray) -> jnp.ndarray:
+    """``[Q, m, K] f32 -> [Q, K*m] bf16`` in the kernel's K-major layout
+    (matches the tile-style ``pltpu.repeat`` expansion of the codes)."""
+    q, m, k = lut.shape
+    return lut.transpose(0, 2, 1).reshape(q, k * m).astype(jnp.bfloat16)
+
+
+def _pq_scan_kernel(lut_ref, codes_ref, ids_ref, vals_ref, idx_ref, *,
+                    p: int, cap_block: int, cap_len: int, k_codes: int):
+    li = pl.program_id(0)
+    cb = pl.program_id(1)
+    lut = lut_ref[0]                            # [qcap, K*m] bf16
+    codes = codes_ref[0].astype(jnp.int32)      # [cap_block, m]
+    m = codes.shape[1]
+    # one-hot expansion, natively 2D: rep[c, j] = codes[c, j % m];
+    # hot iff the tile index j // m equals the stored code
+    rep = pltpu.repeat(codes, k_codes, axis=1)  # [cap_block, K*m]
+    tile = jax.lax.broadcasted_iota(
+        jnp.int32, (cap_block, k_codes * m), 1) // m
+    oh = (rep == tile).astype(jnp.bfloat16)
+    scores = jax.lax.dot_general(
+        lut, oh, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)     # [qcap, cap_block]
+
+    live_col = ids_ref[0] >= 0                  # [1, cap_block]
+    scores = jnp.where(live_col, scores, NEG_INF)
+
+    vals, idxs = extract_subblock_topp(
+        scores, li, cb, p=p, cap_block=cap_block, cap_len=cap_len)
+    vals_ref[0, 0] = vals
+    idx_ref[0, 0] = idxs
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k_codes", "p", "cap_block",
+                                    "interpret"))
+def pq_list_scan(
+    lut_disp: jnp.ndarray,    # [nlist, qcap, K*m] bf16 (flatten_luts)
+    codes: jnp.ndarray,       # [nlist, cap_len, m] uint8, values < K
+    row_ids: jnp.ndarray,     # [nlist, cap_len] int32 (-1 dead)
+    *,
+    k_codes: int = 16,
+    p: int = 2,
+    cap_block: int | None = None,
+    interpret: bool | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """ADC-score each posting list against its dispatched query LUTs.
+
+    Returns ``(vals [nlist, qcap, w] f32, flat_idx [nlist, qcap, w])``
+    with ``w = (cap_len // 128) * p``; flat_idx indexes the flattened
+    ``[nlist*cap_len]`` corpus. Scores are the RESIDUAL ADC part only —
+    the per-(query, list) coarse term is constant within a list and is
+    added at regather (it cannot change in-list top-p selection).
+    """
+    nlist, qcap, km = lut_disp.shape
+    cap_len, m = codes.shape[1], codes.shape[2]
+    if km != k_codes * m:
+        raise ValueError(f"lut width {km} != K*m = {k_codes}*{m}")
+    if interpret is None:  # Mosaic needs a TPU; interpret on CPU tests
+        interpret = jax.default_backend() == "cpu"
+
+    if cap_block is None:
+        # bound the in-kernel one-hot ([cap_block, K*m] bf16) to ~1.5 MB
+        cap_block = min(cap_len, max(SUB, (3 << 19) // (2 * km) // SUB
+                                     * SUB))
+    while cap_len % cap_block or cap_block % SUB:
+        cap_block -= SUB
+    cap_block = max(cap_block, SUB)
+    n_cb = cap_len // cap_block
+    width_cell = (cap_block // SUB) * p
+
+    kernel = functools.partial(_pq_scan_kernel, p=p, cap_block=cap_block,
+                               cap_len=cap_len, k_codes=k_codes)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(nlist, n_cb),
+        in_specs=[
+            pl.BlockSpec((1, qcap, km), lambda l, cb: (l, 0, 0)),
+            pl.BlockSpec((1, cap_block, m), lambda l, cb: (l, cb, 0)),
+            # row_ids: trailing block dims full-size via singleton middle
+            pl.BlockSpec((1, 1, cap_block), lambda l, cb: (l, 0, cb)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, qcap, width_cell),
+                         lambda l, cb: (l, cb, 0, 0)),
+            pl.BlockSpec((1, 1, qcap, width_cell),
+                         lambda l, cb: (l, cb, 0, 0)),
+        ],
+    )
+    vals, idxs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nlist, n_cb, qcap, width_cell),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((nlist, n_cb, qcap, width_cell),
+                                 jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nlist * qcap * cap_len * km,
+            bytes_accessed=codes.size + lut_disp.size * 2,
+            transcendentals=0),
+        interpret=interpret,
+    )(lut_disp, codes, row_ids[:, None, :])
+    vals = vals.transpose(0, 2, 1, 3).reshape(nlist, qcap,
+                                              n_cb * width_cell)
+    idxs = idxs.transpose(0, 2, 1, 3).reshape(nlist, qcap,
+                                              n_cb * width_cell)
+    return vals, idxs

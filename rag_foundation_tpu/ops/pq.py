@@ -1,17 +1,23 @@
 """Product quantization: codebook training, encoding, and ADC scoring.
 
 PQ splits a ``d``-dim vector into ``m`` subspaces of ``d/m`` dims and
-quantizes each to one of 256 centroids (one int8/uint8 code per subspace).
+quantizes each to one of ``2**nbits`` centroids (one code per subspace).
 Asymmetric distance computation (ADC) scores a float query against codes
-by building a per-query lookup table ``LUT[m, 256]`` (one small matmul)
-and summing ``m`` gathers.
+by building a per-query lookup table ``LUT[m, K]`` (one small matmul)
+and summing ``m`` lookups.
 
 This is new native capability (the reference delegated indexing to Gemini
-File Search — SURVEY.md §2.5 item 2). This module is the XLA ADC path +
-training; a Pallas ADC kernel is deliberately not built — ADC's per-code
-gathers are VPU/gather-bound on TPU while the int8 IVF-Flat path rides
-the MXU (docs/ENGINE.md "quantization ladder"), so PQ here trades QPS
-for an ~8x memory reduction.
+File Search — SURVEY.md §2.5 item 2). Two ADC regimes:
+
+- ``nbits=8`` (K=256): the classic byte-code PQ. Per-code gathers are
+  pathological on TPU, and the one-hot MXU decode costs 256*d MACs per
+  vector — this is the slow/legacy XLA path (docs/ENGINE.md
+  "quantization ladder").
+- ``nbits=4`` (K=16): the TPU-fast regime. The ADC sum is exactly a
+  matmul of a one-hot code expansion [N, m*16] against the flattened
+  LUT — small enough to ride the MXU at speed (ops/pallas_pq.py). Same
+  bytes/vector at 2x m (e.g. m=192 nbits=4 == m=96 nbits=8 == 96 B at
+  d=768), with a re-rank stage recovering exactness (engine/ivfpq.py).
 """
 
 from __future__ import annotations
@@ -24,17 +30,23 @@ import jax.numpy as jnp
 
 from rag_foundation_tpu.ops.kmeans import kmeans_fit
 
-PQ_K = 256  # codes per subspace (one byte)
+PQ_K = 256  # codes per subspace at the default nbits=8
 
 
 class PQCodebook(NamedTuple):
-    """``centroids [m, 256, dsub]`` f32 — per-subspace codebooks."""
+    """``centroids [m, K, dsub]`` f32 — per-subspace codebooks
+    (K = 2**nbits: 256 for byte codes, 16 for the TPU-fast 4-bit path).
+    """
 
     centroids: jnp.ndarray
 
     @property
     def m(self) -> int:
         return self.centroids.shape[0]
+
+    @property
+    def k(self) -> int:
+        return self.centroids.shape[1]
 
     @property
     def dsub(self) -> int:
@@ -46,18 +58,22 @@ class PQCodebook(NamedTuple):
 
 
 def pq_train(
-    x: jnp.ndarray, m: int, *, key: jax.Array, iters: int = 10
+    x: jnp.ndarray, m: int, *, key: jax.Array, iters: int = 10,
+    nbits: int = 8,
 ) -> PQCodebook:
     """Train per-subspace codebooks on ``x [N, d]`` (d divisible by m)."""
     n, d = x.shape
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
+    if nbits not in (4, 8):
+        raise ValueError(f"nbits must be 4 or 8, got {nbits}")
     dsub = d // m
     xs = x.reshape(n, m, dsub).transpose(1, 0, 2)  # [m, N, dsub]
     keys = jax.random.split(key, m)
+    k = 1 << nbits
 
     def fit_one(xsub, k_):
-        c, _ = kmeans_fit(xsub, PQ_K, key=k_, iters=iters)
+        c, _ = kmeans_fit(xsub, k, key=k_, iters=iters)
         return c
 
     centroids = jax.lax.map(lambda args: fit_one(*args), (xs, keys))

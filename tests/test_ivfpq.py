@@ -133,3 +133,121 @@ def test_ivfpq_rebuild_after_restore():
     assert idx2.count == 3072 + 1500
     _, ids = idx2.search(x[:8], 5)
     assert (np.asarray(ids) >= 0).any()
+
+
+def test_pq_kernel_adc_matches_xla_lut():
+    """pq_list_scan's one-hot MXU formulation must reproduce the exact
+    LUT-ADC semantics (ops/pq.pq_adc_scores) for every surviving
+    candidate, including the K-major flatten_luts layout."""
+    from rag_foundation_tpu.engine.ivf import build_dispatch
+    from rag_foundation_tpu.ops.pallas_pq import flatten_luts, \
+        pq_list_scan
+    from rag_foundation_tpu.ops.pq import pq_adc_scores, pq_lut
+
+    x = _clustered_corpus(4096, 64, seed=11)
+    idx = build_ivf_pq(jnp.asarray(x), nlist=16, m=16,
+                       key=jax.random.key(4))
+    assert idx.k_codes == 16
+    q = jnp.asarray(x[:32])
+    coarse = q @ idx.centroids.T
+    probe_lists, dispatch, slot, _ = build_dispatch(coarse, 8, 16)
+    lut = pq_lut(idx.codebook, q)
+    lut_disp = flatten_luts(lut)[np.clip(np.asarray(dispatch), 0, None)]
+    vals, flat_idx = pq_list_scan(
+        jnp.asarray(lut_disp), idx.codes, idx.row_ids, p=4)
+    vals = np.asarray(vals)
+    flat_idx = np.asarray(flat_idx)
+
+    # golden: exact ADC of every code against every query LUT
+    codes_flat = np.asarray(idx.codes).reshape(-1, 16)
+    golden = np.asarray(pq_adc_scores(lut, jnp.asarray(codes_flat)))
+    disp = np.asarray(dispatch)
+    checked = 0
+    for li in range(16):
+        for s_ in range(disp.shape[1]):
+            qid = disp[li, s_]
+            if qid < 0:
+                continue
+            for v, fi in zip(vals[li, s_], flat_idx[li, s_]):
+                if fi < 0:
+                    continue
+                np.testing.assert_allclose(v, golden[qid, fi],
+                                           rtol=2e-2, atol=2e-2)
+                checked += 1
+    assert checked > 100
+
+
+def test_ivfpq_refine_recovers_near_duplicate_recall():
+    """The bench's adversarial regime: near-identical same-cluster rows
+    whose true ranking is finer than 4-bit ADC resolution. The refine
+    re-rank against int8 originals must recover recall that pure ADC
+    cannot (the round-1 gap: recall@10 = 0.21 without refine)."""
+    rng = np.random.default_rng(13)
+    d, n = 64, 16384
+    cs = rng.standard_normal((64, d)).astype(np.float32)
+    cs /= np.linalg.norm(cs, axis=1, keepdims=True)
+    x = cs[rng.integers(0, 64, n)] + (0.5 / np.sqrt(d)) * \
+        rng.standard_normal((n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    q = x[:64] + (0.2 / np.sqrt(d)) * \
+        rng.standard_normal((64, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+
+    idx = build_ivf_pq(jnp.asarray(x), nlist=64, m=16,
+                       key=jax.random.key(7))
+    _, ei = exact_topk(jnp.asarray(q), jnp.asarray(x), 10)
+    _, ids, _ = ivfpq_search(idx, jnp.asarray(q), 10, nprobe=16, p=32,
+                             refine_c=256)
+    rec = _recall(np.asarray(ids), np.asarray(ei), 10)
+    assert rec >= 0.85, rec
+
+    # without refine the 4-bit ADC cannot rank this regime
+    no_ref = idx._replace(refine=jnp.zeros((0, 0), jnp.int8))
+    _, ids0, _ = ivfpq_search(no_ref, jnp.asarray(q), 10, nprobe=16,
+                              p=32)
+    rec0 = _recall(np.asarray(ids0), np.asarray(ei), 10)
+    assert rec >= rec0 + 0.1, (rec, rec0)
+
+
+def test_ivfpq_no_refine_path_and_nbits8():
+    """refine=False searches on pure ADC; nbits=8 routes the legacy XLA
+    decode (both shapes of the index stay queryable)."""
+    x = _clustered_corpus(4096, 64, seed=15)
+    q = jnp.asarray(x[:16])
+    idx4 = build_ivf_pq(jnp.asarray(x), nlist=32, m=16,
+                        key=jax.random.key(1), refine=False)
+    assert idx4.refine.shape[0] == 0
+    v4, i4, _ = ivfpq_search(idx4, q, 5, nprobe=32, p=8)
+    assert (np.asarray(i4) >= 0).all()
+    idx8 = build_ivf_pq(jnp.asarray(x), nlist=32, m=16,
+                        key=jax.random.key(1), nbits=8)
+    assert idx8.k_codes == 256
+    v8, i8, _ = ivfpq_search(idx8, q, 5, nprobe=32, p=32)
+    # byte codes + refine should agree with exact search top-1
+    _, ei = exact_topk(q, jnp.asarray(x), 1)
+    top1 = (np.asarray(i8)[:, 0] == np.asarray(ei)[:, 0]).mean()
+    # capture is p-bound in the legacy per-list top-p path; the refine
+    # must rank whatever was captured correctly
+    no_ref8 = idx8._replace(refine=jnp.zeros((0, 0), jnp.int8))
+    _, i80, _ = ivfpq_search(no_ref8, q, 5, nprobe=32, p=32)
+    top1_0 = (np.asarray(i80)[:, 0] == np.asarray(ei)[:, 0]).mean()
+    assert top1 >= max(0.8, top1_0), (top1, top1_0)
+
+
+def test_ivfpq_restores_round1_checkpoint_without_refine_fields():
+    """body_state dicts written before the refine store existed must
+    still restore (engine/index.py fills the new fields)."""
+    from rag_foundation_tpu.engine.index import StoreIndex
+
+    x = _clustered_corpus(3072, 64)
+    idx = StoreIndex(64, mode="ivf_pq", nlist=8, pq_m=8,
+                     build_threshold=2048)
+    idx.add(x, np.arange(len(x)))
+    st = {k: np.asarray(v) for k, v in idx.body_state().items()}
+    del st["f_refine"], st["f_refine_scale"]  # simulate round-1 format
+    idx2 = StoreIndex(64, mode="ivf_pq", nlist=8, pq_m=8,
+                      build_threshold=2048)
+    idx2.restore_body(st)
+    assert idx2.body.refine.shape[0] == 0
+    _, ids = idx2.search(x[:8], 5)
+    assert (np.asarray(ids) >= 0).any()
