@@ -115,8 +115,10 @@ def main():
 
     codes = gen_codes()
     row_ids = jnp.arange(n, dtype=jnp.int32).reshape(nlist, cap)
-    lut_disp = jax.random.normal(
-        k2, (nlist, qcap, K * m), jnp.bfloat16) * 0.1
+    lut_f = jax.random.normal(k2, (nlist, qcap, K * m), jnp.float32)
+    lut_disp = jnp.clip(jnp.round(lut_f * 40), -127, 127
+                        ).astype(jnp.int8)
+    del lut_f
 
     @jax.jit
     def run(lut_disp, codes, row_ids):

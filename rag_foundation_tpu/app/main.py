@@ -184,11 +184,22 @@ def create_app(ctx: AppContext | None = None, *,
 
     @app.middleware
     async def body_limit(req: Request, call_next):
-        # uploads exempted (reference: main.py:176)
-        if req.path != "/api/upload" and \
-                req.content_type == "application/json":
-            if len(req.body) > settings.MAX_JSON_BODY_MB * 1024 * 1024:
-                raise HTTPError(413, "JSON body too large")
+        # uploads stream their own body via stream_multipart (reference
+        # exempts uploads from the JSON cap, main.py:176); every other
+        # route buffers here under the cap — bodies are read lazily off
+        # the socket, so an oversized JSON body aborts at the cap, not
+        # after full buffering
+        if req.path != "/api/upload":
+            from rag_foundation_tpu.runtime.http import DEFAULT_MAX_BODY
+            cap = settings.MAX_JSON_BODY_MB * 1024 * 1024 \
+                if req.content_type == "application/json" \
+                else DEFAULT_MAX_BODY
+            try:
+                await req.read_body(cap)
+            except HTTPError as e:
+                if e.status == 413:
+                    raise HTTPError(413, "JSON body too large") from None
+                raise
         return await call_next(req)
 
     @app.middleware

@@ -42,47 +42,55 @@ def register(app, ctx):
 
     @app.post("/api/upload")
     async def upload(req):
-        user = get_current_user(req, db, ctx.kv, settings)  # early 401
+        user = get_current_user(req, db, ctx.kv, settings)  # early 401:
+        # auth/rate/pricing gates run BEFORE a single body byte is read
         require_pricing_configured(settings, "INDEX")
         ctx.limiter.check(f"user:{user.id}:upload",
                           settings.RATE_LIMIT_UPLOAD_PER_MIN)
-        fields, files = req.multipart()
-        if "file" not in files:
-            raise HTTPError(422, "Missing file field")
-        try:
-            store_id = int(fields.get("store_id", ""))
-        except ValueError:
-            raise HTTPError(422, "Missing or invalid store_id") from None
-        store = require_store_owned_by_user(db, store_id, user.id)
-
-        f = files["file"]
-        if f.content_type not in allowed_types(settings.UPLOAD_PROFILE):
-            raise HTTPError(
-                415, f"Content type {f.content_type!r} not allowed by"
-                f" profile {settings.UPLOAD_PROFILE!r}")
         max_bytes = settings.MAX_UPLOAD_MB * 1024 * 1024
-        if len(f.data) > max_bytes:
-            raise HTTPError(413, "File exceeds upload size limit")
-        if not f.data:
-            raise HTTPError(422, "Empty file")
-        if not validate_magic(f.content_type, f.data[:16]):
-            raise HTTPError(415, "File content does not match declared type")
+        spool_dir = str(Path(settings.DATA_DIR) / "uploads" / "tmp")
+        # streamed parse: 1 MiB chunks to a 0600 tempfile, 413 the moment
+        # the cap is crossed, 415 at part HEADERS for disallowed types —
+        # the body is never buffered in RAM (reference uploads.py:157-193)
+        fields, files = await req.stream_multipart(
+            max_file_bytes=max_bytes, spool_dir=spool_dir,
+            allowed_file_types=allowed_types(settings.UPLOAD_PROFILE))
+        try:
+            if "file" not in files:
+                raise HTTPError(422, "Missing file field")
+            try:
+                store_id = int(fields.get("store_id", ""))
+            except ValueError:
+                raise HTTPError(422,
+                                "Missing or invalid store_id") from None
+            store = require_store_owned_by_user(db, store_id, user.id)
 
-        est_tokens = estimate_tokens_from_bytes(len(f.data), f.content_type)
-        est_cost = calc_index_cost(settings, est_tokens)
-        check_budget_or_402(db, user.id, settings, hold=est_cost)
+            f = files["file"]
+            if not f.size:
+                raise HTTPError(422, "Empty file")
+            if not validate_magic(f.content_type, f.head[:16]):
+                raise HTTPError(
+                    415, "File content does not match declared type")
 
-        safe_name = sanitize_name(f.filename)
-        doc_id = db.execute(
-            "INSERT INTO documents(store_id, user_id, filename, content_type,"
-            " size_bytes, status, status_updated_at, est_tokens, created_at)"
-            " VALUES(?,?,?,?,?,?,?,?,?)",
-            (store["id"], user.id, safe_name, f.content_type,
-             len(f.data), dbschema.DOC_PENDING, time.time(), est_tokens,
-             time.time()))
-        path = upload_path(settings, doc_id)
-        path.write_bytes(f.data)
-        path.chmod(0o600)
+            est_tokens = estimate_tokens_from_bytes(f.size,
+                                                    f.content_type)
+            est_cost = calc_index_cost(settings, est_tokens)
+            check_budget_or_402(db, user.id, settings, hold=est_cost)
+
+            safe_name = sanitize_name(f.filename)
+            doc_id = db.execute(
+                "INSERT INTO documents(store_id, user_id, filename,"
+                " content_type, size_bytes, status, status_updated_at,"
+                " est_tokens, created_at) VALUES(?,?,?,?,?,?,?,?,?)",
+                (store["id"], user.id, safe_name, f.content_type,
+                 f.size, dbschema.DOC_PENDING, time.time(), est_tokens,
+                 time.time()))
+            path = upload_path(settings, doc_id)
+            os.replace(f.path, path)  # same-fs atomic move, no copy
+        except BaseException:
+            for part in files.values():
+                part.cleanup()
+            raise
 
         if settings.ARCHIVE_UPLOADS:
             archive = (Path(settings.DATA_DIR) / "archive"

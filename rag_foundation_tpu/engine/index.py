@@ -202,8 +202,12 @@ class StoreIndex:
                 return self._pq_source  # exact host copy kept at build
             if self.body.refine.shape[0] > 0:
                 # restored body with a refine store: int8 originals are
-                # far higher fidelity than decoded PQ codes
-                out = np.asarray(self.body.refine, np.float32) \
+                # far higher fidelity than decoded PQ codes (refine rows
+                # are little-endian word-packed — ops/pallas_gather)
+                words = np.ascontiguousarray(
+                    np.asarray(self.body.refine, np.int32))
+                v8 = words.view(np.int8).reshape(len(words), -1)
+                out = v8.astype(np.float32) \
                     * float(self.body.refine_scale)
                 want = len(self.body_chunk_ids)
                 if len(out) >= want:
@@ -414,7 +418,7 @@ class StoreIndex:
         elif kind == "IVFPQIndex":
             from rag_foundation_tpu.engine.ivfpq import IVFPQIndex
             # round-1 checkpoints predate the refine store fields
-            fields.setdefault("refine", jnp.zeros((0, 0), jnp.int8))
+            fields.setdefault("refine", jnp.zeros((0, 0), jnp.int32))
             fields.setdefault("refine_scale", jnp.float32(1.0))
             body = IVFPQIndex(**fields)
         else:

@@ -34,12 +34,24 @@ import numpy as np
 from rag_foundation_tpu.engine.ivf import (LBLOCK, build_dispatch,
                                            interleave_slots)
 from rag_foundation_tpu.ops.kmeans import assign_clusters, kmeans_fit
+from rag_foundation_tpu.ops.pallas_gather import gather_rescore_int8
 from rag_foundation_tpu.ops.pallas_pq import flatten_luts, pq_list_scan
 from rag_foundation_tpu.ops.pq import (PQCodebook, pq_encode, pq_lut,
                                        pq_train)
 from rag_foundation_tpu.ops.quantize import quantize_int8
 
-_NO_REFINE = np.zeros((0, 0), np.int8)
+_NO_REFINE = np.zeros((0, 0), np.int32)
+
+
+@jax.jit
+def pack_int8_words(v8: jnp.ndarray) -> jnp.ndarray:
+    """``[n, d] int8 -> [n, d/4] int32`` little-endian word packing (the
+    refine-table layout of ops/pallas_gather)."""
+    n, d = v8.shape
+    u = v8.astype(jnp.uint8).astype(jnp.uint32)
+    w = (u[:, 0::4] | (u[:, 1::4] << 8) | (u[:, 2::4] << 16)
+         | (u[:, 3::4] << 24))
+    return jax.lax.bitcast_convert_type(w, jnp.int32)
 
 
 class IVFPQIndex(NamedTuple):
@@ -48,8 +60,10 @@ class IVFPQIndex(NamedTuple):
     codes: jnp.ndarray         # [nlist, cap_len, m] uint8, values < K
     row_ids: jnp.ndarray       # [nlist, cap_len] int32, -1 dead
     n: int
-    refine: jnp.ndarray        # [N, d] int8 re-rank store ([0,0] = off)
-    refine_scale: jnp.ndarray  # f32 scalar (refine ≈ vectors/scale)
+    refine: jnp.ndarray        # [N8, d/4] int32 re-rank store (int8 rows
+                               # word-packed, N8 = N padded to 8; [0,0]
+                               # when disabled)
+    refine_scale: jnp.ndarray  # f32 scalar (rows ≈ vectors/scale)
 
     @property
     def nlist(self) -> int:
@@ -99,7 +113,12 @@ def build_ivf_pq(vectors: jnp.ndarray, nlist: int, m: int, *,
     ids = np.full((nlist * cap_len,), -1, np.int32)
     ids[dest] = order.astype(np.int32)
     if refine:
+        if d % 4:
+            raise ValueError(f"refine store requires d % 4 == 0, d={d}")
         refine_q, refine_scale = quantize_int8(vectors)
+        if n % 8:  # gather kernel reads 8-row aligned groups
+            refine_q = jnp.pad(refine_q, ((0, 8 - n % 8), (0, 0)))
+        refine_q = pack_int8_words(refine_q)
     else:
         refine_q = jnp.asarray(_NO_REFINE)
         refine_scale = jnp.float32(1.0)
@@ -114,11 +133,12 @@ def build_ivf_pq(vectors: jnp.ndarray, nlist: int, m: int, *,
 
 
 def _adc_candidates_pallas(index: IVFPQIndex, q32, coarse, dispatch,
-                           probe_lists, slot, *, p, qcap, interpret):
+                           probe_lists, slot, *, p, qcap, lut_dtype,
+                           interpret):
     """Kernel ADC path (K=16): per-query candidates [Q, nprobe*w]."""
     q_n = q32.shape[0]
     lut = pq_lut(index.codebook, q32)            # [Q, m, K] f32
-    lut_flat = flatten_luts(lut)                 # [Q, K*m] bf16
+    lut_flat, lut_scale = flatten_luts(lut, lut_dtype)
     safe_q = jnp.clip(dispatch, 0, q_n - 1)
     lut_disp = lut_flat[safe_q]                  # [nlist, qcap, K*m]
     vals, flat_idx = pq_list_scan(
@@ -128,8 +148,10 @@ def _adc_candidates_pallas(index: IVFPQIndex, q32, coarse, dispatch,
     safe_slot = jnp.clip(slot, 0, qcap - 1)
     cand_vals = vals[probe_lists, safe_slot]     # [Q, nprobe, w]
     cand_idx = flat_idx[probe_lists, safe_slot]
-    # the coarse term q·c_list is constant within a (query, list) pair:
-    # adding it post-kernel cannot change the in-list top-p selection
+    # per-query LUT scale (int8 LUTs), then the coarse term q·c_list —
+    # both constant within a (query, list) pair, so neither can change
+    # the in-kernel top-p selection
+    cand_vals = cand_vals * lut_scale[:, None, None]
     coarse_term = jnp.take_along_axis(coarse, probe_lists, axis=1)
     cand_vals = cand_vals + coarse_term[:, :, None]
     valid = (slot >= 0)[:, :, None] & (cand_idx >= 0)
@@ -195,21 +217,20 @@ def _adc_candidates_xla(index: IVFPQIndex, q32, coarse, dispatch,
     return (cand_vals.reshape(q_n, -1), cand_idx.reshape(q_n, -1))
 
 
-def _refine_rerank(index: IVFPQIndex, q32, top_vals, top_rows, k):
+def _refine_rerank(index: IVFPQIndex, q32, top_vals, top_rows, k,
+                   interpret):
     """Re-rank ADC top-C rows against the int8 refine store.
 
     ADC (especially 4-bit) is a candidate GENERATOR; exact int8 scores
     restore ranking fidelity — the standard IVFPQR/refine design the
-    round-1 verdict called for. int8×int8 MXU scoring, no f32
-    materialization of the gathered rows.
+    round-1 verdict called for. The scattered-row gather + rescore runs
+    as a Pallas DMA kernel (ops/pallas_gather) — XLA's row gather
+    measured 29 ms for 1024x128 rows at 10M scale.
     """
     q_n, c = top_rows.shape
-    safe_rows = jnp.clip(top_rows, 0, index.refine.shape[0] - 1)
-    vecs = jnp.take(index.refine, safe_rows.reshape(-1), axis=0)
-    vecs = vecs.reshape(q_n, c, -1)              # [Q, C, d] int8
     qq, qscale = quantize_int8(q32)
-    scores = jnp.einsum("qd,qcd->qc", qq.astype(jnp.int32),
-                        vecs.astype(jnp.int32)).astype(jnp.float32)
+    scores = gather_rescore_int8(index.refine, top_rows, qq,
+                                 interpret=interpret)
     scores = scores * (qscale * index.refine_scale)
     scores = jnp.where(top_rows >= 0, scores, -jnp.inf)
     k_eff = min(k, c)
@@ -221,7 +242,7 @@ def _refine_rerank(index: IVFPQIndex, q32, top_vals, top_rows, k):
 
 @functools.partial(
     jax.jit, static_argnames=("k", "nprobe", "p", "qcap", "refine_c",
-                              "list_block", "interpret"))
+                              "list_block", "lut_dtype", "interpret"))
 def ivfpq_search(
     index: IVFPQIndex,
     queries: jnp.ndarray,
@@ -232,6 +253,7 @@ def ivfpq_search(
     qcap: int | None = None,
     refine_c: int | None = None,
     list_block: int = 32,
+    lut_dtype: str = "int8",
     interpret: bool | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """IVF-PQ top-k: (values [Q,k], row_ids [Q,k], dropped_probes).
@@ -257,7 +279,9 @@ def ivfpq_search(
     if index.k_codes == 16:
         cand_vals, cand_idx = _adc_candidates_pallas(
             index, q32, coarse, dispatch, probe_lists, slot,
-            p=p, qcap=qcap, interpret=interpret)
+            p=p, qcap=qcap,
+            lut_dtype=jnp.int8 if lut_dtype == "int8" else jnp.bfloat16,
+            interpret=interpret)
     else:
         cand_vals, cand_idx = _adc_candidates_xla(
             index, q32, coarse, dispatch, probe_lists, slot,
@@ -275,7 +299,7 @@ def ivfpq_search(
 
     if has_refine:
         top_vals, rows, k_eff = _refine_rerank(index, q32, top_vals,
-                                               rows, k)
+                                               rows, k, interpret)
     else:
         top_vals = jnp.where(rows >= 0, top_vals, -jnp.inf)
         k_eff = c_eff

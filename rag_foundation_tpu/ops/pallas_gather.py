@@ -1,0 +1,120 @@
+"""Pallas scattered-row gather + int8 rescore (the refine stage core).
+
+XLA's row gather from a [N, d] int8 HBM table runs at ~28 GB/s effective
+on TPU (measured: 29 ms for 1024x128 rows at 10M x 768 — gather is not a
+first-class TPU op). This kernel instead issues one aligned DMA per
+candidate — the 8-row-aligned group containing the row, since Mosaic
+requires sublane-aligned slices — and computes the int8 dot product
+in-kernel, returning only the [Q, C] scores (the gathered vectors never
+leave VMEM).
+
+Layout contract (all tile-aligned, no relayouts):
+- table is int32 words [N, d/4] (the int8 rows bitcast host/build-side;
+  N must be a multiple of 8). Bytes are extracted arithmetically
+  (little-endian shifts) because pltpu.bitcast reinterprets the TILED
+  layout, not row-major byte order.
+- queries arrive pre-split by byte position qb[Q, 4, d/4] int32
+  (qb[q, b, w] = q_int8[q, 4w+b]).
+- the in-group row choice arrives as a one-hot rmoh[Q, C, 8] int32.
+
+Cost at Q=1024, C=128, 10M x 768: ~100 MB of useful rows (800 MB moved
+at 8x group amplification) + ~2.6e9 VPU ops — single-digit ms vs 29 ms
+for the XLA gather.
+
+Used by engine/ivfpq.py's re-rank; SURVEY.md §2.5 item 2 (no reference
+analog — retrieval was hosted, reference gemini_rag.py:463-551).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _gather_score_kernel(idx_ref, qb_ref, rmoh_ref, table_ref, out_ref,
+                         *, c: int, dw: int):
+    def body(scratch, sems):
+        qi = pl.program_id(0)
+        for j in range(c):
+            g8 = idx_ref[qi * c + j]          # aligned group start
+            g8 = pl.multiple_of(g8, 8)
+            pltpu.make_async_copy(table_ref.at[pl.ds(g8, 8)],
+                                  scratch.at[j], sems.at[j]).start()
+        for j in range(c):
+            g8 = idx_ref[qi * c + j]
+            g8 = pl.multiple_of(g8, 8)
+            pltpu.make_async_copy(table_ref.at[pl.ds(g8, 8)],
+                                  scratch.at[j], sems.at[j]).wait()
+        w = scratch[:]                        # [C, 8, dw] int32 words
+        acc = jnp.zeros((c, 8, dw), jnp.int32)
+        for b in range(4):                    # little-endian byte b
+            byte = (w << (24 - 8 * b)) >> 24  # sign-extended int8
+            acc = acc + byte * qb_ref[0, b][None, None, :]
+        sc8 = jnp.sum(acc, axis=2)            # [C, 8]
+        sel = jnp.sum(sc8 * rmoh_ref[0], axis=1)   # [C]
+        out_ref[0, 0] = sel.astype(jnp.float32)
+    pl.run_scoped(body,
+                  scratch=pltpu.VMEM((c, 8, dw), jnp.int32),
+                  sems=pltpu.SemaphoreType.DMA((c,)))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gather_rescore_int8(
+    table32: jnp.ndarray,     # [N, d/4] int32 (int8 rows, bitcast; N%8==0)
+    rows: jnp.ndarray,        # [Q, C] int32 row ids (negatives allowed,
+                              # callers mask the scores)
+    q_int8: jnp.ndarray,      # [Q, d] int8
+    *,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Unscaled int8 dot products ``[Q, C] f32`` of each query against
+    its candidate rows. Invalid (negative) rows return garbage scores —
+    mask them outside."""
+    n, dw = table32.shape
+    q_n, c = rows.shape
+    d = dw * 4
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if interpret:
+        # XLA reference path (CPU tests; also the golden for the kernel)
+        safe = jnp.clip(rows, 0, n * 4 // 4 - 1)
+        words = jnp.take(table32, safe.reshape(-1), axis=0)  # [QC, dw]
+        b = [(words << (24 - 8 * i)) >> 24 for i in range(4)]
+        vecs = jnp.stack(b, axis=-1).reshape(q_n, c, d)
+        return jnp.einsum("qd,qcd->qc", q_int8.astype(jnp.int32),
+                          vecs.astype(jnp.int32)).astype(jnp.float32)
+
+    safe = jnp.clip(rows, 0, n - 1)
+    groups = (safe & ~jnp.int32(7)).reshape(-1)              # [Q*C]
+    rm = safe & jnp.int32(7)                                 # [Q, C]
+    rmoh = (rm[:, :, None]
+            == jnp.arange(8, dtype=jnp.int32)[None, None, :]
+            ).astype(jnp.int32)                              # [Q, C, 8]
+    qb = jnp.stack(
+        [q_int8[:, b::4].astype(jnp.int32) for b in range(4)],
+        axis=1)                                              # [Q, 4, dw]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(q_n,),
+        in_specs=[
+            pl.BlockSpec((1, 4, dw), lambda i, idx_ref: (i, 0, 0)),
+            pl.BlockSpec((1, c, 8), lambda i, idx_ref: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 1, c), lambda i, idx_ref: (i, 0, 0)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_gather_score_kernel, c=c, dw=dw),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((q_n, 1, c), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q_n * c * d,
+            bytes_accessed=q_n * c * 8 * d + q_n * d,
+            transcendentals=0),
+    )(groups, qb, rmoh, table32)
+    return out[:, 0, :]

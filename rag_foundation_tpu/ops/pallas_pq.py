@@ -38,6 +38,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -45,29 +46,45 @@ from rag_foundation_tpu.ops.pallas_ivf import NEG_INF, SUB, \
     extract_subblock_topp
 
 
-def flatten_luts(lut: jnp.ndarray) -> jnp.ndarray:
-    """``[Q, m, K] f32 -> [Q, K*m] bf16`` in the kernel's K-major layout
-    (matches the tile-style ``pltpu.repeat`` expansion of the codes)."""
+def flatten_luts(lut: jnp.ndarray,
+                 dtype: jnp.dtype = jnp.bfloat16
+                 ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """``[Q, m, K] f32 -> ([Q, K*m] int8|bf16, scale [Q] f32)`` in the
+    kernel's K-major layout (matches the tile-style ``pltpu.repeat``
+    expansion of the codes). int8 LUTs are per-query symmetric-quantized
+    — a per-query monotone scale cannot change in-kernel top-p
+    selection, so the scale is applied to the scores at regather."""
     q, m, k = lut.shape
-    return lut.transpose(0, 2, 1).reshape(q, k * m).astype(jnp.bfloat16)
+    flat = lut.transpose(0, 2, 1).reshape(q, k * m)
+    if dtype == jnp.int8:
+        scale = jnp.maximum(jnp.max(jnp.abs(flat), axis=1), 1e-12) / 127.0
+        q8 = jnp.clip(jnp.round(flat / scale[:, None]), -127, 127)
+        return q8.astype(jnp.int8), scale
+    return flat.astype(dtype), jnp.ones((q,), jnp.float32)
 
 
-def _pq_scan_kernel(lut_ref, codes_ref, ids_ref, vals_ref, idx_ref, *,
-                    p: int, cap_block: int, cap_len: int, k_codes: int):
+def _pq_scan_kernel(lut_ref, codes_ref, tile_ref, ids_ref, vals_ref,
+                    idx_ref, *, p: int, cap_block: int, cap_len: int,
+                    k_codes: int):
     li = pl.program_id(0)
     cb = pl.program_id(1)
-    lut = lut_ref[0]                            # [qcap, K*m] bf16
-    codes = codes_ref[0].astype(jnp.int32)      # [cap_block, m]
-    m = codes.shape[1]
-    # one-hot expansion, natively 2D: rep[c, j] = codes[c, j % m];
-    # hot iff the tile index j // m equals the stored code
-    rep = pltpu.repeat(codes, k_codes, axis=1)  # [cap_block, K*m]
-    tile = jax.lax.broadcasted_iota(
-        jnp.int32, (cap_block, k_codes * m), 1) // m
-    oh = (rep == tile).astype(jnp.bfloat16)
+    lut = lut_ref[0]                            # [qcap, K*m] int8|bf16
+    codes = codes_ref[0]                        # [cap_block, m] uint8
+    # one-hot expansion, natively 2D: rep[c, j] = codes[c, j % m]
+    # (pltpu.repeat is tile-style); hot iff the precomputed tile pattern
+    # (j // m, an INPUT — computing it in-kernel costs an int32 division
+    # per element) equals the stored code. The compare itself must be
+    # int32: Mosaic cannot lower packed-i8 cmps or u8->bf16 casts.
+    rep = pltpu.repeat(codes, k_codes, axis=1)  # [cap_block, K*m] uint8
+    int8_mode = lut.dtype == jnp.int8
+    oh = (rep.astype(jnp.int32)
+          == tile_ref[0:1].astype(jnp.int32)).astype(
+        jnp.int8 if int8_mode else jnp.bfloat16)
+    acc = jnp.int32 if int8_mode else jnp.float32
     scores = jax.lax.dot_general(
         lut, oh, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)     # [qcap, cap_block]
+        preferred_element_type=acc
+    ).astype(jnp.float32)                       # [qcap, cap_block]
 
     live_col = ids_ref[0] >= 0                  # [1, cap_block]
     scores = jnp.where(live_col, scores, NEG_INF)
@@ -82,7 +99,8 @@ def _pq_scan_kernel(lut_ref, codes_ref, ids_ref, vals_ref, idx_ref, *,
                    static_argnames=("k_codes", "p", "cap_block",
                                     "interpret"))
 def pq_list_scan(
-    lut_disp: jnp.ndarray,    # [nlist, qcap, K*m] bf16 (flatten_luts)
+    lut_disp: jnp.ndarray,    # [nlist, qcap, K*m] int8|bf16
+                              # (flatten_luts layout)
     codes: jnp.ndarray,       # [nlist, cap_len, m] uint8, values < K
     row_ids: jnp.ndarray,     # [nlist, cap_len] int32 (-1 dead)
     *,
@@ -116,6 +134,10 @@ def pq_list_scan(
     n_cb = cap_len // cap_block
     width_cell = (cap_block // SUB) * p
 
+    # j // m as a tiny input array — see _pq_scan_kernel
+    tile_pattern = jnp.asarray(
+        np.arange(km, dtype=np.int64) // m, jnp.uint8).reshape(1, km)
+
     kernel = functools.partial(_pq_scan_kernel, p=p, cap_block=cap_block,
                                cap_len=cap_len, k_codes=k_codes)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -124,6 +146,7 @@ def pq_list_scan(
         in_specs=[
             pl.BlockSpec((1, qcap, km), lambda l, cb: (l, 0, 0)),
             pl.BlockSpec((1, cap_block, m), lambda l, cb: (l, cb, 0)),
+            pl.BlockSpec((1, km), lambda l, cb: (0, 0)),
             # row_ids: trailing block dims full-size via singleton middle
             pl.BlockSpec((1, 1, cap_block), lambda l, cb: (l, 0, cb)),
         ],
@@ -151,7 +174,7 @@ def pq_list_scan(
             bytes_accessed=codes.size + lut_disp.size * 2,
             transcendentals=0),
         interpret=interpret,
-    )(lut_disp, codes, row_ids[:, None, :])
+    )(lut_disp, codes, tile_pattern, row_ids[:, None, :])
     vals = vals.transpose(0, 2, 1, 3).reshape(nlist, qcap,
                                               n_cb * width_cell)
     idxs = idxs.transpose(0, 2, 1, 3).reshape(nlist, qcap,

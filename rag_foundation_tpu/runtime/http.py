@@ -67,25 +67,129 @@ class UploadedFile:
         self.data = data
 
 
+class SpooledFile:
+    """A multipart file part streamed to a 0600 tempfile (never fully
+    buffered in RAM) — reference parity: the reference streams 1 MiB
+    chunks to a 0600 temp file with an in-flight cap
+    (/root/reference/backend/app/routes/uploads.py:157-193)."""
+
+    __slots__ = ("filename", "content_type", "path", "size", "head")
+
+    def __init__(self, filename: str, content_type: str, path: str,
+                 size: int, head: bytes):
+        self.filename = filename
+        self.content_type = content_type
+        self.path = path
+        self.size = size
+        self.head = head  # first bytes, for magic-number validation
+
+    def cleanup(self):
+        import os as _os
+        try:
+            _os.unlink(self.path)
+        except OSError:
+            pass
+
+
+STREAM_CHUNK = 1024 * 1024  # 1 MiB read granularity (reference parity)
+
+
 class Request:
     def __init__(self, method: str, target: str, headers: dict[str, str],
-                 body: bytes = b"", client: tuple[str, int] = ("", 0)):
+                 body: bytes | None = b"",
+                 client: tuple[str, int] = ("", 0),
+                 reader: asyncio.StreamReader | None = None):
         self.method = method.upper()
         parsed = urllib.parse.urlsplit(target)
         self.path = urllib.parse.unquote(parsed.path) or "/"
         self.query = {k: v[-1] for k, v in
                       urllib.parse.parse_qs(parsed.query).items()}
         self.headers = {k.lower(): v for k, v in headers.items()}
-        self.body = body
+        self.body = body if reader is None else None
         self.client = client
         self.path_params: dict[str, str] = {}
         self.state: dict[str, Any] = {}
+        # streaming-body machinery: when constructed by the socket server
+        # the body has NOT been read yet; handlers/middleware pull it via
+        # read_body() (bounded buffering) or iter_raw() (streaming)
+        self._reader = reader
+        self._consumed = reader is None
+        self._started = False
+        cl = self.headers.get("content-length")
+        self.content_length = int(cl) if cl and cl.isdigit() else None
+        self._chunked = (self.headers.get("transfer-encoding", "")
+                         .lower() == "chunked")
 
     @property
     def content_type(self) -> str:
         return self.headers.get("content-type", "").split(";")[0].strip().lower()
 
+    @property
+    def body_consumed(self) -> bool:
+        """True iff the socket holds no unread body bytes (keep-alive
+        safe). False for both never-started and abandoned-midway."""
+        return self._consumed
+
+    async def iter_raw(self) -> AsyncIterator[bytes]:
+        """Yield raw body chunks exactly once (streaming routes)."""
+        if self._reader is None:
+            self._consumed = True
+            if self.body:
+                yield self.body
+            return
+        if self._consumed or self._started:
+            if self.body is not None:
+                yield self.body
+            return
+        self._started = True
+        if self._chunked:
+            while True:
+                size_line = await self._reader.readline()
+                size = int(size_line.strip() or b"0", 16)
+                if size == 0:
+                    await self._reader.readline()
+                    break
+                remaining = size
+                while remaining:
+                    piece = await self._reader.read(
+                        min(remaining, STREAM_CHUNK))
+                    if not piece:
+                        raise Disconnected()
+                    remaining -= len(piece)
+                    yield piece
+                await self._reader.readexactly(2)
+        elif self.content_length:
+            remaining = self.content_length
+            while remaining:
+                piece = await self._reader.read(min(remaining,
+                                                    STREAM_CHUNK))
+                if not piece:
+                    raise Disconnected()
+                remaining -= len(piece)
+                yield piece
+        self._consumed = True  # reached only when fully drained
+
+    async def read_body(self, limit: int | None = None) -> bytes:
+        """Buffer the whole body (once), 413ing past ``limit``."""
+        if self.body is not None:
+            if limit is not None and len(self.body) > limit:
+                raise HTTPError(413, "Payload Too Large")
+            return self.body
+        if limit is not None and self.content_length is not None \
+                and self.content_length > limit:
+            raise HTTPError(413, "Payload Too Large")
+        chunks, total = [], 0
+        async for piece in self.iter_raw():
+            total += len(piece)
+            if limit is not None and total > limit:
+                raise HTTPError(413, "Payload Too Large")
+            chunks.append(piece)
+        self.body = b"".join(chunks)
+        return self.body
+
     def json(self) -> Any:
+        if self.body is None:
+            raise HTTPError(400, "Request body not loaded")
         if not self.body:
             raise HTTPError(400, "Empty request body")
         try:
@@ -93,8 +197,177 @@ class Request:
         except (ValueError, UnicodeDecodeError):
             raise HTTPError(400, "Invalid JSON body") from None
 
+    async def stream_multipart(
+        self, *,
+        max_file_bytes: int,
+        spool_dir: str,
+        allowed_file_types: set[str] | None = None,
+        max_field_bytes: int = 64 * 1024,
+        head_bytes: int = 64,
+    ) -> tuple[dict[str, str], dict[str, SpooledFile]]:
+        """Incrementally parse multipart/form-data from the socket.
+
+        File parts stream to 0600 tempfiles in ``spool_dir`` in ~1 MiB
+        chunks with an in-flight size cap (413 raised the moment the cap
+        is crossed — the remaining body is never read); field parts are
+        size-capped in RAM. ``allowed_file_types`` rejects a part at its
+        HEADERS (415) before any payload is spooled. Mirrors the
+        reference's streaming upload loop
+        (/root/reference/backend/app/routes/uploads.py:157-193).
+
+        Callers own cleanup of the returned SpooledFiles (``.cleanup()``
+        or move the path into place).
+        """
+        import os as _os
+        import tempfile as _tempfile
+
+        ctype = self.headers.get("content-type", "")
+        if "multipart/form-data" not in ctype:
+            raise HTTPError(415, "Expected multipart/form-data")
+        m = re.search(r'boundary="?([^";,]+)"?', ctype)
+        if not m:
+            raise HTTPError(400, "Missing multipart boundary")
+        delim = b"--" + m.group(1).encode("latin-1")
+        # a content-length beyond any plausible total aborts before the
+        # first byte is read
+        overhead = 64 * 1024 + max_field_bytes * 8
+        if self.content_length is not None and \
+                self.content_length > max_file_bytes + overhead:
+            raise HTTPError(413, "File exceeds upload size limit")
+
+        fields: dict[str, str] = {}
+        files: dict[str, SpooledFile] = {}
+        spooled_paths: list[str] = []  # every tempfile ever created
+        ait = self.iter_raw()
+        buf = b""
+        eof = False
+
+        async def fill() -> bool:
+            nonlocal buf, eof
+            if eof:
+                return False
+            try:
+                buf += await ait.__anext__()
+                return True
+            except StopAsyncIteration:
+                eof = True
+                return False
+
+        async def require(n: int):
+            while len(buf) < n:
+                if not await fill():
+                    raise HTTPError(400, "Truncated multipart body")
+
+        try:
+            # preamble: scan to the first delimiter
+            while True:
+                i = buf.find(delim)
+                if i >= 0:
+                    buf = buf[i + len(delim):]
+                    break
+                buf = buf[-(len(delim) - 1):] if len(buf) >= len(delim) \
+                    else buf
+                if not await fill():
+                    raise HTTPError(400, "Malformed multipart body")
+
+            while True:
+                await require(2)
+                if buf[:2] == b"--":          # closing delimiter
+                    break
+                if buf[:2] != b"\r\n":
+                    raise HTTPError(400, "Malformed multipart body")
+                buf = buf[2:]
+                # part headers
+                while b"\r\n\r\n" not in buf:
+                    if len(buf) > MAX_HEADER_BYTES:
+                        raise HTTPError(431, "Part headers too large")
+                    if not await fill():
+                        raise HTTPError(400, "Truncated multipart body")
+                head, buf = buf.split(b"\r\n\r\n", 1)
+                hdrs: dict[str, str] = {}
+                for line in head.decode("latin-1").split("\r\n"):
+                    k, _, v = line.partition(":")
+                    hdrs[k.strip().lower()] = v.strip()
+                disp = hdrs.get("content-disposition", "")
+                name_m = re.search(r'name="([^"]*)"', disp)
+                file_m = re.search(r'filename="([^"]*)"', disp)
+                name = name_m.group(1) if name_m else ""
+                part_type = hdrs.get("content-type",
+                                     "application/octet-stream")
+                part_type = part_type.split(";")[0].strip().lower()
+
+                marker = b"\r\n" + delim
+                is_file = file_m is not None
+                if is_file and allowed_file_types is not None and \
+                        part_type not in allowed_file_types:
+                    raise HTTPError(
+                        415, f"Content type {part_type!r} not allowed")
+                sink_fd = None
+                sink_path = ""
+                size = 0
+                head_acc = b""
+                field_acc = b""
+                if is_file and name:
+                    _os.makedirs(spool_dir, exist_ok=True)
+                    sink_fd, sink_path = _tempfile.mkstemp(
+                        dir=spool_dir, prefix="part-")
+                    _os.fchmod(sink_fd, 0o600)
+                    spooled_paths.append(sink_path)
+
+                def emit(data: bytes):
+                    nonlocal size, head_acc, field_acc
+                    if not data:
+                        return
+                    size += len(data)
+                    if is_file:
+                        if size > max_file_bytes:
+                            raise HTTPError(
+                                413, "File exceeds upload size limit")
+                        if len(head_acc) < head_bytes:
+                            head_acc += data[:head_bytes - len(head_acc)]
+                        if sink_fd is not None:
+                            _os.write(sink_fd, data)
+                    else:
+                        if size > max_field_bytes:
+                            raise HTTPError(413, "Form field too large")
+                        field_acc += data
+
+                try:
+                    while True:
+                        i = buf.find(marker)
+                        if i >= 0:
+                            emit(buf[:i])
+                            buf = buf[i + len(marker):]
+                            break
+                        keep = len(marker) - 1
+                        if len(buf) > keep:
+                            emit(buf[:-keep])
+                            buf = buf[-keep:]
+                        if not await fill():
+                            raise HTTPError(400,
+                                            "Truncated multipart body")
+                finally:
+                    if sink_fd is not None:
+                        _os.close(sink_fd)
+                if is_file and name:
+                    files[name] = SpooledFile(
+                        filename=file_m.group(1), content_type=part_type,
+                        path=sink_path, size=size, head=head_acc)
+                elif name:
+                    fields[name] = field_acc.decode("utf-8", "replace")
+            return fields, files
+        except BaseException:
+            for p in spooled_paths:
+                try:
+                    _os.unlink(p)
+                except OSError:
+                    pass
+            raise
+
     def multipart(self) -> tuple[dict[str, str], dict[str, UploadedFile]]:
         """Parse multipart/form-data into (fields, files)."""
+        if self.body is None:
+            raise HTTPError(400, "Request body not loaded")
         ctype = self.headers.get("content-type", "")
         if "multipart/form-data" not in ctype:
             raise HTTPError(415, "Expected multipart/form-data")
@@ -291,7 +564,6 @@ async def _read_request(reader: asyncio.StreamReader,
             continue
         k, _, v = line.partition(":")
         headers[k.strip().lower()] = v.strip()
-    body = b""
     if "content-length" in headers:
         try:
             n = int(headers["content-length"])
@@ -299,23 +571,17 @@ async def _read_request(reader: asyncio.StreamReader,
             raise HTTPError(400, "Bad Content-Length") from None
         if n > max_body:
             raise HTTPError(413, "Payload Too Large")
-        body = await reader.readexactly(n) if n else b""
-    elif headers.get("transfer-encoding", "").lower() == "chunked":
-        chunks = []
-        total = 0
-        while True:
-            size_line = await reader.readline()
-            size = int(size_line.strip() or b"0", 16)
-            if size == 0:
-                await reader.readline()
-                break
-            total += size
-            if total > max_body:
-                raise HTTPError(413, "Payload Too Large")
-            chunks.append(await reader.readexactly(size))
-            await reader.readexactly(2)
-        body = b"".join(chunks)
-    return Request(method, target, headers, body, client)
+    # body is NOT read here: handlers/middleware pull it lazily via
+    # Request.read_body()/iter_raw()/stream_multipart() so upload routes
+    # never buffer large payloads in RAM (reference streams 1 MiB chunks,
+    # reference uploads.py:157-193)
+    has_body = "content-length" in headers and int(
+        headers["content-length"]) > 0
+    has_body = has_body or headers.get("transfer-encoding",
+                                       "").lower() == "chunked"
+    return Request(method, target, headers,
+                   body=None if has_body else b"",
+                   client=client, reader=reader if has_body else None)
 
 
 def _response_head(resp: Response, *, chunked: bool) -> bytes:
@@ -350,6 +616,11 @@ async def _connection(app: App, reader: asyncio.StreamReader,
                 return
             resp = await app.handle(request)
             keep_alive = request.headers.get("connection", "").lower() != "close"
+            if not request.body_consumed:
+                # the handler never drained the body (e.g. an early 4xx
+                # on a streaming upload): the socket is mid-payload, so
+                # the connection cannot be reused
+                keep_alive = False
             if isinstance(resp, StreamingResponse):
                 writer.write(_response_head(resp, chunked=True))
                 await writer.drain()
