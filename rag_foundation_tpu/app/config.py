@@ -82,6 +82,11 @@ class Settings(BaseModel):
     ALLOWED_MODELS: list[str] = Field(default_factory=lambda: [
         "ragtpu-retrieval-v1", "ragtpu-retrieval-fast"])
     DEFAULT_MODEL: str = "ragtpu-retrieval-v1"
+    # metadata filters are opt-in with an explicit key allowlist
+    # (reference: config.py:97-98, chat.py:296-335); engine-filterable
+    # keys are doc_name / doc_id / ordinal (engine/api._ChunkMeta)
+    ALLOW_METADATA_FILTERS: bool = False
+    METADATA_FILTER_ALLOWED_KEYS: list[str] = Field(default_factory=list)
 
     # -- stores / tenancy --------------------------------------------------
     MAX_STORES_PER_USER: int = 20
@@ -124,7 +129,7 @@ class Settings(BaseModel):
 
     # ---------------------------------------------------------------------
     @field_validator("CORS_ORIGINS", "TRUSTED_PROXIES", "ALLOWED_MODELS",
-                     mode="before")
+                     "METADATA_FILTER_ALLOWED_KEYS", mode="before")
     @classmethod
     def _parse_list(cls, v):
         """Accept JSON arrays or comma-separated strings (reference:

@@ -122,13 +122,16 @@ def check_budget_or_402(db, user_id: int, settings,
 
 def record_query_cost(db, *, user_id: int, store_id: int | None, model: str,
                       prompt_tokens: int, completion_tokens: int,
-                      cost_usd: Decimal, status: str = "ok") -> None:
+                      cost_usd: Decimal, status: str = "ok",
+                      tags: dict[str, str] | None = None) -> None:
+    import json as _json
     db.execute(
         "INSERT INTO query_log(user_id, store_id, model, prompt_tokens,"
-        " completion_tokens, cost_usd, status, created_at)"
-        " VALUES(?,?,?,?,?,?,?,?)",
+        " completion_tokens, cost_usd, status, created_at, tags)"
+        " VALUES(?,?,?,?,?,?,?,?,?)",
         (user_id, store_id, model, prompt_tokens, completion_tokens,
-         str(cost_usd), status, time.time()))
+         str(cost_usd), status, time.time(),
+         _json.dumps(tags) if tags else None))
 
 
 def require_pricing_configured(settings, model: str) -> None:

@@ -105,4 +105,9 @@ MIGRATIONS: list[str] = [
       updated_at REAL NOT NULL
     );
     """,
+    # 002: request tags on the cost ledger (reference QueryLog carries
+    # per-request tags; chat.py:713-755)
+    """
+    ALTER TABLE query_log ADD COLUMN tags TEXT;
+    """,
 ]

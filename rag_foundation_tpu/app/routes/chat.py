@@ -24,6 +24,7 @@ import threading
 import time
 import uuid
 from decimal import Decimal
+from typing import Any
 
 from pydantic import BaseModel, ValidationError
 
@@ -55,6 +56,11 @@ class ChatRequest(BaseModel):
     documentIds: list[int] | None = None
     top_k: int | None = None
     topK: int | None = None
+    # validated by sanitize_tags / validate_metadata_filter (400s with
+    # reference-parity messages, not pydantic 422s)
+    tags: Any = None
+    metadata_filter: Any = None
+    metadataFilter: Any = None
 
     @property
     def resolved_store_ids(self) -> list[int]:
@@ -74,6 +80,82 @@ class ChatRequest(BaseModel):
     @property
     def resolved_top_k(self) -> int | None:
         return self.top_k if self.top_k is not None else self.topK
+
+    @property
+    def resolved_metadata_filter(self) -> dict | None:
+        return self.metadata_filter if self.metadata_filter is not None \
+            else self.metadataFilter
+
+
+_SAFE_META_VALUES = (str, int, float, bool)
+
+
+def sanitize_tags(raw) -> dict[str, str] | None:
+    """Request tags for the cost ledger: <=5 entries, keys <=32 chars,
+    scalar values stringified <=128 (reference: chat.py:251-265)."""
+    if raw is None:
+        return None
+    if not isinstance(raw, dict):
+        raise HTTPError(400, "tags must be an object")
+    cleaned: dict[str, str] = {}
+    for key, value in raw.items():
+        if len(cleaned) >= 5:
+            break
+        if not isinstance(key, str) or not key.strip():
+            continue
+        if isinstance(value, _SAFE_META_VALUES):
+            cleaned[key.strip()[:32]] = str(value)[:128]
+    return cleaned or None
+
+
+def _coerce_meta_value(key: str, value):
+    if isinstance(value, _SAFE_META_VALUES):
+        return [value[:256] if isinstance(value, str) else value]
+    if isinstance(value, list):
+        out = []
+        for item in value:
+            if not isinstance(item, _SAFE_META_VALUES):
+                raise HTTPError(400, "metadataFilter values must be"
+                                " strings, numbers, booleans, or lists"
+                                " of those")
+            out.append(item[:256] if isinstance(item, str) else item)
+        if not out:
+            raise HTTPError(400, "metadataFilter lists must include at"
+                            " least one value")
+        return out
+    raise HTTPError(400, f"Invalid metadataFilter value for {key!r}")
+
+
+def validate_metadata_filter(raw, settings) -> dict | None:
+    """Allowlist-enforced metadata filter (reference: chat.py:296-335):
+    only simple scalar/list values, only configured keys, only when the
+    deployment opted in. Values normalize to OR-lists per key; keys AND."""
+    if raw is None:
+        return None
+    if not settings.ALLOW_METADATA_FILTERS:
+        raise HTTPError(400,
+                        "Metadata filters are disabled on this deployment.")
+    if not isinstance(raw, dict):
+        raise HTTPError(400, "metadataFilter must be an object")
+    allowed = settings.METADATA_FILTER_ALLOWED_KEYS or []
+    if not allowed:
+        raise HTTPError(400, "Metadata filters require"
+                        " METADATA_FILTER_ALLOWED_KEYS to be configured.")
+    cleaned: dict = {}
+    for key, value in raw.items():
+        if not isinstance(key, str) or not key.strip():
+            raise HTTPError(400,
+                            "metadataFilter keys must be non-empty strings")
+        nkey = key.strip()
+        if nkey not in allowed:
+            raise HTTPError(400,
+                            f"metadataFilter key {nkey!r} is not allowed")
+        cleaned[nkey] = _coerce_meta_value(nkey, value)
+    if not cleaned:
+        raise HTTPError(400,
+                        "metadataFilter must include at least one"
+                        " allowed key")
+    return cleaned
 
 
 class _Backpressure(RuntimeError):
@@ -263,6 +345,10 @@ def register(app, ctx):
                     raise HTTPError(404, "Document not found")
                 doc_filter.add(row["engine_doc_id"] or f"doc-{row['id']}")
 
+        tags = sanitize_tags(body.tags)
+        meta_filter = validate_metadata_filter(
+            body.resolved_metadata_filter, settings)
+
         session_id = _ensure_session(
             db, user.id, stores[0]["id"], body.resolved_session_id, question)
         _persist_message(db, session_id, user.id, "user", question)
@@ -301,7 +387,8 @@ def register(app, ctx):
                             functools.partial(
                                 ctx.rag.ask_stream, question, engine_keys,
                                 model=model, history=history,
-                                top_k=top_k, doc_filter=doc_filter))
+                                top_k=top_k, doc_filter=doc_filter,
+                                metadata_filter=meta_filter))
                     except RagError as e:
                         if attempt + 1 < attempts:
                             continue  # retry-on-transient
@@ -398,11 +485,17 @@ def register(app, ctx):
                         if post is not None and \
                                 post - cost.total_cost_usd < Decimal(0):
                             final_status = "over_budget"
+                    # failed streams carry an error_code tag (reference:
+                    # chat.py:613-636)
+                    row_tags = dict(tags or {})
+                    if final_status != "ok":
+                        row_tags["error_code"] = final_status
                     record_query_cost(
                         db, user_id=user.id, store_id=stores[0]["id"],
                         model=model, prompt_tokens=prompt_tokens,
                         completion_tokens=completion_tokens,
-                        cost_usd=cost.total_cost_usd, status=final_status)
+                        cost_usd=cost.total_cost_usd, status=final_status,
+                        tags=row_tags or None)
                     metrics.llm_tokens_total.labels(
                         "prompt", model).inc(prompt_tokens)
                     metrics.llm_tokens_total.labels(

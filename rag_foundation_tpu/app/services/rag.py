@@ -106,13 +106,15 @@ class EngineRag:
     def ask_stream(self, question: str, engine_keys: list[str],
                    *, model: str, history: list[dict] | None = None,
                    top_k: int | None = None,
-                   doc_filter: set[str] | None = None
+                   doc_filter: set[str] | None = None,
+                   metadata_filter: dict | None = None
                    ) -> tuple[Iterator[str], StreamResult]:
         result = StreamResult()
         k = top_k or self.settings.ENGINE_TOP_K
         t0 = time.perf_counter()
         hits = self.engine.search(engine_keys, question, k=k,
-                                  doc_filter=doc_filter)
+                                  doc_filter=doc_filter,
+                                  meta_filter=metadata_filter)
         metrics.engine_latency_seconds.labels("search").observe(
             time.perf_counter() - t0)
         metrics.engine_calls_total.labels("search", "ok").inc()
@@ -192,7 +194,8 @@ class MockRag:
     def ask_stream(self, question: str, engine_keys: list[str],
                    *, model: str, history: list[dict] | None = None,
                    top_k: int | None = None,
-                   doc_filter: set[str] | None = None
+                   doc_filter: set[str] | None = None,
+                   metadata_filter: dict | None = None
                    ) -> tuple[Iterator[str], StreamResult]:
         if self.stream_should_fail:
             raise RagError("mock stream failure")

@@ -258,21 +258,29 @@ class Engine:
 
     # -- query (the hot path) ------------------------------------------------
     def search(self, store_keys: list[str], query: str, k: int = 5,
-               doc_filter: set[str] | None = None) -> list[SearchHit]:
+               doc_filter: set[str] | None = None,
+               meta_filter: dict | None = None) -> list[SearchHit]:
         """Embed the query, top-k scan each store, merge host-side.
 
         ``doc_filter`` restricts results to specific engine doc ids
         (over-fetching to keep k results when the filter is selective).
+        ``meta_filter`` maps chunk-metadata keys (doc_name / doc_id /
+        ordinal — see _ChunkMeta) to OR-lists of accepted values; keys
+        AND together (reference metadataFilter pushdown,
+        /root/reference/backend/app/routes/chat.py:296-335 →
+        gemini_rag.py:503).
 
         With ``batch_window_s > 0`` concurrent unfiltered searches over
         the same store-set coalesce into one device call (micro-batching
         admission, SURVEY.md §7 "keeping host latency out of the QPS
         path").
         """
-        if doc_filter is None and self.config.batch_window_s > 0:
+        if doc_filter is None and meta_filter is None \
+                and self.config.batch_window_s > 0:
             return self._batcher().submit((tuple(store_keys), k), query)
         return self._search_group(store_keys, [query], k,
-                                  doc_filter=doc_filter)[0]
+                                  doc_filter=doc_filter,
+                                  meta_filter=meta_filter)[0]
 
     def _batcher(self):
         if not hasattr(self, "_batcher_obj"):
@@ -286,7 +294,8 @@ class Engine:
         return self._batcher_obj
 
     def _search_group(self, store_keys: list[str], queries: list[str],
-                      k: int, doc_filter: set[str] | None = None
+                      k: int, doc_filter: set[str] | None = None,
+                      meta_filter: dict | None = None
                       ) -> list[list[SearchHit]]:
         """Batched core: one encode + one scan per store for Q queries."""
         from rag_foundation_tpu.app import metrics as _metrics
@@ -294,7 +303,22 @@ class Engine:
         timer = StageTimer(histogram=_metrics.query_stage_seconds)
         with timer.stage("embed"):
             qv = self.encoder.encode(queries)
-        fetch = k if doc_filter is None else max(4 * k, 32)
+        filtered = doc_filter is not None or meta_filter is not None
+        fetch = k if not filtered else max(4 * k, 32)
+
+        def _meta_ok(meta) -> bool:
+            if meta_filter is None:
+                return True
+            for mk, accepted in meta_filter.items():
+                attr = getattr(meta, mk, None)
+                if attr is None:
+                    return False
+                vals = accepted if isinstance(accepted, (list, tuple)) \
+                    else [accepted]
+                if not any(attr == v or str(attr) == str(v)
+                           for v in vals):
+                    return False
+            return True
         per_store: list[tuple] = []
         with maybe_trace("engine_search"), timer.stage("scan"):
             for key in store_keys:
@@ -314,6 +338,8 @@ class Engine:
                             continue
                         if doc_filter is not None \
                                 and meta.doc_id not in doc_filter:
+                            continue
+                        if not _meta_ok(meta):
                             continue
                         hits.append(SearchHit(
                             store_key=key, doc_id=meta.doc_id,

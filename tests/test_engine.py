@@ -124,9 +124,10 @@ def test_micro_batching_coalesces_concurrent_searches():
     calls = []
     orig = e._search_group
 
-    def spy(store_keys, queries, k, doc_filter=None):
+    def spy(store_keys, queries, k, doc_filter=None, meta_filter=None):
         calls.append(len(queries))
-        return orig(store_keys, queries, k, doc_filter=doc_filter)
+        return orig(store_keys, queries, k, doc_filter=doc_filter,
+                    meta_filter=meta_filter)
     e._search_group = spy
 
     results = {}

@@ -1,0 +1,111 @@
+"""Tags + metadata-filter sanitization and engine pushdown.
+
+Parity with /root/reference/backend/app/routes/chat.py:250-335 and
+tests/test_metadata_filters.py: tags are bounded and persisted to the
+cost ledger; metadata filters are opt-in, allowlist-enforced, value-type
+checked, and pushed down to the engine's chunk-metadata merge.
+"""
+
+import json
+
+from tests.app_helpers import (create_store, drain_worker, make_app,
+                               signup, upload_text)
+from tests.test_app_chat import DOC_FIN, DOC_PENG, _events
+
+
+def _setup(tmp_path, **overrides):
+    client, ctx = make_app(tmp_path, **overrides)
+    headers = signup(client)
+    store = create_store(client, headers)
+    upload_text(client, headers, store["id"], DOC_FIN, "finance.txt")
+    upload_text(client, headers, store["id"], DOC_PENG, "penguins.txt")
+    drain_worker(ctx)
+    return client, ctx, headers, store
+
+
+def _chat(client, headers, store, **extra):
+    body = {"question": "What do the documents say about budgets and"
+            " penguins?", "storeIds": [store["id"]], "top_k": 5}
+    body.update(extra)
+    return client.post("/api/chat", headers=headers, json_body=body)
+
+
+def test_tags_must_be_object(tmp_path):
+    client, ctx, headers, store = _setup(tmp_path)
+    r = _chat(client, headers, store, tags=["not", "a", "dict"])
+    assert r.status_code == 400
+
+
+def test_tags_sanitized_and_persisted_to_ledger(tmp_path):
+    client, ctx, headers, store = _setup(tmp_path)
+    tags = {f"k{i}" * 30: "v" * 500 for i in range(8)}  # 8 long entries
+    tags["team"] = "growth"
+    r = _chat(client, headers, store, tags=tags)
+    assert r.status_code == 200
+    row = ctx.db.one("SELECT tags FROM query_log WHERE model != 'INDEX'"
+                     " ORDER BY id DESC LIMIT 1")
+    stored = json.loads(row["tags"])
+    assert len(stored) <= 5
+    for k, v in stored.items():
+        assert len(k) <= 32 and len(v) <= 128
+
+
+def test_metadata_filter_disabled_by_default(tmp_path):
+    client, ctx, headers, store = _setup(tmp_path)
+    r = _chat(client, headers, store,
+              metadataFilter={"doc_name": "finance.txt"})
+    assert r.status_code == 400
+    assert "disabled" in r.json()["detail"]
+
+
+def test_metadata_filter_requires_configured_keys(tmp_path):
+    client, ctx, headers, store = _setup(
+        tmp_path, ALLOW_METADATA_FILTERS=True)
+    r = _chat(client, headers, store,
+              metadataFilter={"doc_name": "finance.txt"})
+    assert r.status_code == 400
+    assert "ALLOWED_KEYS" in r.json()["detail"]
+
+
+def test_metadata_filter_rejects_disallowed_key_and_bad_values(tmp_path):
+    client, ctx, headers, store = _setup(
+        tmp_path, ALLOW_METADATA_FILTERS=True,
+        METADATA_FILTER_ALLOWED_KEYS=["doc_name"])
+    r = _chat(client, headers, store,
+              metadataFilter={"ordinal": 1})
+    assert r.status_code == 400 and "not allowed" in r.json()["detail"]
+    r = _chat(client, headers, store,
+              metadataFilter={"doc_name": {"nested": "object"}})
+    assert r.status_code == 400
+    r = _chat(client, headers, store, metadataFilter={"doc_name": []})
+    assert r.status_code == 400
+    r = _chat(client, headers, store, metadataFilter="not-an-object")
+    assert r.status_code == 400
+    r = _chat(client, headers, store, metadataFilter={})
+    assert r.status_code == 400
+
+
+def test_metadata_filter_pushdown_restricts_citations(tmp_path):
+    client, ctx, headers, store = _setup(
+        tmp_path, ALLOW_METADATA_FILTERS=True,
+        METADATA_FILTER_ALLOWED_KEYS=["doc_name"])
+    # unfiltered: both docs can surface
+    r0 = _chat(client, headers, store)
+    assert r0.status_code == 200
+    titles0 = {e["title"] for e in _events(r0)
+               if e.get("type") == "source-document"}
+    assert titles0 == {"finance.txt", "penguins.txt"}
+    # filtered: only the finance doc may be cited
+    r1 = _chat(client, headers, store,
+               metadataFilter={"doc_name": "finance.txt"})
+    assert r1.status_code == 200
+    titles1 = {e["title"] for e in _events(r1)
+               if e.get("type") == "source-document"}
+    assert titles1 == {"finance.txt"}
+    # OR-list over both names behaves like unfiltered
+    r2 = _chat(client, headers, store,
+               metadataFilter={"doc_name": ["finance.txt",
+                                            "penguins.txt"]})
+    titles2 = {e["title"] for e in _events(r2)
+               if e.get("type") == "source-document"}
+    assert titles2 == titles0
