@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--p", type=int, default=16)
     ap.add_argument("--nlist", type=int, default=4096)
     ap.add_argument("--cap", type=int, default=2560)
+    ap.add_argument("--cap_block", type=int, default=0,
+                    help="0 = kernel default")
+    ap.add_argument("--skip_gather", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -120,10 +123,12 @@ def main():
                         ).astype(jnp.int8)
     del lut_f
 
+    cap_block = args.cap_block or None
+
     @jax.jit
     def run(lut_disp, codes, row_ids):
         v, i = pq_list_scan(lut_disp, codes, row_ids, p=p,
-                            interpret=False)
+                            cap_block=cap_block, interpret=False)
         return v.sum()  # scalar fetch: excludes output-transfer cost
 
     t0 = time.perf_counter()
@@ -138,6 +143,8 @@ def main():
         f"({n*m/per/2**30:.0f} GiB/s codes)")
 
     # --- 3. refine gather at 10M ----------------------------------------
+    if args.skip_gather:
+        return
     del codes, lut_disp
 
     @jax.jit

@@ -20,15 +20,16 @@ from rag_foundation_tpu.runtime.kv import KVError, MemoryKV
 
 
 class RateLimiter:
-    def __init__(self, kv, *, window_s: float = 60.0):
+    def __init__(self, kv, *, window_s: float = 60.0, clock=time.time):
         self.kv = kv
         self.window_s = window_s
         self._fallback = MemoryKV()
         self._warned = False
         self._lock = threading.Lock()
+        self._clock = clock  # injectable: window-roll tests never sleep
 
     def _bucket(self, key: str) -> str:
-        window = int(time.time() // self.window_s)
+        window = int(self._clock() // self.window_s)
         return f"rl:{key}:{window}"
 
     def hit(self, key: str, limit: int) -> tuple[bool, int]:
@@ -54,7 +55,7 @@ class RateLimiter:
               "exceeded") -> None:
         allowed, n = self.hit(key, limit)
         if not allowed:
-            retry = self.window_s - (time.time() % self.window_s)
+            retry = self.window_s - (self._clock() % self.window_s)
             raise HTTPError(429, detail, headers={
                 "retry-after": str(int(retry) + 1),
                 "x-ratelimit-limit": str(limit),

@@ -401,8 +401,14 @@ def register(app, ctx):
                         yield sse_frame("[DONE]")
                         status = "error"
                         return
-                    out_q: queue_mod.Queue = queue_mod.Queue(
-                        maxsize=settings.STREAM_QUEUE_MAX)
+                    # tests inject a queue factory to drive keepalive /
+                    # backpressure paths deterministically (the reference
+                    # freezes time instead; conftest.py:246-313)
+                    make_q = ctx.extra.get("stream_queue_factory")
+                    out_q: queue_mod.Queue = (
+                        make_q(settings.STREAM_QUEUE_MAX) if make_q
+                        else queue_mod.Queue(
+                            maxsize=settings.STREAM_QUEUE_MAX))
                     stop = threading.Event()
                     producer = threading.Thread(
                         target=_pump, args=(deltas, out_q, stop), daemon=True)

@@ -79,6 +79,8 @@ class ApiClient:
                                  json_body={"name": name})
         return store
 
+    poll_interval_s = 0.5  # injectable (tests lower it)
+
     def upload_and_poll(self, store_id: int, path: Path,
                         timeout_s: float = 120.0) -> dict:
         boundary = "ragtpubench0123456789"
@@ -101,7 +103,7 @@ class ApiClient:
             _, st = self._request("GET", f"/api/upload/op-status/{op_id}")
             if st["done"]:
                 return st
-            time.sleep(0.5)
+            time.sleep(self.poll_interval_s)
         raise TimeoutError(f"ingestion timeout for {path.name}")
 
     def ask(self, question: str, store_ids: list[int],

@@ -63,23 +63,23 @@ def flatten_luts(lut: jnp.ndarray,
     return flat.astype(dtype), jnp.ones((q,), jnp.float32)
 
 
-def _pq_scan_kernel(lut_ref, codes_ref, tile_ref, ids_ref, vals_ref,
+def _pq_scan_kernel(lut_ref, codes_ref, ids_ref, vals_ref,
                     idx_ref, *, p: int, cap_block: int, cap_len: int,
                     k_codes: int):
     li = pl.program_id(0)
     cb = pl.program_id(1)
     lut = lut_ref[0]                            # [qcap, K*m] int8|bf16
-    codes = codes_ref[0]                        # [cap_block, m] uint8
-    # one-hot expansion, natively 2D: rep[c, j] = codes[c, j % m]
-    # (pltpu.repeat is tile-style); hot iff the precomputed tile pattern
-    # (j // m, an INPUT — computing it in-kernel costs an int32 division
-    # per element) equals the stored code. The compare itself must be
-    # int32: Mosaic cannot lower packed-i8 cmps or u8->bf16 casts.
-    rep = pltpu.repeat(codes, k_codes, axis=1)  # [cap_block, K*m] uint8
+    # one-hot expansion in the K-MAJOR layout (slab k holds lanes
+    # [k*m, (k+1)*m)): one i32 compare of the SMALL [cap_block, m] code
+    # block per k, concatenated along lanes. This deliberately avoids
+    # pltpu.repeat + a [cap_block, K*m] i32 widening (4x VMEM traffic;
+    # Mosaic cannot lower packed-i8 cmps or u8->bf16 casts, so compares
+    # must be i32 — keep the i32 arrays small).
+    codes = codes_ref[0].astype(jnp.int32)      # [cap_block, m]
     int8_mode = lut.dtype == jnp.int8
-    oh = (rep.astype(jnp.int32)
-          == tile_ref[0:1].astype(jnp.int32)).astype(
-        jnp.int8 if int8_mode else jnp.bfloat16)
+    out_dt = jnp.int8 if int8_mode else jnp.bfloat16
+    oh = jnp.concatenate(
+        [(codes == k).astype(out_dt) for k in range(k_codes)], axis=1)
     acc = jnp.int32 if int8_mode else jnp.float32
     scores = jax.lax.dot_general(
         lut, oh, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -134,10 +134,6 @@ def pq_list_scan(
     n_cb = cap_len // cap_block
     width_cell = (cap_block // SUB) * p
 
-    # j // m as a tiny input array — see _pq_scan_kernel
-    tile_pattern = jnp.asarray(
-        np.arange(km, dtype=np.int64) // m, jnp.uint8).reshape(1, km)
-
     kernel = functools.partial(_pq_scan_kernel, p=p, cap_block=cap_block,
                                cap_len=cap_len, k_codes=k_codes)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -146,7 +142,6 @@ def pq_list_scan(
         in_specs=[
             pl.BlockSpec((1, qcap, km), lambda l, cb: (l, 0, 0)),
             pl.BlockSpec((1, cap_block, m), lambda l, cb: (l, cb, 0)),
-            pl.BlockSpec((1, km), lambda l, cb: (0, 0)),
             # row_ids: trailing block dims full-size via singleton middle
             pl.BlockSpec((1, 1, cap_block), lambda l, cb: (l, 0, cb)),
         ],
@@ -174,7 +169,7 @@ def pq_list_scan(
             bytes_accessed=codes.size + lut_disp.size * 2,
             transcendentals=0),
         interpret=interpret,
-    )(lut_disp, codes, tile_pattern, row_ids[:, None, :])
+    )(lut_disp, codes, row_ids[:, None, :])
     vals = vals.transpose(0, 2, 1, 3).reshape(nlist, qcap,
                                               n_cb * width_cell)
     idxs = idxs.transpose(0, 2, 1, 3).reshape(nlist, qcap,

@@ -39,13 +39,14 @@ CREATE INDEX IF NOT EXISTS jobs_status ON jobs(status, leased_until);
 
 class JobQueue:
     def __init__(self, db: Database, *, lease_s: float = 300.0,
-                 retry_backoff_s: float = 20.0):
+                 retry_backoff_s: float = 20.0, clock=time.time):
         """``retry_backoff_s`` caps the jittered exponential delay before
         a failed job is re-claimable (0 disables — tests drain
         synchronously)."""
         self.db = db
         self.lease_s = lease_s
         self.retry_backoff_s = retry_backoff_s
+        self._clock = clock  # injectable for deterministic lease tests
         with db.tx() as conn:
             conn.executescript(_SCHEMA)
             # retry backoff column (added after first release; ALTER is
@@ -61,12 +62,12 @@ class JobQueue:
         return self.db.execute(
             "INSERT INTO jobs(job_type, payload, enqueued_at, max_attempts)"
             " VALUES(?,?,?,?)",
-            (job_type, json.dumps(payload or {}), time.time(), max_attempts))
+            (job_type, json.dumps(payload or {}), self._clock(), max_attempts))
 
     def claim(self) -> dict | None:
         """Atomically claim one runnable job (queued, or running past its
         lease — the crashed-worker recovery path)."""
-        now = time.time()
+        now = self._clock()
         with self.db.tx() as conn:
             row = conn.execute(
                 "SELECT id FROM jobs WHERE "
@@ -88,7 +89,7 @@ class JobQueue:
             if error is None:
                 conn.execute(
                     "UPDATE jobs SET status='done', finished_at=?, error=NULL"
-                    " WHERE id=?", (time.time(), job_id))
+                    " WHERE id=?", (self._clock(), job_id))
             else:
                 row = conn.execute(
                     "SELECT attempts, max_attempts FROM jobs WHERE id=?",
@@ -103,8 +104,8 @@ class JobQueue:
                     "UPDATE jobs SET status=?, finished_at=?, error=?,"
                     " leased_until=NULL, not_before=? WHERE id=?",
                     ("error" if terminal else "queued",
-                     time.time() if terminal else None, error[:2000],
-                     time.time() + delay, job_id))
+                     self._clock() if terminal else None, error[:2000],
+                     self._clock() + delay, job_id))
 
     def stats(self) -> dict[str, int]:
         rows = self.db.query(
@@ -125,7 +126,7 @@ class Worker:
     """
 
     def __init__(self, queue: JobQueue, *, poll_interval: float = 0.2,
-                 concurrency: int = 1):
+                 concurrency: int = 1, mono=time.monotonic):
         self.queue = queue
         self.poll_interval = poll_interval
         self.concurrency = max(1, concurrency)  # reference max_jobs analog
@@ -133,12 +134,13 @@ class Worker:
         self.crons: list[tuple[float, Callable[[], None], list[float]]] = []
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
+        self._mono = mono  # injectable for deterministic cron tests
 
     def register(self, job_type: str, fn: Callable[[dict], None]):
         self.handlers[job_type] = fn
 
     def cron(self, every_s: float, fn: Callable[[], None]):
-        self.crons.append((every_s, fn, [time.monotonic()]))
+        self.crons.append((every_s, fn, [self._mono()]))
 
     def run_once(self) -> bool:
         """Claim and run one job. Returns True if a job was processed."""
@@ -159,7 +161,7 @@ class Worker:
         return True
 
     def _tick_crons(self):
-        now = time.monotonic()
+        now = self._mono()
         for every_s, fn, last in self.crons:
             if now - last[0] >= every_s:
                 last[0] = now

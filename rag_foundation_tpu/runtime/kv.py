@@ -24,13 +24,14 @@ class KVError(RuntimeError):
 class MemoryKV:
     """Thread-safe in-memory KV with lazy TTL eviction."""
 
-    def __init__(self, max_keys: int = 100_000):
+    def __init__(self, max_keys: int = 100_000, *, clock=time.monotonic):
         self._data: dict[str, tuple[str, float | None]] = {}
         self._lock = threading.Lock()
         self._max_keys = max_keys
+        self._clock = clock  # injectable for deterministic TTL tests
 
     def _evict_locked(self):
-        now = time.monotonic()
+        now = self._clock()
         if len(self._data) <= self._max_keys:
             return
         expired = [k for k, (_, exp) in self._data.items()
@@ -45,7 +46,7 @@ class MemoryKV:
         if item is None:
             return None
         value, exp = item
-        if exp is not None and exp <= time.monotonic():
+        if exp is not None and exp <= self._clock():
             del self._data[key]
             return None
         return value
@@ -56,7 +57,7 @@ class MemoryKV:
 
     def set(self, key: str, value: str, ttl: float | None = None):
         with self._lock:
-            exp = time.monotonic() + ttl if ttl else None
+            exp = self._clock() + ttl if ttl else None
             self._data[key] = (str(value), exp)
             self._evict_locked()
 
@@ -83,7 +84,7 @@ class MemoryKV:
         with self._lock:
             cur = self._get_locked(key)
             if cur is not None:
-                self._data[key] = (cur, time.monotonic() + ttl)
+                self._data[key] = (cur, self._clock() + ttl)
 
     def ping(self) -> bool:
         return True
@@ -92,8 +93,9 @@ class MemoryKV:
 class SqliteKV:
     """Cross-process KV over sqlite (WAL). Same surface as MemoryKV."""
 
-    def __init__(self, path: str | Path):
+    def __init__(self, path: str | Path, *, clock=time.time):
         self.path = str(path)
+        self._clock = clock
         Path(self.path).parent.mkdir(parents=True, exist_ok=True)
         self._local = threading.local()
         self._conn().execute(
@@ -120,13 +122,13 @@ class SqliteKV:
         if row is None:
             return None
         value, exp = row
-        if exp is not None and exp <= time.time():
+        if exp is not None and exp <= self._clock():
             self.delete(key)
             return None
         return value
 
     def set(self, key: str, value: str, ttl: float | None = None):
-        exp = time.time() + ttl if ttl else None
+        exp = self._clock() + ttl if ttl else None
         try:
             with self._conn() as c:
                 c.execute(
@@ -160,7 +162,7 @@ class SqliteKV:
                 c.execute(
                     "UPDATE kv SET value='0', expires_at=NULL WHERE key=? "
                     "AND expires_at IS NOT NULL AND expires_at<=?",
-                    (key, time.time()))
+                    (key, self._clock()))
                 c.execute(
                     "UPDATE kv SET value=CAST(CAST(value AS INTEGER)+1 AS TEXT)"
                     " WHERE key=?", (key,))
@@ -173,7 +175,7 @@ class SqliteKV:
         try:
             with self._conn() as c:
                 c.execute("UPDATE kv SET expires_at=? WHERE key=?",
-                          (time.time() + ttl, key))
+                          (self._clock() + ttl, key))
         except sqlite3.Error as e:
             raise KVError(str(e)) from e
 

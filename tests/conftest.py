@@ -50,3 +50,23 @@ def _no_external_network(monkeypatch):
 @pytest.fixture()
 def tmp_data_dir(tmp_path):
     return str(tmp_path / "engine-data")
+
+
+@pytest.fixture(autouse=True)
+def _no_long_sleeps(monkeypatch):
+    """Ban real sleeps > 200 ms anywhere in the suite (the reference
+    freezes time and makes time.sleep raise, conftest.py:246-313; here
+    components take injectable clocks — see utils/clock.FakeClock — so a
+    long sleep in a test means a missing injection point)."""
+    import time as _time
+    real_sleep = _time.sleep
+
+    def guarded(seconds):
+        if seconds > 0.2:
+            raise RuntimeError(
+                f"time.sleep({seconds}) in tests — inject a FakeClock or "
+                "use an Event instead (tests/conftest.py _no_long_sleeps)")
+        real_sleep(seconds)
+
+    monkeypatch.setattr(_time, "sleep", guarded)
+    yield

@@ -6,6 +6,7 @@ import threading
 from pathlib import Path
 
 from rag_foundation_tpu.benchmark import metrics
+from rag_foundation_tpu.benchmark import runner as _runner_mod
 from rag_foundation_tpu.benchmark.runner import ApiClient, run_benchmark
 
 
@@ -96,3 +97,6 @@ def test_runner_end_to_end(tmp_path):
     finally:
         holder["loop"].call_soon_threadsafe(holder["stop"].set)
         th.join(10)
+
+
+_runner_mod.ApiClient.poll_interval_s = 0.05  # no long sleeps in tests

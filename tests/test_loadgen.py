@@ -51,8 +51,13 @@ def test_loadgen_mixed_traffic(tmp_path):
             for i in range(3)]
         for u in users:
             u.start()
+        # stop as soon as enough requests landed (bounded, no fixed sleep)
         import time
-        time.sleep(4)
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if sum(len(v) for v in stats.latencies.values()) >= 3:
+                break
+            time.sleep(0.05)
         stop.set()
         for u in users:
             u.join(30)

@@ -175,17 +175,19 @@ def test_db_memory_shared_across_threads():
 # -- KV ---------------------------------------------------------------------
 
 @pytest.mark.parametrize("make", [
-    lambda tmp: MemoryKV(),
-    lambda tmp: SqliteKV(tmp / "kv.db"),
+    lambda tmp, c: MemoryKV(clock=c),
+    lambda tmp, c: SqliteKV(tmp / "kv.db", clock=c),
 ])
 def test_kv_basics(make, tmp_path):
-    kv = make(tmp_path)
+    from rag_foundation_tpu.utils.clock import FakeClock
+    clock = FakeClock()
+    kv = make(tmp_path, clock)
     assert kv.get("a") is None
     kv.set("a", "1")
     assert kv.get("a") == "1" and kv.exists("a")
-    kv.setex("b", 0.05, "x")
+    kv.setex("b", 5.0, "x")
     assert kv.get("b") == "x"
-    time.sleep(0.07)
+    clock.advance(5.1)  # TTL expiry without sleeping (FakeClock)
     assert kv.get("b") is None
     assert kv.incr("ctr") == 1
     assert kv.incr("ctr") == 2
@@ -233,27 +235,34 @@ def test_jobqueue_lifecycle(tmp_path):
 
 
 def test_jobqueue_lease_recovery(tmp_path):
+    from rag_foundation_tpu.utils.clock import FakeClock
+    clock = FakeClock()
     db = Database(tmp_path / "q.db")
-    q = JobQueue(db, lease_s=0.05)
+    q = JobQueue(db, lease_s=30.0, clock=clock)
     q.enqueue("x", {}, max_attempts=5)
     job = q.claim()
     assert job is not None
     assert q.claim() is None  # leased, not claimable
-    time.sleep(0.07)
+    clock.advance(31.0)  # lease expiry without sleeping
     job2 = q.claim()  # lease expired -> reclaim
     assert job2 is not None and job2["id"] == job["id"]
     assert job2["attempts"] == 2
 
 
 def test_worker_cron_ticks(tmp_path):
+    from rag_foundation_tpu.utils.clock import FakeClock
+    mono = FakeClock()
     q = JobQueue(Database(tmp_path / "q.db"))
-    w = Worker(q, poll_interval=0.01)
+    w = Worker(q, poll_interval=0.01, mono=mono)
     hits = []
-    w.cron(0.03, lambda: hits.append(1))
-    w.start()
-    time.sleep(0.15)
-    w.stop()
-    assert len(hits) >= 2
+    w.cron(30.0, lambda: hits.append(1))
+    w._tick_crons()
+    assert hits == []          # not due yet
+    mono.advance(31.0)
+    w._tick_crons()
+    mono.advance(31.0)
+    w._tick_crons()
+    assert len(hits) == 2      # exactly one tick per elapsed period
 
 
 def test_worker_concurrent_claims(tmp_path):
@@ -264,17 +273,19 @@ def test_worker_concurrent_claims(tmp_path):
     seen = []
     gate = threading.Barrier(4, timeout=10)
 
-    def handler(p):
-        gate.wait()  # forces 4 jobs to be in flight simultaneously
-        seen.append(p["v"])
-
-    w.register("j", handler)
     for i in range(8):
         q.enqueue("j", {"v": i})
+    all_done = threading.Event()
+
+    def _watch(p):
+        gate.wait()  # forces 4 jobs to be in flight simultaneously
+        seen.append(p["v"])
+        if len(seen) >= 8:
+            all_done.set()
+
+    w.register("j", _watch)  # replaces handler: adds completion signal
     w.start()
-    deadline = time.time() + 15
-    while q.pending() and time.time() < deadline:
-        time.sleep(0.05)
+    assert all_done.wait(15)
     w.stop()
     assert sorted(seen) == list(range(8))  # each exactly once
     assert q.stats().get("done") == 8
