@@ -1,18 +1,44 @@
-"""10M x 768 IVF-PQ benchmark on one TPU v5e chip (BASELINE config 4).
+"""10M x 768 IVF-PQ v2 benchmark on one TPU v5e chip (BASELINE config 4).
+
+v2 = 4-bit residual codes (K=16, m=192 — 96 B/vec, same as classic
+m=96 byte codes) scored by the fused Pallas ADC kernel
+(ops/pallas_pq.py), then the top-C candidates RE-RANKED against an int8
+copy of the originals via the DMA gather kernel (ops/pallas_gather.py).
+This is the round-1 verdict's named fix for the 1.06k-QPS / 0.21-recall
+one-hot-DECODE path.
 
 Chunked build (the full f32 corpus never exists on device): train coarse
 + residual-PQ codebooks on a sample, then per 512k-row chunk generate ->
-assign -> residual -> pq_encode -> scatter codes into the padded
-[nlist, cap_len, m] layout. Ground truth is a STREAMING exact f32 scan:
+assign -> residual -> pq_encode -> scatter codes, while the int8 refine
+copy lands via contiguous ``dynamic_update_slice`` (donation aliases for
+contiguous row blocks — the scatter form does NOT alias for narrow
+minor dims, see CLAUDE.md). Ground truth is a STREAMING exact f32 scan:
 each generated chunk is scored against the query subset before being
 discarded, so recall is measured against the true (unquantized) corpus —
 stricter than the flat bench's quantized-corpus GT.
 
-Memory at m=96: codes 1.16 GiB + ids — ~7x below the int8 IVF-Flat
-footprint (8.6 GiB); the QPS cost of ADC's gathers vs the int8 MXU path
-is what this benchmark quantifies (docs/ENGINE.md quantization ladder).
+Recall is reported against TWO ground truths:
+- ``recall_sp`` (search-path) vs an exact on-device scan of the int8
+  refine store — isolates routing + ADC-capture loss, matching the flat
+  bench's quantized-corpus GT definition.
+- ``recall`` (end-to-end) vs the streaming f32 GT, reported next to the
+  measured ``int8_ceiling`` (exact int8 scan vs f32 GT): the synthetic
+  corpus puts ranks 2-10 within ~1e-3 of each other, BELOW int8 (or
+  bf16) dot resolution, so the ceiling — not the search path — binds
+  end-to-end recall on this corpus. Real embedding corpora have larger
+  relative gaps; the quality benchmark (benchmarks/quality) covers that
+  regime.
 
-Usage: python benchmarks/bench_ivfpq_10m.py [--n 10000000] [--m 96]
+HBM at 10M: codes 2.16 GiB + refine 7.15 GiB + ids — still below the
+int8-flat bench's working set, and the refine store is optional beyond
+the int8 ceiling (engine/ivfpq.py docstring).
+
+The one-hot expansion inside the ADC kernel is per code-block and
+independent of qcap, so LARGE query batches amortize the dominant cost:
+Q defaults to 4096 (qcap 64) where the scan costs nearly the same
+wall-time as Q=1024 (qcap 16) — measured sweeps in docs/ENGINE.md.
+
+Usage: python benchmarks/bench_ivfpq_10m.py [--n 10000000] [--m 192]
 """
 
 from __future__ import annotations
@@ -38,47 +64,69 @@ def main():
     ap.add_argument("--n", type=int, default=10_000_000)
     ap.add_argument("--d", type=int, default=768)
     ap.add_argument("--nlist", type=int, default=4096)
-    ap.add_argument("--m", type=int, default=96)
+    ap.add_argument("--m", type=int, default=192)
+    ap.add_argument("--nbits", type=int, default=4)
     ap.add_argument("--nprobe", type=int, default=32)
-    ap.add_argument("--qcap", type=int, default=16)
-    ap.add_argument("--q", type=int, default=1024)
+    ap.add_argument("--qcap", type=int, default=0, help="0 = auto")
+    ap.add_argument("--cap_block", type=int, default=0,
+                    help="kernel cap_block (0 = kernel default)")
+    ap.add_argument("--q", type=int, default=4096)
     ap.add_argument("--k", type=int, default=10)
-    ap.add_argument("--p", type=int, default=8)
+    ap.add_argument("--p", type=int, default=4)
+    ap.add_argument("--refine_c", type=int, nargs="+", default=[128])
+    ap.add_argument("--no_refine", action="store_true")
     ap.add_argument("--gt_sub", type=int, default=128)
     ap.add_argument("--chunk", type=int, default=524_288)
     ap.add_argument("--pq_sample", type=int, default=131_072)
     ap.add_argument("--pq_iters", type=int, default=6)
     ap.add_argument("--noise", type=float, default=0.5)
     ap.add_argument("--qnoise", type=float, default=0.2)
+    ap.add_argument("--corpus", choices=["docwalk", "clustered"],
+                    default="docwalk")
+    ap.add_argument("--reps", type=int, default=5)
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
     from rag_foundation_tpu.engine.ivf import interleave_slots
-    from rag_foundation_tpu.engine.ivfpq import IVFPQIndex, ivfpq_search
+    from rag_foundation_tpu.engine.ivfpq import (IVFPQIndex, ivfpq_search,
+                                                 pack_int8_words)
     from rag_foundation_tpu.ops.kmeans import assign_clusters
     from rag_foundation_tpu.ops.l2norm import l2_normalize
     from rag_foundation_tpu.ops.pq import pq_encode, pq_train
 
     n, d, nlist, m = args.n, args.d, args.nlist, args.m
     mean_len = n / nlist
-    cap_len = int(-(-(mean_len * 1.18) // 128) * 128)
-    log(f"n={n} nlist={nlist} m={m} cap_len={cap_len} "
-        f"codes={nlist*cap_len*m/2**30:.2f} GiB uint8")
+    # round cap_len to 512 (not 128): composite cap_len admits LARGE
+    # kernel cap_blocks, which the on-chip sweeps showed are ~25% faster
+    # (the one-hot build amortizes over a bigger MXU tile)
+    cap_q = 512 if mean_len * 1.18 >= 512 else 128
+    cap_len = int(-(-(mean_len * 1.18) // cap_q) * cap_q)
+    refine = not args.no_refine
+    log(f"n={n} nlist={nlist} m={m} nbits={args.nbits} cap_len={cap_len} "
+        f"codes={nlist*cap_len*m/2**30:.2f} GiB uint8"
+        + (f" + refine {n*d/2**30:.2f} GiB int8" if refine else ""))
+
+    from benchmarks import corpus as corpus_mod
 
     key = jax.random.key(0)
     k_centers, k_noise, k_pq = jax.random.split(key, 3)
     centers = l2_normalize(
         jax.random.normal(k_centers, (nlist, d), jnp.float32))
 
-    @jax.jit
-    def gen_chunk(ck, centers):
-        k1, k2 = jax.random.split(ck)
-        cid = jax.random.randint(k1, (args.chunk,), 0, nlist)
-        sigma = args.noise / np.sqrt(d)
-        v = centers[cid] + sigma * jax.random.normal(
-            k2, (args.chunk, d), jnp.float32)
-        return l2_normalize(v)
+    # vectors are l2-normalized => |x| <= 1; a FIXED int8 scale keeps the
+    # chunked refine build consistent (per-chunk absmax would drift)
+    REF_SCALE = 1.0 / 127.0
+
+    if args.corpus == "docwalk":
+        def gen_at(ci, base):
+            return corpus_mod.gen_docwalk_chunk(
+                k_noise, centers, jnp.int32(base), chunk=args.chunk)
+    else:
+        def gen_at(ci, base):
+            return corpus_mod.gen_clustered_chunk(
+                jax.random.fold_in(k_noise, ci), centers,
+                chunk=args.chunk, noise=args.noise)
 
     @jax.jit
     def encode_chunk(v, centers, cb_centroids):
@@ -86,13 +134,21 @@ def main():
         assign, _ = assign_clusters(v, centers, block_size=args.chunk)
         residual = v - centers[assign]
         codes = pq_encode(PQCodebook(centroids=cb_centroids), residual)
-        return assign, codes
+        q8 = jnp.clip(jnp.round(v / REF_SCALE), -127, 127).astype(jnp.int8)
+        return assign, codes, pack_int8_words(q8)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def scatter_chunk(codes_flat, ids_flat, codes, dest, row_ids):
         codes_flat = codes_flat.at[dest].set(codes, mode="drop")
         ids_flat = ids_flat.at[dest].set(row_ids, mode="drop")
         return codes_flat, ids_flat
+
+    @functools.partial(jax.jit, donate_argnums=(0,),
+                       static_argnames=("base",))
+    def place_refine(table, words, base):
+        # contiguous row block: dynamic_update_slice aliases under
+        # donation (a scatter at [N, dw<128-lane] minor dims would not)
+        return jax.lax.dynamic_update_slice(table, words, (base, 0))
 
     # streaming exact f32 ground truth for the query subset
     @jax.jit
@@ -108,17 +164,20 @@ def main():
 
     # -- train codebooks on a first sample ------------------------------
     t0 = time.perf_counter()
-    v0 = gen_chunk(k_noise, centers)  # reused as chunk 0 below
+    v0 = gen_at(0, 0)  # reused as chunk 0 below
     assign0, _ = assign_clusters(v0[:args.pq_sample], centers,
                                  block_size=args.pq_sample)
     res0 = v0[:args.pq_sample] - centers[assign0]
-    codebook = pq_train(res0, m, key=k_pq, iters=args.pq_iters)
+    codebook = pq_train(res0, m, key=k_pq, iters=args.pq_iters,
+                        nbits=args.nbits)
     codebook.centroids.block_until_ready()
-    log(f"pq_train({args.pq_sample}x{d}, m={m}): "
+    log(f"pq_train({args.pq_sample}x{d}, m={m}, nbits={args.nbits}): "
         f"{time.perf_counter()-t0:.1f}s")
 
     codes_flat = jnp.zeros((nlist * cap_len, m), jnp.uint8)
     ids_flat = jnp.full((nlist * cap_len,), -1, jnp.int32)
+    n8 = -(-n // 8) * 8
+    refine_tbl = jnp.zeros((n8, d // 4), jnp.int32) if refine else None
     next_slot = np.zeros(nlist, np.int64)
     overflow = 0
     run_vals = jnp.full((args.gt_sub, args.k), -jnp.inf, jnp.float32)
@@ -129,22 +188,21 @@ def main():
     t_build = 0.0
     t_first = 0.0
     row_base = 0
-    keys = jax.random.split(k_noise, -(-n // args.chunk))
-    rngq = np.random.default_rng(0)
-    for ci, ck in enumerate(keys):
+    n_chunks = -(-n // args.chunk)
+    for ci in range(n_chunks):
         mrows = min(args.chunk, n - row_base)
         t0 = time.perf_counter()
-        v = v0 if ci == 0 else gen_chunk(ck, centers)
-        assign, codes = encode_chunk(v, centers, codebook.centroids)
+        v = v0 if ci == 0 else gen_at(ci, row_base)
+        assign, codes, words = encode_chunk(v, centers,
+                                            codebook.centroids)
         assign_h = np.asarray(assign[:mrows])   # sync
         t_enc = time.perf_counter() - t0
         if ci == 0:
-            qnp = np.asarray(v[: args.q], np.float32)
-            qnp = qnp + (args.qnoise / np.sqrt(d)) * \
-                rngq.standard_normal((args.q, d)).astype(np.float32)
-            qnp /= np.linalg.norm(qnp, axis=1, keepdims=True)
+            qnp, _src = corpus_mod.make_queries(v, args.q,
+                                                qnoise=args.qnoise)
             queries = jnp.asarray(qnp)
             q_sub = queries[: args.gt_sub]
+            v0 = None  # free chunk 0 once consumed (1.6 GiB at 512k)
         # ground truth merge BEFORE the chunk is discarded
         run_vals, run_ids = gt_merge(run_vals, run_ids, q_sub,
                                      v[:mrows], row_base)
@@ -172,13 +230,15 @@ def main():
         codes_flat, ids_flat = scatter_chunk(
             codes_flat, ids_flat, codes,
             jnp.asarray(dest.astype(np.int32)), jnp.asarray(row_ids))
+        if refine:
+            refine_tbl = place_refine(refine_tbl, words, base=row_base)
         ids_flat.block_until_ready()
         t_scat = time.perf_counter() - t0
         t_build += t_enc + t_host + t_scat
         if ci == 0:
             t_first = t_enc + t_host + t_scat
         row_base += mrows
-        log(f"chunk {ci+1}/{len(keys)}: enc {t_enc:.2f}s host "
+        log(f"chunk {ci+1}/{n_chunks}: enc {t_enc:.2f}s host "
             f"{t_host:.2f}s scatter {t_scat:.2f}s")
 
     steady = t_build - t_first
@@ -193,7 +253,10 @@ def main():
         codebook_centroids=codebook.centroids,
         codes=reshape3d(codes_flat),
         row_ids=ids_flat.reshape(nlist, cap_len),
-        n=n - overflow)
+        n=n - overflow,
+        refine=(refine_tbl if refine
+                else jnp.zeros((0, 0), jnp.int32)),
+        refine_scale=jnp.float32(REF_SCALE))
     del codes_flat, ids_flat
 
     f_add = jax.jit(lambda x: x + 1)
@@ -204,25 +267,63 @@ def main():
     rtt = (time.perf_counter() - t0) / 3
     log(f"RTT {rtt*1000:.1f} ms")
 
-    kw = dict(nprobe=args.nprobe, p=args.p, qcap=args.qcap)
-    vals, ids, dropped = ivfpq_search(index, queries, args.k, **kw)
-    _ = np.asarray(vals)
-    log(f"probe drops: {int(dropped)}")
-    reps = 5
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        vals, ids, dropped = ivfpq_search(index, queries, args.k, **kw)
-    _ = np.asarray(vals)
-    per = (time.perf_counter() - t0 - rtt) / reps
-    qps = args.q / per
-    log(f"ivfpq_search: {per*1000:.2f} ms/batch -> {qps:.0f} QPS")
-
+    # -- int8-exact GT for the probe subset (on-device scan of the
+    # refine store — the search-path reference; see module docstring)
+    gt8_ids = None
+    ceiling = None
     exact_ids = np.asarray(run_ids)
-    approx_ids = np.asarray(ids[: args.gt_sub])
-    rec = np.mean([len(set(a) & set(b)) / args.k
-                   for a, b in zip(approx_ids, exact_ids)])
-    log(f"recall@{args.k} vs exact(f32 corpus): {rec:.4f}")
-    print(f"RESULT qps={qps:.0f} recall={rec:.4f} build_Mvps={mvps:.2f}")
+    if refine:
+        from rag_foundation_tpu.engine.index import _exact_words_topk
+        from rag_foundation_tpu.ops.quantize import quantize_int8
+        qq, _ = quantize_int8(q_sub.astype(jnp.float32))
+        live = jnp.ones((n8,), bool) if n8 == n else jnp.concatenate(
+            [jnp.ones((n,), bool), jnp.zeros((n8 - n,), bool)])
+        t0 = time.perf_counter()
+        _, gt8 = _exact_words_topk(qq, index.refine, live, args.k)
+        gt8_ids = np.asarray(gt8)
+        log(f"int8-exact GT scan: {time.perf_counter()-t0:.1f}s")
+        ceiling = np.mean([len(set(a) & set(b)) / args.k
+                           for a, b in zip(gt8_ids, exact_ids)])
+        log(f"int8 exact-scan ceiling vs f32 GT: {ceiling:.4f}")
+
+    def run_config(refine_c):
+        kw = dict(nprobe=args.nprobe, p=args.p,
+                  qcap=args.qcap or None, refine_c=refine_c,
+                  cap_block=args.cap_block or None)
+        t0 = time.perf_counter()
+        vals, ids, dropped = ivfpq_search(index, queries, args.k, **kw)
+        _ = np.asarray(vals)
+        log(f"[C={refine_c}] compile+first: {time.perf_counter()-t0:.1f}s;"
+            f" probe drops: {int(dropped)}")
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            vals, ids, dropped = ivfpq_search(index, queries, args.k,
+                                              **kw)
+        _ = np.asarray(vals)
+        per = (time.perf_counter() - t0 - rtt) / args.reps
+        qps = args.q / per
+        approx_ids = np.asarray(ids[: args.gt_sub])
+        rec = np.mean([len(set(a) & set(b)) / args.k
+                       for a, b in zip(approx_ids, exact_ids)])
+        rec_sp = None
+        if gt8_ids is not None:
+            rec_sp = np.mean([len(set(a) & set(b)) / args.k
+                              for a, b in zip(approx_ids, gt8_ids)])
+        log(f"[C={refine_c}] {per*1000:.2f} ms/batch ({args.q} q) -> "
+            f"{qps:.0f} QPS; recall_e2e={rec:.4f}"
+            + (f" recall_sp={rec_sp:.4f}" if rec_sp is not None else ""))
+        return qps, rec, rec_sp
+
+    results = [(c,) + run_config(c) for c in args.refine_c]
+    qps, rec, rec_sp = results[0][1:]
+    for c, a, b, s in results:
+        log(f"SWEEP C={c}: qps={a:.0f} recall_e2e={b:.4f}"
+            + (f" recall_sp={s:.4f}" if s is not None else ""))
+    print(f"RESULT qps={qps:.0f} recall={rec:.4f}"
+          + (f" recall_sp={rec_sp:.4f}" if rec_sp is not None else "")
+          + (f" int8_ceiling={ceiling:.4f}" if ceiling is not None
+             else "")
+          + f" build_Mvps={mvps:.2f}")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,106 @@
+"""Synthetic benchmark corpora (shared by the device-plane benchmarks).
+
+Two generators, both streaming (chunks are produced on device and can be
+discarded — the full f32 corpus never needs to exist anywhere):
+
+- ``clustered``: centroid + isotropic noise (the round-1 corpus). Good
+  for ROUTING benchmarks, but pathological for recall@10 against a
+  higher-precision reference: all ~N/nlist same-cluster points are
+  equidistant from a query to within ~1e-3, BELOW int8/bf16 dot
+  resolution, so "the true top-10" is an arbitrary pick among thousands
+  of near-ties (measured: an exact int8 scan scores recall@10 ≈ 0.70 vs
+  the f32 ground truth at 131k x 768). No PQ+re-rank system can score
+  well on it — not a search-quality signal.
+
+- ``docwalk``: the RAG-shaped corpus. Documents are random walks of
+  ``cpd`` chunks around a doc center drawn near a topic center; queries
+  perturb a random chunk. The true top-10 are the query chunk + its
+  walk-distance neighbors with rank gaps ~delta^2 >> int8 noise, so
+  recall@10 is crisply defined and reachable: the exact int8 scan
+  scores ~0.99 vs f32 ground truth (numpy-validated at 131k x 768 with
+  the default constants). This mirrors real chunk-embedding geometry
+  (docs drift; relevant chunks are sequential neighbors) instead of the
+  equidistant-ball degeneracy.
+
+The reference has no analog (its benchmark drives a hosted API;
+reference scripts/benchmark/run_benchmark.py:447-469) — corpus design
+here exists because this build owns retrieval end-to-end.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rag_foundation_tpu.ops.l2norm import l2_normalize
+
+# docwalk constants (numpy-validated: int8 ceiling ~0.99 at these)
+CPD = 16          # chunks per document
+ALPHA = 0.30      # doc-center spread around its topic
+DELTA = 0.16      # per-chunk walk step
+QNOISE = 0.20     # query perturbation of the source chunk
+
+
+def make_topics(key: jax.Array, ntopic: int, d: int) -> jnp.ndarray:
+    return l2_normalize(jax.random.normal(key, (ntopic, d), jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "cpd"))
+def gen_docwalk_chunk(key: jax.Array, topics: jnp.ndarray,
+                      base_row: jnp.ndarray, *, chunk: int,
+                      cpd: int = CPD) -> jnp.ndarray:
+    """Rows ``[base_row, base_row + chunk)`` of the docwalk corpus,
+    l2-normalized ``[chunk, d] f32``. ``chunk`` and ``base_row`` must be
+    multiples of ``cpd`` so chunks cover whole documents. Content is a
+    pure function of (key, topics, row index) — any chunk can be
+    regenerated independently (this is what makes the streaming exact
+    ground truth and multi-process sharded builds possible)."""
+    ntopic, d = topics.shape
+    n_docs = chunk // cpd
+    doc0 = base_row // cpd
+    sig_a = ALPHA / np.sqrt(d)
+    sig_s = DELTA / np.sqrt(d)
+
+    def one_doc(did):
+        dk = jax.random.fold_in(key, did)
+        t = jax.random.randint(jax.random.fold_in(dk, 0), (), 0, ntopic)
+        dc = topics[t] + sig_a * jax.random.normal(
+            jax.random.fold_in(dk, 1), (d,), jnp.float32)
+        steps = sig_s * jax.random.normal(
+            jax.random.fold_in(dk, 2), (cpd, d), jnp.float32)
+        return dc[None, :] + jnp.cumsum(steps, axis=0)
+
+    x = jax.vmap(one_doc)(doc0 + jnp.arange(n_docs))
+    return l2_normalize(x.reshape(chunk, d))
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def gen_clustered_chunk(key: jax.Array, centers: jnp.ndarray, *,
+                        chunk: int, noise: float = 0.5) -> jnp.ndarray:
+    """The round-1 corpus: centroid + isotropic noise (see module
+    docstring for when NOT to use it)."""
+    nlist, d = centers.shape
+    k1, k2 = jax.random.split(key)
+    cid = jax.random.randint(k1, (chunk,), 0, nlist)
+    sigma = noise / np.sqrt(d)
+    v = centers[cid] + sigma * jax.random.normal(k2, (chunk, d),
+                                                 jnp.float32)
+    return l2_normalize(v)
+
+
+def make_queries(chunk_v: jnp.ndarray, q_n: int, *, qnoise: float,
+                 seed: int = 0) -> np.ndarray:
+    """Perturb ``q_n`` distinct random rows of a generated chunk into
+    queries (host-side; returns f32 [q_n, d] + the source row ids)."""
+    rng = np.random.default_rng(seed)
+    n, d = chunk_v.shape
+    src = np.sort(rng.choice(n, size=q_n, replace=False))
+    qnp = np.asarray(jnp.take(chunk_v, jnp.asarray(src), axis=0),
+                     np.float32)
+    qnp = qnp + (qnoise / np.sqrt(d)) * \
+        rng.standard_normal((q_n, d)).astype(np.float32)
+    qnp /= np.linalg.norm(qnp, axis=1, keepdims=True)
+    return qnp, src

@@ -1,0 +1,513 @@
+"""Deterministic quality-benchmark dataset generator.
+
+Builds the committed corpus (``docs/``) and labeled question set
+(``questions.jsonl``) for the answer-quality benchmark — the analog of
+the reference's benchmark datasets dir (reference
+scripts/benchmark/benchmarks.yml:1-9 points at
+``datasets/sample/questions.jsonl`` + a docs dir; the dir ships empty,
+so the corpus here is first-party).
+
+Every answerable question is generated from a fact whose answer string
+appears VERBATIM in exactly one committed document, so EM/F1/contains
+and citation-hit have unambiguous labels. Unanswerable questions ask
+about plausible-but-absent facts (the refusal metric,
+reference metrics.py:56-63).
+
+The generator is committed alongside its outputs: regenerate with
+``python benchmarks/quality/make_dataset.py`` (outputs are stable —
+no RNG anywhere).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+HERE = Path(__file__).parent
+
+# (doc, question, [answer aliases], fact sentence containing aliases[0])
+FACTS: list[tuple[str, str, list[str], str]] = [
+    # -- telescope.md ------------------------------------------------------
+    ("telescope.md", "What is the diameter of the primary mirror?",
+     ["8.4 meters", "8.4 m"],
+     "The primary mirror measures 8.4 meters across and is cast from "
+     "borosilicate glass."),
+    ("telescope.md", "How many hexagonal segments make up the secondary "
+     "mirror?", ["36", "thirty-six"],
+     "The secondary mirror is assembled from 36 hexagonal segments, each "
+     "individually actuated."),
+    ("telescope.md", "What is the name of the primary imaging instrument?",
+     ["DeepCam"],
+     "The primary imaging instrument, called DeepCam, sits at the "
+     "Cassegrain focus."),
+    ("telescope.md", "How many megapixels does the DeepCam sensor mosaic "
+     "have?", ["3200 megapixels", "3200"],
+     "DeepCam's sensor mosaic totals 3200 megapixels spread over 189 "
+     "CCDs."),
+    ("telescope.md", "What is the field of view of DeepCam in square "
+     "degrees?", ["9.6 square degrees", "9.6"],
+     "Each DeepCam exposure covers 9.6 square degrees of sky."),
+    ("telescope.md", "What company manufactured the telescope mount?",
+     ["Halvorsen Precision"],
+     "The altazimuth mount was manufactured by Halvorsen Precision of "
+     "Trondheim."),
+    ("telescope.md", "How long does a standard DeepCam exposure last?",
+     ["15 seconds", "15"],
+     "A standard exposure lasts 15 seconds, followed by a 2-second "
+     "readout."),
+    ("telescope.md", "What is the slew speed of the telescope mount?",
+     ["3.5 degrees per second", "3.5"],
+     "The mount slews at 3.5 degrees per second with a settle time "
+     "under four seconds."),
+    ("telescope.md", "What coating is applied to the primary mirror?",
+     ["protected silver", "silver"],
+     "The primary mirror carries a protected silver coating renewed "
+     "every eighteen months."),
+    ("telescope.md", "What is the name of the spectrograph instrument?",
+     ["EchelleX"],
+     "A fiber-fed spectrograph named EchelleX occupies the Nasmyth "
+     "platform."),
+    # -- cryogenics.md -----------------------------------------------------
+    ("cryogenics.md", "At what temperature are the DeepCam detectors "
+     "operated?", ["173 kelvin", "173 K", "173"],
+     "Detectors are held at 173 kelvin to suppress dark current."),
+    ("cryogenics.md", "What refrigerant does the primary cooling loop "
+     "use?", ["liquid nitrogen"],
+     "The primary cooling loop circulates liquid nitrogen from a "
+     "10,000-liter dewar."),
+    ("cryogenics.md", "How often is the main dewar refilled?",
+     ["every nine days", "nine days"],
+     "The main dewar is refilled every nine days by a contracted "
+     "tanker run."),
+    ("cryogenics.md", "Who is the cryogenics lead engineer?",
+     ["Petra Lindqvist"],
+     "Cryogenics operations are led by Petra Lindqvist, the lead "
+     "engineer since 2019."),
+    ("cryogenics.md", "What is the maximum allowed detector warm-up rate?",
+     ["2 kelvin per hour", "2 K/h", "2"],
+     "Warm-ups must never exceed 2 kelvin per hour to avoid "
+     "delaminating the sensor bonds."),
+    ("cryogenics.md", "How many cryocooler compressors are installed?",
+     ["six", "6"],
+     "Six cryocooler compressors run in a three-active, three-standby "
+     "rotation."),
+    ("cryogenics.md", "What monitors the dewar pressure?",
+     ["Sentinel-9 gauges", "Sentinel-9"],
+     "Dewar pressure is monitored by redundant Sentinel-9 gauges wired "
+     "to the alarm loop."),
+    ("cryogenics.md", "What is the alarm threshold for vacuum jacket "
+     "pressure?", ["0.01 pascal", "0.01 Pa", "0.01"],
+     "An alarm is raised when vacuum jacket pressure rises above 0.01 "
+     "pascal."),
+    ("cryogenics.md", "How much liquid nitrogen does the observatory "
+     "consume per week?", ["7,800 liters", "7800 liters", "7800"],
+     "Weekly consumption averages 7,800 liters of liquid nitrogen "
+     "during survey season."),
+    ("cryogenics.md", "What is the name of the cryogenics control "
+     "software?", ["FrostLine"],
+     "All loops are sequenced by FrostLine, the in-house cryogenics "
+     "control software."),
+    # -- scheduling.md -----------------------------------------------------
+    ("scheduling.md", "What algorithm does the nightly scheduler use?",
+     ["simulated annealing"],
+     "The nightly scheduler optimizes the observing queue with "
+     "simulated annealing over a rolling four-hour horizon."),
+    ("scheduling.md", "How many observing programs run concurrently in "
+     "survey mode?", ["twelve", "12"],
+     "Survey mode interleaves twelve observing programs ranked by "
+     "scientific priority."),
+    ("scheduling.md", "What fraction of time is reserved for "
+     "target-of-opportunity observations?", ["8 percent", "8%", "8"],
+     "8 percent of each night is reserved for target-of-opportunity "
+     "interrupts."),
+    ("scheduling.md", "Who chairs the time allocation committee?",
+     ["Dr. Amara Chen", "Amara Chen"],
+     "The time allocation committee is chaired by Dr. Amara Chen of "
+     "the partner consortium."),
+    ("scheduling.md", "How far in advance are observing semesters "
+     "scheduled?", ["six months", "6 months"],
+     "Observing semesters are scheduled six months in advance, with "
+     "proposals due at the equinoxes."),
+    ("scheduling.md", "What is the maximum airmass allowed for survey "
+     "fields?", ["1.8"],
+     "Survey fields are only observed below an airmass of 1.8."),
+    ("scheduling.md", "What weather metric pauses the observing queue?",
+     ["humidity above 85 percent", "humidity above 85%", "85 percent "
+      "humidity"],
+     "The queue pauses automatically at humidity above 85 percent or "
+     "wind beyond 18 meters per second."),
+    ("scheduling.md", "What is the name of the scheduling service?",
+     ["NightWeaver"],
+     "Scheduling runs as a service called NightWeaver, deployed beside "
+     "the telescope control system."),
+    ("scheduling.md", "How many exposures does a standard survey visit "
+     "take?", ["two", "2"],
+     "A standard visit takes two back-to-back exposures to reject "
+     "cosmic rays."),
+    ("scheduling.md", "When does the morning calibration block start?",
+     ["astronomical dawn", "at astronomical dawn"],
+     "The morning calibration block starts at astronomical dawn and "
+     "lasts forty minutes."),
+    # -- pipeline.md -------------------------------------------------------
+    ("pipeline.md", "How much raw data does the observatory produce per "
+     "night?", ["20 terabytes", "20 TB", "20"],
+     "A full survey night produces 20 terabytes of raw pixel data."),
+    ("pipeline.md", "What is the latency target for transient alerts?",
+     ["60 seconds", "60"],
+     "Transient alerts must be published within 60 seconds of shutter "
+     "close."),
+    ("pipeline.md", "What message bus distributes the alert stream?",
+     ["Apache Kafka", "Kafka"],
+     "The alert stream is distributed over Apache Kafka to community "
+     "brokers."),
+    ("pipeline.md", "How many CPU cores does the prompt-processing "
+     "cluster have?", ["18,000", "18000"],
+     "Prompt processing runs on a cluster of 18,000 CPU cores at the "
+     "base facility."),
+    ("pipeline.md", "What algorithm performs image differencing?",
+     ["ZOGY"],
+     "Image differencing uses the ZOGY algorithm against seasonal "
+     "template coadds."),
+    ("pipeline.md", "How many alerts are issued on a typical night?",
+     ["10 million", "10,000,000"],
+     "A typical night yields 10 million alerts after quality cuts."),
+    ("pipeline.md", "What format are alert packets serialized in?",
+     ["Apache Avro", "Avro"],
+     "Alert packets are serialized as Apache Avro records with "
+     "embedded postage stamps."),
+    ("pipeline.md", "What is the photometric accuracy requirement?",
+     ["10 millimagnitudes", "10 mmag", "10"],
+     "Survey photometry must be repeatable to 10 millimagnitudes "
+     "across the focal plane."),
+    ("pipeline.md", "Where is the prompt-processing cluster located?",
+     ["the base facility", "base facility"],
+     "The cluster sits at the base facility, 14 kilometers from the "
+     "summit."),
+    ("pipeline.md", "What is the name of the pipeline orchestration "
+     "framework?", ["Cadence"],
+     "Pipeline stages are orchestrated by Cadence, a directed-acyclic-"
+     "graph runner built in-house."),
+    # -- calibration.md ----------------------------------------------------
+    ("calibration.md", "How often are flat-field screens imaged?",
+     ["every afternoon", "each afternoon"],
+     "Flat-field screens are imaged every afternoon before dome "
+     "opening."),
+    ("calibration.md", "What lamp is used for wavelength calibration?",
+     ["thorium-argon", "thorium argon"],
+     "Wavelength calibration of EchelleX uses a thorium-argon hollow-"
+     "cathode lamp."),
+    ("calibration.md", "How many standard stars are observed per night?",
+     ["25", "twenty-five"],
+     "Photometric calibration observes 25 standard stars spread across "
+     "the airmass range."),
+    ("calibration.md", "What instrument monitors atmospheric "
+     "transparency?", ["a lidar station", "lidar"],
+     "Atmospheric transparency is monitored continuously by a lidar "
+     "station on the ridge."),
+    ("calibration.md", "How often is the full optical alignment "
+     "performed?", ["quarterly", "every quarter"],
+     "Full optical alignment is performed quarterly during bright "
+     "time."),
+    ("calibration.md", "What is the dark current specification for "
+     "DeepCam CCDs?", ["0.02 electrons per pixel per second", "0.02"],
+     "Dark current must stay below 0.02 electrons per pixel per second "
+     "at operating temperature."),
+    ("calibration.md", "What reference network anchors the astrometric "
+     "solution?", ["Gaia DR4", "Gaia"],
+     "The astrometric solution is anchored to the Gaia DR4 reference "
+     "network."),
+    ("calibration.md", "What is the astrometric accuracy requirement?",
+     ["10 milliarcseconds", "10 mas", "10"],
+     "Relative astrometry must be accurate to 10 milliarcseconds per "
+     "coordinate."),
+    ("calibration.md", "How long does the nightly bias sequence take?",
+     ["twenty minutes", "20 minutes"],
+     "The nightly bias sequence takes twenty minutes and runs with the "
+     "dome dark."),
+    ("calibration.md", "Who maintains the calibration database?",
+     ["Ibrahim Diallo"],
+     "The calibration database is maintained by Ibrahim Diallo of the "
+     "data management group."),
+    # -- safety.md ---------------------------------------------------------
+    ("safety.md", "What is the emergency stop response time for the "
+     "dome drive?", ["0.5 seconds", "half a second", "0.5"],
+     "The dome drive emergency stop halts all motion within 0.5 "
+     "seconds."),
+    ("safety.md", "At what wind speed must the dome be closed?",
+     ["22 meters per second", "22 m/s", "22"],
+     "The dome must be closed when sustained wind exceeds 22 meters "
+     "per second."),
+    ("safety.md", "How many people must be on the summit during night "
+     "operations?", ["two", "2"],
+     "Night operations require at least two people on the summit at "
+     "all times."),
+    ("safety.md", "What altitude is the summit at?",
+     ["4,150 meters", "4150 meters", "4150"],
+     "The summit sits at 4,150 meters, so oxygen awareness training is "
+     "mandatory."),
+    ("safety.md", "How often are oxygen awareness refreshers required?",
+     ["every two years", "biennially"],
+     "Staff repeat the oxygen awareness refresher every two years."),
+    ("safety.md", "What system suppresses fires in the computer room?",
+     ["inert gas flooding", "inert gas"],
+     "The computer room is protected by an inert gas flooding system."),
+    ("safety.md", "Where is the primary first-aid station located?",
+     ["the control building", "control building"],
+     "The primary first-aid station is in the control building next to "
+     "the operations console."),
+    ("safety.md", "What laser class is the adaptive-optics guide star "
+     "laser?", ["Class 4", "class IV"],
+     "The guide star laser is Class 4 and requires aircraft spotters "
+     "during propagation."),
+    ("safety.md", "Who is the designated safety officer?",
+     ["Rosa Mendel"],
+     "Rosa Mendel serves as the designated safety officer for the "
+     "facility."),
+    ("safety.md", "What is the maximum continuous work shift at the "
+     "summit?", ["10 hours", "ten hours", "10"],
+     "Summit shifts are capped at 10 hours of continuous work."),
+    # -- network.md --------------------------------------------------------
+    ("network.md", "What is the bandwidth of the summit-to-base fiber "
+     "link?", ["400 gigabits per second", "400 Gbps", "400"],
+     "The summit-to-base fiber link carries 400 gigabits per second "
+     "over two redundant paths."),
+    ("network.md", "What protocol transfers raw images to the archive?",
+     ["a custom UDP protocol called SwiftCast", "SwiftCast"],
+     "Raw images move over a custom UDP protocol called SwiftCast with "
+     "forward error correction."),
+    ("network.md", "How many redundant fiber paths connect summit and "
+     "base?", ["two", "2"],
+     "Two geographically separate fiber paths connect the summit and "
+     "the base facility."),
+    ("network.md", "What is the round-trip latency to the national "
+     "archive center?", ["38 milliseconds", "38 ms", "38"],
+     "Round-trip latency to the national archive center averages 38 "
+     "milliseconds."),
+    ("network.md", "What firewall product protects the control network?",
+     ["PerimeterOne appliances", "PerimeterOne"],
+     "The control network sits behind paired PerimeterOne appliances "
+     "in active-passive mode."),
+    ("network.md", "How often are network failover drills run?",
+     ["monthly", "every month"],
+     "Failover drills are run monthly during daytime maintenance."),
+    ("network.md", "What addressing scheme does the instrument LAN use?",
+     ["IPv6"],
+     "The instrument LAN is IPv6-only with static address assignment."),
+    ("network.md", "What is the name of the observatory VPN service?",
+     ["SummitGate"],
+     "Remote observers connect through SummitGate, the observatory VPN "
+     "service."),
+    ("network.md", "Who administers the network infrastructure?",
+     ["Lucia Ferro"],
+     "Network infrastructure is administered by Lucia Ferro and a team "
+     "of three engineers."),
+    ("network.md", "What time synchronization standard is used?",
+     ["PTP", "precision time protocol"],
+     "All instrument hosts synchronize clocks with PTP to within one "
+     "microsecond."),
+    # -- power.md ----------------------------------------------------------
+    ("power.md", "What is the total power draw of the facility at "
+     "night?", ["1.8 megawatts", "1.8 MW", "1.8"],
+     "Night operations draw 1.8 megawatts across the summit and base "
+     "sites."),
+    ("power.md", "How long can the diesel generators run at full load?",
+     ["72 hours", "72"],
+     "On-site diesel generators can carry full load for 72 hours "
+     "without refueling."),
+    ("power.md", "What fraction of daytime power comes from the solar "
+     "array?", ["60 percent", "60%", "60"],
+     "The solar array supplies 60 percent of daytime power on clear "
+     "days."),
+    ("power.md", "What is the capacity of the battery storage system?",
+     ["4 megawatt-hours", "4 MWh", "4"],
+     "Battery storage holds 4 megawatt-hours, enough to ride through "
+     "generator start."),
+    ("power.md", "How quickly does the UPS take over after grid loss?",
+     ["8 milliseconds", "8 ms", "8"],
+     "The UPS assumes the critical load within 8 milliseconds of grid "
+     "loss."),
+    ("power.md", "Which systems are on the critical power bus?",
+     ["cryogenics, computing, and dome drives",
+      "cryogenics computing and dome drives"],
+     "The critical bus feeds cryogenics, computing, and dome drives."),
+    ("power.md", "How often are the generators load-tested?",
+     ["weekly", "every week"],
+     "Generators are load-tested weekly at Tuesday noon."),
+    ("power.md", "Who supplies grid power to the observatory?",
+     ["Andina Energia"],
+     "Grid power is supplied by Andina Energia over a dedicated 23-"
+     "kilovolt line."),
+    ("power.md", "What voltage is the dedicated grid line?",
+     ["23 kilovolts", "23 kV", "23"],
+     "The dedicated line operates at 23 kilovolts with automatic "
+     "reclosers."),
+    ("power.md", "What monitors power quality at the summit?",
+     ["GridSense recorders", "GridSense"],
+     "Power quality is logged by GridSense recorders at both "
+     "substations."),
+    # -- archive.md --------------------------------------------------------
+    ("archive.md", "What is the projected ten-year archive size?",
+     ["500 petabytes", "500 PB", "500"],
+     "The archive is projected to reach 500 petabytes after ten years "
+     "of operations."),
+    ("archive.md", "What erasure coding scheme protects archived data?",
+     ["Reed-Solomon 10+4", "Reed-Solomon"],
+     "Archived objects are protected with Reed-Solomon 10+4 erasure "
+     "coding."),
+    ("archive.md", "How many tape copies are kept off-site?",
+     ["one", "1"],
+     "One full tape copy is kept off-site at the national archive "
+     "center."),
+    ("archive.md", "What query language does the science platform "
+     "expose?", ["ADQL"],
+     "The science platform exposes ADQL for catalog queries."),
+    ("archive.md", "How long after observation do raw images become "
+     "public?", ["24 months", "two years", "24"],
+     "Raw images become public 24 months after observation."),
+    ("archive.md", "What is the name of the data release series?",
+     ["Meridian Data Release", "MDR"],
+     "Annual releases are published as the Meridian Data Release "
+     "series, abbreviated MDR."),
+    ("archive.md", "How many catalog rows did the first data release "
+     "contain?", ["18 billion", "18,000,000,000"],
+     "The first release cataloged 18 billion detections."),
+    ("archive.md", "What storage system holds the hot archive tier?",
+     ["a Ceph object store", "Ceph"],
+     "The hot tier lives on a Ceph object store spanning three "
+     "machine rooms."),
+    ("archive.md", "What checksum algorithm verifies archived files?",
+     ["BLAKE3"],
+     "Every archived file is verified with a BLAKE3 checksum on write "
+     "and on each migration."),
+    ("archive.md", "How often is archive integrity scrubbing performed?",
+     ["continuously", "continuous"],
+     "Integrity scrubbing runs continuously at two percent of cluster "
+     "bandwidth."),
+    # -- staffing.md -------------------------------------------------------
+    ("staffing.md", "How many staff does the observatory employ?",
+     ["240", "two hundred forty"],
+     "The observatory employs 240 staff across summit, base, and "
+     "headquarters."),
+    ("staffing.md", "Who is the observatory director?",
+     ["Dr. Elena Vasquez", "Elena Vasquez"],
+     "Dr. Elena Vasquez has served as observatory director since "
+     "2021."),
+    ("staffing.md", "How many telescope operators work each night "
+     "shift?", ["three", "3"],
+     "Each night shift is staffed by three telescope operators."),
+    ("staffing.md", "Where is the observatory headquarters located?",
+     ["La Serena"],
+     "Headquarters is located in La Serena, a two-hour drive from the "
+     "base facility."),
+    ("staffing.md", "What is the typical summit rotation schedule?",
+     ["eight days on, six days off", "eight days on and six days off"],
+     "Summit crews work eight days on, six days off to manage altitude "
+     "exposure."),
+    ("staffing.md", "How many partner institutions fund the "
+     "observatory?", ["14", "fourteen"],
+     "The observatory is funded by a consortium of 14 partner "
+     "institutions."),
+    ("staffing.md", "What department handles observing proposals?",
+     ["the Science Operations department", "Science Operations"],
+     "Observing proposals are handled by the Science Operations "
+     "department."),
+    ("staffing.md", "How many postdoctoral fellows are hosted per year?",
+     ["ten", "10"],
+     "The fellowship program hosts ten postdoctoral fellows per year."),
+    ("staffing.md", "Who leads the instrument development group?",
+     ["Dr. Mateo Silva", "Mateo Silva"],
+     "The instrument development group is led by Dr. Mateo Silva."),
+    ("staffing.md", "What union represents the technical staff?",
+     ["the Sindicato de Observatorios", "Sindicato de Observatorios"],
+     "Technical staff are represented by the Sindicato de "
+     "Observatorios."),
+]
+
+# plausible but deliberately ABSENT facts (refusal labels)
+UNANSWERABLE: list[str] = [
+    "What is the annual operating budget of the observatory?",
+    "What is the salary of the observatory director?",
+    "Which country hosts the backup data center in Europe?",
+    "What brand of elevators is installed in the dome?",
+    "How many earthquakes has the facility survived?",
+    "What is the melting point of the mirror glass?",
+    "Who designed the observatory logo?",
+    "What airline do staff use to reach the site?",
+    "How many visitors tour the observatory each year?",
+    "What is the phone number of the summit control room?",
+    "Which senator sponsored the observatory funding bill?",
+    "What is the warranty period for the DeepCam detectors?",
+    "How many kilometers of cable run through the dome?",
+    "What color is painted on the telescope structure?",
+    "What is the password policy for the VPN service?",
+    "How many spare CCDs are kept in storage?",
+    "What was the total construction cost of the summit road?",
+    "Which composer wrote the observatory's anthem?",
+    "What is the license plate of the summit shuttle?",
+    "How deep are the telescope pier foundations?",
+]
+
+TITLES = {
+    "telescope.md": "Telescope and Instruments",
+    "cryogenics.md": "Cryogenic Systems",
+    "scheduling.md": "Observation Scheduling",
+    "pipeline.md": "Data Processing Pipeline",
+    "calibration.md": "Calibration Procedures",
+    "safety.md": "Site Safety",
+    "network.md": "Network Infrastructure",
+    "power.md": "Power Systems",
+    "archive.md": "Science Archive",
+    "staffing.md": "Staffing and Organization",
+}
+
+PREAMBLE = (
+    "This chapter of the Meridian Deep-Field Observatory operations "
+    "handbook records the working configuration of the facility. "
+    "Values below are maintained by the responsible subsystem team and "
+    "reviewed at the start of every observing semester. ")
+
+CONNECTIVES = [
+    "Operators should be familiar with the following configuration "
+    "before taking a shift.",
+    "The figures in this section are verified during acceptance "
+    "testing and spot-checked monthly.",
+    "Deviations from these values must be logged in the nightly "
+    "report.",
+    "The subsystem team publishes amendments through the change "
+    "control board.",
+]
+
+
+def build() -> None:
+    docs_dir = HERE / "docs"
+    docs_dir.mkdir(parents=True, exist_ok=True)
+    by_doc: dict[str, list[tuple[str, list[str], str]]] = {}
+    for doc, q, aliases, sent in FACTS:
+        by_doc.setdefault(doc, []).append((q, aliases, sent))
+
+    for doc, items in by_doc.items():
+        lines = [f"# {TITLES[doc]}", "", PREAMBLE, ""]
+        for i, (_q, _aliases, sent) in enumerate(items):
+            lines.append(sent)
+            if i % 3 == 2:
+                lines.append("")
+                lines.append(CONNECTIVES[(i // 3) % len(CONNECTIVES)])
+                lines.append("")
+        (docs_dir / doc).write_text("\n".join(lines) + "\n")
+
+    rows = []
+    for doc, q, aliases, _sent in FACTS:
+        rows.append({"question": q, "answers": aliases,
+                     "answerable": True, "expected_sources": [doc]})
+    for q in UNANSWERABLE:
+        rows.append({"question": q, "answers": [], "answerable": False,
+                     "expected_sources": []})
+    with open(HERE / "questions.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    print(f"wrote {len(by_doc)} docs, {len(rows)} questions "
+          f"({len(FACTS)} answerable, {len(UNANSWERABLE)} unanswerable)")
+
+
+if __name__ == "__main__":
+    build()

@@ -116,6 +116,9 @@ class Settings(BaseModel):
     ENGINE_CHUNK_TOKENS: int = 200
     ENGINE_CHUNK_OVERLAP: int = 40
     ENGINE_TOP_K: int = 5
+    ENGINE_MIN_SCORE: float = 0.0         # refuse below this top-hit score
+    ENGINE_MIN_COVERAGE: float = 0.0      # refuse below this question-term
+    #                                       coverage (services/rag.py)
     ENGINE_NLIST: int = 1024
     ENGINE_NPROBE: int = 64
     ENGINE_BUILD_THRESHOLD: int = 100_000

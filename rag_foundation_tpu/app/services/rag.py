@@ -45,6 +45,103 @@ def _slug(name: str) -> str:
     return s[:32] or "store"
 
 
+_SENT_SPLIT = re.compile(r"(?<=[.!?])\s+")
+_WORD = re.compile(r"[a-z0-9]+")
+_STOP = frozenset(
+    "a an the is are was were be been being do does did to of in on at by "
+    "for with from as and or but not no what which who whom whose when "
+    "where why how this that these those it its if then than there here "
+    "can could should would may might will shall has have had".split())
+
+
+def _stem(t: str) -> str:
+    """Tiny suffix stemmer ("slews" must match "slew speed")."""
+    for suf in ("ing", "ed", "es", "s"):
+        if len(t) > 4 and t.endswith(suf):
+            return t[: len(t) - len(suf)]
+    return t
+
+
+def _content_tokens(text: str) -> set[str]:
+    return {_stem(t) for t in _WORD.findall(text.lower())
+            if t not in _STOP}
+
+
+def _passage_coverage(question: str, hits) -> float:
+    """IDF-weighted fraction of the question's content tokens present in
+    the best retrieved passage, in [0, 1]. The refusal signal for an
+    extractive system: raw retrieval scores do NOT separate answerable
+    from unanswerable questions (lexical encoders score shared common
+    words), but a question whose RARE terms appear nowhere in the
+    retrieved text cannot be answered from it."""
+    q_tokens = _content_tokens(question)
+    if not q_tokens or not hits:
+        return 0.0
+    ptoks = [_content_tokens(h.text) for h in hits[:5]]
+    import math
+    df: dict[str, int] = {}
+    for toks in ptoks:
+        for t in toks:
+            df[t] = df.get(t, 0) + 1
+    n_c = max(1, len(ptoks))
+    idf = {t: math.log(1 + n_c / df.get(t, 0.5)) for t in q_tokens}
+    tot = sum(idf.values())
+    if tot <= 0:
+        return 0.0
+    return max(sum(idf[t] for t in (q_tokens & toks))
+               for toks in ptoks) / tot
+
+
+def _extract_sentences(question: str, hits, *, max_sentences: int = 2,
+                       max_chars: int = 400) -> str:
+    """Best-matching sentences across the top hits, scored by
+    IDF-weighted question-token overlap (document frequency taken over
+    the candidate sentences themselves — no global state needed)."""
+    q_tokens = _content_tokens(question)
+    if not q_tokens:
+        return ""
+    cands: list[tuple[int, int, str, set[str]]] = []   # (hit, pos, s, toks)
+    for hi, h in enumerate(hits[:5]):
+        for pos, s in enumerate(_SENT_SPLIT.split(h.text.strip())):
+            s = s.strip()
+            if not 12 <= len(s) <= 600:
+                continue
+            toks = _content_tokens(s)
+            if toks:
+                cands.append((hi, pos, s, toks))
+    if not cands:
+        return ""
+    import math
+    df: dict[str, int] = {}
+    for _, _, _, toks in cands:
+        for t in toks:
+            df[t] = df.get(t, 0) + 1
+    n_c = len(cands)
+
+    def score(item):
+        hi, _pos, _s, toks = item
+        overlap = q_tokens & toks
+        if not overlap:
+            return 0.0
+        idf = sum(math.log(1 + n_c / df[t]) for t in overlap)
+        return idf / math.sqrt(len(toks)) * (1.0 - 0.05 * hi)
+
+    ranked = sorted(cands, key=score, reverse=True)
+    if score(ranked[0]) <= 0.0:
+        return ""
+    out: list[str] = []
+    used = 0
+    for item in ranked[:max_sentences]:
+        if score(item) <= 0.0:
+            break
+        s = item[2]
+        if used + len(s) > max_chars:
+            break
+        out.append(s)
+        used += len(s)
+    return " ".join(out)
+
+
 class EngineRag:
     """TPU-engine-backed RAG client."""
 
@@ -115,6 +212,20 @@ class EngineRag:
         hits = self.engine.search(engine_keys, question, k=k,
                                   doc_filter=doc_filter,
                                   meta_filter=metadata_filter)
+        # refusal gates: an extractive system refuses when even the best
+        # hit is weak (the reference's Gemini decided this internally;
+        # here they are explicit, benchmarked thresholds). MIN_SCORE
+        # gates the retrieval score; MIN_COVERAGE gates IDF-weighted
+        # question-term coverage of the retrieved text (the signal that
+        # actually separates unanswerable questions — see
+        # _passage_coverage)
+        min_score = getattr(self.settings, "ENGINE_MIN_SCORE", 0.0)
+        if hits and min_score > 0 and hits[0].score < min_score:
+            hits = []
+        min_cov = getattr(self.settings, "ENGINE_MIN_COVERAGE", 0.0)
+        if hits and min_cov > 0 \
+                and _passage_coverage(question, hits) < min_cov:
+            hits = []
         metrics.engine_latency_seconds.labels("search").observe(
             time.perf_counter() - t0)
         metrics.engine_calls_total.labels("search", "ok").inc()
@@ -142,17 +253,25 @@ class EngineRag:
 
     @staticmethod
     def _compose_answer(question: str, hits) -> str:
+        """Extractive answer: lead with the best-matching SENTENCES from
+        the retrieved passages (IDF-weighted token overlap against the
+        question), then the cited passages. The reference outsources
+        composition to Gemini (gemini_rag.py:463-551); owning retrieval
+        end-to-end means the extractive head is ours — sentence
+        selection is what makes EM/F1 on the quality benchmark
+        meaningful rather than passage-dump noise."""
         if not hits:
             return ("I could not find relevant information in the selected "
                     "stores to answer this question.")
-        parts = [f"Based on {len(hits)} retrieved passage"
-                 f"{'s' if len(hits) != 1 else ''}:"]
-        for i, h in enumerate(hits[:3]):
-            snippet = h.text.strip()
-            if len(snippet) > 300:
-                snippet = snippet[:300].rsplit(" ", 1)[0] + "…"
-            parts.append(f"[{i + 1}] ({h.doc_name}) {snippet}")
-        return "\n\n".join(parts)
+        lead = _extract_sentences(question, hits, max_sentences=2)
+        if lead:
+            return lead
+        # no sentence matched the question tokens: quote the top passage
+        # (supporting evidence still arrives as source-document frames)
+        snippet = hits[0].text.strip()
+        if len(snippet) > 300:
+            snippet = snippet[:300].rsplit(" ", 1)[0] + "…"
+        return f"From {hits[0].doc_name}: {snippet}"
 
 
 class MockRag:

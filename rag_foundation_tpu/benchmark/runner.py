@@ -146,12 +146,12 @@ class ApiClient:
 
 
 def run_benchmark(client: ApiClient, store_id: int, questions: list[dict],
-                  concurrency: int = 4) -> dict:
+                  concurrency: int = 4, top_k: int | None = None) -> dict:
     results: list[dict] = []
 
     def _one(q: dict) -> dict:
         try:
-            out = client.ask(q["question"], [store_id])
+            out = client.ask(q["question"], [store_id], top_k=top_k)
         except Exception as e:  # noqa: BLE001 — record, don't abort run
             return {"question": q["question"], "error": str(e)}
         answers = q.get("answers", [])
@@ -198,10 +198,33 @@ def main() -> None:
     ap.add_argument("--register", action="store_true")
     ap.add_argument("--store", default="benchmark")
     ap.add_argument("--docs", type=Path)
-    ap.add_argument("--questions", type=Path, required=True)
+    ap.add_argument("--questions", type=Path)
+    ap.add_argument("--config", type=Path,
+                    help="benchmarks.yml (reference benchmarks.yml:1-9 "
+                         "shape); --bench picks the entry")
+    ap.add_argument("--bench", default="quality")
     ap.add_argument("--concurrency", type=int, default=4)
+    ap.add_argument("--top-k", type=int, default=None)
+    ap.add_argument("--max-questions", type=int, default=None)
     ap.add_argument("--out-dir", type=Path, default=Path("bench-out"))
     args = ap.parse_args()
+
+    top_k = args.top_k
+    max_questions = args.max_questions
+    if args.config:
+        import yaml
+        cfg = yaml.safe_load(args.config.read_text())[args.bench]
+        root = args.config.parent
+        args.questions = args.questions or \
+            (root / cfg["questions"]).resolve()
+        if args.docs is None and cfg.get("docs_path"):
+            args.docs = (root / cfg["docs_path"]).resolve()
+        args.store = cfg.get("store", args.store)
+        args.concurrency = cfg.get("concurrency", args.concurrency)
+        top_k = top_k or cfg.get("top_k")
+        max_questions = max_questions or cfg.get("max_questions")
+    if args.questions is None:
+        ap.error("--questions or --config required")
 
     client = ApiClient.from_credentials(args.base_url, args.email,
                                         args.password,
@@ -214,8 +237,10 @@ def main() -> None:
                 print(f"ingested {path.name}: {st['status']}")
     questions = [json.loads(line) for line in
                  args.questions.read_text().splitlines() if line.strip()]
+    if max_questions:
+        questions = questions[:max_questions]
     out = run_benchmark(client, store["id"], questions,
-                        concurrency=args.concurrency)
+                        concurrency=args.concurrency, top_k=top_k)
     args.out_dir.mkdir(parents=True, exist_ok=True)
     with open(args.out_dir / "results.jsonl", "w") as f:
         for r in out["results"]:

@@ -77,33 +77,41 @@ def _exact_words_topk(qq, words, live, k, block_size: int = 8192):
     n, dw = words.shape
     qb = [qq[:, b::4].astype(jnp.float32) for b in range(4)]
     block_size = min(block_size, n)
+    # prefer a block size that DIVIDES n; blocks are then fetched with
+    # dynamic slices from the HBM-resident table — a reshape-to-blocks
+    # (or pad) would MATERIALIZE a second multi-GiB copy (measured: OOM
+    # by ~1 GB at 10M x 768)
+    for b in range(block_size, 7, -8):
+        if n % b == 0:
+            block_size = b
+            break
     nb = max(1, -(-n // block_size))
     padded = nb * block_size
-    if padded != n:
+    if padded != n:  # tiny/odd corpora only
         words = jnp.pad(words, ((0, padded - n), (0, 0)))
         live = jnp.pad(live, (0, padded - n))
-    blocks = words.reshape(nb, block_size, dw)
-    mask = live.reshape(nb, block_size)
     num_q = qq.shape[0]
     init = (jnp.full((num_q, k), NEG_INF, jnp.float32),
             jnp.full((num_q, k), -1, jnp.int32))
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, block_size), 1)
 
-    def step(carry, inp):
-        blk, bidx, mblk = inp
+    def step(carry, bidx):
+        start = bidx * block_size
+        blk = jax.lax.dynamic_slice_in_dim(words, start, block_size, 0)
+        mblk = jax.lax.dynamic_slice_in_dim(live, start, block_size, 0)
         scores = jnp.zeros((num_q, block_size), jnp.float32)
         for b in range(4):
             byte = ((blk << (24 - 8 * b)) >> 24).astype(jnp.float32)
             scores = scores + jax.lax.dot_general(
                 qb[b], byte, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
-        g_idx = iota + bidx * block_size
+        g_idx = iota + start
         scores = jnp.where(mblk[None, :], scores, NEG_INF)
         g_idx_b = jnp.broadcast_to(g_idx, scores.shape)
         return merge_topk(*carry, scores, g_idx_b, k), None
 
     (vals, idxs), _ = jax.lax.scan(
-        step, init, (blocks, jnp.arange(nb, dtype=jnp.int32), mask))
+        step, init, jnp.arange(nb, dtype=jnp.int32))
     return vals, jnp.where(vals == NEG_INF, -1, idxs)
 
 

@@ -134,7 +134,7 @@ def build_ivf_pq(vectors: jnp.ndarray, nlist: int, m: int, *,
 
 def _adc_candidates_pallas(index: IVFPQIndex, q32, coarse, dispatch,
                            probe_lists, slot, *, p, qcap, lut_dtype,
-                           interpret):
+                           cap_block, interpret):
     """Kernel ADC path (K=16): per-query candidates [Q, nprobe*w]."""
     q_n = q32.shape[0]
     lut = pq_lut(index.codebook, q32)            # [Q, m, K] f32
@@ -143,7 +143,8 @@ def _adc_candidates_pallas(index: IVFPQIndex, q32, coarse, dispatch,
     lut_disp = lut_flat[safe_q]                  # [nlist, qcap, K*m]
     vals, flat_idx = pq_list_scan(
         lut_disp, index.codes, index.row_ids,
-        k_codes=index.k_codes, p=p, interpret=interpret)
+        k_codes=index.k_codes, p=p, cap_block=cap_block,
+        interpret=interpret)
     w = vals.shape[-1]
     safe_slot = jnp.clip(slot, 0, qcap - 1)
     cand_vals = vals[probe_lists, safe_slot]     # [Q, nprobe, w]
@@ -242,7 +243,8 @@ def _refine_rerank(index: IVFPQIndex, q32, top_vals, top_rows, k,
 
 @functools.partial(
     jax.jit, static_argnames=("k", "nprobe", "p", "qcap", "refine_c",
-                              "list_block", "lut_dtype", "interpret"))
+                              "list_block", "lut_dtype", "cap_block",
+                              "interpret"))
 def ivfpq_search(
     index: IVFPQIndex,
     queries: jnp.ndarray,
@@ -254,6 +256,7 @@ def ivfpq_search(
     refine_c: int | None = None,
     list_block: int = 32,
     lut_dtype: str = "int8",
+    cap_block: int | None = None,
     interpret: bool | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """IVF-PQ top-k: (values [Q,k], row_ids [Q,k], dropped_probes).
@@ -281,7 +284,7 @@ def ivfpq_search(
             index, q32, coarse, dispatch, probe_lists, slot,
             p=p, qcap=qcap,
             lut_dtype=jnp.int8 if lut_dtype == "int8" else jnp.bfloat16,
-            interpret=interpret)
+            cap_block=cap_block, interpret=interpret)
     else:
         cand_vals, cand_idx = _adc_candidates_xla(
             index, q32, coarse, dispatch, probe_lists, slot,

@@ -81,17 +81,34 @@ def pq_train(
 
 
 @jax.jit
-def pq_encode(codebook: PQCodebook, x: jnp.ndarray) -> jnp.ndarray:
-    """Encode ``x [N, d]`` → ``codes [N, m] uint8`` (nearest sub-centroid)."""
+def pq_encode(codebook: PQCodebook, x: jnp.ndarray,
+              block_size: int = 65536) -> jnp.ndarray:
+    """Encode ``x [N, d]`` → ``codes [N, m] uint8`` (nearest sub-centroid).
+
+    Row-blocked: the naive ``[N, m, K]`` f32 score tensor is ~6.4 GiB at
+    N=512k/m=192/K=16 and OOMs HBM next to a resident index; blocking
+    caps the working set at ``[block, m, K]`` while staying one fused
+    XLA scan. Prefers a block size dividing N (reshape stays copy-free)."""
     n, d = x.shape
-    m, _, dsub = codebook.centroids.shape
-    xs = x.reshape(n, m, dsub).astype(jnp.float32)
-    c = codebook.centroids  # [m, 256, dsub]
-    c_sq = 0.5 * jnp.sum(c * c, axis=2)  # [m, 256]
-    # [N, m, 256] scores via batched matmul over the m axis.
-    dots = jnp.einsum("nmd,mkd->nmk", xs, c, preferred_element_type=jnp.float32)
-    codes = jnp.argmax(dots - c_sq[None], axis=2)
-    return codes.astype(jnp.uint8)
+    m, k_codes, dsub = codebook.centroids.shape
+    c = codebook.centroids  # [m, K, dsub]
+    c_sq = 0.5 * jnp.sum(c * c, axis=2)  # [m, K]
+    bs = min(block_size, n)
+    for b in range(bs, 0, -1):
+        if n % b == 0:
+            bs = b
+            break
+    nb = n // bs
+    xs = x.astype(jnp.float32).reshape(nb, bs, m, dsub)
+
+    def step(_, xb):
+        dots = jnp.einsum("nmd,mkd->nmk", xb, c,
+                          preferred_element_type=jnp.float32)
+        return None, jnp.argmax(dots - c_sq[None], axis=2
+                                ).astype(jnp.uint8)
+
+    _, codes = jax.lax.scan(step, None, xs)
+    return codes.reshape(n, m)
 
 
 @jax.jit

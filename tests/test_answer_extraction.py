@@ -1,0 +1,89 @@
+"""Extractive answer head + coverage-gated refusal (services/rag.py).
+
+The reference outsources answer composition to Gemini
+(reference gemini_rag.py:463-551); this build owns it, so the sentence
+extraction and the refusal signal are tested directly — they are what
+the quality benchmark (benchmarks/quality) measures.
+"""
+
+from dataclasses import dataclass
+
+from rag_foundation_tpu.app.services.rag import (EngineRag,
+                                                 _extract_sentences,
+                                                 _passage_coverage)
+
+
+@dataclass
+class _Hit:
+    text: str
+    doc_name: str = "doc.txt"
+    score: float = 0.5
+
+
+def test_extract_picks_the_answer_sentence():
+    hits = [_Hit(text=(
+        "This chapter records the working configuration. "
+        "The primary mirror measures 8.4 meters across and is cast "
+        "from borosilicate glass. "
+        "Deviations must be logged in the nightly report."))]
+    out = _extract_sentences("What is the diameter of the primary "
+                             "mirror?", hits)
+    assert "8.4 meters" in out
+    assert "nightly report" not in out
+
+
+def test_extract_stems_inflections():
+    hits = [_Hit(text="The mount slews at 3.5 degrees per second. "
+                      "Unrelated filler sentence about the cafeteria.")]
+    out = _extract_sentences("What is the slew speed of the mount?",
+                             hits)
+    assert "3.5 degrees" in out
+
+
+def test_coverage_separates_absent_rare_terms():
+    hits = [_Hit(text=(
+        "The observatory employs 240 staff across summit and base. "
+        "Summit crews work eight days on, six days off."))]
+    present = _passage_coverage(
+        "How many staff does the observatory employ?", hits)
+    absent = _passage_coverage(
+        "What is the salary of the observatory director?", hits)
+    assert present > 0.6
+    assert absent < present  # rare terms (salary, director) unmatched
+    assert _passage_coverage("anything", []) == 0.0
+
+
+def test_compose_answer_refusal_and_fallback():
+    assert "could not find" in EngineRag._compose_answer("q?", [])
+    # no token overlap at all -> quotes the top passage instead
+    out = EngineRag._compose_answer(
+        "zzz qqq?", [_Hit(text="Totally unrelated content here.")])
+    assert "doc.txt" in out and "Totally unrelated" in out
+
+
+def test_min_coverage_setting_gates_refusal(tmp_path):
+    """ENGINE_MIN_COVERAGE wired through ask_stream: a question whose
+    rare terms are absent from the retrieved text refuses."""
+    from tests.app_helpers import make_settings
+
+    settings = make_settings(tmp_path, ENGINE_MIN_COVERAGE=0.45,
+                             ENGINE_INDEX_MODE="exact")
+    rag = EngineRag(settings)
+    key = rag.create_store("covgate", user_id=1)
+    rag.ingest_document(
+        key, "d1", "handbook.txt",
+        "The observatory employs 240 staff across summit and base. "
+        "Summit crews work eight days on, six days off. "
+        "The director position rotates every five years.")
+    gen, res = rag.ask_stream(
+        "What is the annual catering budget of the cafeteria?",
+        [key], model="default")
+    answer = "".join(gen)
+    assert "could not find" in answer
+    assert res.citations == []
+    gen, res = rag.ask_stream(
+        "How many staff does the observatory employ?", [key],
+        model="default")
+    answer = "".join(gen)
+    assert "240" in answer
+    assert res.citations
