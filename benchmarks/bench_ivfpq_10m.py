@@ -89,8 +89,7 @@ def main():
     import jax
     import jax.numpy as jnp
     from rag_foundation_tpu.engine.ivf import interleave_slots
-    from rag_foundation_tpu.engine.ivfpq import (IVFPQIndex, ivfpq_search,
-                                                 pack_int8_words)
+    from rag_foundation_tpu.engine.ivfpq import IVFPQIndex, ivfpq_search
     from rag_foundation_tpu.ops.kmeans import assign_clusters
     from rag_foundation_tpu.ops.l2norm import l2_normalize
     from rag_foundation_tpu.ops.pq import pq_encode, pq_train
@@ -135,7 +134,7 @@ def main():
         residual = v - centers[assign]
         codes = pq_encode(PQCodebook(centroids=cb_centroids), residual)
         q8 = jnp.clip(jnp.round(v / REF_SCALE), -127, 127).astype(jnp.int8)
-        return assign, codes, pack_int8_words(q8)
+        return assign, codes, q8
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def scatter_chunk(codes_flat, ids_flat, codes, dest, row_ids):
@@ -177,7 +176,7 @@ def main():
     codes_flat = jnp.zeros((nlist * cap_len, m), jnp.uint8)
     ids_flat = jnp.full((nlist * cap_len,), -1, jnp.int32)
     n8 = -(-n // 8) * 8
-    refine_tbl = jnp.zeros((n8, d // 4), jnp.int32) if refine else None
+    refine_tbl = jnp.zeros((n8, d), jnp.int8) if refine else None
     next_slot = np.zeros(nlist, np.int64)
     overflow = 0
     run_vals = jnp.full((args.gt_sub, args.k), -jnp.inf, jnp.float32)
@@ -255,7 +254,7 @@ def main():
         row_ids=ids_flat.reshape(nlist, cap_len),
         n=n - overflow,
         refine=(refine_tbl if refine
-                else jnp.zeros((0, 0), jnp.int32)),
+                else jnp.zeros((0, 0), jnp.int8)),
         refine_scale=jnp.float32(REF_SCALE))
     del codes_flat, ids_flat
 
@@ -273,13 +272,13 @@ def main():
     ceiling = None
     exact_ids = np.asarray(run_ids)
     if refine:
-        from rag_foundation_tpu.engine.index import _exact_words_topk
+        from rag_foundation_tpu.engine.index import _exact_int8_topk
         from rag_foundation_tpu.ops.quantize import quantize_int8
         qq, _ = quantize_int8(q_sub.astype(jnp.float32))
         live = jnp.ones((n8,), bool) if n8 == n else jnp.concatenate(
             [jnp.ones((n,), bool), jnp.zeros((n8 - n,), bool)])
         t0 = time.perf_counter()
-        _, gt8 = _exact_words_topk(qq, index.refine, live, args.k)
+        _, gt8 = _exact_int8_topk(qq, index.refine, live, args.k)
         gt8_ids = np.asarray(gt8)
         log(f"int8-exact GT scan: {time.perf_counter()-t0:.1f}s")
         ceiling = np.mean([len(set(a) & set(b)) / args.k

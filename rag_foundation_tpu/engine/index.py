@@ -68,14 +68,12 @@ def _quant_queries(q32, _corpus_scale):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "block_size"))
-def _exact_words_topk(qq, words, live, k, block_size: int = 8192):
-    """Exact top-k of int8 queries against a word-packed int8 table
-    ([N8, d/4] int32, ops/pallas_gather layout) — bytes are extracted
-    per block and scored in f32 (exact for int8-magnitude integers;
-    XLA-CPU lacks bf16 dot support, and this is a cron path)."""
+def _exact_int8_topk(qq, table8, live, k, block_size: int = 8192):
+    """Exact top-k of int8 queries against an int8 row table [N8, d]
+    (the IVF-PQ refine layout) — int8 dots accumulated in int32 are
+    exact; this is the recall-audit / GT reference path."""
     from rag_foundation_tpu.ops.topk import NEG_INF, merge_topk
-    n, dw = words.shape
-    qb = [qq[:, b::4].astype(jnp.float32) for b in range(4)]
+    n, d = table8.shape
     block_size = min(block_size, n)
     # prefer a block size that DIVIDES n; blocks are then fetched with
     # dynamic slices from the HBM-resident table — a reshape-to-blocks
@@ -88,7 +86,7 @@ def _exact_words_topk(qq, words, live, k, block_size: int = 8192):
     nb = max(1, -(-n // block_size))
     padded = nb * block_size
     if padded != n:  # tiny/odd corpora only
-        words = jnp.pad(words, ((0, padded - n), (0, 0)))
+        table8 = jnp.pad(table8, ((0, padded - n), (0, 0)))
         live = jnp.pad(live, (0, padded - n))
     num_q = qq.shape[0]
     init = (jnp.full((num_q, k), NEG_INF, jnp.float32),
@@ -97,14 +95,11 @@ def _exact_words_topk(qq, words, live, k, block_size: int = 8192):
 
     def step(carry, bidx):
         start = bidx * block_size
-        blk = jax.lax.dynamic_slice_in_dim(words, start, block_size, 0)
+        blk = jax.lax.dynamic_slice_in_dim(table8, start, block_size, 0)
         mblk = jax.lax.dynamic_slice_in_dim(live, start, block_size, 0)
-        scores = jnp.zeros((num_q, block_size), jnp.float32)
-        for b in range(4):
-            byte = ((blk << (24 - 8 * b)) >> 24).astype(jnp.float32)
-            scores = scores + jax.lax.dot_general(
-                qb[b], byte, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
+        scores = jax.lax.dot_general(
+            qq, blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.float32)
         g_idx = iota + start
         scores = jnp.where(mblk[None, :], scores, NEG_INF)
         g_idx_b = jnp.broadcast_to(g_idx, scores.shape)
@@ -286,11 +281,8 @@ class StoreIndex:
                 return self._pq_source  # exact host copy kept at build
             if self.body.refine.shape[0] > 0:
                 # restored body with a refine store: int8 originals are
-                # far higher fidelity than decoded PQ codes (refine rows
-                # are little-endian word-packed — ops/pallas_gather)
-                words = np.ascontiguousarray(
-                    np.asarray(self.body.refine, np.int32))
-                v8 = words.view(np.int8).reshape(len(words), -1)
+                # far higher fidelity than decoded PQ codes
+                v8 = np.asarray(self.body.refine, np.int8)
                 out = v8.astype(np.float32) \
                     * float(self.body.refine_scale)
                 want = len(self.body_chunk_ids)
@@ -498,10 +490,8 @@ class StoreIndex:
             rows = np.asarray(_fetch_ids(body.row_ids, ls, ss))
             if body.refine.shape[0] > 0:
                 safe = jnp.asarray(np.clip(rows, 0, None), jnp.int32)
-                words = np.asarray(_fetch_rows(body.refine, safe))
-                v8 = np.ascontiguousarray(words).view(np.int8)
-                vecs = v8.reshape(len(rows), -1).astype(np.float32) \
-                    * float(body.refine_scale)
+                v8 = np.asarray(_fetch_rows(body.refine, safe))
+                vecs = v8.astype(np.float32) * float(body.refine_scale)
                 return vecs, rows
             # no refine: reconstruct only the sampled rows from codes
             from rag_foundation_tpu.ops.pq import pq_decode
@@ -547,7 +537,7 @@ class StoreIndex:
             live_rows = jnp.zeros((n8,), bool).at[
                 jnp.clip(body.row_ids.reshape(-1), 0, n8 - 1)].set(
                 live, mode="drop")
-            vals, pos = _exact_words_topk(qq, body.refine, live_rows, k)
+            vals, pos = _exact_int8_topk(qq, body.refine, live_rows, k)
             vals = np.asarray(vals) * float(qscale * body.refine_scale)
             rows = np.asarray(pos)
         else:
@@ -642,7 +632,7 @@ class StoreIndex:
         elif kind == "IVFPQIndex":
             from rag_foundation_tpu.engine.ivfpq import IVFPQIndex
             # round-1 checkpoints predate the refine store fields
-            fields.setdefault("refine", jnp.zeros((0, 0), jnp.int32))
+            fields.setdefault("refine", jnp.zeros((0, 0), jnp.int8))
             fields.setdefault("refine_scale", jnp.float32(1.0))
             body = IVFPQIndex(**fields)
         else:

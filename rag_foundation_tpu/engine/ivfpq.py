@@ -60,9 +60,13 @@ class IVFPQIndex(NamedTuple):
     codes: jnp.ndarray         # [nlist, cap_len, m] uint8, values < K
     row_ids: jnp.ndarray       # [nlist, cap_len] int32, -1 dead
     n: int
-    refine: jnp.ndarray        # [N8, d/4] int32 re-rank store (int8 rows
-                               # word-packed, N8 = N padded to 8; [0,0]
-                               # when disabled)
+    refine: jnp.ndarray        # [N8, d] int8 re-rank store (N8 = N
+                               # padded to 8; [0,0] when disabled).
+                               # int8 with d a multiple of 128 lanes is
+                               # the ONE layout XLA row-gathers without
+                               # a padded relayout copy of the whole
+                               # table (int32 words [N, d/4] cost a
+                               # 9.5 GB temp at 10M — measured OOM)
     refine_scale: jnp.ndarray  # f32 scalar (rows ≈ vectors/scale)
 
     @property
@@ -113,14 +117,11 @@ def build_ivf_pq(vectors: jnp.ndarray, nlist: int, m: int, *,
     ids = np.full((nlist * cap_len,), -1, np.int32)
     ids[dest] = order.astype(np.int32)
     if refine:
-        if d % 4:
-            raise ValueError(f"refine store requires d % 4 == 0, d={d}")
         refine_q, refine_scale = quantize_int8(vectors)
-        if n % 8:  # gather kernel reads 8-row aligned groups
+        if n % 8:  # gather kernels read 8-row aligned groups
             refine_q = jnp.pad(refine_q, ((0, 8 - n % 8), (0, 0)))
-        refine_q = pack_int8_words(refine_q)
     else:
-        refine_q = jnp.asarray(_NO_REFINE)
+        refine_q = jnp.asarray(_NO_REFINE, jnp.int8)
         refine_scale = jnp.float32(1.0)
     return IVFPQIndex(
         centroids=centroids,
@@ -219,19 +220,37 @@ def _adc_candidates_xla(index: IVFPQIndex, q32, coarse, dispatch,
 
 
 def _refine_rerank(index: IVFPQIndex, q32, top_vals, top_rows, k,
-                   interpret):
+                   interpret, q_block: int = 512):
     """Re-rank ADC top-C rows against the int8 refine store.
 
     ADC (especially 4-bit) is a candidate GENERATOR; exact int8 scores
     restore ranking fidelity — the standard IVFPQR/refine design the
-    round-1 verdict called for. The scattered-row gather + rescore runs
-    as a Pallas DMA kernel (ops/pallas_gather) — XLA's row gather
-    measured 29 ms for 1024x128 rows at 10M scale.
-    """
+    round-1 verdict called for. The gather+rescore is blocked over
+    query chunks: the gathered-vector intermediate is [qb, C, d] int32
+    (~3.2 GB unblocked at Q=4096/C=64 next to a 9.5 GB resident index —
+    measured runtime OOM), so a scan bounds it to ~100 MB."""
     q_n, c = top_rows.shape
     qq, qscale = quantize_int8(q32)
-    scores = gather_rescore_int8(index.refine, top_rows, qq,
-                                 interpret=interpret)
+    q_block = min(q_block, q_n)
+    while q_n % q_block:
+        q_block //= 2
+    nb = q_n // q_block
+
+    def block(carry, inp):
+        qb, rb = inp
+        s = gather_rescore_int8(index.refine, rb, qb,
+                                interpret=interpret)
+        return carry, s
+
+    if nb > 1:
+        _, scores = jax.lax.scan(
+            block, None,
+            (qq.reshape(nb, q_block, -1),
+             top_rows.reshape(nb, q_block, c)))
+        scores = scores.reshape(q_n, c)
+    else:
+        scores = gather_rescore_int8(index.refine, top_rows, qq,
+                                     interpret=interpret)
     scores = scores * (qscale * index.refine_scale)
     scores = jnp.where(top_rows >= 0, scores, -jnp.inf)
     k_eff = min(k, c)

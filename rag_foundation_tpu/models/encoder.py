@@ -168,15 +168,20 @@ def encode_tokens_jit(params: dict, ids: jnp.ndarray,
 # -- contrastive training step (in-batch negatives) --------------------------
 
 def contrastive_loss(params: dict, q_ids: jnp.ndarray, d_ids: jnp.ndarray,
-                     cfg: EncoderConfig, temperature: float = 0.05
-                     ) -> jnp.ndarray:
-    """InfoNCE with in-batch negatives: align query i with doc i."""
+                     cfg: EncoderConfig, temperature: float = 0.05,
+                     symmetric: bool = False) -> jnp.ndarray:
+    """InfoNCE with in-batch negatives: align query i with doc i.
+    ``symmetric`` adds the doc->query direction (standard for
+    retrieval training; off by default to keep the dryrun contract)."""
     q = encode_tokens(params, q_ids, cfg)
     d = encode_tokens(params, d_ids, cfg)
     logits = (q @ d.T) / temperature
     labels = jnp.arange(q.shape[0])
-    return jnp.mean(
-        -jax.nn.log_softmax(logits, axis=-1)[labels, labels])
+    loss = jnp.mean(-jax.nn.log_softmax(logits, axis=-1)[labels, labels])
+    if symmetric:
+        loss = 0.5 * (loss + jnp.mean(
+            -jax.nn.log_softmax(logits.T, axis=-1)[labels, labels]))
+    return loss
 
 
 def make_train_step(cfg: EncoderConfig, optimizer):

@@ -38,6 +38,12 @@ class Tokenizer:
         self.max_word_len = max_word_len
         self.vocab = vocab  # optional real WordPiece vocab
 
+    # deterministic suffix splits: inflections share their stem id, so a
+    # query's "slew" matches a passage's "slews" at the embedding layer —
+    # essential for a from-scratch encoder with a hashed vocab (there is
+    # no pretrained subword statistics to recover morphology from)
+    _SUFFIXES = ("ing", "tion", "ment", "ed", "es", "ly", "er", "s")
+
     def _word_ids(self, word: str) -> list[int]:
         if self.vocab is not None:
             from rag_foundation_tpu.models.vocab import tokenize_wordpiece
@@ -45,6 +51,13 @@ class Tokenizer:
             if ids is not None:
                 return ids
             # unknown word under the learned vocab -> hashing fallback
+        for suf in self._SUFFIXES:
+            if len(word) > len(suf) + 3 and word.endswith(suf):
+                stem = word[: len(word) - len(suf)]
+                if len(stem) <= self.max_word_len:
+                    return [_hash_token(stem, self.vocab_size),
+                            _hash_token("##" + suf, self.vocab_size)]
+                break
         if len(word) <= self.max_word_len:
             return [_hash_token(word, self.vocab_size)]
         # split long words into pieces so rare compounds share subwords

@@ -64,7 +64,7 @@ def _gather_score_kernel(idx_ref, qb_ref, rmoh_ref, table_ref, out_ref,
 
 @functools.partial(jax.jit, static_argnames=("interpret", "impl"))
 def gather_rescore_int8(
-    table32: jnp.ndarray,     # [N, d/4] int32 (int8 rows, bitcast; N%8==0)
+    table8: jnp.ndarray,      # [N, d] int8 rows (N%8==0, d%128==0)
     rows: jnp.ndarray,        # [Q, C] int32 row ids (negatives allowed,
                               # callers mask the scores)
     q_int8: jnp.ndarray,      # [Q, d] int8
@@ -77,27 +77,35 @@ def gather_rescore_int8(
     mask them outside.
 
     ``impl="xla"`` (default) is the production TPU path: a plain row
-    gather + einsum (~27 ms for 1024x128 rows at 10M x 768, measured).
-    ``impl="pallas"`` selects the DMA kernel above, which is faster on
-    paper but CRASHES this environment's Mosaic compile helper (HTTP 500
-    with no diagnostic, reproduced at toy scale 2026-08-16 — the
-    manual make_async_copy + DMA-semaphore-array pattern is the
-    trigger; the same helper also 500s on int16 compares and u8->bf16
-    casts). Keep it opt-in until the toolchain moves."""
-    n, dw = table32.shape
+    gather + int8 MXU dot. The table MUST be int8 with a lane-aligned
+    minor dim — XLA row-gathers that layout in place, while an int32
+    word table [N, d/4] (192 lanes at d=768) forces a lane-padded
+    relayout COPY of the whole table (9.5 GB temp at 10M — measured
+    OOM). ``impl="pallas"`` selects the DMA kernel above, which is
+    faster on paper but CRASHES this environment's Mosaic compile
+    helper (HTTP 500 with no diagnostic, reproduced at toy scale
+    2026-08-16 — the manual make_async_copy + DMA-semaphore-array
+    pattern is the trigger; the same helper also 500s on int16
+    compares and u8->bf16 casts). Keep it opt-in until the toolchain
+    moves."""
+    n, d = table8.shape
     q_n, c = rows.shape
-    d = dw * 4
+    dw = d // 4
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if interpret or impl == "xla":
         # XLA path (production default; also the golden for the kernel)
-        safe = jnp.clip(rows, 0, n * 4 // 4 - 1)
-        words = jnp.take(table32, safe.reshape(-1), axis=0)  # [QC, dw]
-        b = [(words << (24 - 8 * i)) >> 24 for i in range(4)]
-        vecs = jnp.stack(b, axis=-1).reshape(q_n, c, d)
-        return jnp.einsum("qd,qcd->qc", q_int8.astype(jnp.int32),
-                          vecs.astype(jnp.int32)).astype(jnp.float32)
+        safe = jnp.clip(rows, 0, n - 1)
+        vecs = jnp.take(table8, safe.reshape(-1), axis=0
+                        ).reshape(q_n, c, d)
+        return jnp.einsum("qd,qcd->qc", q_int8, vecs,
+                          preferred_element_type=jnp.int32
+                          ).astype(jnp.float32)
 
+    # kernel layout: int8 rows word-packed to [N, d/4] int32 (traced
+    # per call — acceptable for an opt-in path)
+    table32 = jax.lax.bitcast_convert_type(
+        table8.reshape(n, dw, 4), jnp.int32)
     safe = jnp.clip(rows, 0, n - 1)
     groups = (safe & ~jnp.int32(7)).reshape(-1)              # [Q*C]
     rm = safe & jnp.int32(7)                                 # [Q, C]

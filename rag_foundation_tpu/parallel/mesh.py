@@ -1,17 +1,46 @@
 """Device mesh construction and sharding helpers.
 
 Axes convention (SURVEY.md §2.4): ``data`` for query-batch DP, ``shard``
-for corpus row-sharding (TP analog). Collectives ride ICI within a slice;
-multi-host DCN initialization is the deployment's concern
-(``jax.distributed.initialize``) and orthogonal to these helpers.
+for corpus row-sharding (TP analog). Collectives ride ICI within a
+slice; across hosts they ride DCN after ``init_distributed()`` wires the
+JAX distributed runtime (SURVEY.md §2.4 "multi-host"; smoke-tested with
+two CPU processes in tests/test_multihost.py).
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def init_distributed(*, coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> bool:
+    """Join the JAX distributed runtime for multi-host meshes.
+
+    Reads ``RAGTPU_COORDINATOR`` / ``RAGTPU_NUM_PROCESSES`` /
+    ``RAGTPU_PROCESS_ID`` when arguments are omitted (TPU pod slices on
+    GKE can rely on JAX's own auto-detection by leaving all unset and
+    exporting nothing — then this is a no-op returning False). After a
+    successful init, ``jax.devices()`` spans every host and
+    ``make_mesh`` shards across DCN exactly like ICI.
+
+    Returns True when the runtime was initialized by this call."""
+    coordinator = coordinator or os.environ.get("RAGTPU_COORDINATOR")
+    if coordinator is None:
+        return False
+    num_processes = num_processes if num_processes is not None else \
+        int(os.environ["RAGTPU_NUM_PROCESSES"])
+    process_id = process_id if process_id is not None else \
+        int(os.environ["RAGTPU_PROCESS_ID"])
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return True
 
 
 def make_mesh(n_shards: int | None = None, *, data: int = 1,

@@ -1,0 +1,124 @@
+"""Build an offline English text corpus for encoder training.
+
+Zero-egress environment: the only large body of real English available
+is the documentation embedded in installed Python packages (docstrings
+and comment prose — ~470 MB of source in site-packages) plus this
+repo's own docs. This script extracts prose passages from them:
+
+  python scripts/build_text_corpus.py --out /tmp/corpus.jsonl \
+      [--max-passages 120000]
+
+Each output line is {"text": ..., "src": ...}. Passages are
+deduplicated, code-ish lines are stripped, and only passages that look
+like English prose (letter ratio, stopword presence) survive — the
+encoder should learn word statistics from sentences, not from
+parameter lists.
+
+Reference analog: none (embedding was Gemini's, reference
+gemini_rag.py:319-326); training-data tooling exists because this build
+owns the embedding path (SURVEY.md §2.5 item 6).
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import hashlib
+import json
+import re
+import sys
+from pathlib import Path
+
+_STOP_HINT = frozenset(
+    "the a an is are was were be this that of to in for with on as and "
+    "or if by from it its when which".split())
+_CODEISH = re.compile(
+    r"^\s*(>>>|\.\.\.|def |class |import |from |@|#|\$|\{|\[|return |"
+    r"raise |assert |self\.|[A-Za-z_0-9.]+\()")
+_WS = re.compile(r"\s+")
+
+
+def prose_score(text: str) -> float:
+    words = text.lower().split()
+    if len(words) < 20:
+        return 0.0
+    letters = sum(c.isalpha() or c == " " for c in text) / max(1, len(text))
+    stop = sum(w in _STOP_HINT for w in words) / len(words)
+    return letters * (1.0 if stop > 0.08 else 0.0)
+
+
+def clean_docstring(doc: str) -> list[str]:
+    """Docstring -> prose paragraphs (code lines and tables dropped)."""
+    out: list[str] = []
+    for para in re.split(r"\n\s*\n", doc):
+        lines = [ln for ln in para.splitlines()
+                 if not _CODEISH.match(ln) and len(ln.strip()) > 2]
+        text = _WS.sub(" ", " ".join(lines)).strip()
+        if len(text) >= 200 and prose_score(text) > 0.6:
+            out.append(text)
+    return out
+
+
+def iter_docstrings(py_path: Path):
+    try:
+        tree = ast.parse(py_path.read_text(errors="ignore"))
+    except (SyntaxError, ValueError, OSError):
+        return
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.Module, ast.FunctionDef,
+                             ast.AsyncFunctionDef, ast.ClassDef)):
+            doc = ast.get_docstring(node)
+            if doc:
+                yield from clean_docstring(doc)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--max-passages", type=int, default=120_000)
+    ap.add_argument("--site-packages", default=None)
+    args = ap.parse_args()
+
+    roots: list[Path] = []
+    if args.site_packages:
+        roots.append(Path(args.site_packages))
+    else:
+        import sysconfig
+        roots.append(Path(sysconfig.get_paths()["purelib"]))
+    repo = Path(__file__).resolve().parent.parent
+    extra_docs = [p for p in (repo / "docs").glob("*.md")] + \
+        [repo / "README.md", repo / "SECURITY.md"]
+
+    seen: set[bytes] = set()
+    n = 0
+    with open(args.out, "w") as f:
+        def emit(text: str, src: str) -> bool:
+            nonlocal n
+            h = hashlib.blake2b(text.encode(), digest_size=8).digest()
+            if h in seen:
+                return True
+            seen.add(h)
+            f.write(json.dumps({"text": text, "src": src}) + "\n")
+            n += 1
+            return n < args.max_passages
+
+        for doc in extra_docs:
+            if doc.exists():
+                for para in re.split(r"\n\s*\n", doc.read_text()):
+                    text = _WS.sub(" ", para).strip()
+                    if len(text) >= 200 and prose_score(text) > 0.5:
+                        emit(text, doc.name)
+
+        for root in roots:
+            for py in sorted(root.rglob("*.py")):
+                if "test" in py.name or "_vendor" in str(py):
+                    continue
+                for text in iter_docstrings(py):
+                    if not emit(text, py.name):
+                        print(f"wrote {n} passages (cap)", file=sys.stderr)
+                        return
+    print(f"wrote {n} passages", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,23 +1,46 @@
-"""Fine-tune the MiniLM-class encoder with in-batch-negative contrastive
-training and save an npz checkpoint loadable via
-``RAGTPU_ENGINE_ENCODER_CKPT``.
+"""Train the MiniLM-class encoder and save an npz checkpoint loadable
+via ``RAGTPU_ENGINE_ENCODER_CKPT``.
 
-The reference trains nothing (generation and embedding were Gemini's);
-this script makes the framework's training path (models/encoder.py
-``make_train_step``) operational end-to-end: synthetic paraphrase pairs
--> InfoNCE steps -> retrieval-accuracy eval before/after -> checkpoint.
-Runs on whatever backend JAX selects (CPU in CI, the TPU when present).
+Two modes:
 
-Usage:
-  python scripts/train_encoder.py --steps 200 --out /tmp/minilm.npz
-  RAGTPU_ENGINE_ENCODER=minilm RAGTPU_ENGINE_ENCODER_CKPT=/tmp/minilm.npz \
-      python -m rag_foundation_tpu.app.main
+1. ``--corpus corpus.jsonl`` (production recipe): self-supervised
+   Inverse-Cloze-Task (ICT) contrastive training over a REAL text
+   corpus (build one offline with scripts/build_text_corpus.py — ~70k
+   prose passages extracted from installed-package documentation).
+   Each passage chunk yields two pseudo-queries — a sampled-keyword
+   query and a sampled-sentence query — trained against the chunk with
+   symmetric InfoNCE and in-batch negatives. This teaches exactly the
+   retrieval contract the engine serves: sparse question tokens ->
+   containing chunk, with rare terms dominating. Evaluation is on a
+   HELD-OUT chunk set, reported next to the hash-encoder baseline on
+   identical data.
+
+2. no ``--corpus`` (CI smoke): the round-1 synthetic-paraphrase loop,
+   kept as the fast mechanics check.
+
+The training loop runs ON DEVICE: the pre-tokenized dataset lives in
+HBM and ``--steps-per-call`` SGD steps execute inside one jitted
+``lax.scan`` per host round-trip (the axon tunnel costs ~27 ms per
+dispatch — per-step host batches would spend more time in RTT than in
+compute).
+
+Production recipe (documented in docs/ENGINE.md "Encoders"):
+  python scripts/build_text_corpus.py --out /tmp/corpus.jsonl
+  python scripts/train_encoder.py --corpus /tmp/corpus.jsonl \
+      --steps 3000 --batch 256 --out checkpoints/minilm_ict.npz
+  RAGTPU_ENGINE_ENCODER=minilm \
+      RAGTPU_ENGINE_ENCODER_CKPT=checkpoints/minilm_ict.npz ...
+
+Reference analog: none — the reference outsources embeddings to Gemini
+(reference gemini_rag.py:319-326); owning them is SURVEY.md §2.5 item 6.
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import os
+import re
 import sys
 import time
 
@@ -47,6 +70,14 @@ TEMPLATES_D = [
     "notes about {t} from the engineering retrospective",
 ]
 
+_WORDS = re.compile(r"[A-Za-z0-9][A-Za-z0-9_.-]*")
+_SENT = re.compile(r"(?<=[.!?])\s+")
+_STOP = frozenset(
+    "a an the is are was were be been being do does did to of in on at "
+    "by for with from as and or but not no this that these those it its "
+    "if then than there here can could should would may might will "
+    "shall has have had".split())
+
 
 def make_pairs(rng: np.random.Generator, n: int) -> list[tuple[str, str]]:
     pairs = []
@@ -66,17 +97,170 @@ def retrieval_acc(enc, pairs) -> float:
     return float(np.mean(pred == np.arange(len(pairs))))
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--dim", type=int, default=384)
-    ap.add_argument("--steps", type=int, default=200)
-    ap.add_argument("--batch", type=int, default=32)
-    ap.add_argument("--lr", type=float, default=3e-4)
-    ap.add_argument("--max-len", type=int, default=32)
-    ap.add_argument("--out", default="/tmp/minilm_finetuned.npz")
-    ap.add_argument("--seed", type=int, default=0)
-    args = ap.parse_args()
+# -- ICT dataset --------------------------------------------------------------
 
+def load_chunks(path: str, *, max_words: int = 100,
+                max_chunks: int = 150_000) -> list[str]:
+    chunks: list[str] = []
+    with open(path) as f:
+        for line in f:
+            text = json.loads(line)["text"]
+            words = text.split()
+            for i in range(0, len(words), max_words):
+                part = " ".join(words[i: i + max_words])
+                if len(part.split()) >= 25:
+                    chunks.append(part)
+                if len(chunks) >= max_chunks:
+                    return chunks
+    return chunks
+
+
+def keyword_query(rng: np.random.Generator, chunk: str) -> str:
+    content = [w for w in _WORDS.findall(chunk.lower())
+               if w not in _STOP and len(w) > 2]
+    if not content:
+        return chunk[:40]
+    k = int(rng.integers(3, 9))
+    take = rng.choice(len(content), size=min(k, len(content)),
+                      replace=False)
+    return " ".join(content[i] for i in take)
+
+
+def sentence_query(rng: np.random.Generator, chunk: str) -> str:
+    sents = [s for s in _SENT.split(chunk) if len(s.split()) >= 4]
+    if not sents:
+        return chunk[:80]
+    return sents[int(rng.integers(len(sents)))]
+
+
+def build_ict_arrays(enc, chunks: list[str], *, q_len: int, d_len: int,
+                     seed: int, log=print):
+    """Pre-tokenized (q_ids [2n, q_len], d_ids [2n, d_len]) — row i and
+    row n+i are the keyword / sentence views of chunk i."""
+    rng = np.random.default_rng(seed)
+    t0 = time.perf_counter()
+    d_ids = enc.tokenizer.encode_batch(chunks, d_len)
+    kq = [keyword_query(rng, c) for c in chunks]
+    sq = [sentence_query(rng, c) for c in chunks]
+    q_ids = enc.tokenizer.encode_batch(kq + sq, q_len)
+    d_ids = np.concatenate([d_ids, d_ids])
+    log(f"tokenized {len(chunks)} chunks x2 views in "
+        f"{time.perf_counter()-t0:.0f}s")
+    return q_ids, d_ids
+
+
+def eval_retrieval(encode_fn, enc_name: str, chunks: list[str],
+                   queries: list[str], log=print) -> dict:
+    """recall@1/@10 of queries against their source chunks."""
+    d = encode_fn(chunks)
+    q = encode_fn(queries)
+    scores = q @ d.T
+    order = np.argsort(-scores, axis=1)[:, :10]
+    want = np.arange(len(queries))
+    r1 = float(np.mean(order[:, 0] == want))
+    r10 = float(np.mean([w in set(o) for w, o in zip(want, order)]))
+    log(f"{enc_name}: recall@1 {r1:.3f} recall@10 {r10:.3f} "
+        f"(n={len(queries)})")
+    return {"recall@1": r1, "recall@10": r10}
+
+
+def train_ict(args) -> None:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from rag_foundation_tpu.models.encoder import (MiniLMEncoder,
+                                                   contrastive_loss,
+                                                   save_params)
+    from rag_foundation_tpu.models.hash_encoder import HashingEncoder
+
+    def log(msg):
+        print(msg, file=sys.stderr, flush=True)
+
+    chunks = load_chunks(args.corpus, max_chunks=args.max_chunks)
+    log(f"{len(chunks)} chunks from {args.corpus} "
+        f"(backend: {jax.default_backend()})")
+    rng = np.random.default_rng(args.seed)
+    order = rng.permutation(len(chunks))
+    eval_n = min(args.eval_n, len(chunks) // 10)
+    eval_chunks = [chunks[i] for i in order[:eval_n]]
+    train_chunks = [chunks[i] for i in order[eval_n:]]
+
+    enc = MiniLMEncoder(dim=args.dim, seed=args.seed, max_len=args.d_len)
+    cfg = enc.cfg
+    q_ids, d_ids = build_ict_arrays(enc, train_chunks, q_len=args.q_len,
+                                    d_len=args.d_len, seed=args.seed,
+                                    log=log)
+    n_pairs = len(q_ids)
+    q_dev = jnp.asarray(q_ids)
+    d_dev = jnp.asarray(d_ids)
+
+    warmup = min(200, args.steps // 10)
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, args.lr, warmup, args.steps, end_value=args.lr * 0.05)
+    optimizer = optax.chain(optax.clip_by_global_norm(1.0),
+                            optax.adamw(sched))
+    opt_state = optimizer.init(enc.params)
+
+    def loss_fn(params, qb, db):
+        return contrastive_loss(params, qb, db, cfg,
+                                temperature=args.temperature,
+                                symmetric=True)
+
+    def one_step(carry, step_i):
+        params, opt_state, key = carry
+        k = jax.random.fold_in(key, step_i)
+        idx = jax.random.randint(k, (args.batch,), 0, n_pairs)
+        qb = jnp.take(q_dev, idx, axis=0)
+        db = jnp.take(d_dev, idx, axis=0)
+        loss, grads = jax.value_and_grad(loss_fn)(params, qb, db)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(
+            lambda p, u: (p + u.astype(p.dtype)), params, updates)
+        return (params, opt_state, key), loss
+
+    spc = min(args.steps_per_call, args.steps)
+
+    @jax.jit
+    def run_block(params, opt_state, key, base):
+        (params, opt_state, key), losses = jax.lax.scan(
+            one_step, (params, opt_state, key), base + jnp.arange(spc))
+        return params, opt_state, key, losses.mean()
+
+    params, key = enc.params, jax.random.key(args.seed + 1)
+    t0 = time.perf_counter()
+    done = 0
+    while done < args.steps:
+        params, opt_state, key, mloss = run_block(
+            params, opt_state, key, jnp.int32(done))
+        done += spc
+        log(f"step {done}/{args.steps}: loss {float(mloss):.4f} "
+            f"({(time.perf_counter()-t0)/done*1000:.0f} ms/step)")
+    enc.params = jax.tree_util.tree_map(jnp.asarray, params)
+    dur = time.perf_counter() - t0
+    log(f"trained {args.steps} steps in {dur:.0f}s")
+
+    # held-out eval: keyword queries against the held-out chunk pool,
+    # hash encoder on identical data as the baseline
+    rng_e = np.random.default_rng(args.seed + 7)
+    eval_queries = [keyword_query(rng_e, c) for c in eval_chunks]
+    mini = eval_retrieval(enc.encode, "minilm(ICT)", eval_chunks,
+                          eval_queries, log=log)
+    hash_enc = HashingEncoder(dim=args.dim)
+    hsh = eval_retrieval(
+        lambda ts: hash_enc.encode(ts), "hash-fnv-v2", eval_chunks,
+        eval_queries, log=log)
+
+    save_params(enc.params, args.out, cfg=cfg)
+    print(json.dumps({
+        "mode": "ict", "steps": args.steps, "batch": args.batch,
+        "chunks": len(chunks), "eval_n": eval_n,
+        "minilm": mini, "hash": hsh, "ckpt": args.out,
+        "train_s": round(dur, 1),
+    }))
+
+
+def train_synthetic(args) -> None:
     import jax
     import jax.numpy as jnp
     import optax
@@ -86,12 +270,9 @@ def main() -> None:
                                                    save_params)
 
     rng = np.random.default_rng(args.seed)
-    enc = MiniLMEncoder(dim=args.dim, seed=args.seed, max_len=args.max_len)
+    enc = MiniLMEncoder(dim=args.dim, seed=args.seed, max_len=args.q_len)
     cfg = enc.cfg
 
-    # deduplicated eval set (one query/doc per topic, unseen phrasings
-    # come from the same template universe — this measures alignment,
-    # not memorization of specific pairs)
     eval_pairs = [(TEMPLATES_Q[0].format(t=t), TEMPLATES_D[0].format(t=t))
                   for t in TOPICS]
     acc0 = retrieval_acc(enc, eval_pairs)
@@ -106,9 +287,9 @@ def main() -> None:
     for i in range(args.steps):
         pairs = make_pairs(rng, args.batch)
         q_ids = jnp.asarray(enc.tokenizer.encode_batch(
-            [p[0] for p in pairs], args.max_len))
+            [p[0] for p in pairs], args.q_len))
         d_ids = jnp.asarray(enc.tokenizer.encode_batch(
-            [p[1] for p in pairs], args.max_len))
+            [p[1] for p in pairs], args.q_len))
         params, opt_state, loss = step(params, opt_state, q_ids, d_ids)
         if i % 25 == 0 or i == args.steps - 1:
             print(f"step {i}: loss {float(loss):.4f}", file=sys.stderr)
@@ -121,6 +302,35 @@ def main() -> None:
     save_params(params, args.out, cfg=cfg)
     print(f"RESULT acc_before={acc0:.3f} acc_after={acc1:.3f} "
           f"ckpt={args.out}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dim", type=int, default=384)
+    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--temperature", type=float, default=0.05)
+    ap.add_argument("--corpus", default=None,
+                    help="corpus.jsonl from build_text_corpus.py -> ICT "
+                         "mode; omit for the synthetic smoke loop")
+    ap.add_argument("--max-chunks", type=int, default=150_000)
+    ap.add_argument("--eval-n", type=int, default=2048)
+    ap.add_argument("--q-len", type=int, default=32)
+    ap.add_argument("--d-len", type=int, default=128)
+    ap.add_argument("--steps-per-call", type=int, default=50)
+    ap.add_argument("--max-len", type=int, dest="q_len_legacy",
+                    default=None, help="(legacy alias of --q-len)")
+    ap.add_argument("--out", default="/tmp/minilm_finetuned.npz")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+    if args.q_len_legacy is not None:
+        args.q_len = args.q_len_legacy
+
+    if args.corpus:
+        train_ict(args)
+    else:
+        train_synthetic(args)
 
 
 if __name__ == "__main__":

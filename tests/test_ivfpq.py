@@ -204,7 +204,7 @@ def test_ivfpq_refine_recovers_near_duplicate_recall():
     assert rec >= 0.85, rec
 
     # without refine the 4-bit ADC cannot rank this regime
-    no_ref = idx._replace(refine=jnp.zeros((0, 0), jnp.int32))
+    no_ref = idx._replace(refine=jnp.zeros((0, 0), jnp.int8))
     _, ids0, _ = ivfpq_search(no_ref, jnp.asarray(q), 10, nprobe=16,
                               p=32)
     rec0 = _recall(np.asarray(ids0), np.asarray(ei), 10)
@@ -230,7 +230,7 @@ def test_ivfpq_no_refine_path_and_nbits8():
     top1 = (np.asarray(i8)[:, 0] == np.asarray(ei)[:, 0]).mean()
     # capture is p-bound in the legacy per-list top-p path; the refine
     # must rank whatever was captured correctly
-    no_ref8 = idx8._replace(refine=jnp.zeros((0, 0), jnp.int32))
+    no_ref8 = idx8._replace(refine=jnp.zeros((0, 0), jnp.int8))
     _, i80, _ = ivfpq_search(no_ref8, q, 5, nprobe=32, p=32)
     top1_0 = (np.asarray(i80)[:, 0] == np.asarray(ei)[:, 0]).mean()
     assert top1 >= max(0.8, top1_0), (top1, top1_0)

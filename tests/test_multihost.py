@@ -1,0 +1,81 @@
+"""Multi-host DCN entry point: 2-process smoke test on CPU.
+
+SURVEY.md §2.4 names the JAX distributed runtime for multi-host
+deployments; ``parallel.mesh.init_distributed`` is the wiring. No
+second host exists here, so two LOCAL processes form the "pod": each
+joins the coordinator, sees the GLOBAL device set, and a psum rides the
+cross-process collective path (gloo on CPU — DCN on real pods; the
+program is identical, which is the point of the test).
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+_CHILD = r"""
+import json, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+coordinator, pid, out_path = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+
+from rag_foundation_tpu.parallel.mesh import init_distributed, make_mesh
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+assert init_distributed(coordinator=coordinator, num_processes=2,
+                        process_id=pid)
+assert jax.process_count() == 2
+assert len(jax.devices()) == 2          # global view
+assert jax.local_device_count() == 1
+
+mesh = make_mesh(2)                     # (data=1, shard=2) across hosts
+sharding = NamedSharding(mesh, P("shard"))
+local = np.array([float(pid + 1)], np.float32)
+arr = jax.make_array_from_process_local_data(sharding, local, (2,))
+total = jax.jit(jnp.sum,
+                out_shardings=NamedSharding(mesh, P()))(arr)
+# replicated output: every process holds the full value locally
+import numpy as _np
+value = float(_np.asarray(total.addressable_data(0)))
+json.dump({"pid": pid, "total": value}, open(out_path, "w"))
+"""
+
+
+def test_two_process_psum(tmp_path):
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coordinator = f"127.0.0.1:{port}"
+    child = tmp_path / "child.py"
+    child.write_text(_CHILD)
+    import os
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(Path(__file__).parent.parent)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(child), coordinator, str(i),
+             str(tmp_path / f"out{i}.json")],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=110)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("distributed smoke timed out")
+        outs.append((p.returncode, err.decode()[-2000:]))
+    for rc, err in outs:
+        assert rc == 0, err
+    for i in range(2):
+        got = json.loads((tmp_path / f"out{i}.json").read_text())
+        # psum over both hosts: 1.0 + 2.0
+        assert got["total"] == 3.0
