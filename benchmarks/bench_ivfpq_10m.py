@@ -286,6 +286,13 @@ def main():
         log(f"int8 exact-scan ceiling vs f32 GT: {ceiling:.4f}")
 
     def run_config(refine_c):
+        try:
+            ms = jax.local_devices()[0].memory_stats() or {}
+            log(f"HBM in use before search: "
+                f"{ms.get('bytes_in_use', 0)/2**30:.2f} GiB "
+                f"(peak {ms.get('peak_bytes_in_use', 0)/2**30:.2f})")
+        except Exception:
+            pass
         kw = dict(nprobe=args.nprobe, p=args.p,
                   qcap=args.qcap or None, refine_c=refine_c,
                   cap_block=args.cap_block or None)

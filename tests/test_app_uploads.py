@@ -258,3 +258,33 @@ def test_ingestion_error_sanitized(tmp_path):
     assert "/root" not in msg and "secret" not in msg
     msg = _sanitize_error(RuntimeError("engine exploded"))
     assert "ingestion failed" in msg
+
+
+def test_mime_universe_and_container_extraction():
+    """Reference-parity MIME breadth (reference file_types.py:7-224) +
+    zip-container text extraction."""
+    import io
+    import zipfile
+
+    from rag_foundation_tpu.app.file_types import (ALL_SUPPORTED,
+                                                   DOC_WORD, PROFILES,
+                                                   extract_text,
+                                                   validate_magic)
+    assert len(ALL_SUPPORTED) >= 180  # the full supported universe
+    assert {"text/x-rust", "text/x-go", "application/sql",
+            "text/vnd.graphviz", "application/epub+zip"} <= ALL_SUPPORTED
+    assert PROFILES["safe"] < PROFILES["office"] \
+        < PROFILES["all-supported"]
+    # OLE + zip magics
+    assert validate_magic("application/msword", b"\xd0\xcf\x11\xe0x")
+    assert not validate_magic("application/msword", b"%PDF-")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("word/document.xml",
+                   "<w:p>The quarterly report discusses revenue growth "
+                   "and churn in considerable detail.</w:p>")
+        z.writestr("word/media/img.png", b"\x89PNG not text")
+    data = buf.getvalue()
+    assert validate_magic(DOC_WORD, data[:8])
+    text = extract_text(data, DOC_WORD)
+    assert "quarterly report" in text and "PNG" not in text
