@@ -84,6 +84,9 @@ def main():
     ap.add_argument("--corpus", choices=["docwalk", "clustered"],
                     default="docwalk")
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--sweep", nargs="+", default=None,
+                    help="q:qcap:refine_c[:p[:cap_block]] specs; one "
+                         "build, many search configs")
     args = ap.parse_args()
 
     import jax
@@ -285,46 +288,62 @@ def main():
                            for a, b in zip(gt8_ids, exact_ids)])
         log(f"int8 exact-scan ceiling vs f32 GT: {ceiling:.4f}")
 
-    def run_config(refine_c):
-        try:
-            ms = jax.local_devices()[0].memory_stats() or {}
-            log(f"HBM in use before search: "
-                f"{ms.get('bytes_in_use', 0)/2**30:.2f} GiB "
-                f"(peak {ms.get('peak_bytes_in_use', 0)/2**30:.2f})")
-        except Exception:
-            pass
-        kw = dict(nprobe=args.nprobe, p=args.p,
-                  qcap=args.qcap or None, refine_c=refine_c,
-                  cap_block=args.cap_block or None)
+    def run_config(refine_c, q_n=None, qcap=None, p=None, cb=None):
+        q_n = q_n or args.q
+        qv = queries[:q_n]
+        label = f"q={q_n} qcap={qcap or 'auto'} C={refine_c}" \
+            + (f" p={p}" if p else "") + (f" cb={cb}" if cb else "")
+        kw = dict(nprobe=args.nprobe, p=p or args.p,
+                  qcap=qcap or args.qcap or None, refine_c=refine_c,
+                  cap_block=cb or args.cap_block or None)
         t0 = time.perf_counter()
-        vals, ids, dropped = ivfpq_search(index, queries, args.k, **kw)
-        _ = np.asarray(vals)
-        log(f"[C={refine_c}] compile+first: {time.perf_counter()-t0:.1f}s;"
+        try:
+            vals, ids, dropped = ivfpq_search(index, qv, args.k, **kw)
+            _ = np.asarray(vals)
+        except Exception as e:
+            log(f"[{label}] FAILED: {str(e)[:160]}")
+            return label, None, None, None
+        log(f"[{label}] compile+first: {time.perf_counter()-t0:.1f}s;"
             f" probe drops: {int(dropped)}")
         t0 = time.perf_counter()
         for _ in range(args.reps):
-            vals, ids, dropped = ivfpq_search(index, queries, args.k,
-                                              **kw)
+            vals, ids, dropped = ivfpq_search(index, qv, args.k, **kw)
         _ = np.asarray(vals)
         per = (time.perf_counter() - t0 - rtt) / args.reps
-        qps = args.q / per
-        approx_ids = np.asarray(ids[: args.gt_sub])
+        qps = q_n / per
+        approx_ids = np.asarray(ids[: min(args.gt_sub, q_n)])
+        sub = len(approx_ids)
         rec = np.mean([len(set(a) & set(b)) / args.k
-                       for a, b in zip(approx_ids, exact_ids)])
+                       for a, b in zip(approx_ids, exact_ids[:sub])])
         rec_sp = None
         if gt8_ids is not None:
             rec_sp = np.mean([len(set(a) & set(b)) / args.k
-                              for a, b in zip(approx_ids, gt8_ids)])
-        log(f"[C={refine_c}] {per*1000:.2f} ms/batch ({args.q} q) -> "
+                              for a, b in zip(approx_ids, gt8_ids[:sub])])
+        log(f"[{label}] {per*1000:.2f} ms/batch ({q_n} q) -> "
             f"{qps:.0f} QPS; recall_e2e={rec:.4f}"
             + (f" recall_sp={rec_sp:.4f}" if rec_sp is not None else ""))
-        return qps, rec, rec_sp
+        return label, qps, rec, rec_sp
 
-    results = [(c,) + run_config(c) for c in args.refine_c]
-    qps, rec, rec_sp = results[0][1:]
-    for c, a, b, s in results:
-        log(f"SWEEP C={c}: qps={a:.0f} recall_e2e={b:.4f}"
+    if args.sweep:
+        results = []
+        for spec in args.sweep:
+            parts = [int(x) if x else 0 for x in spec.split(":")]
+            parts += [0] * (5 - len(parts))
+            qn, qc, c, p, cb = parts
+            results.append(run_config(c or args.refine_c[0],
+                                      q_n=qn or None, qcap=qc or None,
+                                      p=p or None, cb=cb or None))
+    else:
+        results = [run_config(c) for c in args.refine_c]
+    results = [r for r in results if r[1] is not None]
+    if not results:
+        print("RESULT qps=0 recall=0")
+        return
+    best = max(results, key=lambda r: r[1] * (r[2] >= 0.95))
+    for label, a, b, s in results:
+        log(f"SWEEP [{label}]: qps={a:.0f} recall_e2e={b:.4f}"
             + (f" recall_sp={s:.4f}" if s is not None else ""))
+    qps, rec, rec_sp = best[1:]
     print(f"RESULT qps={qps:.0f} recall={rec:.4f}"
           + (f" recall_sp={rec_sp:.4f}" if rec_sp is not None else "")
           + (f" int8_ceiling={ceiling:.4f}" if ceiling is not None

@@ -532,6 +532,20 @@ def register(app, ctx):
             " LIMIT 100", (user.id,))
         return Response({"sessions": [dict(r) for r in rows]})
 
+    @app.delete("/api/chat/sessions/{session_id}")
+    async def delete_session(req):
+        """Delete a chat session + its history (reference thread
+        persistence exposes thread deletion —
+        frontend/src/hooks/useThreadPersistence.ts)."""
+        user = get_current_user(req, db, ctx.kv, settings)
+        sid = int(req.path_params["session_id"])
+        if db.one("SELECT id FROM chat_sessions WHERE id=? AND user_id=?",
+                  (sid, user.id)) is None:
+            raise HTTPError(404, "Session not found")
+        db.execute("DELETE FROM chat_history WHERE session_id=?", (sid,))
+        db.execute("DELETE FROM chat_sessions WHERE id=?", (sid,))
+        return Response({"deleted": sid})
+
     @app.get("/api/chat/sessions/{session_id}/messages")
     async def session_messages(req):
         user = get_current_user(req, db, ctx.kv, settings)

@@ -28,8 +28,10 @@ def _validate(key: str, value: str) -> None:
         raise HTTPError(422, "Value too long")
     if key.endswith("_color") and value and not _COLOR_RE.match(value):
         raise HTTPError(422, f"{key} must be a hex color")
-    if key == "theme" and value not in ("", "light", "dark", "system"):
-        raise HTTPError(422, "theme must be light|dark|system")
+    if key == "theme" and value not in (
+            "", "light", "dark", "system", "ocean", "forest", "contrast"):
+        raise HTTPError(
+            422, "theme must be light|dark|system|ocean|forest|contrast")
 
 
 def register(app, ctx):

@@ -1,7 +1,10 @@
 /* Frontend logic — REST + SSE client for the rag-foundation-tpu API.
  * SSE adapter parity with the reference's useSseRuntime.ts: parses the
  * start/text-start/text-delta/text-end/source-document/error/finish
- * frames terminated by [DONE], skipping ": keepalive" comments. */
+ * frames terminated by [DONE], skipping ": keepalive" comments.
+ * Components mirror the reference React tree (CitationPanel, theme
+ * presets + ThemePreview, useUploads op-status polling, thread
+ * persistence) as vanilla functions. */
 "use strict";
 
 const state = {
@@ -11,6 +14,7 @@ const state = {
   sessionId: null,
   role: "user",
   streaming: false,
+  abort: null,
 };
 
 const $ = (id) => document.getElementById(id);
@@ -29,6 +33,62 @@ async function api(method, path, body, isForm = false) {
     ? await resp.json() : await resp.text();
   if (!resp.ok) throw new Error(data.detail || resp.statusText);
   return data;
+}
+
+/* ---- themes (reference themes/presets.ts) ---------------------------- */
+const THEMES = ["system", "light", "dark", "ocean", "forest", "contrast"];
+const THEME_SWATCHES = {
+  light: ["#f7f7f9", "#2456c4", "#1c1e21"],
+  dark: ["#121417", "#6ea8fe", "#e8eaed"],
+  ocean: ["#0b2233", "#39c1e0", "#dff3ff"],
+  forest: ["#f2f6ef", "#2e7d32", "#21301f"],
+  contrast: ["#000", "#ffd600", "#fff"],
+  system: ["#888", "#aaa", "#ccc"],
+};
+
+function applyTheme(name, persist) {
+  if (!THEMES.includes(name)) name = "system";
+  document.body.dataset.theme = name;
+  if (persist) localStorage.setItem("ragtpu-theme", name);
+  $("theme-quick").value = name;
+  document.querySelectorAll(".theme-card").forEach((c) =>
+    c.classList.toggle("active", c.dataset.theme === name));
+}
+
+function initThemeControls() {
+  const sel = $("theme-quick");
+  for (const t of THEMES) {
+    const opt = document.createElement("option");
+    opt.value = t;
+    opt.textContent = t;
+    sel.appendChild(opt);
+  }
+  sel.addEventListener("change", () => applyTheme(sel.value, true));
+  const grid = $("theme-presets");
+  for (const t of THEMES) {
+    const card = document.createElement("div");
+    card.className = "theme-card";
+    card.dataset.theme = t;
+    card.innerHTML = `<b>${t}</b>`;
+    const sw = document.createElement("div");
+    sw.className = "sw";
+    for (const c of THEME_SWATCHES[t]) {
+      const i = document.createElement("i");
+      i.style.background = c;
+      sw.appendChild(i);
+    }
+    card.appendChild(sw);
+    card.addEventListener("click", async () => {
+      applyTheme(t, true);
+      // admins persist the deployment default (reference
+      // CustomizationPanel saves theme to settings)
+      if (state.role === "admin") {
+        try { await api("PUT", "/api/settings", { theme: t }); }
+        catch (e) { /* non-admin or validation error */ }
+      }
+    });
+    grid.appendChild(card);
+  }
 }
 
 /* ---- auth ---------------------------------------------------------- */
@@ -59,7 +119,31 @@ $("login-form").addEventListener("submit", async (e) => {
   } catch (err) { $("login-error").textContent = err.message; }
 });
 
+/* password rules surfaced live on register (reference
+ * utils/passwordValidation.ts) */
+const PW_RULES = [
+  ["At least 10 characters", (p) => p.length >= 10],
+  ["An uppercase letter", (p) => /[A-Z]/.test(p)],
+  ["A lowercase letter", (p) => /[a-z]/.test(p)],
+  ["A digit", (p) => /[0-9]/.test(p)],
+];
+
+function renderPasswordHints() {
+  const ul = $("password-hints");
+  ul.hidden = false;
+  ul.innerHTML = "";
+  const p = $("login-password").value;
+  for (const [label, test] of PW_RULES) {
+    const li = document.createElement("li");
+    li.textContent = label;
+    li.className = test(p) ? "ok" : "";
+    ul.appendChild(li);
+  }
+}
+
 $("register-btn").addEventListener("click", async () => {
+  renderPasswordHints();
+  $("login-password").addEventListener("input", renderPasswordHints);
   try {
     await api("POST", "/api/auth/register", {
       email: $("login-email").value, password: $("login-password").value,
@@ -129,24 +213,55 @@ async function renderStoreCards() {
   for (const s of state.stores) {
     const card = document.createElement("div");
     card.className = "card";
-    card.innerHTML = `<h4>${s.name}</h4>`;
+    const created = s.created_at
+      ? new Date(s.created_at * 1000).toLocaleDateString() : "";
+    card.innerHTML = `<h4>${esc(s.name)}</h4>
+      <p class="doc-row"><span class="status">created ${created}</span></p>`;
     const del = document.createElement("button");
     del.textContent = "Delete store";
     del.addEventListener("click", async () => {
+      if (!confirm(`Delete store "${s.name}" and all its documents?`)) {
+        return;
+      }
       await api("DELETE", `/api/stores/${s.id}`);
       refreshStores();
     });
+    const drop = document.createElement("div");
+    drop.className = "dropzone";
+    drop.textContent = "Drop files here or click to choose";
     const up = document.createElement("input");
     up.type = "file";
-    up.addEventListener("change", () => uploadFile(s.id, up, card));
+    up.multiple = true;
+    up.hidden = true;
+    drop.addEventListener("click", () => up.click());
+    drop.addEventListener("dragover", (e) => {
+      e.preventDefault();
+      drop.classList.add("over");
+    });
+    drop.addEventListener("dragleave", () =>
+      drop.classList.remove("over"));
+    drop.addEventListener("drop", (e) => {
+      e.preventDefault();
+      drop.classList.remove("over");
+      for (const f of e.dataTransfer.files) uploadFile(s.id, f, card);
+    });
+    up.addEventListener("change", () => {
+      for (const f of up.files) uploadFile(s.id, f, card);
+      up.value = "";
+    });
+    const uploads = document.createElement("div");
+    uploads.className = "uploads";
     const docs = document.createElement("ul");
-    card.append(del, up, docs);
+    card.append(del, drop, up, uploads, docs);
     root.appendChild(card);
     const out = await api("GET", `/api/stores/${s.id}/documents`);
     for (const d of out.documents) {
       const li = document.createElement("li");
-      li.textContent = `${d.filename} — ${d.status}` +
-        (d.last_error ? ` (${d.last_error})` : "");
+      li.className = "doc-row";
+      li.innerHTML = `<span>${esc(d.filename)}</span>
+        <span class="status ${d.status}">${d.status}` +
+        (d.chunks ? ` · ${d.chunks} chunks` : "") +
+        (d.last_error ? ` — ${esc(d.last_error)}` : "") + `</span>`;
       const rm = document.createElement("button");
       rm.textContent = "✕";
       rm.addEventListener("click", async () => {
@@ -159,24 +274,48 @@ async function renderStoreCards() {
   }
 }
 
-async function uploadFile(storeId, input, card) {
-  const file = input.files[0];
-  if (!file) return;
-  const form = new FormData();
-  form.append("store_id", String(storeId));
-  form.append("file", file);
-  const out = await api("POST", "/api/upload", form, true);
-  const status = document.createElement("p");
-  status.textContent = `ingesting ${file.name}…`;
-  card.appendChild(status);
-  const poll = setInterval(async () => {   // op-status loop (useUploads.ts)
-    const st = await api("GET", `/api/upload/op-status/${out.op_id}`);
-    if (st.done) {
-      clearInterval(poll);
-      status.remove();
-      renderStoreCards();
-    }
-  }, 800);
+/* per-file progress element (reference useUploads.ts + upload progress
+ * components): uploading -> queued/processing (elapsed) -> done/error */
+async function uploadFile(storeId, file, card) {
+  const item = document.createElement("div");
+  item.className = "upload-item";
+  item.innerHTML = `<span>${esc(file.name)}</span>
+    <span class="phase">uploading…</span>`;
+  card.querySelector(".uploads").appendChild(item);
+  const phase = item.querySelector(".phase");
+  const t0 = Date.now();
+  try {
+    const form = new FormData();
+    form.append("store_id", String(storeId));
+    form.append("file", file);
+    const out = await api("POST", "/api/upload", form, true);
+    const poll = setInterval(async () => {
+      try {
+        const st = await api("GET", `/api/upload/op-status/${out.op_id}`);
+        const secs = Math.round((Date.now() - t0) / 1000);
+        if (st.done) {
+          clearInterval(poll);
+          if (st.error) {
+            item.classList.add("error");
+            phase.textContent = `error: ${st.error}`;
+          } else {
+            phase.textContent = `done (${st.chunks} chunks, ${secs}s)`;
+            setTimeout(() => { item.remove(); renderStoreCards(); },
+                       1500);
+          }
+        } else {
+          phase.textContent = `${st.status.toLowerCase()}… ${secs}s`;
+        }
+      } catch (e) {
+        clearInterval(poll);
+        item.classList.add("error");
+        phase.textContent = `error: ${e.message}`;
+      }
+    }, 800);
+  } catch (e) {
+    item.classList.add("error");
+    phase.textContent = `error: ${e.message}`;
+  }
 }
 
 $("store-form").addEventListener("submit", async (e) => {
@@ -187,14 +326,37 @@ $("store-form").addEventListener("submit", async (e) => {
 });
 
 /* ---- chat (SSE) ------------------------------------------------------ */
+function relTime(ts) {
+  const s = Math.max(1, (Date.now() / 1000 - ts) | 0);
+  if (s < 60) return `${s}s`;
+  if (s < 3600) return `${(s / 60) | 0}m`;
+  if (s < 86400) return `${(s / 3600) | 0}h`;
+  return `${(s / 86400) | 0}d`;
+}
+
 async function refreshSessions() {
   const out = await api("GET", "/api/chat/sessions");
   const ul = $("session-list");
   ul.innerHTML = "";
   for (const s of out.sessions) {
     const li = document.createElement("li");
-    li.textContent = s.title || `session ${s.id}`;
     li.classList.toggle("active", s.id === state.sessionId);
+    const title = document.createElement("span");
+    title.textContent = s.title || `session ${s.id}`;
+    const when = document.createElement("span");
+    when.className = "when";
+    when.textContent = relTime(s.updated_at || s.created_at);
+    const del = document.createElement("button");
+    del.className = "del";
+    del.textContent = "✕";
+    del.title = "Delete session";
+    del.addEventListener("click", async (e) => {
+      e.stopPropagation();
+      await api("DELETE", `/api/chat/sessions/${s.id}`);
+      if (state.sessionId === s.id) $("new-session").click();
+      refreshSessions();
+    });
+    li.append(title, when, del);
     li.addEventListener("click", () => loadSession(s.id));
     ul.appendChild(li);
   }
@@ -211,11 +373,26 @@ async function loadSession(id) {
 $("new-session").addEventListener("click", () => {
   state.sessionId = null;
   $("messages").innerHTML = "";
-  $("citation-list").innerHTML = "";
-  $("citations").hidden = true;
+  $("messages").appendChild($("welcome-card") || welcomeCard());
 });
 
+function welcomeCard() {
+  const div = document.createElement("div");
+  div.className = "card welcome";
+  div.id = "welcome-card";
+  div.innerHTML = "<h3>Ask your documents</h3>";
+  return div;
+}
+
+function esc(s) {
+  const div = document.createElement("div");
+  div.textContent = s == null ? "" : String(s);
+  return div.innerHTML;
+}
+
 function addMessage(role, text) {
+  const w = $("welcome-card");
+  if (w) w.remove();
   const div = document.createElement("div");
   div.className = `msg ${role}`;
   div.textContent = text;
@@ -224,32 +401,60 @@ function addMessage(role, text) {
   return div;
 }
 
+/* CitationPanel analog: numbered, expandable, attached to the message */
+function citationPanel() {
+  const details = document.createElement("details");
+  details.className = "citations";
+  details.innerHTML = "<summary>Sources (0)</summary><ol></ol>";
+  return details;
+}
+
+function addCitation(panel, frame) {
+  const ol = panel.querySelector("ol");
+  const li = document.createElement("li");
+  li.innerHTML = `<span class="cite-title">${esc(frame.title)}</span>
+    <div class="cite-snippet">${esc(frame.snippet || "")}</div>`;
+  ol.appendChild(li);
+  panel.querySelector("summary").textContent =
+    `Sources (${ol.children.length})`;
+}
+
+$("stop").addEventListener("click", () => state.abort?.abort());
+
 $("chat-form").addEventListener("submit", async (e) => {
   e.preventDefault();
   if (state.streaming) return;
   const q = $("question").value.trim();
   if (!q || !state.selectedStores.size) {
-    $("chat-error").textContent = q ? "Select at least one store"
-                                    : "";
+    $("chat-error").textContent = q ? "Select at least one store" : "";
     return;
   }
   $("question").value = "";
   $("chat-error").textContent = "";
   addMessage("user", q);
   const target = addMessage("assistant", "");
+  const panel = citationPanel();
   state.streaming = true;
+  state.abort = new AbortController();
   $("send").disabled = true;
+  $("stop").hidden = false;
   try {
     const headers = { "Content-Type": "application/json",
                       "X-Requested-With": "XMLHttpRequest",
                       Authorization: `Bearer ${state.token}` };
+    const body = {
+      question: q,
+      store_ids: [...state.selectedStores],
+      session_id: state.sessionId,
+    };
+    const topk = $("opt-topk").value;
+    if (topk) body.top_k = parseInt(topk, 10);
+    const tags = $("opt-tags").value.trim();
+    if (tags) body.tags = tags.split(",").map((t) => t.trim())
+                              .filter(Boolean);
     const resp = await fetch("/api/chat", {
-      method: "POST", headers,
-      body: JSON.stringify({
-        question: q,
-        store_ids: [...state.selectedStores],
-        session_id: state.sessionId,
-      }),
+      method: "POST", headers, body: JSON.stringify(body),
+      signal: state.abort.signal,
     });
     if (!resp.ok) {
       const err = await resp.json();
@@ -257,19 +462,24 @@ $("chat-form").addEventListener("submit", async (e) => {
     }
     const sid = resp.headers.get("x-session-id");
     if (sid) state.sessionId = parseInt(sid, 10);
-    $("citation-list").innerHTML = "";
-    $("citations").hidden = true;
-    await consumeSse(resp, target);
+    await consumeSse(resp, target, panel);
+    if (panel.querySelector("ol").children.length) {
+      target.after(panel);
+    }
     refreshSessions();
   } catch (err) {
-    $("chat-error").textContent = err.message;
+    if (err.name !== "AbortError") {
+      $("chat-error").textContent = err.message;
+    }
   } finally {
     state.streaming = false;
+    state.abort = null;
     $("send").disabled = false;
+    $("stop").hidden = true;
   }
 });
 
-async function consumeSse(resp, target) {
+async function consumeSse(resp, target, panel) {
   const reader = resp.body.getReader();
   const decoder = new TextDecoder();
   let buffer = "";
@@ -285,25 +495,21 @@ async function consumeSse(resp, target) {
         if (!line.startsWith("data: ")) continue;  // keepalive comments
         const payload = line.slice(6);
         if (payload === "[DONE]") return;
-        handleFrame(JSON.parse(payload), target);
+        handleFrame(JSON.parse(payload), target, panel);
       }
     }
   }
 }
 
-function handleFrame(frame, target) {
+function handleFrame(frame, target, panel) {
   switch (frame.type) {
     case "text-delta":
       target.textContent += frame.delta;
       $("messages").scrollTop = $("messages").scrollHeight;
       break;
-    case "source-document": {
-      $("citations").hidden = false;
-      const li = document.createElement("li");
-      li.innerHTML = `<b>${frame.title}</b> — ${frame.snippet || ""}`;
-      $("citation-list").appendChild(li);
+    case "source-document":
+      addCitation(panel, frame);
       break;
-    }
     case "error":
     case "budget_exceeded":
       $("chat-error").textContent = frame.message || frame.errorText;
@@ -313,22 +519,30 @@ function handleFrame(frame, target) {
   }
 }
 
-/* ---- costs ----------------------------------------------------------- */
+/* ---- costs (reference CostPanel.tsx: MTD + budget meter) -------------- */
 async function refreshCosts() {
   const c = await api("GET", "/api/costs/summary");
+  const mtd = +c.month_to_date_usd;
+  let budgetCard;
+  if (c.budget_usd === null) {
+    budgetCard = "<p>no budget set</p>";
+  } else {
+    const used = Math.min(100, (mtd / +c.budget_usd) * 100 || 0);
+    budgetCard = `<p>$${c.budget_usd} budget · $${c.remaining_usd}
+      left</p><div class="meter ${used > 85 ? "hot" : ""}">
+      <div style="width:${used.toFixed(1)}%"></div></div>`;
+  }
   $("cost-panel").innerHTML = `
     <div class="card"><h4>Month to date</h4>
-      <p>$${(+c.month_to_date_usd).toFixed(4)}</p></div>
+      <p>$${mtd.toFixed(4)}</p></div>
     <div class="card"><h4>Queries</h4><p>${c.queries}
       (${c.prompt_tokens} in / ${c.completion_tokens} out tok)</p></div>
     <div class="card"><h4>Indexing</h4><p>${c.index_tokens} tokens,
       $${(+c.index_cost_usd).toFixed(4)}</p></div>
-    <div class="card"><h4>Budget</h4><p>${c.budget_usd === null ?
-      "no budget set" : `$${c.budget_usd} ($${c.remaining_usd} left)`}
-    </p></div>`;
+    <div class="card"><h4>Budget</h4>${budgetCard}</div>`;
 }
 
-/* ---- admin ------------------------------------------------------------ */
+/* ---- admin (reference AdminSystemCards / WatchdogCard / audit) -------- */
 async function refreshAdmin() {
   const users = await api("GET", "/api/admin/users");
   const table = $("admin-users");
@@ -336,7 +550,8 @@ async function refreshAdmin() {
                     "<th>active</th><th></th></tr>";
   for (const u of users.users) {
     const tr = document.createElement("tr");
-    tr.innerHTML = `<td>${u.id}</td><td>${u.email}</td><td>${u.role}</td>` +
+    tr.innerHTML = `<td>${u.id}</td><td>${esc(u.email)}</td>` +
+                   `<td>${u.role}</td>` +
                    `<td>${u.is_active ? "yes" : "no"}</td>`;
     const td = document.createElement("td");
     const toggle = document.createElement("button");
@@ -346,11 +561,30 @@ async function refreshAdmin() {
                 { role: u.role === "admin" ? "user" : "admin" });
       refreshAdmin();
     });
-    td.appendChild(toggle);
+    const act = document.createElement("button");
+    act.textContent = u.is_active ? "deactivate" : "activate";
+    act.addEventListener("click", async () => {
+      await api("PATCH", `/api/admin/users/${u.id}`,
+                { is_active: !u.is_active });
+      refreshAdmin();
+    });
+    td.append(toggle, " ", act);
     tr.appendChild(td);
     table.appendChild(tr);
   }
   const sys = await api("GET", "/api/admin/system");
+  const cards = $("admin-system-cards");
+  cards.innerHTML = "";
+  const items = [
+    ["Users", sys.users], ["Stores", sys.stores],
+    ["Documents", sys.documents], ["Queue pending", sys.queue_pending],
+  ].filter(([, v]) => v !== undefined);
+  for (const [label, v] of items) {
+    const div = document.createElement("div");
+    div.className = "card";
+    div.innerHTML = `<h4>${label}</h4><p>${v}</p>`;
+    cards.appendChild(div);
+  }
   $("admin-system").textContent = JSON.stringify(sys, null, 2);
   const sel = $("recall-store");
   sel.innerHTML = "<option value=''>store…</option>";
@@ -368,7 +602,7 @@ async function refreshAdmin() {
     const tr = document.createElement("tr");
     const when = new Date(a.created_at * 1000).toISOString();
     tr.innerHTML = `<td>${when}</td><td>${a.admin_user_id}</td>` +
-                   `<td>${a.action}</td><td>${a.target}</td>`;
+                   `<td>${esc(a.action)}</td><td>${esc(a.target)}</td>`;
     at.appendChild(tr);
   }
 }
@@ -397,7 +631,6 @@ $("branding-form").addEventListener("submit", async (e) => {
   e.preventDefault();
   const body = {};
   if ($("branding-name").value) body.app_name = $("branding-name").value;
-  if ($("branding-theme").value) body.theme = $("branding-theme").value;
   await api("PUT", "/api/settings", body);
   applyBranding();
 });
@@ -410,11 +643,16 @@ async function applyBranding() {
       $("app-name").textContent = s.app_name;
       document.title = s.app_name;
     }
-    if (s.theme) document.body.dataset.theme = s.theme;
+    // user-local theme choice beats the deployment default
+    if (s.theme && !localStorage.getItem("ragtpu-theme")) {
+      applyTheme(s.theme, false);
+    }
   } catch (e) { /* pre-auth errors fine */ }
 }
 
 /* ---- boot -------------------------------------------------------------- */
+initThemeControls();
+applyTheme(localStorage.getItem("ragtpu-theme") || "system", false);
 applyBranding();
 if (state.token) {
   api("GET", "/api/stores").then(() => setLoggedIn(state.token))

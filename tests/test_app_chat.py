@@ -211,6 +211,16 @@ def test_sessions_persist_and_list(tmp_path):
     h2 = signup(client, "other@example.com")
     assert client.get(f"/api/chat/sessions/{session_id}/messages",
                       headers=h2).status_code == 404
+    # ...or delete it
+    assert client.delete(f"/api/chat/sessions/{session_id}",
+                         headers=h2).status_code == 404
+    # the owner can delete: session + history gone
+    assert client.delete(f"/api/chat/sessions/{session_id}",
+                         headers=headers).status_code == 200
+    assert client.get(f"/api/chat/sessions/{session_id}/messages",
+                      headers=headers).status_code == 404
+    sessions = client.get("/api/chat/sessions", headers=headers).json()
+    assert all(s["id"] != session_id for s in sessions["sessions"])
 
 
 def test_history_trimming_preserves_newest():

@@ -29,3 +29,23 @@ def test_csp_allows_self_only(tmp_path):
     client, _ = make_app(tmp_path)
     csp = client.get("/").headers["content-security-policy"]
     assert "default-src 'self'" in csp
+
+
+def test_spa_components_present(tmp_path):
+    """Round-2 frontend depth: theme presets, per-message citation
+    panel, upload progress, session management (reference
+    frontend/src components rebuilt vanilla)."""
+    client, _ = make_app(tmp_path)
+    js = client.get("/static/app.js").text
+    for marker in ("THEME_SWATCHES", "citationPanel", "upload-item",
+                   "PW_RULES", "DELETE\", `/api/chat/sessions/",
+                   "AbortController", "dropzone"):
+        assert marker in js, marker
+    css = client.get("/static/style.css").text
+    for theme in ("ocean", "forest", "contrast",
+                  "prefers-color-scheme"):
+        assert theme in css, theme
+    html = client.get("/").text
+    for el in ("theme-quick", "theme-presets", "welcome-card",
+               "opt-topk", "opt-tags", "password-hints"):
+        assert f'id="{el}"' in html, el
