@@ -1,0 +1,281 @@
+"""100M x 768 on ONE TPU v5e chip: packed 4-bit IVF-PQ (BASELINE
+config 5's corpus size, single-chip memory-tier variant).
+
+int8-flat caps out near ~15M vectors/chip (7.7 GB at 10M); packed
+4-bit residual PQ stores 96 B/vector, so 100M fits HBM on one chip
+(~11.3 GiB padded codes + 0.5 GiB ids). This bench builds and queries
+that index end-to-end on the real chip — replacing round 1's 100M
+"projection" (docs/ENGINE.md 30M row) with a measured run. The sharded
+v5e-8 int8-flat path remains the SPEED story for config 5 (virtual-mesh
+merge tests + the 12.5M/chip real slice); this is the CAPACITY story.
+
+Design notes:
+- Host-staged build: the code scatter's donation does NOT alias for
+  [N, 96]-byte minor dims (XLA inserts an 11 GB copy -> OOM, the round-1
+  40M ceiling, CLAUDE.md). Codes are therefore encoded on device in
+  512k chunks, fetched (~50 MB/chunk), scattered into a host numpy
+  table (125 GB RAM), and uploaded ONCE at the end.
+- Ground truth: streaming exact f32 scan per generated chunk (the
+  corpus never exists in full anywhere).
+- Refine at this scale cannot be HBM-resident (int8 = 77 GB). Two
+  query modes are measured:
+  (a) pure-ADC ranking — the production path beyond the int8 ceiling;
+  (b) REGENERATION re-rank — bench-only: the docwalk corpus is a pure
+      function of (key, row), so the top-C candidates' f32 vectors are
+      regenerated on device and scored exactly. This isolates
+      routing+capture loss from ADC ranking loss at zero HBM cost (a
+      production deployment would host-stage an int8 refine tier
+      instead).
+
+Usage: python benchmarks/bench_ivfpq_100m.py [--n 100000000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=100_000_000)
+    ap.add_argument("--d", type=int, default=768)
+    ap.add_argument("--nlist", type=int, default=16384)
+    ap.add_argument("--m", type=int, default=192)
+    ap.add_argument("--cap_slack", type=float, default=1.2)
+    ap.add_argument("--nprobe", type=int, default=32)
+    ap.add_argument("--q", type=int, default=1024)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--p", type=int, default=4)
+    ap.add_argument("--refine_c", type=int, default=32)
+    ap.add_argument("--gt_sub", type=int, default=128)
+    ap.add_argument("--chunk", type=int, default=524_288)
+    ap.add_argument("--pq_sample", type=int, default=131_072)
+    ap.add_argument("--pq_iters", type=int, default=6)
+    ap.add_argument("--cap_block", type=int, default=0)
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from benchmarks import corpus as corpus_mod
+    from rag_foundation_tpu.engine.ivf import interleave_slots
+    from rag_foundation_tpu.engine.ivfpq import IVFPQIndex, ivfpq_search
+    from rag_foundation_tpu.ops.kmeans import assign_clusters
+    from rag_foundation_tpu.ops.l2norm import l2_normalize
+    from rag_foundation_tpu.ops.pallas_pq import pack_codes
+    from rag_foundation_tpu.ops.pq import pq_encode, pq_train
+
+    n, d, nlist, m = args.n, args.d, args.nlist, args.m
+    mean_len = n / nlist
+    cap_len = int(-(-(mean_len * args.cap_slack) // 512) * 512)
+    mb = m // 2
+    log(f"n={n} nlist={nlist} m={m} packed cap_len={cap_len} "
+        f"codes={nlist*cap_len*mb/2**30:.2f} GiB (host-staged)")
+
+    key = jax.random.key(0)
+    k_centers, k_noise, k_pq = jax.random.split(key, 3)
+    centers = l2_normalize(
+        jax.random.normal(k_centers, (nlist, d), jnp.float32))
+
+    def gen_at(base):
+        return corpus_mod.gen_docwalk_chunk(
+            k_noise, centers, jnp.int32(base), chunk=args.chunk)
+
+    @jax.jit
+    def encode_chunk(v, centers, cb_centroids):
+        from rag_foundation_tpu.ops.pq import PQCodebook
+        assign, _ = assign_clusters(v, centers, block_size=65536)
+        residual = v - centers[assign]
+        codes = pq_encode(PQCodebook(centroids=cb_centroids), residual)
+        return assign, pack_codes(codes)
+
+    @jax.jit
+    def gt_merge(run_vals, run_ids, q_sub, chunk_v, row_base):
+        scores = jnp.dot(q_sub, chunk_v.T,
+                         preferred_element_type=jnp.float32)
+        v, i = jax.lax.top_k(scores, args.k)
+        ids = row_base + i.astype(jnp.int32)
+        allv = jnp.concatenate([run_vals, v], axis=1)
+        alli = jnp.concatenate([run_ids, ids], axis=1)
+        nv, pos = jax.lax.top_k(allv, args.k)
+        return nv, jnp.take_along_axis(alli, pos, axis=1)
+
+    # -- codebooks --------------------------------------------------------
+    t0 = time.perf_counter()
+    v0 = gen_at(0)
+    assign0, _ = assign_clusters(v0[: args.pq_sample], centers,
+                                 block_size=65536)
+    res0 = v0[: args.pq_sample] - centers[assign0]
+    codebook = pq_train(res0, m, key=k_pq, iters=args.pq_iters, nbits=4)
+    codebook.centroids.block_until_ready()
+    log(f"pq_train: {time.perf_counter()-t0:.1f}s")
+
+    # -- host-staged build ------------------------------------------------
+    host_codes = np.zeros((nlist * cap_len, mb), np.uint8)
+    host_ids = np.full((nlist * cap_len,), -1, np.int32)
+    next_slot = np.zeros(nlist, np.int64)
+    overflow = 0
+    run_vals = jnp.full((args.gt_sub, args.k), -jnp.inf, jnp.float32)
+    run_ids = jnp.full((args.gt_sub, args.k), -1, jnp.int32)
+    queries = q_sub = None
+    t_build = t_first = 0.0
+    row_base = 0
+    n_chunks = -(-n // args.chunk)
+    for ci in range(n_chunks):
+        mrows = min(args.chunk, n - row_base)
+        t0 = time.perf_counter()
+        v = v0 if ci == 0 else gen_at(row_base)
+        assign, packed = encode_chunk(v, centers, codebook.centroids)
+        if ci == 0:
+            qnp, _src = corpus_mod.make_queries(v, args.q, qnoise=0.2)
+            queries = jnp.asarray(qnp)
+            q_sub = queries[: args.gt_sub]
+            v0 = None
+        run_vals, run_ids = gt_merge(run_vals, run_ids, q_sub,
+                                     v[:mrows], row_base)
+        assign_h = np.asarray(assign[:mrows])
+        packed_h = np.asarray(packed[:mrows])      # ~50 MB fetch
+        t_enc = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        order = np.argsort(assign_h, kind="stable")
+        sa = assign_h[order]
+        counts = np.bincount(assign_h, minlength=nlist)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        slots = np.empty(mrows, np.int64)
+        slots[order] = (np.arange(mrows) - starts[sa]) + next_slot[sa]
+        next_slot += counts
+        ok = slots < cap_len
+        overflow += int((~ok).sum())
+        dest = (assign_h.astype(np.int64) * cap_len
+                + interleave_slots(np.minimum(slots, cap_len - 1),
+                                   cap_len))[ok]
+        host_codes[dest] = packed_h[ok]
+        host_ids[dest] = (row_base
+                          + np.arange(mrows, dtype=np.int32))[ok]
+        t_host = time.perf_counter() - t0
+        t_build += t_enc + t_host
+        if ci == 0:
+            t_first = t_enc + t_host
+        row_base += mrows
+        if ci % 20 == 0 or ci == n_chunks - 1:
+            log(f"chunk {ci+1}/{n_chunks}: enc {t_enc:.2f}s host "
+                f"{t_host:.2f}s")
+
+    steady = t_build - t_first
+    mvps = (n - args.chunk) / steady / 1e6 if steady > 0 else 0
+    log(f"build: {t_build:.1f}s; steady {mvps:.2f}M vec/s; overflow "
+        f"{overflow} ({overflow/n*100:.4f}%)")
+
+    t0 = time.perf_counter()
+    codes_dev = jnp.asarray(host_codes).reshape(nlist, cap_len, mb)
+    ids_dev = jnp.asarray(host_ids).reshape(nlist, cap_len)
+    codes_dev.block_until_ready()
+    log(f"upload: {time.perf_counter()-t0:.1f}s "
+        f"({host_codes.nbytes/2**30:.1f} GiB)")
+    del host_codes, host_ids
+    index = IVFPQIndex(
+        centroids=centers, codebook_centroids=codebook.centroids,
+        codes=codes_dev, row_ids=ids_dev, n=n - overflow,
+        refine=jnp.zeros((0, 0), jnp.int8),
+        refine_scale=jnp.float32(1.0))
+
+    f_add = jax.jit(lambda x: x + 1)
+    _ = np.asarray(f_add(jnp.ones((2, 2))))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        _ = np.asarray(f_add(jnp.ones((2, 2))))
+    rtt = (time.perf_counter() - t0) / 3
+    log(f"RTT {rtt*1000:.1f} ms")
+    exact_ids = np.asarray(run_ids)
+
+    # -- regeneration re-rank (bench-only; see module docstring) ----------
+    cpd = corpus_mod.CPD
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def regen_rerank(rows, q32, k):
+        safe = jnp.clip(rows, 0, n - 1)
+        doc = safe // cpd
+        pos = safe % cpd
+
+        def one(did, pi):
+            dk = jax.random.fold_in(k_noise, did)
+            t = jax.random.randint(jax.random.fold_in(dk, 0), (), 0,
+                                   nlist)
+            dc = centers[t] + (corpus_mod.ALPHA / np.sqrt(d)) * \
+                jax.random.normal(jax.random.fold_in(dk, 1), (d,),
+                                  jnp.float32)
+            steps = (corpus_mod.DELTA / np.sqrt(d)) * jax.random.normal(
+                jax.random.fold_in(dk, 2), (cpd, d), jnp.float32)
+            walk = dc + jnp.cumsum(steps, axis=0)[pi]
+            return walk / jnp.linalg.norm(walk)
+
+        q_n, c = rows.shape
+        vecs = jax.vmap(jax.vmap(one))(doc, pos)       # [Q, C, d]
+        scores = jnp.einsum("qd,qcd->qc", q32, vecs,
+                            preferred_element_type=jnp.float32)
+        scores = jnp.where(rows >= 0, scores, -jnp.inf)
+        vals, posk = jax.lax.top_k(scores, k)
+        out_rows = jnp.take_along_axis(rows, posk, axis=-1)
+        return vals, jnp.where(jnp.isfinite(vals), out_rows, -1)
+
+    def recall_of(ids_arr):
+        approx = np.asarray(ids_arr[: args.gt_sub])
+        return float(np.mean([len(set(a) & set(b)) / args.k
+                              for a, b in zip(approx, exact_ids)]))
+
+    kw = dict(nprobe=args.nprobe, p=args.p,
+              cap_block=args.cap_block or None)
+
+    # (a) pure ADC
+    t0 = time.perf_counter()
+    vals, ids, dropped = ivfpq_search(index, queries, args.k, **kw)
+    _ = np.asarray(vals)
+    log(f"ADC compile+first: {time.perf_counter()-t0:.1f}s; drops "
+        f"{int(dropped)}")
+    t0 = time.perf_counter()
+    for _ in range(args.reps):
+        vals, ids, _ = ivfpq_search(index, queries, args.k, **kw)
+    _ = np.asarray(vals)
+    per = (time.perf_counter() - t0 - rtt) / args.reps
+    qps_adc = args.q / per
+    rec_adc = recall_of(ids)
+    log(f"pure-ADC: {per*1000:.1f} ms/batch -> {qps_adc:.0f} QPS, "
+        f"recall@{args.k}={rec_adc:.4f}")
+
+    # (b) ADC top-C -> regeneration re-rank
+    t0 = time.perf_counter()
+    _, cand, _ = ivfpq_search(index, queries, args.refine_c, **kw)
+    rvals, rids = regen_rerank(cand, queries, args.k)
+    _ = np.asarray(rvals)
+    log(f"regen compile+first: {time.perf_counter()-t0:.1f}s")
+    t0 = time.perf_counter()
+    for _ in range(args.reps):
+        _, cand, _ = ivfpq_search(index, queries, args.refine_c, **kw)
+        rvals, rids = regen_rerank(cand, queries, args.k)
+    _ = np.asarray(rvals)
+    per_r = (time.perf_counter() - t0 - rtt) / args.reps
+    qps_r = args.q / per_r
+    rec_r = recall_of(rids)
+    log(f"ADC+regen: {per_r*1000:.1f} ms/batch -> {qps_r:.0f} QPS, "
+        f"recall@{args.k}={rec_r:.4f}")
+
+    print(f"RESULT n={n} qps_adc={qps_adc:.0f} recall_adc={rec_adc:.4f}"
+          f" qps_rerank={qps_r:.0f} recall_rerank={rec_r:.4f}"
+          f" build_Mvps={mvps:.2f} overflow_pct={overflow/n*100:.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -496,6 +496,11 @@ class StoreIndex:
             # no refine: reconstruct only the sampled rows from codes
             from rag_foundation_tpu.ops.pq import pq_decode
             codes = np.asarray(_fetch_codes(body.codes, ls, ss))
+            if body.packed:  # nibble-packed bytes -> code values
+                un = np.empty((len(codes), codes.shape[1] * 2), np.uint8)
+                un[:, 0::2] = codes & 15
+                un[:, 1::2] = codes >> 4
+                codes = un
             dec = np.asarray(pq_decode(body.codebook, jnp.asarray(codes)))
             cents = np.asarray(body.centroids)[np.asarray(ls)]
             return (dec + cents).astype(np.float32), rows

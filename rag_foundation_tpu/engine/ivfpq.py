@@ -82,15 +82,29 @@ class IVFPQIndex(NamedTuple):
         return self.codebook_centroids.shape[1]
 
     @property
+    def m(self) -> int:
+        return self.codebook_centroids.shape[0]
+
+    @property
+    def packed(self) -> bool:
+        """Nibble-packed code bytes (2 codes/byte; pallas_pq.pack_codes)."""
+        return self.codes.shape[2] != self.m
+
+    @property
     def codebook(self) -> PQCodebook:
         return PQCodebook(centroids=self.codebook_centroids)
 
 
 def build_ivf_pq(vectors: jnp.ndarray, nlist: int, m: int, *,
                  key: jax.Array, nbits: int = 4, refine: bool = True,
-                 kmeans_iters: int = 10, pq_iters: int = 8,
+                 packed: bool = False, kmeans_iters: int = 10,
+                 pq_iters: int = 8,
                  sample: int | None = None) -> IVFPQIndex:
-    """Train coarse + residual-PQ codebooks and encode ``vectors``."""
+    """Train coarse + residual-PQ codebooks and encode ``vectors``.
+    ``packed`` stores 4-bit codes two-per-byte (halves code HBM; the
+    100M-on-one-chip tier)."""
+    if packed and (nbits != 4 or m % 2):
+        raise ValueError("packed codes require nbits=4 and even m")
     n, d = vectors.shape
     k1, k2 = jax.random.split(key)
     sample = min(n, sample or max(nlist * 64, 16384))
@@ -101,6 +115,9 @@ def build_ivf_pq(vectors: jnp.ndarray, nlist: int, m: int, *,
     codebook = pq_train(residuals[:sample], m, key=k2, iters=pq_iters,
                         nbits=nbits)
     codes = pq_encode(codebook, residuals)
+    if packed:
+        from rag_foundation_tpu.ops.pallas_pq import pack_codes
+        codes = pack_codes(codes)
 
     assign_h = np.asarray(assign)
     counts = np.bincount(assign_h, minlength=nlist)
@@ -112,7 +129,8 @@ def build_ivf_pq(vectors: jnp.ndarray, nlist: int, m: int, *,
     dest = assign_h[order].astype(np.int64) * cap_len \
         + interleave_slots(rank, cap_len)
 
-    flat_codes = np.zeros((nlist * cap_len, m), np.uint8)
+    m_bytes = codes.shape[-1]
+    flat_codes = np.zeros((nlist * cap_len, m_bytes), np.uint8)
     flat_codes[dest] = np.asarray(codes)[order]
     ids = np.full((nlist * cap_len,), -1, np.int32)
     ids[dest] = order.astype(np.int32)
@@ -126,7 +144,7 @@ def build_ivf_pq(vectors: jnp.ndarray, nlist: int, m: int, *,
     return IVFPQIndex(
         centroids=centroids,
         codebook_centroids=codebook.centroids,
-        codes=jnp.asarray(flat_codes).reshape(nlist, cap_len, m),
+        codes=jnp.asarray(flat_codes).reshape(nlist, cap_len, m_bytes),
         row_ids=jnp.asarray(ids).reshape(nlist, cap_len),
         n=n,
         refine=refine_q,
@@ -139,7 +157,8 @@ def _adc_candidates_pallas(index: IVFPQIndex, q32, coarse, dispatch,
     """Kernel ADC path (K=16): per-query candidates [Q, nprobe*w]."""
     q_n = q32.shape[0]
     lut = pq_lut(index.codebook, q32)            # [Q, m, K] f32
-    lut_flat, lut_scale = flatten_luts(lut, lut_dtype)
+    lut_flat, lut_scale = flatten_luts(lut, lut_dtype,
+                                       packed=index.packed)
     safe_q = jnp.clip(dispatch, 0, q_n - 1)
     lut_disp = lut_flat[safe_q]                  # [nlist, qcap, K*m]
     vals, flat_idx = pq_list_scan(

@@ -47,14 +47,22 @@ from rag_foundation_tpu.ops.pallas_ivf import NEG_INF, SUB, \
 
 
 def flatten_luts(lut: jnp.ndarray,
-                 dtype: jnp.dtype = jnp.bfloat16
+                 dtype: jnp.dtype = jnp.bfloat16,
+                 packed: bool = False
                  ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """``[Q, m, K] f32 -> ([Q, K*m] int8|bf16, scale [Q] f32)`` in the
     kernel's K-major layout (matches the tile-style ``pltpu.repeat``
     expansion of the codes). int8 LUTs are per-query symmetric-quantized
     — a per-query monotone scale cannot change in-kernel top-p
-    selection, so the scale is applied to the scores at regather."""
+    selection, so the scale is applied to the scores at regather.
+
+    ``packed=True`` permutes the m axis to [evens..., odds...] inside
+    each K slab, matching the nibble one-hot the kernel builds from
+    2-codes-per-byte tables (lo nibbles = even subquantizers)."""
     q, m, k = lut.shape
+    if packed:
+        perm = np.concatenate([np.arange(0, m, 2), np.arange(1, m, 2)])
+        lut = lut[:, perm, :]
     flat = lut.transpose(0, 2, 1).reshape(q, k * m)
     if dtype == jnp.int8:
         scale = jnp.maximum(jnp.max(jnp.abs(flat), axis=1), 1e-12) / 127.0
@@ -63,9 +71,20 @@ def flatten_luts(lut: jnp.ndarray,
     return flat.astype(dtype), jnp.ones((q,), jnp.float32)
 
 
+@jax.jit
+def pack_codes(codes: jnp.ndarray) -> jnp.ndarray:
+    """``[..., m] uint8 (values < 16) -> [..., m/2] uint8`` with byte
+    ``lo | hi<<4`` = (code[2j], code[2j+1]). Halves code HBM and scan
+    read traffic; the kernel extracts nibbles with AND+EQ only (shifts
+    and muls crash this toolchain's Mosaic helper — CLAUDE.md)."""
+    lo = codes[..., 0::2].astype(jnp.uint8)
+    hi = codes[..., 1::2].astype(jnp.uint8)
+    return lo | (hi << 4)
+
+
 def _pq_scan_kernel(lut_ref, codes_ref, ids_ref, vals_ref,
                     idx_ref, *, p: int, cap_block: int, cap_len: int,
-                    k_codes: int):
+                    k_codes: int, packed: bool):
     li = pl.program_id(0)
     cb = pl.program_id(1)
     lut = lut_ref[0]                            # [qcap, K*m] int8|bf16
@@ -75,11 +94,23 @@ def _pq_scan_kernel(lut_ref, codes_ref, ids_ref, vals_ref,
     # pltpu.repeat + a [cap_block, K*m] i32 widening (4x VMEM traffic;
     # Mosaic cannot lower packed-i8 cmps or u8->bf16 casts, so compares
     # must be i32 — keep the i32 arrays small).
-    codes = codes_ref[0].astype(jnp.int32)      # [cap_block, m]
+    codes = codes_ref[0].astype(jnp.int32)      # [cap_block, m or m/2]
     int8_mode = lut.dtype == jnp.int8
     out_dt = jnp.int8 if int8_mode else jnp.bfloat16
-    oh = jnp.concatenate(
-        [(codes == k).astype(out_dt) for k in range(k_codes)], axis=1)
+    if packed:
+        # 2 codes/byte: lo nibble = even subquantizers, hi = odd. AND+EQ
+        # only (shr/mul crash the compile helper); slab layout matches
+        # flatten_luts(packed=True): [evens..., odds...] per k.
+        lo = codes & 15
+        hi = codes & 0xF0
+        oh = jnp.concatenate(
+            [x for k in range(k_codes)
+             for x in ((lo == k).astype(out_dt),
+                       (hi == (k * 16)).astype(out_dt))], axis=1)
+    else:
+        oh = jnp.concatenate(
+            [(codes == k).astype(out_dt) for k in range(k_codes)],
+            axis=1)
     acc = jnp.int32 if int8_mode else jnp.float32
     scores = jax.lax.dot_general(
         lut, oh, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -116,9 +147,15 @@ def pq_list_scan(
     ``[nlist*cap_len]`` corpus. Scores are the RESIDUAL ADC part only —
     the per-(query, list) coarse term is constant within a list and is
     added at regather (it cannot change in-list top-p selection).
+
+    ``codes`` may be nibble-PACKED (``[nlist, cap_len, m/2]``, see
+    ``pack_codes``) — detected by shape; LUTs must then come from
+    ``flatten_luts(packed=True)``.
     """
     nlist, qcap, km = lut_disp.shape
-    cap_len, m = codes.shape[1], codes.shape[2]
+    cap_len, m_bytes = codes.shape[1], codes.shape[2]
+    packed = (km == k_codes * m_bytes * 2)
+    m = m_bytes * 2 if packed else m_bytes
     if km != k_codes * m:
         raise ValueError(f"lut width {km} != K*m = {k_codes}*{m}")
     if interpret is None:  # Mosaic needs a TPU; interpret on CPU tests
@@ -135,13 +172,15 @@ def pq_list_scan(
     width_cell = (cap_block // SUB) * p
 
     kernel = functools.partial(_pq_scan_kernel, p=p, cap_block=cap_block,
-                               cap_len=cap_len, k_codes=k_codes)
+                               cap_len=cap_len, k_codes=k_codes,
+                               packed=packed)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nlist, n_cb),
         in_specs=[
             pl.BlockSpec((1, qcap, km), lambda l, cb: (l, 0, 0)),
-            pl.BlockSpec((1, cap_block, m), lambda l, cb: (l, cb, 0)),
+            pl.BlockSpec((1, cap_block, m_bytes),
+                         lambda l, cb: (l, cb, 0)),
             # row_ids: trailing block dims full-size via singleton middle
             pl.BlockSpec((1, 1, cap_block), lambda l, cb: (l, 0, cb)),
         ],

@@ -253,3 +253,33 @@ def test_ivfpq_restores_round1_checkpoint_without_refine_fields():
     assert idx2.body.refine.shape[0] == 0
     _, ids = idx2.search(x[:8], 5)
     assert (np.asarray(ids) >= 0).any()
+
+
+def test_packed_codes_match_unpacked():
+    """Nibble-packed codes (2/byte) must produce IDENTICAL search
+    results to unpacked — same ADC sums, same capture, same re-rank
+    (the 100M-on-one-chip memory tier; ops/pallas_pq.pack_codes)."""
+    import numpy as np
+
+    from rag_foundation_tpu.engine.ivfpq import build_ivf_pq, ivfpq_search
+    from rag_foundation_tpu.ops.pallas_pq import pack_codes
+    from tests.test_ivf import _clustered_corpus
+
+    x = jnp.asarray(_clustered_corpus(4096, 64, seed=31))
+    idx_u = build_ivf_pq(x, 16, m=16, key=jax.random.key(2))
+    idx_p = idx_u._replace(codes=pack_codes(idx_u.codes))
+    assert idx_p.packed and not idx_u.packed
+    assert idx_p.codes.shape[-1] == 8
+
+    q = x[:64] + 0.01
+    vu, iu, _ = ivfpq_search(idx_u, q, 10, nprobe=8, p=4)
+    vp, ip, _ = ivfpq_search(idx_p, q, 10, nprobe=8, p=4)
+    np.testing.assert_array_equal(np.asarray(iu), np.asarray(ip))
+    np.testing.assert_allclose(np.asarray(vu), np.asarray(vp),
+                               rtol=1e-5)
+
+    # build-time packing gives the same index
+    idx_b = build_ivf_pq(x, 16, m=16, key=jax.random.key(2),
+                         packed=True)
+    np.testing.assert_array_equal(np.asarray(idx_b.codes),
+                                  np.asarray(idx_p.codes))
