@@ -162,6 +162,14 @@ class Settings(BaseModel):
             for kind in ("input", "output"):
                 if Decimal(str(p.get(kind, "0"))) < 0:
                     raise ValueError(f"negative pricing for {model}.{kind}")
+        if env in ("staging", "production") \
+                and "WORKER_IN_PROCESS" not in self.model_fields_set:
+            # prod default is the SPLIT topology: in-process ingestion
+            # shares the serving process/chip and was measured to blow
+            # chat p95 to 10.2 s under a 4:1 mixed load (docs/ENGINE.md
+            # "App-level serving"); dedicated worker_main processes keep
+            # the read path isolated. Explicit env overrides win.
+            self.WORKER_IN_PROCESS = False
         if env == "production":
             # Hard invariants (reference: config.py:348-387 +
             # security_gate.py:14-100) — fail fast at construction.

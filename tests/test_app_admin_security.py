@@ -176,6 +176,22 @@ def test_production_invariants_enforced(tmp_path):
         Settings(**_prod_kwargs(tmp_path, CORS_ORIGINS=["*"]))
 
 
+def test_production_defaults_to_split_worker_topology(tmp_path):
+    """Prod/staging default to dedicated worker processes (in-process
+    ingestion shares the serving chip: mixed-load chat p95 blowup,
+    docs/ENGINE.md); explicit override wins; dev stays in-process."""
+    assert Settings(**_prod_kwargs(tmp_path)).WORKER_IN_PROCESS is False
+    assert Settings(**_prod_kwargs(tmp_path, ENVIRONMENT="staging",
+                                   STRICT_MODE=False)
+                    ).WORKER_IN_PROCESS is False
+    assert Settings(**_prod_kwargs(tmp_path, WORKER_IN_PROCESS=True)
+                    ).WORKER_IN_PROCESS is True
+    assert Settings(ENVIRONMENT="development",
+                    DATA_DIR=str(tmp_path / "d"),
+                    DATABASE_PATH=str(tmp_path / "d.db")
+                    ).WORKER_IN_PROCESS is True
+
+
 def test_security_gate_blocks_bad_production(tmp_path):
     from rag_foundation_tpu.app.security_gate import (SecurityGateError,
                                                       run_security_gate)
