@@ -110,8 +110,9 @@ class Settings(BaseModel):
 
     # -- engine (TPU data plane) -------------------------------------------
     ENGINE_DIM: int = 384
-    ENGINE_ENCODER: str = "hash"          # hash|minilm
+    ENGINE_ENCODER: str = "hash"          # hash|minilm|hybrid
     ENGINE_ENCODER_CKPT: str = ""         # npz from scripts/train_encoder.py
+    ENGINE_HYBRID_W: float = 0.35         # hybrid semantic-channel weight
     ENGINE_INDEX_MODE: str = "exact"      # exact|ivf_flat|ivf_flat_int8|ivf_pq
     ENGINE_CHUNK_TOKENS: int = 200
     ENGINE_CHUNK_OVERLAP: int = 40

@@ -153,6 +153,7 @@ class EngineRag:
             chunk_overlap=settings.ENGINE_CHUNK_OVERLAP,
             encoder=settings.ENGINE_ENCODER,
             encoder_ckpt=settings.ENGINE_ENCODER_CKPT or None,
+            hybrid_w=getattr(settings, "ENGINE_HYBRID_W", 0.35),
             index_mode=settings.ENGINE_INDEX_MODE,
             nlist=settings.ENGINE_NLIST,
             nprobe=settings.ENGINE_NPROBE,

@@ -46,8 +46,9 @@ class EngineConfig:
     dim: int = 384
     chunk_tokens: int = 200
     chunk_overlap: int = 40
-    encoder: str = "hash"          # "hash" | "minilm"
+    encoder: str = "hash"          # "hash" | "minilm" | "hybrid"
     encoder_ckpt: str | None = None  # npz from scripts/train_encoder.py
+    hybrid_w: float = 0.35         # semantic-channel weight (hybrid)
     index_mode: str = "exact"      # "exact" | "ivf_flat" | "ivf_flat_int8"
     nlist: int = 256
     nprobe: int = 32
@@ -93,26 +94,48 @@ class StoreNotFound(KeyError):
     pass
 
 
+def _make_minilm(cfg: EngineConfig, dim: int):
+    from rag_foundation_tpu.models.encoder import (MiniLMEncoder,
+                                                   checkpoint_config,
+                                                   load_params)
+    if cfg.encoder_ckpt:
+        # fail fast on a bad path/arch — a half-loaded encoder
+        # would silently embed garbage. The checkpoint carries its
+        # EncoderConfig (max_len etc.); dim must match.
+        enc_cfg = checkpoint_config(cfg.encoder_ckpt)
+        if enc_cfg is not None and enc_cfg.hidden != dim:
+            raise ValueError(
+                f"encoder checkpoint hidden={enc_cfg.hidden} != "
+                f"expected dim {dim}")
+        enc = MiniLMEncoder(dim=dim, cfg=enc_cfg)
+        enc.params = load_params(cfg.encoder_ckpt, enc.cfg)
+        return enc
+    return MiniLMEncoder(dim=dim)
+
+
 def _make_encoder(cfg: EngineConfig):
     if cfg.encoder == "hash":
         return HashingEncoder(dim=cfg.dim)
     if cfg.encoder == "minilm":
-        from rag_foundation_tpu.models.encoder import (MiniLMEncoder,
-                                                       checkpoint_config,
-                                                       load_params)
+        return _make_minilm(cfg, cfg.dim)
+    if cfg.encoder == "hybrid":
+        # lexical ⊕ semantic in one dense space: ENGINE_DIM is the
+        # TOTAL width; the MiniLM checkpoint fixes its half and the
+        # hash channel takes the remainder (models/hybrid_encoder)
+        from rag_foundation_tpu.models.encoder import checkpoint_config
+        from rag_foundation_tpu.models.hybrid_encoder import HybridEncoder
+        mini_dim = cfg.dim // 2
         if cfg.encoder_ckpt:
-            # fail fast on a bad path/arch — a half-loaded encoder
-            # would silently embed garbage. The checkpoint carries its
-            # EncoderConfig (max_len etc.); dim must match the engine's.
             enc_cfg = checkpoint_config(cfg.encoder_ckpt)
-            if enc_cfg is not None and enc_cfg.hidden != cfg.dim:
-                raise ValueError(
-                    f"encoder checkpoint hidden={enc_cfg.hidden} != "
-                    f"ENGINE_DIM={cfg.dim}")
-            enc = MiniLMEncoder(dim=cfg.dim, cfg=enc_cfg)
-            enc.params = load_params(cfg.encoder_ckpt, enc.cfg)
-            return enc
-        return MiniLMEncoder(dim=cfg.dim)
+            if enc_cfg is not None:
+                mini_dim = enc_cfg.hidden
+        hash_dim = cfg.dim - mini_dim
+        if hash_dim <= 0:
+            raise ValueError(
+                f"ENGINE_DIM={cfg.dim} too small for hybrid with a "
+                f"{mini_dim}-dim MiniLM checkpoint")
+        return HybridEncoder(hash_dim, _make_minilm(cfg, mini_dim),
+                             w_mini=cfg.hybrid_w)
     raise ValueError(f"unknown encoder {cfg.encoder!r}")
 
 

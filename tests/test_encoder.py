@@ -176,3 +176,26 @@ def test_checkpoint_carries_config_and_validates(tmp_path):
                         max_len=64)
     with pytest.raises(ValueError, match="shape"):
         load_params(p, bad)
+
+
+def test_hybrid_encoder_blends_cosines(tmp_path):
+    """Hybrid cosine == (1-w)*cos_hash + w*cos_minilm exactly."""
+    import numpy as np
+
+    from rag_foundation_tpu.engine.api import EngineConfig, _make_encoder
+    from rag_foundation_tpu.models.hash_encoder import HashingEncoder
+
+    enc = _make_encoder(EngineConfig(dim=768, encoder="hybrid",
+                                     hybrid_w=0.4))
+    assert enc.dim == 768 and enc.mini.dim == 384
+    texts = ["the quarterly report covers revenue",
+             "revenue numbers in the quarterly report",
+             "unrelated poem about autumn leaves"]
+    V = enc.encode(texts)
+    assert V.shape == (3, 768)
+    np.testing.assert_allclose(np.linalg.norm(V, axis=1), 1.0,
+                               rtol=1e-5)
+    h = HashingEncoder(dim=384).encode(texts)
+    m = enc.mini.encode(texts)
+    want = 0.6 * (h @ h.T) + 0.4 * (m @ m.T)
+    np.testing.assert_allclose(V @ V.T, want, atol=1e-5)
