@@ -40,7 +40,13 @@ def register(app, ctx):
     @app.get("/api/settings")
     async def get_settings(req):
         rows = db.query("SELECT key, value FROM app_settings")
-        return Response({"settings": {r["key"]: r["value"] for r in rows}})
+        return Response({
+            "settings": {r["key"]: r["value"] for r in rows},
+            # model metadata for the chat toolbar (reference model
+            # picker, frontend ChatContext.tsx)
+            "models": list(settings.ALLOWED_MODELS),
+            "default_model": settings.DEFAULT_MODEL,
+        })
 
     @app.put("/api/settings")
     async def put_settings(req):

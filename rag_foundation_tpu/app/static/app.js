@@ -15,6 +15,7 @@ const state = {
   role: "user",
   streaming: false,
   abort: null,
+  lastQuestion: null,
 };
 
 const $ = (id) => document.getElementById(id);
@@ -419,6 +420,17 @@ function addCitation(panel, frame) {
     `Sources (${ol.children.length})`;
 }
 
+function setChatError(msg, canRetry = false) {
+  $("chat-error-text").textContent = msg;
+  $("retry").hidden = !(canRetry && state.lastQuestion);
+}
+
+$("retry").addEventListener("click", () => {
+  if (!state.lastQuestion || state.streaming) return;
+  $("question").value = state.lastQuestion;
+  $("chat-form").dispatchEvent(new Event("submit"));
+});
+
 $("stop").addEventListener("click", () => state.abort?.abort());
 
 $("chat-form").addEventListener("submit", async (e) => {
@@ -426,11 +438,12 @@ $("chat-form").addEventListener("submit", async (e) => {
   if (state.streaming) return;
   const q = $("question").value.trim();
   if (!q || !state.selectedStores.size) {
-    $("chat-error").textContent = q ? "Select at least one store" : "";
+    setChatError(q ? "Select at least one store" : "");
     return;
   }
+  state.lastQuestion = q;
   $("question").value = "";
-  $("chat-error").textContent = "";
+  setChatError("");
   addMessage("user", q);
   const target = addMessage("assistant", "");
   const panel = citationPanel();
@@ -452,6 +465,8 @@ $("chat-form").addEventListener("submit", async (e) => {
     const tags = $("opt-tags").value.trim();
     if (tags) body.tags = tags.split(",").map((t) => t.trim())
                               .filter(Boolean);
+    const model = $("opt-model").value;
+    if (model) body.model = model;
     const resp = await fetch("/api/chat", {
       method: "POST", headers, body: JSON.stringify(body),
       signal: state.abort.signal,
@@ -469,7 +484,7 @@ $("chat-form").addEventListener("submit", async (e) => {
     refreshSessions();
   } catch (err) {
     if (err.name !== "AbortError") {
-      $("chat-error").textContent = err.message;
+      setChatError(err.message, true);
     }
   } finally {
     state.streaming = false;
@@ -512,7 +527,7 @@ function handleFrame(frame, target, panel) {
       break;
     case "error":
     case "budget_exceeded":
-      $("chat-error").textContent = frame.message || frame.errorText;
+      setChatError(frame.message || frame.errorText, true);
       break;
     default:  /* start / text-start / text-end / finish */
       break;
@@ -568,7 +583,21 @@ async function refreshAdmin() {
                 { is_active: !u.is_active });
       refreshAdmin();
     });
-    td.append(toggle, " ", act);
+    const bud = document.createElement("input");
+    bud.type = "number";
+    bud.step = "0.01";
+    bud.placeholder = "budget $";
+    bud.style.width = "90px";
+    const setBud = document.createElement("button");
+    setBud.textContent = "set";
+    setBud.addEventListener("click", async () => {
+      if (bud.value === "") return;
+      await api("PUT", `/api/admin/budgets/${u.id}`,
+                { monthly_usd: parseFloat(bud.value) });
+      setBud.textContent = "✓";
+      setTimeout(() => { setBud.textContent = "set"; }, 1200);
+    });
+    td.append(toggle, " ", act, " ", bud, setBud);
     tr.appendChild(td);
     table.appendChild(tr);
   }
@@ -646,6 +675,16 @@ async function applyBranding() {
     // user-local theme choice beats the deployment default
     if (s.theme && !localStorage.getItem("ragtpu-theme")) {
       applyTheme(s.theme, false);
+    }
+    const sel = $("opt-model");
+    if (out.models && !sel.children.length) {
+      for (const m of out.models) {
+        const opt = document.createElement("option");
+        opt.value = m === out.default_model ? "" : m;
+        opt.textContent = m + (m === out.default_model ?
+                               " (default)" : "");
+        sel.appendChild(opt);
+      }
     }
   } catch (e) { /* pre-auth errors fine */ }
 }

@@ -49,3 +49,13 @@ def test_spa_components_present(tmp_path):
     for el in ("theme-quick", "theme-presets", "welcome-card",
                "opt-topk", "opt-tags", "password-hints"):
         assert f'id="{el}"' in html, el
+
+
+def test_spa_model_picker_retry_budgets(tmp_path):
+    client, _ = make_app(tmp_path)
+    js = client.get("/static/app.js").text
+    for marker in ("opt-model", "state.lastQuestion",
+                   "/api/admin/budgets/", "setChatError"):
+        assert marker in js, marker
+    html = client.get("/").text
+    assert 'id="retry"' in html and 'id="opt-model"' in html
