@@ -38,6 +38,9 @@ class ApiClient:
         self.token = token
         self.timeout = timeout
 
+    retries = 3           # on 429/5xx (reference run_benchmark.py
+    retry_backoff_s = 1.0  # retries-on-429/5xx behavior)
+
     def _request(self, method: str, path: str, *, json_body=None,
                  body: bytes | None = None, headers=None, stream=False):
         hdrs = dict(headers or {})
@@ -47,13 +50,27 @@ class ApiClient:
             hdrs["Content-Type"] = "application/json"
         if self.token:
             hdrs["Authorization"] = f"Bearer {self.token}"
-        req = urllib.request.Request(self.base_url + path, data=data,
-                                     headers=hdrs, method=method)
-        resp = urllib.request.urlopen(req, timeout=self.timeout)  # noqa: S310
-        if stream:
-            return resp
-        payload = resp.read()
-        return resp.status, json.loads(payload) if payload else {}
+        last: urllib.error.HTTPError | None = None
+        for attempt in range(self.retries + 1):
+            req = urllib.request.Request(self.base_url + path, data=data,
+                                         headers=hdrs, method=method)
+            try:
+                resp = urllib.request.urlopen(  # noqa: S310
+                    req, timeout=self.timeout)
+            except urllib.error.HTTPError as e:
+                if e.code in (429, 500, 502, 503) \
+                        and attempt < self.retries:
+                    last = e
+                    retry_after = e.headers.get("Retry-After")
+                    time.sleep(float(retry_after) if retry_after
+                               else self.retry_backoff_s * (attempt + 1))
+                    continue
+                raise
+            if stream:
+                return resp
+            payload = resp.read()
+            return resp.status, json.loads(payload) if payload else {}
+        raise last  # pragma: no cover — loop always returns or raises
 
     @classmethod
     def from_credentials(cls, base_url: str, email: str, password: str,
