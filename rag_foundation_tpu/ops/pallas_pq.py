@@ -162,9 +162,23 @@ def pq_list_scan(
         interpret = jax.default_backend() == "cpu"
 
     if cap_block is None:
-        # bound the in-kernel one-hot ([cap_block, K*m] bf16) to ~1.5 MB
-        cap_block = min(cap_len, max(SUB, (3 << 19) // (2 * km) // SUB
-                                     * SUB))
+        # Two forces: (a) the in-kernel one-hot ([cap_block, K*m]) must
+        # fit VMEM comfortably (~24 MB cap); (b) the OUTPUT cell width
+        # (cap_block//SUB)*p pads to 128 lanes, so cells narrower than
+        # 128 inflate the output arrays up to 32x (measured: 3.25 GB for
+        # a 104 MB result at nlist=16k, p=4 — an OOM by itself). Pick
+        # the smallest divisor of cap_len that yields a >=128-wide cell,
+        # within the VMEM bound; else the widest VMEM-safe divisor.
+        vmem_cap = max(SUB, (24 << 20) // km // SUB * SUB)
+        divisors = [b for b in range(SUB, cap_len + 1, SUB)
+                    if cap_len % b == 0]
+        wide = [b for b in divisors
+                if (b // SUB) * p >= 128 and b <= vmem_cap]
+        if wide:
+            cap_block = wide[0]
+        else:
+            fits = [b for b in divisors if b <= vmem_cap]
+            cap_block = fits[-1] if fits else SUB
     while cap_len % cap_block or cap_block % SUB:
         cap_block -= SUB
     cap_block = max(cap_block, SUB)
