@@ -69,6 +69,12 @@ def pq_train(
         raise ValueError(f"nbits must be 4 or 8, got {nbits}")
     dsub = d // m
     xs = x.reshape(n, m, dsub).transpose(1, 0, 2)  # [m, N, dsub]
+    # zero-pad sub-vectors to width 4: a constant-zero dim cannot change
+    # the clustering, and dsub=3 k-means crashes this environment's
+    # remote TPU compiler (dsub=4 compiles fine — m=256 at d=768)
+    pad = max(0, 4 - dsub)
+    if pad:
+        xs = jnp.pad(xs, ((0, 0), (0, 0), (0, pad)))
     keys = jax.random.split(key, m)
     k = 1 << nbits
 
@@ -77,6 +83,8 @@ def pq_train(
         return c
 
     centroids = jax.lax.map(lambda args: fit_one(*args), (xs, keys))
+    if pad:
+        centroids = centroids[:, :, :dsub]
     return PQCodebook(centroids=centroids)
 
 
