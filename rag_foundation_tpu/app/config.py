@@ -124,6 +124,7 @@ class Settings(BaseModel):
     ENGINE_NPROBE: int = 64
     ENGINE_BUILD_THRESHOLD: int = 100_000
     ENGINE_PQ_M: int = 48
+    ENGINE_PQ_PACKED: bool = False  # 2 codes/byte (100M tier)
     ENGINE_IVF_P: int = 4                 # per-sub-block top-p capture
     ENGINE_APPROX_ROUTING: bool = False   # approx_max_k coarse routing
     ENGINE_DTYPE: str = "float32"         # float32|bfloat16

@@ -159,6 +159,7 @@ class EngineRag:
             nprobe=settings.ENGINE_NPROBE,
             build_threshold=settings.ENGINE_BUILD_THRESHOLD,
             pq_m=settings.ENGINE_PQ_M,
+            pq_packed=getattr(settings, 'ENGINE_PQ_PACKED', False),
             ivf_p=settings.ENGINE_IVF_P,
             approx_routing=settings.ENGINE_APPROX_ROUTING,
             batch_window_s=settings.ENGINE_BATCH_WINDOW_MS / 1000.0,

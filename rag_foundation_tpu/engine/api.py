@@ -54,6 +54,7 @@ class EngineConfig:
     nprobe: int = 32
     build_threshold: int = 100_000  # tail size that triggers IVF build
     pq_m: int = 48                  # PQ subspaces (ivf_pq mode)
+    pq_packed: bool = False         # nibble-packed codes
     ivf_p: int = 4                  # per-sub-block top-p capture
     approx_routing: bool = False    # lax.approx_max_k coarse routing
     batch_window_s: float = 0.0     # >0: micro-batch concurrent searches
@@ -192,7 +193,8 @@ class Engine:
         return StoreIndex(cfg.dim, mode=cfg.index_mode, nlist=cfg.nlist,
                           nprobe=cfg.nprobe,
                           build_threshold=cfg.build_threshold,
-                          pq_m=cfg.pq_m, ivf_p=cfg.ivf_p,
+                          pq_m=cfg.pq_m, pq_packed=cfg.pq_packed,
+                          ivf_p=cfg.ivf_p,
                           approx_routing=cfg.approx_routing,
                           mesh=self._mesh())
 

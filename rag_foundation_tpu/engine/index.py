@@ -117,6 +117,7 @@ class StoreIndex:
     def __init__(self, dim: int, *, mode: str = "exact", nlist: int = 256,
                  nprobe: int = 32, build_threshold: int = 100_000,
                  pq_m: int = 48, pq_nbits: int = 4, pq_refine: bool = True,
+                 pq_packed: bool = False,
                  ivf_p: int = 4, approx_routing: bool = False,
                  seed: int = 0, mesh=None):
         if mode not in ("exact", "ivf_flat", "ivf_flat_int8", "ivf_pq"):
@@ -125,6 +126,7 @@ class StoreIndex:
             raise ValueError(f"dim {dim} not divisible by pq_m {pq_m}")
         self.pq_m = pq_m
         self.pq_nbits = pq_nbits
+        self.pq_packed = pq_packed
         self.pq_refine = pq_refine
         self.dim = dim
         self.mode = mode
@@ -249,6 +251,7 @@ class StoreIndex:
             new_body = build_ivf_pq(
                 jnp.asarray(vecs), nlist, self.pq_m,
                 nbits=self.pq_nbits, refine=self.pq_refine,
+                packed=self.pq_packed,
                 key=jax.random.key(self.seed))
             # PQ is lossy: keep the float vectors host-side for
             # persistence / rebuild fidelity (memory saving is on DEVICE)
