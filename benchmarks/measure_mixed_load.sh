@@ -1,0 +1,73 @@
+#!/usr/bin/env bash
+# Mixed-load serving measurement under the SPLIT worker topology
+# (VERDICT r1 weak #3 "re-measure mixed load"; docs/ENGINE.md
+# "App-level serving").
+#
+# Topology: API process on the TPU (read path), dedicated worker_main
+# process pinned to CPU (ingestion) — the production isolation story:
+# ingestion encode/insert never contends with the serving chip. On a
+# pod you would give the worker its own chip; in this one-chip
+# environment CPU-pinning the worker demonstrates the same property.
+#
+# Usage: bash benchmarks/measure_mixed_load.sh [duration_s]
+set -euo pipefail
+DUR=${1:-90}
+ROOT=$(cd "$(dirname "$0")/.." && pwd)
+WORK=/tmp/ragtpu-mixed
+rm -rf "$WORK" && mkdir -p "$WORK"
+export PYTHONPATH="$ROOT:/root/.axon_site"
+
+ENVV=(RAGTPU_ENVIRONMENT=development RAGTPU_DEV_LOGIN_ENABLED=true
+      RAGTPU_ENGINE_INDEX_MODE=ivf_flat_int8 RAGTPU_ENGINE_NLIST=256
+      RAGTPU_ENGINE_NPROBE=32 RAGTPU_ENGINE_BUILD_THRESHOLD=2000
+      RAGTPU_ENGINE_CHUNK_TOKENS=120 RAGTPU_ENGINE_CHUNK_OVERLAP=24
+      RAGTPU_RATE_LIMIT_CHAT_PER_MIN=100000
+      RAGTPU_RATE_LIMIT_GLOBAL_PER_MIN=200000
+      RAGTPU_RATE_LIMIT_UPLOAD_PER_MIN=100000
+      RAGTPU_WORKER_IN_PROCESS=0
+      RAGTPU_DATA_DIR="$WORK/data" RAGTPU_DATABASE_PATH="$WORK/db.sqlite")
+
+echo "== starting API (TPU) + worker (CPU) =="
+env "${ENVV[@]}" \
+  python -m rag_foundation_tpu.app.main --port 8741 \
+  > "$WORK/api.log" 2>&1 & echo $! > "$WORK/api.pid"
+env "${ENVV[@]}" RAGTPU_ENGINE_PLATFORM=cpu \
+  python -m rag_foundation_tpu.app.worker_main \
+  > "$WORK/worker.log" 2>&1 & echo $! > "$WORK/worker.pid"
+trap 'kill $(cat "$WORK"/api.pid "$WORK"/worker.pid) 2>/dev/null || true' EXIT
+for i in $(seq 1 60); do
+  curl -sf http://127.0.0.1:8741/health > /dev/null && break
+  sleep 2
+done
+curl -s http://127.0.0.1:8741/health; echo
+
+echo "== seeding corpus =="
+python - <<EOF
+import sys
+sys.path.insert(0, "$ROOT")
+from pathlib import Path
+from rag_foundation_tpu.benchmark.runner import ApiClient
+c = ApiClient.from_credentials("http://127.0.0.1:8741",
+                               "load@example.com", "Load-Passw0rd-1",
+                               register=True)
+store = c.ensure_store("load-test")
+doc = Path("$WORK/seed.txt")
+doc.write_text("\n\n".join(
+    f"Project record {i}. The codename for project number {i} is "
+    f"ZEBRA{i*7}. It was funded in fiscal cycle {2000+i%25} with "
+    f"priority tier {i%5}. Additional context paragraph text to pad "
+    f"the chunk a little bit more." for i in range(6000)))
+st = c.upload_and_poll(store["id"], doc, timeout_s=600)
+print("seeded:", st)
+EOF
+
+echo "== chat-only baseline =="
+python -m rag_foundation_tpu.benchmark.loadgen \
+  --base-url http://127.0.0.1:8741 --users 8 --duration "$DUR" \
+  --chat-ratio 1.0 --think 1.0 | tee "$WORK/chat_only.json"
+
+echo "== mixed 4:1 chat:upload =="
+python -m rag_foundation_tpu.benchmark.loadgen \
+  --base-url http://127.0.0.1:8741 --users 8 --duration "$DUR" \
+  --chat-ratio 0.8 --think 1.0 | tee "$WORK/mixed.json"
+echo "logs in $WORK"
