@@ -43,6 +43,11 @@ def main():
     ap.add_argument("--chunk", type=int, default=524_288)
     ap.add_argument("--noise", type=float, default=0.5,
                     help="cluster noise as a NORM ratio vs the center")
+    ap.add_argument("--corpus", choices=["clustered", "docwalk"],
+                    default="clustered",
+                    help="docwalk = the realistic doc-walk corpus "
+                         "(benchmarks/corpus.py); clustered keeps "
+                         "round-1 comparability")
     ap.add_argument("--qnoise", type=float, default=0.2,
                     help="query perturbation norm ratio")
     args = ap.parse_args()
@@ -71,15 +76,21 @@ def main():
     # sigma covers the range
     scale = jnp.float32(6.0 / np.sqrt(d) / 127.0)
 
-    @jax.jit
-    def gen_chunk(key, centers):
-        k1, k2 = jax.random.split(key)
-        cid = jax.random.randint(k1, (args.chunk,), 0, nlist)
-        # noise scaled so ||noise|| / ||center|| == args.noise
-        sigma = args.noise / np.sqrt(d)
-        v = centers[cid] + sigma * jax.random.normal(
-            k2, (args.chunk, d), jnp.float32)
-        v = l2_normalize(v)
+    from benchmarks import corpus as corpus_mod
+
+    @functools.partial(jax.jit, static_argnames=("base",))
+    def gen_chunk(key, centers, base=0):
+        if args.corpus == "docwalk":
+            v = corpus_mod.gen_docwalk_chunk(
+                k_noise, centers, jnp.int32(base), chunk=args.chunk)
+        else:
+            k1, k2 = jax.random.split(key)
+            cid = jax.random.randint(k1, (args.chunk,), 0, nlist)
+            # noise scaled so ||noise|| / ||center|| == args.noise
+            sigma = args.noise / np.sqrt(d)
+            v = centers[cid] + sigma * jax.random.normal(
+                k2, (args.chunk, d), jnp.float32)
+            v = l2_normalize(v)
         q = jnp.clip(jnp.round(v / scale), -127, 127).astype(jnp.int8)
         assign, _ = assign_clusters(v, centers, block_size=args.chunk)
         return q, assign
@@ -103,14 +114,15 @@ def main():
     # software pipeline (PP-analog): chunk i+1's gen+assign is dispatched
     # before chunk i's host layout, so the device computes while the host
     # sorts — the host stage disappears from the critical path
-    pending = gen_chunk(keys[0], centers)
+    pending = gen_chunk(keys[0], centers, base=0)
     for ci, ck in enumerate(keys):
         m = min(args.chunk, n - row_base)
         t0 = time.perf_counter()
         qvecs, assign = pending
         assign_h = np.asarray(assign[:m])          # sync point
         if ci + 1 < len(keys):
-            pending = gen_chunk(keys[ci + 1], centers)
+            pending = gen_chunk(keys[ci + 1], centers,
+                                base=(ci + 1) * args.chunk)
         t_gen_assign = time.perf_counter() - t0
         # host: vectorized slot allocation
         t0 = time.perf_counter()
