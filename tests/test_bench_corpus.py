@@ -1,0 +1,44 @@
+"""benchmarks/corpus.py: the docwalk generator's contracts.
+
+The 100M bench's regeneration re-rank (bench_ivfpq_100m.py) depends on
+rows being a pure function of (key, row index) and on chunk-boundary
+independence — pin both.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from benchmarks import corpus
+
+
+def test_docwalk_chunks_are_pure_and_boundary_independent():
+    key = jax.random.key(7)
+    topics = corpus.make_topics(jax.random.key(1), 32, 64)
+    a = np.asarray(corpus.gen_docwalk_chunk(key, topics, jnp.int32(0),
+                                            chunk=256))
+    b = np.asarray(corpus.gen_docwalk_chunk(key, topics, jnp.int32(0),
+                                            chunk=256))
+    np.testing.assert_array_equal(a, b)  # pure
+    # rows [128, 256) regenerated from a different chunk base match
+    c = np.asarray(corpus.gen_docwalk_chunk(key, topics, jnp.int32(128),
+                                            chunk=128))
+    np.testing.assert_allclose(a[128:], c, rtol=1e-6)
+    # unit rows
+    np.testing.assert_allclose(np.linalg.norm(a, axis=1), 1.0,
+                               rtol=1e-5)
+
+
+def test_docwalk_neighbor_structure():
+    """Same-doc chunks are each other's nearest neighbors with gaps
+    well above int8 resolution (the property that makes recall@10 a
+    real signal — docs/ENGINE.md 'PQ recall: corpus semantics')."""
+    key = jax.random.key(3)
+    topics = corpus.make_topics(jax.random.key(2), 64, 256)
+    x = np.asarray(corpus.gen_docwalk_chunk(key, topics, jnp.int32(0),
+                                            chunk=4096))
+    q, src = corpus.make_queries(jnp.asarray(x), 64, qnoise=0.2, seed=0)
+    scores = q @ x.T
+    gt = np.argsort(-scores, axis=1)[:, :10]
+    same_doc = (gt // corpus.CPD) == (src[:, None] // corpus.CPD)
+    assert same_doc.mean() > 0.95
