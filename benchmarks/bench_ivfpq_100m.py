@@ -178,6 +178,9 @@ def main():
     mvps = (n - args.chunk) / steady / 1e6 if steady > 0 else 0
     log(f"build: {t_build:.1f}s; steady {mvps:.2f}M vec/s; overflow "
         f"{overflow} ({overflow/n*100:.4f}%)")
+    # the last chunk's device buffers (~1.7 GiB) must be freed before
+    # the 14 GiB code upload (measured: OOM by a hair otherwise)
+    del v, assign, packed
 
     t0 = time.perf_counter()
     codes_dev = jnp.asarray(host_codes).reshape(nlist, cap_len, mb)
