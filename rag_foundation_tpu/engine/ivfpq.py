@@ -40,18 +40,7 @@ from rag_foundation_tpu.ops.pq import (PQCodebook, pq_encode, pq_lut,
                                        pq_train)
 from rag_foundation_tpu.ops.quantize import quantize_int8
 
-_NO_REFINE = np.zeros((0, 0), np.int32)
-
-
-@jax.jit
-def pack_int8_words(v8: jnp.ndarray) -> jnp.ndarray:
-    """``[n, d] int8 -> [n, d/4] int32`` little-endian word packing (the
-    refine-table layout of ops/pallas_gather)."""
-    n, d = v8.shape
-    u = v8.astype(jnp.uint8).astype(jnp.uint32)
-    w = (u[:, 0::4] | (u[:, 1::4] << 8) | (u[:, 2::4] << 16)
-         | (u[:, 3::4] << 24))
-    return jax.lax.bitcast_convert_type(w, jnp.int32)
+_NO_REFINE = np.zeros((0, 0), np.int8)
 
 
 class IVFPQIndex(NamedTuple):
@@ -139,7 +128,7 @@ def build_ivf_pq(vectors: jnp.ndarray, nlist: int, m: int, *,
         if n % 8:  # gather kernels read 8-row aligned groups
             refine_q = jnp.pad(refine_q, ((0, 8 - n % 8), (0, 0)))
     else:
-        refine_q = jnp.asarray(_NO_REFINE, jnp.int8)
+        refine_q = jnp.asarray(_NO_REFINE)
         refine_scale = jnp.float32(1.0)
     return IVFPQIndex(
         centroids=centroids,
