@@ -183,8 +183,13 @@ def main():
     del v, assign, packed
 
     t0 = time.perf_counter()
-    codes_dev = jnp.asarray(host_codes).reshape(nlist, cap_len, mb)
-    ids_dev = jnp.asarray(host_ids).reshape(nlist, cap_len)
+    # DONATED reshapes: a plain .reshape on device is an executed copy
+    # (a second 14 GiB allocation — measured OOM); donation aliases it
+    r3 = jax.jit(lambda x: x.reshape(nlist, cap_len, mb),
+                 donate_argnums=0)
+    r2 = jax.jit(lambda x: x.reshape(nlist, cap_len), donate_argnums=0)
+    codes_dev = r3(jnp.asarray(host_codes))
+    ids_dev = r2(jnp.asarray(host_ids))
     codes_dev.block_until_ready()
     log(f"upload: {time.perf_counter()-t0:.1f}s "
         f"({host_codes.nbytes/2**30:.1f} GiB)")
