@@ -66,6 +66,9 @@ def main():
     ap.add_argument("--pq_iters", type=int, default=6)
     ap.add_argument("--cap_block", type=int, default=0)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--cache", default="",
+                    help="dir to save/load the host-staged build "
+                         "(skips the ~15 min rebuild on reruns)")
     args = ap.parse_args()
 
     import jax
@@ -113,74 +116,101 @@ def main():
         nv, pos = jax.lax.top_k(allv, args.k)
         return nv, jnp.take_along_axis(alli, pos, axis=1)
 
-    # -- codebooks --------------------------------------------------------
-    t0 = time.perf_counter()
-    v0 = gen_at(0)
-    assign0, _ = assign_clusters(v0[: args.pq_sample], centers,
-                                 block_size=65536)
-    res0 = v0[: args.pq_sample] - centers[assign0]
-    codebook = pq_train(res0, m, key=k_pq, iters=args.pq_iters, nbits=4)
-    codebook.centroids.block_until_ready()
-    log(f"pq_train: {time.perf_counter()-t0:.1f}s")
+    cache = args.cache
+    cache_hit = cache and os.path.exists(os.path.join(cache, "codes.npy"))
 
-    # -- host-staged build ------------------------------------------------
-    host_codes = np.zeros((nlist * cap_len, mb), np.uint8)
-    host_ids = np.full((nlist * cap_len,), -1, np.int32)
-    next_slot = np.zeros(nlist, np.int64)
-    overflow = 0
-    run_vals = jnp.full((args.gt_sub, args.k), -jnp.inf, jnp.float32)
-    run_ids = jnp.full((args.gt_sub, args.k), -1, jnp.int32)
-    queries = q_sub = None
-    t_build = t_first = 0.0
-    row_base = 0
-    n_chunks = -(-n // args.chunk)
-    for ci in range(n_chunks):
-        mrows = min(args.chunk, n - row_base)
+    if cache_hit:
+        log('loading host-staged build from cache')
+        host_codes = np.load(os.path.join(cache, 'codes.npy'))
+        host_ids = np.load(os.path.join(cache, 'ids.npy'))
+        meta = np.load(os.path.join(cache, 'meta.npz'))
+        from rag_foundation_tpu.ops.pq import PQCodebook
+        codebook = PQCodebook(
+            centroids=jnp.asarray(meta['codebook']))
+        queries = jnp.asarray(meta['queries'])
+        run_ids = jnp.asarray(meta['gt_ids'])
+        overflow = int(meta['overflow'])
+        mvps = float(meta['mvps'])
+    else:
+        # -- codebooks --------------------------------------------------------
         t0 = time.perf_counter()
-        v = v0 if ci == 0 else gen_at(row_base)
-        assign, packed = encode_chunk(v, centers, codebook.centroids)
-        if ci == 0:
-            qnp, _src = corpus_mod.make_queries(v, args.q, qnoise=0.2)
-            queries = jnp.asarray(qnp)
-            q_sub = queries[: args.gt_sub]
-            v0 = None
-        run_vals, run_ids = gt_merge(run_vals, run_ids, q_sub,
-                                     v[:mrows], row_base)
-        assign_h = np.asarray(assign[:mrows])
-        packed_h = np.asarray(packed[:mrows])      # ~50 MB fetch
-        t_enc = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        order = np.argsort(assign_h, kind="stable")
-        sa = assign_h[order]
-        counts = np.bincount(assign_h, minlength=nlist)
-        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
-        slots = np.empty(mrows, np.int64)
-        slots[order] = (np.arange(mrows) - starts[sa]) + next_slot[sa]
-        next_slot += counts
-        ok = slots < cap_len
-        overflow += int((~ok).sum())
-        dest = (assign_h.astype(np.int64) * cap_len
-                + interleave_slots(np.minimum(slots, cap_len - 1),
-                                   cap_len))[ok]
-        host_codes[dest] = packed_h[ok]
-        host_ids[dest] = (row_base
-                          + np.arange(mrows, dtype=np.int32))[ok]
-        t_host = time.perf_counter() - t0
-        t_build += t_enc + t_host
-        if ci == 0:
-            t_first = t_enc + t_host
-        row_base += mrows
-        if ci % 20 == 0 or ci == n_chunks - 1:
-            log(f"chunk {ci+1}/{n_chunks}: enc {t_enc:.2f}s host "
-                f"{t_host:.2f}s")
+        v0 = None if cache_hit else gen_at(0)
+        assign0, _ = assign_clusters(v0[: args.pq_sample], centers,
+                                     block_size=65536)
+        res0 = v0[: args.pq_sample] - centers[assign0]
+        codebook = pq_train(res0, m, key=k_pq, iters=args.pq_iters, nbits=4)
+        codebook.centroids.block_until_ready()
+        log(f"pq_train: {time.perf_counter()-t0:.1f}s")
 
-    steady = t_build - t_first
-    mvps = (n - args.chunk) / steady / 1e6 if steady > 0 else 0
-    log(f"build: {t_build:.1f}s; steady {mvps:.2f}M vec/s; overflow "
-        f"{overflow} ({overflow/n*100:.4f}%)")
-    # the last chunk's device buffers (~1.7 GiB) must be freed before
-    # the 14 GiB code upload (measured: OOM by a hair otherwise)
-    del v, assign, packed
+        # -- host-staged build ------------------------------------------------
+        host_codes = np.zeros((nlist * cap_len, mb), np.uint8)
+        host_ids = np.full((nlist * cap_len,), -1, np.int32)
+        next_slot = np.zeros(nlist, np.int64)
+        overflow = 0
+        run_vals = jnp.full((args.gt_sub, args.k), -jnp.inf, jnp.float32)
+        run_ids = jnp.full((args.gt_sub, args.k), -1, jnp.int32)
+        queries = q_sub = None
+        t_build = t_first = 0.0
+        row_base = 0
+        n_chunks = -(-n // args.chunk)
+        for ci in range(n_chunks):
+            mrows = min(args.chunk, n - row_base)
+            t0 = time.perf_counter()
+            v = v0 if ci == 0 else gen_at(row_base)
+            assign, packed = encode_chunk(v, centers, codebook.centroids)
+            if ci == 0:
+                qnp, _src = corpus_mod.make_queries(v, args.q, qnoise=0.2)
+                queries = jnp.asarray(qnp)
+                q_sub = queries[: args.gt_sub]
+                v0 = None
+            run_vals, run_ids = gt_merge(run_vals, run_ids, q_sub,
+                                         v[:mrows], row_base)
+            assign_h = np.asarray(assign[:mrows])
+            packed_h = np.asarray(packed[:mrows])      # ~50 MB fetch
+            t_enc = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            order = np.argsort(assign_h, kind="stable")
+            sa = assign_h[order]
+            counts = np.bincount(assign_h, minlength=nlist)
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            slots = np.empty(mrows, np.int64)
+            slots[order] = (np.arange(mrows) - starts[sa]) + next_slot[sa]
+            next_slot += counts
+            ok = slots < cap_len
+            overflow += int((~ok).sum())
+            dest = (assign_h.astype(np.int64) * cap_len
+                    + interleave_slots(np.minimum(slots, cap_len - 1),
+                                       cap_len))[ok]
+            host_codes[dest] = packed_h[ok]
+            host_ids[dest] = (row_base
+                              + np.arange(mrows, dtype=np.int32))[ok]
+            t_host = time.perf_counter() - t0
+            t_build += t_enc + t_host
+            if ci == 0:
+                t_first = t_enc + t_host
+            row_base += mrows
+            if ci % 20 == 0 or ci == n_chunks - 1:
+                log(f"chunk {ci+1}/{n_chunks}: enc {t_enc:.2f}s host "
+                    f"{t_host:.2f}s")
+
+        steady = t_build - t_first
+        mvps = (n - args.chunk) / steady / 1e6 if steady > 0 else 0
+        log(f"build: {t_build:.1f}s; steady {mvps:.2f}M vec/s; overflow "
+            f"{overflow} ({overflow/n*100:.4f}%)")
+        if cache:
+            os.makedirs(cache, exist_ok=True)
+            np.save(os.path.join(cache, 'codes.npy'), host_codes)
+            np.save(os.path.join(cache, 'ids.npy'), host_ids)
+            np.savez(os.path.join(cache, 'meta.npz'),
+                     codebook=np.asarray(codebook.centroids),
+                     queries=np.asarray(queries),
+                     gt_ids=np.asarray(run_ids),
+                     overflow=overflow, mvps=mvps)
+            log('cached host-staged build')
+        # the last chunk's device buffers (~1.7 GiB) must be freed
+        # before the 14 GiB code upload (measured OOM otherwise)
+        del v, assign, packed
+
 
     t0 = time.perf_counter()
     # DONATED reshapes: a plain .reshape on device is an executed copy
@@ -213,10 +243,8 @@ def main():
     cpd = corpus_mod.CPD
 
     @functools.partial(jax.jit, static_argnames=("k",))
-    def regen_rerank(rows, q32, k):
-        safe = jnp.clip(rows, 0, n - 1)
-        doc = safe // cpd
-        pos = safe % cpd
+    def regen_rerank(rows, q32, k, q_block: int = 256):
+        q_n, c = rows.shape
 
         def one(did, pi):
             dk = jax.random.fold_in(k_noise, did)
@@ -230,10 +258,24 @@ def main():
             walk = dc + jnp.cumsum(steps, axis=0)[pi]
             return walk / jnp.linalg.norm(walk)
 
-        q_n, c = rows.shape
-        vecs = jax.vmap(jax.vmap(one))(doc, pos)       # [Q, C, d]
-        scores = jnp.einsum("qd,qcd->qc", q32, vecs,
-                            preferred_element_type=jnp.float32)
+        def block(_, inp):
+            rb, qb = inp                      # [qb, C], [qb, d]
+            safe = jnp.clip(rb, 0, n - 1)
+            # blocked: the [qb, C, cpd, d] walk intermediates are
+            # ~3.2 GB at qb=2048 next to the 14 GiB index (OOM)
+            vecs = jax.vmap(jax.vmap(one))(safe // cpd, safe % cpd)
+            s = jnp.einsum("qd,qcd->qc", qb, vecs,
+                           preferred_element_type=jnp.float32)
+            return None, s
+
+        qb = min(q_block, q_n)
+        while q_n % qb:
+            qb //= 2
+        nb = q_n // qb
+        _, scores = jax.lax.scan(
+            block, None, (rows.reshape(nb, qb, c),
+                          q32.reshape(nb, qb, -1)))
+        scores = scores.reshape(q_n, c)
         scores = jnp.where(rows >= 0, scores, -jnp.inf)
         vals, posk = jax.lax.top_k(scores, k)
         out_rows = jnp.take_along_axis(rows, posk, axis=-1)
