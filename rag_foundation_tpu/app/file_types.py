@@ -168,27 +168,35 @@ def extract_text(data: bytes, content_type: str) -> str:
     return data.decode("utf-8", "replace")
 
 
-def _extract_zip_text(data: bytes) -> str:
+def _extract_zip_text(data: bytes, *, max_total_bytes: int = 32 * 2**20
+                      ) -> str:
     """Pull document text out of zip containers (OOXML/ODF/EPUB): decode
     the XML/HTML members and strip tags — dependency-free, good enough
-    to make office uploads searchable."""
+    to make office uploads searchable. ``max_total_bytes`` bounds TOTAL
+    decompressed text: a few-MB zip bomb can declare hundreds of
+    highly-compressed 16 MB members, and accumulating them all would
+    OOM the ingestion worker."""
     import io
     import re
     import zipfile
     out: list[str] = []
+    budget = max_total_bytes
     try:
         with zipfile.ZipFile(io.BytesIO(data)) as z:
             for info in z.infolist()[:200]:
                 name = info.filename.lower()
                 if not name.endswith((".xml", ".html", ".xhtml", ".txt")):
                     continue
-                if info.file_size > 16 * 2**20:
+                if info.file_size > budget:
                     continue
                 raw = z.read(info).decode("utf-8", "replace")
+                budget -= len(raw)
                 text = re.sub(r"<[^>]+>", " ", raw)
                 text = re.sub(r"\s+", " ", text).strip()
                 if len(text) > 40:
                     out.append(text)
+                if budget <= 0:
+                    break
     except zipfile.BadZipFile:
         return data.decode("utf-8", "replace")
     return "\n\n".join(out)

@@ -91,6 +91,11 @@ def register(app, ctx):
             for part in files.values():
                 part.cleanup()
             raise
+        # any EXTRA file parts a client sent were spooled too — clean
+        # them on success as well, or repeat uploads fill the tmp dir
+        for name, part in files.items():
+            if name != "file":
+                part.cleanup()
 
         if settings.ARCHIVE_UPLOADS:
             archive = (Path(settings.DATA_DIR) / "archive"

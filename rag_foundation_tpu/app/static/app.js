@@ -463,8 +463,16 @@ $("chat-form").addEventListener("submit", async (e) => {
     const topk = $("opt-topk").value;
     if (topk) body.top_k = parseInt(topk, 10);
     const tags = $("opt-tags").value.trim();
-    if (tags) body.tags = tags.split(",").map((t) => t.trim())
-                              .filter(Boolean);
+    if (tags) {
+      // tags are key=value labels for the cost ledger (the backend
+      // requires an OBJECT; sanitize_tags caps 5 entries)
+      const obj = {};
+      for (const part of tags.split(",")) {
+        const [k, ...rest] = part.split("=");
+        if (k.trim()) obj[k.trim()] = rest.join("=").trim() || "1";
+      }
+      if (Object.keys(obj).length) body.tags = obj;
+    }
     const model = $("opt-model").value;
     if (model) body.model = model;
     const resp = await fetch("/api/chat", {

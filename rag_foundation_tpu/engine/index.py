@@ -544,9 +544,11 @@ class StoreIndex:
                                         body.refine_scale)
             live = (body.row_ids.reshape(-1) >= 0)
             n8 = body.refine.shape[0]
+            # scatter the UNCLIPPED ids: mode="drop" discards the -1
+            # dead slots (clipping first would alias them onto row 0
+            # and write False over its true liveness)
             live_rows = jnp.zeros((n8,), bool).at[
-                jnp.clip(body.row_ids.reshape(-1), 0, n8 - 1)].set(
-                live, mode="drop")
+                body.row_ids.reshape(-1)].set(live, mode="drop")
             vals, pos = _exact_int8_topk(qq, body.refine, live_rows, k)
             vals = np.asarray(vals) * float(qscale * body.refine_scale)
             rows = np.asarray(pos)

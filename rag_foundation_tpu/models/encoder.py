@@ -256,6 +256,8 @@ def save_params(params: dict, path: str,
         # otherwise surfaces as a broadcast error mid-ingestion)
         for f in _CFG_FIELDS:
             arrays[f"__cfg_{f}"] = np.int64(getattr(cfg, f))
+    from rag_foundation_tpu.models.tokenizer import TOKENIZER_VERSION
+    arrays["__tok_version"] = np.int64(TOKENIZER_VERSION)
     np.savez_compressed(path, **arrays)
 
 
@@ -275,6 +277,16 @@ def load_params(path: str, cfg: EncoderConfig) -> dict:
     flat, treedef = jax.tree_util.tree_flatten_with_path(template)
     leaves = []
     with np.load(path) as z:
+        from rag_foundation_tpu.models.tokenizer import TOKENIZER_VERSION
+        ckpt_tok = int(z["__tok_version"]) if "__tok_version" in z \
+            else 1
+        if ckpt_tok != TOKENIZER_VERSION:
+            raise ValueError(
+                f"checkpoint {path} was trained with tokenizer "
+                f"v{ckpt_tok}, this build tokenizes v"
+                f"{TOKENIZER_VERSION} — embeddings would live in "
+                f"incompatible spaces; retrain or pin the matching "
+                f"build")
         for k, v in flat:
             key = jax.tree_util.keystr(k)
             if key not in z:

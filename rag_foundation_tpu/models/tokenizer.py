@@ -24,6 +24,12 @@ CLS_ID = 1
 SEP_ID = 2
 _RESERVED = 3
 
+# bump when tokenization changes (v2: inflection-suffix splitting).
+# Checkpoints record this so a model trained under one tokenization is
+# never silently paired with another (embeddings live in incompatible
+# spaces — retrieval would degrade without any error).
+TOKENIZER_VERSION = 2
+
 
 def _hash_token(token: str, vocab_size: int) -> int:
     h = hashlib.blake2b(token.encode(), digest_size=4).digest()

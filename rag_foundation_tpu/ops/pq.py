@@ -102,12 +102,14 @@ def pq_encode(codebook: PQCodebook, x: jnp.ndarray,
     c = codebook.centroids  # [m, K, dsub]
     c_sq = 0.5 * jnp.sum(c * c, axis=2)  # [m, K]
     bs = min(block_size, n)
-    for b in range(bs, 0, -1):
+    for b in range(bs, bs // 2, -1):  # divisor-poor N falls through
         if n % b == 0:
             bs = b
             break
-    nb = n // bs
-    xs = x.astype(jnp.float32).reshape(nb, bs, m, dsub)
+    nb = -(-n // bs)
+    padded = nb * bs
+    xp = jnp.pad(x, ((0, padded - n), (0, 0))) if padded != n else x
+    xs = xp.astype(jnp.float32).reshape(nb, bs, m, dsub)
 
     def step(_, xb):
         dots = jnp.einsum("nmd,mkd->nmk", xb, c,
@@ -116,7 +118,7 @@ def pq_encode(codebook: PQCodebook, x: jnp.ndarray,
                                 ).astype(jnp.uint8)
 
     _, codes = jax.lax.scan(step, None, xs)
-    return codes.reshape(n, m)
+    return codes.reshape(padded, m)[:n]
 
 
 @jax.jit

@@ -241,17 +241,27 @@ class Request:
         ait = self.iter_raw()
         buf = b""
         eof = False
+        consumed = 0
+        # TOTAL body cap enforced on bytes actually read: chunked
+        # bodies carry no content-length, and per-part caps alone would
+        # let a crafted stream of many small parts grow RAM/disk
+        # without bound
+        max_total = max_file_bytes + overhead
 
         async def fill() -> bool:
-            nonlocal buf, eof
+            nonlocal buf, eof, consumed
             if eof:
                 return False
             try:
-                buf += await ait.__anext__()
-                return True
+                piece = await ait.__anext__()
             except StopAsyncIteration:
                 eof = True
                 return False
+            consumed += len(piece)
+            if consumed > max_total:
+                raise HTTPError(413, "File exceeds upload size limit")
+            buf += piece
+            return True
 
         async def require(n: int):
             while len(buf) < n:

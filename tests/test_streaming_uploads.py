@@ -184,3 +184,50 @@ def test_oversized_upload_413s_after_at_most_one_chunk_over_socket():
     finally:
         loop.call_soon_threadsafe(stop_ev.set)
         t.join(timeout=10)
+
+
+def test_stream_multipart_total_cap_without_content_length(tmp_path):
+    """Chunked transfers carry no content-length; the TOTAL consumed
+    bytes must still be capped or many small under-the-per-field-cap
+    parts grow RAM/disk without bound (round-2 review finding)."""
+    parts = [(f"f{i}", None, b"x" * 60_000) for i in range(30)]
+    body = _mp_body("b0undary", parts)
+    req = Request("POST", "/api/upload", {
+        "content-type": "multipart/form-data; boundary=b0undary",
+        "transfer-encoding": "chunked",   # no content-length
+    }, body)
+    with pytest.raises(HTTPError) as e:
+        _parse(req, tmp_path)
+    assert e.value.status == 413
+
+
+def test_upload_route_cleans_extra_spooled_parts(tmp_path):
+    """A success path must unlink spool files for any file parts other
+    than 'file' (they leaked before — round-2 review finding)."""
+    from tests.app_helpers import make_app
+
+    client, ctx = make_app(tmp_path)
+    from tests.app_helpers import signup
+    headers = signup(client, "spool@example.com")
+    store = client.post("/api/stores", headers=headers,
+                        json_body={"name": "S"}).json()
+    def part(name, fn, payload):
+        return (f'--b0undary\r\nContent-Disposition: form-data; '
+                f'name="{name}"; filename="{fn}"\r\n'
+                f'Content-Type: text/plain\r\n\r\n').encode() \
+            + payload + b"\r\n"
+    body = (f'--b0undary\r\nContent-Disposition: form-data; '
+            f'name="store_id"\r\n\r\n{store["id"]}\r\n').encode() \
+        + part("file", "a.txt", b"hello world, a real document body") \
+        + part("file2", "b.txt", b"an extra part that must not leak") \
+        + b"--b0undary--\r\n"
+    r = client.post("/api/upload", headers={
+        **headers,
+        "content-type": "multipart/form-data; boundary=b0undary",
+    }, body=body)
+    assert r.status_code == 201, r.text
+    tmp_dir = os.path.join(str(tmp_path), "data", "uploads", "tmp")
+    leftovers = [p for p in (os.listdir(tmp_dir)
+                             if os.path.isdir(tmp_dir) else [])
+                 if p.startswith("part-")]
+    assert leftovers == []
