@@ -50,6 +50,7 @@ from rag_foundation_tpu.benchmark.runner import ApiClient
 c = ApiClient.from_credentials("http://127.0.0.1:8741",
                                "load@example.com", "Load-Passw0rd-1",
                                register=True)
+c.timeout = 900  # first engine ops pay TPU-tunnel compile time
 store = c.ensure_store("load-test")
 doc = Path("$WORK/seed.txt")
 doc.write_text("\n\n".join(
