@@ -78,11 +78,14 @@ def main():
 
     from benchmarks import corpus as corpus_mod
 
-    @functools.partial(jax.jit, static_argnames=("base",))
+    @jax.jit
     def gen_chunk(key, centers, base=0):
+        # base is TRACED: a static base would recompile every chunk
+        # (measured: 3.3 s/chunk vs 0.4 s — an 8x build regression)
         if args.corpus == "docwalk":
             v = corpus_mod.gen_docwalk_chunk(
-                k_noise, centers, jnp.int32(base), chunk=args.chunk)
+                k_noise, centers, jnp.asarray(base, jnp.int32),
+                chunk=args.chunk)
         else:
             k1, k2 = jax.random.split(key)
             cid = jax.random.randint(k1, (args.chunk,), 0, nlist)
