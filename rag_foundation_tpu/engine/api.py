@@ -15,6 +15,7 @@ against the latest published segment state.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import threading
 import time
@@ -89,6 +90,7 @@ class _Store:
     lock: threading.Lock = field(default_factory=threading.Lock)
     created_at: float = field(default_factory=time.time)
     disk_mtime: float = 0.0  # meta.json mtime at load/save (split-proc)
+    saved_body_version: int = -1  # StoreIndex.body_version at last save
 
 
 class StoreNotFound(KeyError):
@@ -188,6 +190,27 @@ class Engine:
             self._mesh_cache = make_mesh(self.config.mesh_shards)
         return self._mesh_cache
 
+    @contextlib.contextmanager
+    def _mutation_lock(self, key: str):
+        """Inter-PROCESS store mutation lock (split API/worker
+        topology): both processes hold independent in-memory copies, so
+        concurrent load-modify-save of the same store files loses one
+        update (e.g. an API-side document delete racing a worker-side
+        ingest). Mutators take this flock, reload-if-stale inside it
+        (_store() checks meta.json mtime), apply, save, release. No-op
+        without a data_dir (single-process in-memory engines)."""
+        if not self.config.data_dir:
+            yield
+            return
+        import fcntl
+        lock_f = self._store_dir(key) / ".mutex"
+        with open(lock_f, "w") as f:
+            fcntl.flock(f, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(f, fcntl.LOCK_UN)
+
     def _new_index(self) -> StoreIndex:
         cfg = self.config
         return StoreIndex(cfg.dim, mode=cfg.index_mode, nlist=cfg.nlist,
@@ -236,10 +259,12 @@ class Engine:
         (mirrors the reference worker's idempotency gates,
         /root/reference/backend/app/services/ingestion.py:181-208).
         """
-        store = self._store(store_key)
         chunks = chunk_text(text, max_tokens=self.config.chunk_tokens,
                             overlap_tokens=self.config.chunk_overlap)
-        with store.lock:
+        with contextlib.ExitStack() as stack:
+            stack.enter_context(self._mutation_lock(store_key))
+            store = self._store(store_key)  # reload-if-stale UNDER lock
+            stack.enter_context(store.lock)
             self._delete_doc_locked(store, doc_id)
             if chunks:
                 ids = np.arange(store.next_chunk_id,
@@ -269,11 +294,12 @@ class Engine:
                 del store.chunks[cid]
 
     def delete_document(self, store_key: str, doc_id: str) -> None:
-        store = self._store(store_key)
-        with store.lock:
-            self._delete_doc_locked(store, doc_id)
-            if self.config.data_dir:
-                self._save_store(store)
+        with self._mutation_lock(store_key):
+            store = self._store(store_key)  # reload-if-stale UNDER lock
+            with store.lock:
+                self._delete_doc_locked(store, doc_id)
+                if self.config.data_dir:
+                    self._save_store(store)
 
     def store_stats(self, store_key: str) -> dict:
         store = self._store(store_key)
@@ -428,23 +454,34 @@ class Engine:
 
     def _save_store(self, store: _Store) -> None:
         p = self._store_dir(store.key)
-        body = store.segment.body_state()
-        if body is not None:
-            # serialized index segments (SURVEY.md §5): the body reloads
-            # into HBM verbatim — no rebuild, no re-quantization drift —
-            # and vectors.npz holds only the streaming tail
-            tmp = p / "body.npz.tmp"
-            with open(tmp, "wb") as f:
-                np.savez(f, **body)
-            tmp.replace(p / "body.npz")
-            st = store.segment.tail.state()
+        seg = store.segment
+        if seg.body is not None:
+            bv = seg.body_version
+            if bv != store.saved_body_version or                     not (p / "body.npz").exists():
+                # serialized index segments (SURVEY.md §5): the body
+                # reloads into HBM verbatim — no rebuild, no
+                # re-quantization drift — and vectors.npz holds only
+                # the streaming tail. Skipped when the body is
+                # unchanged: rewriting a multi-GB body.npz on every
+                # one-paragraph ingest blocked the store lock for the
+                # whole disk write
+                body = seg.body_state()
+                tmp = p / "body.npz.tmp"
+                with open(tmp, "wb") as f:
+                    np.savez(f, **body)
+                tmp.replace(p / "body.npz")
+                store.saved_body_version = bv
+            st = seg.tail.state()
             layout = "tail+body"
         else:
-            st = store.segment.state()
+            st = seg.state()
             layout = "full"
             (p / "body.npz").unlink(missing_ok=True)
-        np.savez_compressed(p / "vectors.npz",
-                            vectors=st["vectors"], ids=st["ids"])
+        tmp_v = p / "vectors.npz.tmp"
+        with open(tmp_v, "wb") as f:  # atomic: sibling processes reload
+            np.savez_compressed(f, vectors=st["vectors"],  # on mtime
+                                ids=st["ids"])
+        tmp_v.replace(p / "vectors.npz")
         meta = {
             "key": store.key,
             "dim": self.config.dim,
@@ -467,6 +504,7 @@ class Engine:
         cfg = self.config
         kw = dict(mode=cfg.index_mode, nlist=cfg.nlist,
                   nprobe=cfg.nprobe, ivf_p=cfg.ivf_p,
+                  pq_m=cfg.pq_m, pq_packed=cfg.pq_packed,
                   approx_routing=cfg.approx_routing,
                   build_threshold=cfg.build_threshold,
                   mesh=self._mesh())

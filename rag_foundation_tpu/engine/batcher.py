@@ -43,7 +43,11 @@ class QueryBatcher:
         self._groups: dict[object, list[_Pending]] = {}
         self._timers: dict[object, threading.Timer] = {}
 
-    def submit(self, group_key: object, query: str, timeout: float = 30.0):
+    # generous default: the FIRST batch of a fresh (Q-bucket, k)
+    # signature pays a remote XLA compile (1-5 min on the tunneled TPU,
+    # CLAUDE.md) — a 30 s wait spuriously failed exactly those requests
+    def submit(self, group_key: object, query: str,
+               timeout: float = 600.0):
         pending = _Pending(query=query)
         flush_now = False
         with self._lock:

@@ -147,6 +147,10 @@ class StoreIndex:
         self.body: IVFFlatIndex | None = None
         self.body_chunk_ids: np.ndarray | None = None  # row -> chunk id
         self._dead: set[int] = set()
+        # bumped on every persisted-body mutation (rebuild/flush/
+        # restore/delete): lets savers skip rewriting a multi-GB
+        # body.npz when only the tail changed
+        self.body_version = 0
 
     def _new_tail(self):
         if self.mesh is not None:
@@ -205,6 +209,7 @@ class StoreIndex:
             self.body_chunk_ids = np.concatenate(
                 [self.body_chunk_ids, table_ext])
             self.body = new_body
+            self.body_version += 1
         self.tail = self._new_tail()
         if dropped.any():
             # re-add the dropped rows, then rebuild (retrains + resizes)
@@ -214,6 +219,7 @@ class StoreIndex:
     def delete_ids(self, ids: set[int]) -> None:
         self.tail.delete_ids(ids)
         self._dead |= ids
+        self.body_version += 1  # the persisted dead set changed
 
     def rebuild(self) -> None:
         """Compact tail + body into a fresh IVF body (copy-on-compact)."""
@@ -235,6 +241,7 @@ class StoreIndex:
             parts_i.append(self.body_chunk_ids[keep])
         if not parts_v:
             self.body = None
+            self.body_version += 1
             self.body_chunk_ids = None
             return
         vecs = np.concatenate(parts_v)
@@ -272,6 +279,7 @@ class StoreIndex:
         with self._body_lock:
             self.body_chunk_ids = cids
             self.body = new_body
+            self.body_version += 1
         self.tail = self._new_tail()
         self._dead.clear()  # rebuild compacted all tombstones away
 
@@ -348,7 +356,12 @@ class StoreIndex:
         t_vals, t_ids = self.tail.search(queries, k)
         if self.body is None:
             return t_vals, t_ids
-        fetch = min(k + len(self._dead), k * 4 + 16)
+        # pow2-bucketed: fetch is a jit-STATIC arg of every search
+        # path, and tying it directly to len(_dead) forced a fresh
+        # multi-minute remote compile after each deletion
+        from rag_foundation_tpu.utils.shapes import bucket_pow2
+        fetch = min(bucket_pow2(k + len(self._dead)),
+                    bucket_pow2(k * 4 + 16))
         with self._body_lock:
             # snapshot the row->chunk-id table together with the body it
             # matches: a racing rebuild() swaps in a compacted, reordered,
@@ -542,19 +555,36 @@ class StoreIndex:
                     "store (codes alone are lossy)")
             qq, qscale = _quant_queries(jnp.asarray(q32),
                                         body.refine_scale)
-            live = (body.row_ids.reshape(-1) >= 0)
             n8 = body.refine.shape[0]
-            # scatter the UNCLIPPED ids: mode="drop" discards the -1
-            # dead slots (clipping first would alias them onto row 0
-            # and write False over its true liveness)
-            live_rows = jnp.zeros((n8,), bool).at[
-                body.row_ids.reshape(-1)].set(live, mode="drop")
+            # refine-row liveness comes from the HOST table (row ->
+            # chunk id, -1 for dropped appends): a device scatter of
+            # row_ids is subtly wrong (JAX normalizes negative indices
+            # BEFORE mode="drop" applies, so -1 clobbers row n8-1), and
+            # the table also lets tombstoned chunks (self._dead) be
+            # excluded — the approx path filters them, so the exact
+            # reference must too or the audit underreports recall
+            live_np = np.zeros(n8, bool)
+            nrows = min(len(table), n8)
+            live_np[:nrows] = table[:nrows] >= 0
+            if self._dead:
+                dead_arr = np.fromiter(self._dead, np.int64,
+                                       len(self._dead))
+                live_np[:nrows] &= ~np.isin(table[:nrows], dead_arr)
+            live_rows = jnp.asarray(live_np)
             vals, pos = _exact_int8_topk(qq, body.refine, live_rows, k)
             vals = np.asarray(vals) * float(qscale * body.refine_scale)
             rows = np.asarray(pos)
         else:
             flat = body.lists.reshape(-1, self.dim)
-            mask = body.row_ids.reshape(-1) >= 0
+            flat_rows = np.asarray(body.row_ids.reshape(-1))
+            live_np = flat_rows >= 0
+            if self._dead:  # exclude tombstones IN the scan (a post-
+                # filter would let dead rows consume top-k slots)
+                dead_arr = np.fromiter(self._dead, np.int64,
+                                       len(self._dead))
+                safe_rows = np.clip(flat_rows, 0, len(table) - 1)
+                live_np &= ~np.isin(table[safe_rows], dead_arr)
+            mask = jnp.asarray(live_np)
             if body.lists.dtype == jnp.int8:
                 qq, qscale = _quant_queries(jnp.asarray(q32), body.scale)
                 vals, pos = exact_topk(qq, flat, k, live_mask=mask)
@@ -651,6 +681,7 @@ class StoreIndex:
             raise ValueError(f"unknown body kind {kind!r}")
         with self._body_lock:
             self.body = body
+            self.body_version += 1
             self.body_chunk_ids = np.asarray(state["body_chunk_ids"],
                                              np.int64)
             self._dead = set(np.asarray(state["dead"], np.int64)

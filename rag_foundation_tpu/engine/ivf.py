@@ -326,9 +326,16 @@ def ivf_search_small(
     scores = jnp.where(cand_ids >= 0, scores, -jnp.inf)
     flat_scores = scores.reshape(q_n, nprobe * cap_len)
     flat_ids = cand_ids.reshape(q_n, nprobe * cap_len)
-    top_vals, pos = jax.lax.top_k(flat_scores, k)
+    # clamp: a filtered over-fetch (k > nprobe*cap_len on a small
+    # body) must degrade to fewer results, not crash lax.top_k
+    k_eff = min(k, nprobe * cap_len)
+    top_vals, pos = jax.lax.top_k(flat_scores, k_eff)
     rows = jnp.take_along_axis(flat_ids, pos, axis=-1)
     rows = jnp.where(jnp.isfinite(top_vals), rows, -1)
+    if k_eff < k:
+        pad = ((0, 0), (0, k - k_eff))
+        top_vals = jnp.pad(top_vals, pad, constant_values=-jnp.inf)
+        rows = jnp.pad(rows, pad, constant_values=-1)
     return top_vals, rows
 
 

@@ -54,14 +54,24 @@ def pipelined_ingest(
                          name="ragtpu-ingest-encode")
     t.start()
     inserted = 0
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            break
-        vecs, batch_ids = item
-        insert(vecs, batch_ids)  # async dispatch overlaps next encode
-        inserted += len(batch_ids)
-    t.join()
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                break
+            vecs, batch_ids = item
+            insert(vecs, batch_ids)  # async dispatch overlaps next encode
+            inserted += len(batch_ids)
+    finally:
+        # drain on consumer failure too: the producer blocks on the
+        # bounded q.put holding encoded batches — without this, an
+        # insert error leaks the thread and its pinned memory forever
+        while t.is_alive():
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=0.05)
     if error:
         raise error[0]
     return inserted

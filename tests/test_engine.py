@@ -213,3 +213,44 @@ def test_split_process_store_visibility(tmp_data_dir):
     worker.delete_document("s", "d1")
     assert all(h.doc_id != "d1"
                for h in api.search(["s"], "alpha beta", k=5))
+
+
+def test_cross_process_mutations_do_not_lose_updates(tmp_data_dir):
+    """Two Engine instances sharing a data_dir model the split
+    API/worker topology: a delete in one and an ingest in the other
+    must BOTH survive (mutators flock + reload-if-stale; round-2
+    review finding)."""
+    a = _engine(data_dir=tmp_data_dir)
+    a.create_store("s")
+    a.ingest_document("s", "d1", "one", DOC_A)
+    b = _engine(data_dir=tmp_data_dir)        # sibling process analog
+    b.ingest_document("s", "d2", "two", DOC_B)
+    a.delete_document("s", "d1")              # must see d2 first
+    fresh = _engine(data_dir=tmp_data_dir)
+    stats = fresh.store_stats("s")
+    docs = {m.doc_id for m in fresh._store("s").chunks.values()}
+    assert docs == {"d2"}, stats
+
+
+def test_save_skips_unchanged_body(tmp_data_dir):
+    """Tail-only ingests must not rewrite the multi-GB body.npz
+    (round-2 review finding)."""
+    import os
+
+    e = Engine(EngineConfig(dim=128, chunk_tokens=30, chunk_overlap=5,
+                            index_mode="ivf_flat", nlist=4,
+                            build_threshold=4, data_dir=tmp_data_dir))
+    e.create_store("s")
+    e.ingest_document("s", "d1", "one", (DOC_A + " ") * 4)  # > threshold
+    store = e._store("s")
+    assert store.segment.body is not None
+    body_f = None
+    for d in (os.path.join(tmp_data_dir, "stores", p)
+              for p in os.listdir(os.path.join(tmp_data_dir, "stores"))):
+        if os.path.exists(os.path.join(d, "body.npz")):
+            body_f = os.path.join(d, "body.npz")
+    assert body_f
+    stamp = os.stat(body_f).st_mtime_ns
+    e.ingest_document("s", "d2", "two", "tiny tail only doc")
+    if e._store("s").segment.body_version == store.saved_body_version:
+        assert os.stat(body_f).st_mtime_ns == stamp
