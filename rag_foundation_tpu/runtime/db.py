@@ -72,11 +72,24 @@ class Database:
                 conn.rollback()
                 raise
 
+    def _read(self, sql: str, params: tuple):
+        # :memory: shared-cache readers can hit SQLITE_LOCKED ("database
+        # table is locked") when a write tx is open — the busy handler
+        # does NOT retry that class, so retry briefly here (WAL file
+        # databases never take this path)
+        for attempt in range(40):
+            try:
+                return self.conn.execute(sql, params)
+            except sqlite3.OperationalError as e:
+                if "locked" not in str(e) or attempt == 39:
+                    raise
+                time.sleep(0.025)
+
     def query(self, sql: str, params: tuple = ()) -> list[sqlite3.Row]:
-        return self.conn.execute(sql, params).fetchall()
+        return self._read(sql, params).fetchall()
 
     def one(self, sql: str, params: tuple = ()) -> sqlite3.Row | None:
-        return self.conn.execute(sql, params).fetchone()
+        return self._read(sql, params).fetchone()
 
     def execute(self, sql: str, params: tuple = ()) -> int:
         """Single-statement write; returns lastrowid."""

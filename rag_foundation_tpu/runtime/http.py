@@ -145,9 +145,25 @@ class Request:
         if self._chunked:
             while True:
                 size_line = await self._reader.readline()
-                size = int(size_line.strip() or b"0", 16)
+                if not size_line:
+                    # EOF mid-body is a DISCONNECT, not the terminal
+                    # chunk: treating it as size 0 would accept a
+                    # truncated body as complete
+                    raise Disconnected()
+                # strip RFC 7230 chunk extensions ("5;name=val")
+                token = size_line.strip().split(b";", 1)[0]
+                try:
+                    size = int(token or b"0", 16)
+                except ValueError:
+                    raise HTTPError(400, "Malformed chunk size") \
+                        from None
                 if size == 0:
-                    await self._reader.readline()
+                    # consume optional trailer fields up to the blank
+                    # line so keep-alive connections stay in sync
+                    while True:
+                        line = await self._reader.readline()
+                        if line in (b"\r\n", b"\n", b""):
+                            break
                     break
                 remaining = size
                 while remaining:
@@ -360,6 +376,8 @@ class Request:
                     if sink_fd is not None:
                         _os.close(sink_fd)
                 if is_file and name:
+                    if name in files:  # duplicate form name: the first
+                        files[name].cleanup()  # spool would leak
                     files[name] = SpooledFile(
                         filename=file_m.group(1), content_type=part_type,
                         path=sink_path, size=size, head=head_acc)
@@ -660,7 +678,8 @@ async def _connection(app: App, reader: asyncio.StreamReader,
                 await writer.drain()
             if not keep_alive:
                 return
-    except (ConnectionResetError, BrokenPipeError, asyncio.IncompleteReadError):
+    except (ConnectionResetError, BrokenPipeError,
+            asyncio.IncompleteReadError, Disconnected):
         pass
     finally:
         try:

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import random
+import secrets
 import threading
 import time
 import traceback
@@ -56,6 +57,11 @@ class JobQueue:
             if "not_before" not in cols:
                 conn.execute("ALTER TABLE jobs ADD COLUMN not_before"
                              " REAL NOT NULL DEFAULT 0")
+            if "claim_token" not in cols:
+                # lease ownership: finish() must be a no-op when the
+                # lease expired and another worker re-claimed the job
+                conn.execute("ALTER TABLE jobs ADD COLUMN claim_token"
+                             " TEXT")
 
     def enqueue(self, job_type: str, payload: dict | None = None,
                 *, max_attempts: int = 3) -> int:
@@ -76,20 +82,35 @@ class JobQueue:
                 " ORDER BY id LIMIT 1", (now, now)).fetchone()
             if row is None:
                 return None
+            token = secrets.token_hex(8)
             conn.execute(
                 "UPDATE jobs SET status='running', attempts=attempts+1,"
-                " leased_until=? WHERE id=?",
-                (now + self.lease_s, row["id"]))
+                " leased_until=?, claim_token=? WHERE id=?",
+                (now + self.lease_s, token, row["id"]))
             job = conn.execute("SELECT * FROM jobs WHERE id=?",
                                (row["id"],)).fetchone()
             return dict(job)
 
-    def finish(self, job_id: int, *, error: str | None = None):
+    def finish(self, job_id: int, *, error: str | None = None,
+               claim_token: str | None = None):
+        """Record a job outcome. ``claim_token`` (from claim()) makes
+        this a no-op when the lease expired and another worker took
+        over — the overrunning original must not clobber the new
+        owner's state. ``None`` skips the guard (tests/manual ops)."""
+        guard = "" if claim_token is None else " AND claim_token=?"
+        gargs = () if claim_token is None else (claim_token,)
         with self.db.tx() as conn:
+            if claim_token is not None:
+                cur = conn.execute(
+                    "SELECT claim_token FROM jobs WHERE id=?",
+                    (job_id,)).fetchone()
+                if cur is None or cur["claim_token"] != claim_token:
+                    return  # lease lost; the new owner reports
             if error is None:
                 conn.execute(
                     "UPDATE jobs SET status='done', finished_at=?, error=NULL"
-                    " WHERE id=?", (self._clock(), job_id))
+                    " WHERE id=?" + guard,
+                    (self._clock(), job_id) + gargs)
             else:
                 row = conn.execute(
                     "SELECT attempts, max_attempts FROM jobs WHERE id=?",
@@ -102,10 +123,10 @@ class JobQueue:
                     2.0 ** row["attempts"]) * (0.5 + random.random())
                 conn.execute(
                     "UPDATE jobs SET status=?, finished_at=?, error=?,"
-                    " leased_until=NULL, not_before=? WHERE id=?",
+                    " leased_until=NULL, not_before=? WHERE id=?" + guard,
                     ("error" if terminal else "queued",
                      self._clock() if terminal else None, error[:2000],
-                     self._clock() + delay, job_id))
+                     self._clock() + delay, job_id) + gargs)
 
     def stats(self) -> dict[str, int]:
         rows = self.db.query(
@@ -154,10 +175,11 @@ class Worker:
             handler(json.loads(job["payload"]))
         except Exception as e:  # noqa: BLE001 — job isolation boundary
             self.queue.finish(job["id"],
-                              error=f"{type(e).__name__}: {e}")
+                              error=f"{type(e).__name__}: {e}",
+                              claim_token=job.get("claim_token"))
             traceback.print_exc()
             return True
-        self.queue.finish(job["id"])
+        self.queue.finish(job["id"], claim_token=job.get("claim_token"))
         return True
 
     def _tick_crons(self):
@@ -183,15 +205,26 @@ class Worker:
         try:
             while not self._stop.is_set():
                 self._tick_crons()
-                if not self.run_once():
+                if not self._run_once_guarded():
                     self._stop.wait(self.poll_interval)
         finally:
             for t in extras:
                 t.join(timeout=5)
 
+    def _run_once_guarded(self) -> bool:
+        """run_once that survives QUEUE-level errors (claim/finish db
+        hiccups): one transient sqlite error must not silently kill the
+        worker loop forever."""
+        try:
+            return self.run_once()
+        except Exception:  # noqa: BLE001 — loop survival boundary
+            traceback.print_exc()
+            self._stop.wait(min(5.0, self.poll_interval * 5 + 1.0))
+            return False
+
     def _claim_loop(self):
         while not self._stop.is_set():
-            if not self.run_once():
+            if not self._run_once_guarded():
                 self._stop.wait(self.poll_interval)
 
     def start(self) -> threading.Thread:

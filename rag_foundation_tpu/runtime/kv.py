@@ -38,8 +38,16 @@ class MemoryKV:
                    if exp is not None and exp <= now]
         for k in expired:
             del self._data[k]
-        while len(self._data) > self._max_keys:
-            self._data.pop(next(iter(self._data)))
+        # FIFO-evict overflow, but NEVER live revocation markers: a
+        # flood of rate-limit keys must not fail a revoked JWT back
+        # OPEN (auth fail-closed contract). Revocation keys are bounded
+        # by token TTL so they cannot themselves grow without limit.
+        if len(self._data) > self._max_keys:
+            for k in list(self._data):
+                if len(self._data) <= self._max_keys:
+                    break
+                if not k.startswith("revoked:"):
+                    del self._data[k]
 
     def _get_locked(self, key: str) -> str | None:
         item = self._data.get(key)
@@ -78,6 +86,10 @@ class MemoryKV:
                 else None
             val = int(cur or 0) + 1
             self._data[key] = (str(val), exp)
+            # incr is the rate-limit hot path: one NEW key per client
+            # per window — without eviction here those buckets are
+            # never touched again and accumulate forever
+            self._evict_locked()
             return val
 
     def expire(self, key: str, ttl: float):
@@ -123,7 +135,15 @@ class SqliteKV:
             return None
         value, exp = row
         if exp is not None and exp <= self._clock():
-            self.delete(key)
+            try:
+                # guarded: an unconditional DELETE would race a sibling
+                # process's FRESH setex of the same key and remove it
+                self._conn().execute(
+                    "DELETE FROM kv WHERE key=? AND expires_at IS NOT"
+                    " NULL AND expires_at<=?", (key, self._clock()))
+                self._conn().commit()
+            except sqlite3.Error:
+                pass  # lazy cleanup only; the read result stands
             return None
         return value
 

@@ -356,3 +356,70 @@ def test_job_retry_backoff(tmp_path):
     db.execute("UPDATE jobs SET not_before=0")
     q.finish(q.claim()["id"], error="boom")  # third attempt -> terminal
     assert db.query("SELECT status FROM jobs")[0]["status"] == "error"
+
+
+def test_finish_requires_matching_claim_token(tmp_path):
+    """A worker that overran its lease must not clobber the state of
+    the worker that re-claimed the job (round-2 review finding)."""
+    from rag_foundation_tpu.runtime.db import Database
+    from rag_foundation_tpu.runtime.jobqueue import JobQueue
+
+    t = [1000.0]
+    db = Database(str(tmp_path / "q.db"))
+    q = JobQueue(db, lease_s=10, clock=lambda: t[0])
+    q.enqueue("ingest", {"x": 1})
+    j1 = q.claim()
+    t[0] += 20  # lease expires
+    j2 = q.claim()  # second worker takes over
+    assert j2["id"] == j1["id"]
+    assert j2["claim_token"] != j1["claim_token"]
+    # the original's finish is a NO-OP now
+    q.finish(j1["id"], claim_token=j1["claim_token"])
+    row = db.one("SELECT status FROM jobs WHERE id=?", (j1["id"],))
+    assert row["status"] == "running"
+    # the current owner's finish lands
+    q.finish(j2["id"], claim_token=j2["claim_token"])
+    row = db.one("SELECT status FROM jobs WHERE id=?", (j2["id"],))
+    assert row["status"] == "done"
+
+
+def test_worker_survives_queue_level_errors(tmp_path):
+    """A transient db error in claim() must not kill the loop
+    (round-2 review finding)."""
+    from rag_foundation_tpu.runtime.db import Database
+    from rag_foundation_tpu.runtime.jobqueue import JobQueue, Worker
+
+    db = Database(str(tmp_path / "q2.db"))
+    q = JobQueue(db, retry_backoff_s=0)
+    w = Worker(q, poll_interval=0.01)
+    boom = [2]
+    real_claim = q.claim
+
+    def flaky_claim():
+        if boom[0] > 0:
+            boom[0] -= 1
+            raise RuntimeError("transient db hiccup")
+        return real_claim()
+    q.claim = flaky_claim
+    done = []
+    w.register("j", lambda p: done.append(p))
+    q.enqueue("j", {"ok": 1})
+    assert w._run_once_guarded() is False   # first hiccup survived
+    assert w._run_once_guarded() is False   # second hiccup survived
+    assert w._run_once_guarded() is True    # then the job runs
+    assert done == [{"ok": 1}]
+
+
+def test_memorykv_incr_eviction_and_revoked_protection():
+    """Rate-limit keys must evict (incr path) and live revocation
+    markers must never be evicted by a key flood (fail-closed;
+    round-2 review findings)."""
+    from rag_foundation_tpu.runtime.kv import MemoryKV
+
+    kv = MemoryKV(max_keys=50)
+    kv.setex("revoked:token-a", 3600, "1")
+    for i in range(300):
+        kv.incr(f"rl:client-{i}:w1")
+        kv.expire(f"rl:client-{i}:w1", 60)
+    assert len(kv._data) <= 51
+    assert kv.exists("revoked:token-a")  # survived the flood
