@@ -93,7 +93,11 @@ def decode_jwt(token: str, secret: str, *, issuer: str, audience: str) -> dict:
         raise TokenError("malformed token") from None
     signing = f"{header_b64}.{payload_b64}".encode()
     expected = hmac.new(secret.encode(), signing, hashlib.sha256).digest()
-    if not hmac.compare_digest(expected, _b64url_decode(sig_b64)):
+    try:
+        sig = _b64url_decode(sig_b64)
+    except ValueError:  # binascii.Error included — garbage base64 in a
+        raise TokenError("malformed signature") from None  # 500'd before
+    if not hmac.compare_digest(expected, sig):
         raise TokenError("bad signature")
     try:
         header = json.loads(_b64url_decode(header_b64))

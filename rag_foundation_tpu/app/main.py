@@ -123,8 +123,14 @@ def create_app(ctx: AppContext | None = None, *,
             clear_request()
         resp.headers["x-request-id"] = rid
         dur = time.perf_counter() - t0
-        route = req.path if not req.path.startswith("/api/") else \
-            "/".join(req.path.split("/")[:4])
+        if req.path.startswith("/api/"):
+            # collapse resource IDs at EVERY depth or the label set
+            # grows with each store/document ever touched
+            route = "/".join(
+                "{id}" if seg.isdigit() else seg
+                for seg in req.path.split("/")[:5])
+        else:
+            route = req.path
         metrics.http_requests_total.labels(
             req.method, route, str(resp.status)).inc()
         metrics.http_request_duration_seconds.labels(
@@ -160,7 +166,17 @@ def create_app(ctx: AppContext | None = None, *,
                     "access-control-max-age": "600",
                 })
             return Response(b"", status=204)
-        resp = await call_next(req)
+        try:
+            resp = await call_next(req)
+        except HTTPError as e:
+            # convert HERE (inside security_headers + correlation):
+            # error responses must still carry CORS + security headers,
+            # count in metrics, and get an x-request-id — letting the
+            # exception ride to the framework boundary bypassed every
+            # outer middleware (a browser SPA saw opaque fetch failures
+            # on any 401/422/429)
+            resp = Response({"detail": e.detail}, status=e.status,
+                            headers=e.headers)
         if origin in settings.CORS_ORIGINS:
             resp.headers["access-control-allow-origin"] = origin
             resp.headers["vary"] = "Origin"
@@ -190,10 +206,10 @@ def create_app(ctx: AppContext | None = None, *,
         # the socket, so an oversized JSON body aborts at the cap, not
         # after full buffering
         if req.path != "/api/upload":
-            from rag_foundation_tpu.runtime.http import DEFAULT_MAX_BODY
-            cap = settings.MAX_JSON_BODY_MB * 1024 * 1024 \
-                if req.content_type == "application/json" \
-                else DEFAULT_MAX_BODY
+            # the cap must NOT key off the client-controlled
+            # content-type: handlers parse req.json() regardless, so a
+            # text/plain 99 MB body would buffer in full
+            cap = settings.MAX_JSON_BODY_MB * 1024 * 1024
             try:
                 await req.read_body(cap)
             except HTTPError as e:

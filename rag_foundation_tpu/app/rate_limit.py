@@ -85,7 +85,19 @@ def client_ip(request: Request, trusted_proxies: list[str]) -> str:
     if any(peer_addr in net for net in _trusted_networks(trusted_proxies)):
         fwd = request.headers.get("x-forwarded-for", "")
         if fwd:
-            return fwd.split(",")[0].strip()
+            # walk RIGHT to left, skipping trusted proxies: the proxy
+            # APPENDS the true peer, while the leftmost entries are
+            # client-supplied — trusting them let an attacker mint a
+            # fresh rate bucket per spoofed value
+            nets = _trusted_networks(trusted_proxies)
+            for entry in reversed([e.strip() for e in fwd.split(",")]):
+                try:
+                    addr = ipaddress.ip_address(entry)
+                except ValueError:
+                    return entry or peer
+                if not any(addr in net for net in nets):
+                    return entry
+            return fwd.split(",")[0].strip()  # all trusted: leftmost
     return peer
 
 

@@ -5,6 +5,8 @@ Reference parity: /root/reference/backend/app/routes/documents.py:19-93.
 
 from __future__ import annotations
 
+import asyncio
+
 import time
 
 from rag_foundation_tpu.app.auth import get_current_user, require_admin
@@ -51,8 +53,9 @@ def register(app, ctx):
         store = db.one("SELECT engine_key FROM stores WHERE id=?",
                        (doc["store_id"],))
         if store is not None and doc["engine_doc_id"]:
-            cleanup_document(ctx.rag, store["engine_key"],
-                             doc["engine_doc_id"])
+            await asyncio.to_thread(
+                cleanup_document, ctx.rag, store["engine_key"],
+                doc["engine_doc_id"])
         return Response({"status": "deleted", "id": doc["id"]})
 
     @app.post("/api/admin/documents/{document_id}/restore")

@@ -7,6 +7,8 @@ documents, background engine cleanup, 404-not-403 tenancy.
 
 from __future__ import annotations
 
+import asyncio
+
 import html
 import re
 import time
@@ -64,7 +66,10 @@ def register(app, ctx):
             " deleted_at IS NULL", (user.id,))["n"]
         if count >= settings.MAX_STORES_PER_USER:
             raise HTTPError(409, "Store limit reached")
-        engine_key = ctx.rag.create_store(body.name, user.id)
+        # off the event loop: a first engine op can pay a remote TPU
+        # compile (minutes) — inline it would freeze every request
+        engine_key = await asyncio.to_thread(ctx.rag.create_store,
+                                             body.name, user.id)
         if not _ENGINE_KEY_RE.match(engine_key):
             # format check analog (reference: stores.py:46-50)
             cleanup_store(ctx.rag, engine_key)
@@ -93,7 +98,8 @@ def register(app, ctx):
             conn.execute(
                 "UPDATE documents SET deleted_at=? WHERE store_id=? AND"
                 " deleted_at IS NULL", (now, store["id"]))
-        cleanup_store(ctx.rag, store["engine_key"])
+        await asyncio.to_thread(cleanup_store, ctx.rag,
+                                store["engine_key"])
         return Response({"status": "deleted", "id": store["id"]})
 
     @app.post("/api/admin/stores/{store_id}/restore")

@@ -38,11 +38,18 @@ def cleanup_stale_stores(db, rag, *, grace_s: float = 24 * 3600,
     cutoff = time.time() - grace_s
     rows = db.query(
         "SELECT s.id, s.engine_key FROM stores s WHERE s.deleted_at IS NOT "
-        "NULL AND s.deleted_at<? AND NOT EXISTS (SELECT 1 FROM documents d"
-        " WHERE d.store_id=s.id AND d.status=?) LIMIT ?",
+        "NULL AND s.deleted_at<? AND s.engine_key!='' AND NOT EXISTS"
+        " (SELECT 1 FROM documents d"
+        " WHERE d.store_id=s.id AND d.status=?)"
+        " ORDER BY s.deleted_at LIMIT ?",
         (cutoff, dbschema.DOC_RUNNING, batch))
     for r in rows:
         cleanup_store(rag, r["engine_key"])
+        # mark reaped (engine_key='') or the un-ordered batch re-reaps
+        # the same rows every tick and stores past the batch size are
+        # never reached
+        db.execute("UPDATE stores SET engine_key='' WHERE id=?",
+                   (r["id"],))
     if rows:
         log_json(logging.INFO, "cleanup_stale_stores", count=len(rows))
     return len(rows)

@@ -106,6 +106,20 @@ def run_ingestion_sync(db, rag, settings, document_id: int) -> str:
         text = extract_text(data, doc["content_type"])
         stats = rag.ingest_document(store["engine_key"], engine_doc_id,
                                     doc["filename"], text)
+        # re-check AFTER the engine insert: a user deleting the document
+        # mid-ingestion found engine_doc_id still NULL (it is only
+        # written at DONE) and skipped engine cleanup — the deleted
+        # content stayed retrievable in chat forever
+        fresh = db.one("SELECT deleted_at FROM documents WHERE id=?",
+                       (document_id,))
+        if fresh is not None and fresh["deleted_at"] is not None:
+            rag.delete_document(store["engine_key"], engine_doc_id)
+            _set_status(db, document_id, dbschema.DOC_ERROR,
+                        error="deleted during ingestion",
+                        engine_doc_id=None)
+            log_json(logging.INFO, "ingestion_aborted_deleted",
+                     document_id=document_id)
+            return dbschema.DOC_ERROR
         _set_status(db, document_id, dbschema.DOC_DONE,
                     chunks=stats["chunks"], engine_doc_id=engine_doc_id)
         # Index-cost ledger row, model="INDEX" (reference:

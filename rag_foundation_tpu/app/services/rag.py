@@ -211,9 +211,18 @@ class EngineRag:
         result = StreamResult()
         k = top_k or self.settings.ENGINE_TOP_K
         t0 = time.perf_counter()
-        hits = self.engine.search(engine_keys, question, k=k,
-                                  doc_filter=doc_filter,
-                                  meta_filter=metadata_filter)
+        try:
+            hits = self.engine.search(engine_keys, question, k=k,
+                                      doc_filter=doc_filter,
+                                      meta_filter=metadata_filter)
+        except Exception as e:  # noqa: BLE001 — provider boundary
+            # surface engine failures through the provider error type:
+            # chat's retry/error-frame contract keys on RagError, and a
+            # raw exception would truncate the SSE stream with no error
+            # frame and no [DONE]
+            metrics.engine_calls_total.labels("search", "error").inc()
+            raise RagError(f"engine search failed: "
+                           f"{type(e).__name__}") from e
         # refusal gates: an extractive system refuses when even the best
         # hit is weak (the reference's Gemini decided this internally;
         # here they are explicit, benchmarked thresholds). MIN_SCORE

@@ -42,6 +42,22 @@ def main() -> None:
                 lambda: reset_stuck_documents(db, settings))
     worker.cron(settings.WATCHDOG_CRON_S * 4,
                 lambda: cleanup_stale_stores(db, rag))
+    if settings.ENGINE_RECALL_AUDIT_S > 0:
+        # the split topology (staging/prod default) runs crons HERE —
+        # without this the audit knob silently did nothing off the
+        # in-process-worker path
+        def recall_audit():
+            engine = getattr(rag, "engine", None)
+            if engine is None:
+                return
+            for key in engine.list_stores():
+                try:
+                    out = engine.recall_probe(key, k=10)
+                    log_json(20, "recall_audit", store=key, **out)
+                except Exception as e:  # noqa: BLE001 — cron isolation
+                    log_json(30, "recall_audit_failed", store=key,
+                             error=str(e)[:200])
+        worker.cron(settings.ENGINE_RECALL_AUDIT_S, recall_audit)
     log_json(20, "worker_started", database=settings.DATABASE_PATH)
 
     signal.signal(signal.SIGTERM, lambda *_: worker.stop())

@@ -342,3 +342,51 @@ def test_trusted_proxy_cidr_and_token_keying(tmp_path):
     assert global_rate_key(req, ctx.settings) == "user:42"
     req = FakeReq("9.9.9.9", {"authorization": f"Bearer {forged}"})
     assert global_rate_key(req, ctx.settings) == "ip:9.9.9.9"
+
+
+def test_error_responses_carry_cors_and_security_headers(tmp_path):
+    """HTTPError responses must flow through the outer middlewares —
+    a browser on an allowed origin needs ACAO on a 401/422 or fetch()
+    fails opaquely (round-2 review finding)."""
+    client, ctx = make_app(tmp_path)
+    origin = ctx.settings.CORS_ORIGINS[0]
+    r = client.get("/api/stores", headers={
+        "origin": origin})  # no auth -> 401
+    assert r.status_code == 401
+    assert r.headers.get("access-control-allow-origin") == origin
+    assert r.headers.get("x-content-type-options") == "nosniff"
+    assert "x-request-id" in r.headers
+
+
+def test_body_cap_applies_regardless_of_content_type(tmp_path):
+    """A text/plain 99 MB body must not buffer past the JSON cap
+    (round-2 review finding)."""
+    client, ctx = make_app(tmp_path)
+    big = b"x" * (ctx.settings.MAX_JSON_BODY_MB * 1024 * 1024 + 2)
+    r = client.post("/api/auth/login",
+                    headers={"content-type": "text/plain"}, body=big)
+    assert r.status_code == 413
+
+
+def test_xff_uses_rightmost_untrusted_entry():
+    """Leftmost XFF entries are client-supplied; the proxy APPENDS the
+    true peer (round-2 review finding)."""
+    from rag_foundation_tpu.app.rate_limit import client_ip
+    from rag_foundation_tpu.runtime.http import Request
+
+    req = Request("GET", "/", {
+        "x-forwarded-for": "6.6.6.6, 9.9.9.9, 172.16.0.7"},
+        client=("172.16.0.2", 1))
+    ip = client_ip(req, ["172.16.0.0/12"])
+    assert ip == "9.9.9.9"   # rightmost NON-proxy entry
+    # untrusted peer: XFF ignored entirely
+    req2 = Request("GET", "/", {"x-forwarded-for": "6.6.6.6"},
+                   client=("8.8.8.8", 1))
+    assert client_ip(req2, ["172.16.0.0/12"]) == "8.8.8.8"
+
+
+def test_malformed_token_signature_is_401_not_500(tmp_path):
+    client, _ = make_app(tmp_path)
+    r = client.get("/api/stores", headers={
+        "authorization": "Bearer aaa.bbb.%%%not-base64%%%"})
+    assert r.status_code == 401
