@@ -54,6 +54,10 @@ def exact_topk_hosted(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k over a host-resident corpus. Returns ``([Q,k] f32
     values, [Q,k] int32 row ids)``; semantics match exact_topk."""
+    if len(corpus) == 0:  # empty-store edge: match exact_topk's contract
+        q_n = len(queries)
+        return (np.full((q_n, k), -np.inf, np.float32),
+                np.full((q_n, k), -1, np.int64))
     n, d = corpus.shape
     q_dev = jnp.asarray(queries)
     block_rows = min(block_rows, n)

@@ -129,8 +129,13 @@ def kmeans_fit(
         assign, best = assign_clusters(x, centroids, block_size=block_size)
         sums, counts = _update_centroids(x, assign, k)
         new_c = sums / jnp.maximum(counts, 1.0)[:, None]
-        # Reseed empties from the worst-scoring (farthest) rows.
-        order = jnp.argsort(best)  # ascending: worst rows first
+        # Reseed empties from the FARTHEST rows: best = x·c - ||c||²/2,
+        # so the true (negated, halved) distance needs the ||x||²/2
+        # term back — without it, ranking by `best` alone biases donors
+        # toward small-norm rows (PQ residuals are not unit-norm)
+        neg_half_dist = best - 0.5 * jnp.sum(
+            x.astype(jnp.float32) ** 2, axis=1)
+        order = jnp.argsort(neg_half_dist)  # ascending: farthest first
         donor = x[order[jnp.arange(k) % n]].astype(jnp.float32)
         new_c = jnp.where((counts > 0)[:, None], new_c, donor)
         if spherical:

@@ -108,7 +108,7 @@ def ivf_list_scan(
     p: int = 2,
     cap_block: int | None = None,
     scale: jnp.ndarray | float = 1.0,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Returns ``(vals [nlist, qcap, w] f32, flat_idx [nlist, qcap, w])``
     with ``w = (cap_len // 128) * p`` candidates per (list, query slot);
@@ -119,12 +119,20 @@ def ivf_list_scan(
     int8_mode = lists.dtype == jnp.int8
     scale_arr = jnp.asarray(scale, jnp.float32).reshape(1)
 
+    if interpret is None:  # Mosaic needs a TPU; interpret on CPU
+        interpret = jax.default_backend() == "cpu"
+    if cap_len % SUB:
+        # the fix-up loop below preserves cap_block mod SUB, so a
+        # non-multiple cap_len would spin forever — fail loud instead
+        raise ValueError(f"cap_len must be a multiple of {SUB}, got "
+                         f"{cap_len} (pad posting lists to LBLOCK)")
     if cap_block is None:
         # default: whole list per grid cell — measured faster than cap
         # chunking at 10M scale (chunking adds output transpose + padding
         # for no DMA win; Mosaic already double-buffers the 2-3 MB blocks)
         cap_block = cap_len
-    while cap_len % cap_block or cap_block % SUB:
+    cap_block -= cap_block % SUB
+    while cap_block > SUB and cap_len % cap_block:
         cap_block -= SUB
     cap_block = max(cap_block, SUB)
     n_cb = cap_len // cap_block

@@ -64,10 +64,13 @@ def flatten_luts(lut: jnp.ndarray,
         perm = np.concatenate([np.arange(0, m, 2), np.arange(1, m, 2)])
         lut = lut[:, perm, :]
     flat = lut.transpose(0, 2, 1).reshape(q, k * m)
-    if dtype == jnp.int8:
+    dtype = jnp.dtype(dtype)  # "int8" (string) must hit the quantized
+    if dtype == jnp.int8:     # path, not a raw overflowing astype
         scale = jnp.maximum(jnp.max(jnp.abs(flat), axis=1), 1e-12) / 127.0
         q8 = jnp.clip(jnp.round(flat / scale[:, None]), -127, 127)
         return q8.astype(jnp.int8), scale
+    if dtype != jnp.bfloat16:
+        raise ValueError(f"unsupported LUT dtype {dtype}")
     return flat.astype(dtype), jnp.ones((q,), jnp.float32)
 
 
@@ -161,6 +164,9 @@ def pq_list_scan(
     if interpret is None:  # Mosaic needs a TPU; interpret on CPU tests
         interpret = jax.default_backend() == "cpu"
 
+    if cap_len % SUB:
+        raise ValueError(f"cap_len must be a multiple of {SUB}, got "
+                         f"{cap_len} (pad posting lists to LBLOCK)")
     if cap_block is None:
         # Two forces: (a) the in-kernel one-hot ([cap_block, K*m]) must
         # fit VMEM comfortably (~24 MB cap); (b) the OUTPUT cell width
@@ -179,7 +185,8 @@ def pq_list_scan(
         else:
             fits = [b for b in divisors if b <= vmem_cap]
             cap_block = fits[-1] if fits else SUB
-    while cap_len % cap_block or cap_block % SUB:
+    cap_block -= cap_block % SUB
+    while cap_block > SUB and cap_len % cap_block:
         cap_block -= SUB
     cap_block = max(cap_block, SUB)
     n_cb = cap_len // cap_block

@@ -88,7 +88,7 @@ def pq_train(
     return PQCodebook(centroids=centroids)
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("block_size",))
 def pq_encode(codebook: PQCodebook, x: jnp.ndarray,
               block_size: int = 65536) -> jnp.ndarray:
     """Encode ``x [N, d]`` → ``codes [N, m] uint8`` (nearest sub-centroid).

@@ -86,7 +86,9 @@ def exact_topk(
     q = queries.astype(corpus.dtype)
     if valid_count is None:
         valid_count = n
-    valid_count = jnp.asarray(valid_count, jnp.int32)
+    # clamp: a count past n would mark zero-padding rows live (score
+    # 0.0 at indices >= n that no caller can resolve)
+    valid_count = jnp.minimum(jnp.asarray(valid_count, jnp.int32), n)
 
     block_size = min(block_size, n) if n > 0 else 1
     num_blocks = max(1, -(-n // block_size))
@@ -119,8 +121,9 @@ def exact_topk(
         new_vals, new_idxs = merge_topk(c_vals, c_idxs, scores, g_idx_b, k)
         return (new_vals, new_idxs), None
 
-    if live_mask is None:
-        mask_blocks = jnp.broadcast_to(mask_blocks, (num_blocks, block_size))
+    # (num_blocks, 1) broadcasts inside the step via m_blk[None, :];
+    # materializing a full [num_blocks, block_size] all-true mask would
+    # stream ~N bools through HBM for nothing
     (vals, idxs), _ = jax.lax.scan(
         step,
         (init_vals, init_idxs),
