@@ -98,7 +98,8 @@ class StoreNotFound(KeyError):
 
 
 def _make_minilm(cfg: EngineConfig, dim: int):
-    from rag_foundation_tpu.models.encoder import (MiniLMEncoder,
+    from rag_foundation_tpu.models.encoder import (EncoderConfig,
+                                                   MiniLMEncoder,
                                                    checkpoint_config,
                                                    load_params)
     if cfg.encoder_ckpt:
@@ -110,9 +111,11 @@ def _make_minilm(cfg: EngineConfig, dim: int):
             raise ValueError(
                 f"encoder checkpoint hidden={enc_cfg.hidden} != "
                 f"expected dim {dim}")
-        enc = MiniLMEncoder(dim=dim, cfg=enc_cfg)
-        enc.params = load_params(cfg.encoder_ckpt, enc.cfg)
-        return enc
+        enc_cfg = enc_cfg or EncoderConfig(hidden=dim)
+        # params passed in: the constructor would otherwise materialize
+        # a full random init just to be overwritten
+        params = load_params(cfg.encoder_ckpt, enc_cfg)
+        return MiniLMEncoder(dim=dim, cfg=enc_cfg, params=params)
     return MiniLMEncoder(dim=dim)
 
 
@@ -148,6 +151,21 @@ class Engine:
     def __init__(self, config: EngineConfig | None = None):
         self.config = config or EngineConfig()
         self.encoder = _make_encoder(self.config)
+        max_len = getattr(getattr(self.encoder, "mini", self.encoder),
+                          "cfg", None)
+        max_len = getattr(max_len, "max_len", None)
+        if max_len is not None and self.config.chunk_tokens > \
+                int(max_len * 0.6):
+            import logging
+            from rag_foundation_tpu.app.telemetry import log_json
+            log_json(logging.WARNING, "chunk_exceeds_encoder_window",
+                     chunk_tokens=self.config.chunk_tokens,
+                     encoder_max_len=int(max_len),
+                     detail="suffix splitting expands token counts; "
+                            "chunk tails past the window are invisible "
+                            "to the semantic channel — lower "
+                            "ENGINE_CHUNK_TOKENS or retrain with a "
+                            "longer max_len")
         self._stores: dict[str, _Store] = {}
         self._registry_lock = threading.Lock()
         if self.config.data_dir:
@@ -210,6 +228,21 @@ class Engine:
                 yield
             finally:
                 fcntl.flock(f, fcntl.LOCK_UN)
+
+    def encoder_fingerprint(self) -> str:
+        """Identity of the embedding space. Persisted per store and
+        checked on reload: serving a store with a DIFFERENT encoder
+        (name, dim, checkpoint, hybrid weight) silently returns
+        near-random results — the mismatch must at least be loud."""
+        cfg = self.config
+        parts = [getattr(self.encoder, "name", cfg.encoder),
+                 f"dim{cfg.dim}"]
+        if cfg.encoder_ckpt:
+            import os as _os
+            parts.append(_os.path.basename(cfg.encoder_ckpt))
+        if cfg.encoder == "hybrid":
+            parts.append(f"w{cfg.hybrid_w}")
+        return ":".join(parts)
 
     def _new_index(self) -> StoreIndex:
         cfg = self.config
@@ -485,6 +518,7 @@ class Engine:
         meta = {
             "key": store.key,
             "dim": self.config.dim,
+            "encoder": self.encoder_fingerprint(),
             "layout": layout,
             "next_chunk_id": store.next_chunk_id,
             "chunks": {str(cid): vars(m) for cid, m in store.chunks.items()},
@@ -501,6 +535,16 @@ class Engine:
             return None
         mtime = meta_f.stat().st_mtime
         meta = json.loads(meta_f.read_text())
+        saved_enc = meta.get("encoder")
+        if saved_enc and saved_enc != self.encoder_fingerprint():
+            import logging
+            from rag_foundation_tpu.app.telemetry import log_json
+            log_json(logging.WARNING, "store_encoder_mismatch",
+                     store=meta.get("key"), stored=saved_enc,
+                     configured=self.encoder_fingerprint(),
+                     detail="stored vectors were embedded under a "
+                            "different encoder — searches will be "
+                            "near-random until the store is reindexed")
         cfg = self.config
         kw = dict(mode=cfg.index_mode, nlist=cfg.nlist,
                   nprobe=cfg.nprobe, ivf_p=cfg.ivf_p,

@@ -185,9 +185,10 @@ def contrastive_loss(params: dict, q_ids: jnp.ndarray, d_ids: jnp.ndarray,
 
 
 def make_train_step(cfg: EncoderConfig, optimizer):
-    """Returns a jitted ``(params, opt_state, q_ids, d_ids) -> (params,
-    opt_state, loss)`` SGD step (used by the multichip dryrun and any
-    fine-tuning pipeline)."""
+    """Returns an UNJITTED ``(params, opt_state, q_ids, d_ids) ->
+    (params, opt_state, loss)`` SGD step — wrap it in jax.jit (or a
+    pjit/shard_map) yourself, as the multichip dryrun and the training
+    CLI do; leaving it raw lets callers choose the partitioning."""
 
     def step(params, opt_state, q_ids, d_ids):
         loss, grads = jax.value_and_grad(contrastive_loss)(
@@ -273,7 +274,11 @@ def checkpoint_config(path: str, **overrides) -> EncoderConfig | None:
 
 
 def load_params(path: str, cfg: EncoderConfig) -> dict:
-    template = init_params(jax.random.key(0), cfg)
+    # eval_shape: the template only supplies shapes/dtypes/treedef — a
+    # real init would materialize (and discard) 22M params of
+    # truncated normals through the TPU tunnel at app startup
+    template = jax.eval_shape(lambda k: init_params(k, cfg),
+                              jax.random.key(0))
     flat, treedef = jax.tree_util.tree_flatten_with_path(template)
     leaves = []
     with np.load(path) as z:

@@ -7,7 +7,10 @@ similarity, so exact-retrieval tests behave sensibly without trained
 weights — the determinism contract of the reference's MockGeminiRag
 (/root/reference/backend/app/services/gemini_rag.py:602-718).
 
-Two implementations with bit-identical output:
+Two implementations with equivalent output (verified to ~1e-7 — the
+normalization reciprocal differs in the last float32 ulp between the
+C++ and numpy paths, so equality is rtol=1e-6, NOT bit-exact; anything
+tie-sensitive must stay on one implementation):
 - native C++ (rag_foundation_tpu/native/hasher.cpp, ctypes) — the
   ingestion hot path;
 - pure Python fallback (below) for toolchain-less environments.
@@ -23,7 +26,6 @@ import re
 
 import numpy as np
 
-_WORD_RE = re.compile(r"[a-z0-9]+")
 _FNV_OFFSET = 0xCBF29CE484222325
 _FNV_PRIME = 0x100000001B3
 _MASK64 = (1 << 64) - 1
@@ -74,9 +76,11 @@ class HashingEncoder:
             words = word_re.findall(lowered)
             row = out[i]
             feats = list(words)
-            joined = b" ".join(words)
-            feats.extend(joined[j : j + self.ngram]
-                         for j in range(max(0, len(joined) - self.ngram + 1)))
+            if self.ngram > 0:  # match the C++ guard: ngram<=0 emits
+                joined = b" ".join(words)  # no char-gram features
+                feats.extend(
+                    joined[j: j + self.ngram]
+                    for j in range(max(0, len(joined) - self.ngram + 1)))
             for tok in feats:
                 h = _fnv1a(tok, self.seed)
                 sign = 1.0 if (h >> 63) else -1.0

@@ -46,4 +46,10 @@ class HybridEncoder:
         h = self.hash_enc.encode(texts) * np.float32(
             np.sqrt(1.0 - self.w_mini))
         m = self.mini.encode(texts) * np.float32(np.sqrt(self.w_mini))
-        return np.concatenate([h, m], axis=1)
+        out = np.concatenate([h, m], axis=1)
+        # defensive renorm: a text with no [a-z0-9] runs (non-Latin
+        # scripts) zeroes the hash channel, which would scale every
+        # score by sqrt(w) and break threshold calibration — renorm
+        # keeps the unit-vector contract in all cases
+        norms = np.linalg.norm(out, axis=1, keepdims=True)
+        return out / np.maximum(norms, 1e-9)

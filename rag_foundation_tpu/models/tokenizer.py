@@ -42,6 +42,15 @@ class Tokenizer:
                  vocab: dict[str, int] | None = None):
         self.vocab_size = vocab_size
         self.max_word_len = max_word_len
+        if vocab:
+            # a learned id past the embedding table would be silently
+            # CLAMPED by JAX's out-of-bounds gather — thousands of
+            # tokens collapsing onto one embedding row with no error
+            top = max(vocab.values())
+            if top >= vocab_size:
+                raise ValueError(
+                    f"vocab ids reach {top} but the embedding table "
+                    f"holds {vocab_size} rows")
         self.vocab = vocab  # optional real WordPiece vocab
 
     # deterministic suffix splits: inflections share their stem id, so a
