@@ -381,19 +381,12 @@ class StoreIndex:
                     sharded_ivf_search
                 shards = self.mesh.shape["shard"]
                 nprobe_local = max(1, -(-nprobe // shards))
-                # candidate width per shard bounds the fetch
-                w = (self.body.cap_len // 128) * min(self.ivf_p, fetch) \
-                    or min(self.ivf_p, fetch)
-                fetch_s = min(fetch, nprobe_local * w)
+                # width clamping + padding live INSIDE sharded_ivf_search
+                # (same contract as ivf_search)
                 b_vals, b_rows = sharded_ivf_search(
-                    self.body, jnp.asarray(queries), fetch_s,
+                    self.body, jnp.asarray(queries), fetch,
                     mesh=self.mesh, nprobe_local=nprobe_local,
                     p=min(self.ivf_p, fetch), interpret=_on_cpu())
-                if fetch_s < fetch:
-                    pad = ((0, 0), (0, fetch - fetch_s))
-                    b_vals = jnp.pad(b_vals, pad,
-                                     constant_values=-jnp.inf)
-                    b_rows = jnp.pad(b_rows, pad, constant_values=-1)
             elif (q_n * nprobe * 8 <= self.body.nlist):
                 # small batch: gather only the probed lists (order of
                 # magnitude better single-query latency than the sweep)

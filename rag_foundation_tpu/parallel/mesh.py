@@ -23,20 +23,29 @@ def init_distributed(*, coordinator: str | None = None,
     """Join the JAX distributed runtime for multi-host meshes.
 
     Reads ``RAGTPU_COORDINATOR`` / ``RAGTPU_NUM_PROCESSES`` /
-    ``RAGTPU_PROCESS_ID`` when arguments are omitted (TPU pod slices on
-    GKE can rely on JAX's own auto-detection by leaving all unset and
-    exporting nothing — then this is a no-op returning False). After a
-    successful init, ``jax.devices()`` spans every host and
-    ``make_mesh`` shards across DCN exactly like ICI.
+    ``RAGTPU_PROCESS_ID`` when arguments are omitted. With NO
+    coordinator configured this is a no-op returning False — callers
+    on a managed pod slice that want JAX's own environment
+    auto-detection must call ``jax.distributed.initialize()`` (no
+    args) themselves; auto-detection only runs inside that call, so
+    skipping it here would SILENTLY serve a single host's fraction of
+    the corpus. After a successful init, ``jax.devices()`` spans every
+    host and ``make_mesh`` shards across DCN exactly like ICI.
 
     Returns True when the runtime was initialized by this call."""
     coordinator = coordinator or os.environ.get("RAGTPU_COORDINATOR")
     if coordinator is None:
         return False
-    num_processes = num_processes if num_processes is not None else \
-        int(os.environ["RAGTPU_NUM_PROCESSES"])
-    process_id = process_id if process_id is not None else \
-        int(os.environ["RAGTPU_PROCESS_ID"])
+    try:
+        num_processes = num_processes if num_processes is not None else \
+            int(os.environ["RAGTPU_NUM_PROCESSES"])
+        process_id = process_id if process_id is not None else \
+            int(os.environ["RAGTPU_PROCESS_ID"])
+    except KeyError as e:
+        raise ValueError(
+            f"RAGTPU_COORDINATOR is set but {e.args[0]} is not — all "
+            f"three of COORDINATOR/NUM_PROCESSES/PROCESS_ID are "
+            f"required together") from None
     jax.distributed.initialize(coordinator_address=coordinator,
                                num_processes=num_processes,
                                process_id=process_id)

@@ -8,12 +8,27 @@ least-loaded shard (balanced growth); queries run the per-chip streaming
 top-k and merge candidates over ICI (parallel/topk_merge.sharded_topk) —
 bit-identical to a single-device scan.
 
-Capacity growth reallocates per-shard buffers (amortized, device-side
-copy); deletes tombstone via a replicated-id live mask applied inside the
-scan, reclaimed on compaction. CPU-mesh testable.
+Thread model: mutation and the search snapshot are serialized under an
+RLock (same contract as engine/segments.VectorSegment — TieredIndex
+calls search and add concurrently).
+
+KNOWN LIMITATION (honest accounting, round-2 review): ``add`` and
+``compact`` stage through a full host copy of the buffer — O(size) per
+batch, not the documented-elsewhere device-side append. In the serving
+topology the sharded store only holds the STREAMING TAIL (flushed into
+the IVF body at ``build_threshold // 8`` rows), so the copied buffer is
+small; a device-side per-shard ``dynamic_update_slice`` (mirroring
+VectorSegment._write_at) is the right fix before using this as a bulk
+store.
+
+Capacity growth reallocates per-shard buffers; deletes tombstone via a
+host-side id mask applied after the scan, reclaimed on compaction.
+CPU-mesh testable.
 """
 
 from __future__ import annotations
+
+import threading
 
 import numpy as np
 
@@ -22,6 +37,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from rag_foundation_tpu.parallel.topk_merge import sharded_topk
+from rag_foundation_tpu.utils.shapes import bucket_pow2
 
 _BLOCK = 1024
 
@@ -42,6 +58,9 @@ class ShardedVectorStore:
         self._shard_cap = _round_up(shard_capacity, _BLOCK)
         self._sharding = NamedSharding(mesh, P("shard", None))
         self._repl = NamedSharding(mesh, P())
+        # serializes mutation against the search snapshot (TieredIndex
+        # calls both concurrently — VectorSegment holds the same lock)
+        self._lock = threading.RLock()
         # device state: [n_shards*cap, d] row-sharded; ids replicated host
         self._buf = jax.device_put(
             jnp.zeros((self.n_shards * self._shard_cap, dim), dtype),
@@ -55,7 +74,7 @@ class ShardedVectorStore:
     def count(self) -> int:
         return int(self._counts.sum())
 
-    def _grow(self, new_cap: int) -> None:
+    def _grow_locked(self, new_cap: int) -> None:
         new_cap = _round_up(new_cap, _BLOCK)
         old = np.asarray(self._buf).reshape(
             self.n_shards, self._shard_cap, self.dim)
@@ -64,10 +83,12 @@ class ShardedVectorStore:
         host[:, : self._shard_cap] = old
         ids = np.full((self.n_shards, new_cap), -1, np.int64)
         ids[:, : self._shard_cap] = self._ids
-        self._shard_cap = new_cap
-        self._buf = jax.device_put(
+        # publish the buffer FIRST, then the metadata that describes it
+        buf = jax.device_put(
             jnp.asarray(host.reshape(-1, self.dim)), self._sharding)
+        self._buf = buf
         self._ids = ids
+        self._shard_cap = new_cap
 
     # -- mutation -----------------------------------------------------------
     def add(self, vecs: np.ndarray, ids: np.ndarray) -> None:
@@ -75,68 +96,83 @@ class ShardedVectorStore:
         n = len(ids)
         if n == 0:
             return
-        # allocate destination slots shard-by-shard, least-loaded first
-        per_shard: list[list[int]] = [[] for _ in range(self.n_shards)]
-        order = np.argsort(self._counts, kind="stable")
-        i = 0
-        counts = self._counts.copy()
-        while i < n:
-            s = int(np.argmin(counts))
-            per_shard[s].append(i)
-            counts[s] += 1
-            i += 1
-        max_needed = int(counts.max())
-        if max_needed > self._shard_cap:
-            self._grow(max_needed)
-        host = np.array(self._buf, copy=True).reshape(
-            self.n_shards, self._shard_cap, self.dim)
-        vecs = np.asarray(vecs, host.dtype)
-        for s, rows in enumerate(per_shard):
-            if not rows:
-                continue
-            start = self._counts[s]
-            m = len(rows)
-            host[s, start : start + m] = vecs[rows]
-            self._ids[s, start : start + m] = np.asarray(ids)[rows]
-            self._counts[s] += m
-        self._buf = jax.device_put(
-            jnp.asarray(host.reshape(-1, self.dim)), self._sharding)
+        with self._lock:
+            # closed-form balanced allocation (water fill): binary-
+            # search the common level L, top up shards below it, and
+            # hand the remainder to the lowest-index shards AT the
+            # level — deterministic, O(n_shards log(n)) instead of the
+            # old per-row argmin loop's O(n·n_shards) Python
+            counts = self._counts.copy()
+            lo, hi = int(counts.min()), int(counts.max()) + n
+            while lo < hi:
+                mid = (lo + hi + 1) // 2
+                if int(np.maximum(mid - counts, 0).sum()) <= n:
+                    lo = mid
+                else:
+                    hi = mid - 1
+            alloc = np.maximum(lo - counts, 0)
+            rem = n - int(alloc.sum())
+            if rem > 0:
+                cand = np.nonzero(counts + alloc == lo)[0][:rem]
+                alloc[cand] += 1
+            max_needed = int((counts + alloc).max())
+            if max_needed > self._shard_cap:
+                self._grow_locked(max_needed)
+            host = np.array(self._buf, copy=True).reshape(
+                self.n_shards, self._shard_cap, self.dim)
+            vecs = np.asarray(vecs, host.dtype)
+            ids = np.asarray(ids)
+            pos = 0
+            for s in range(self.n_shards):
+                m = int(alloc[s])
+                if not m:
+                    continue
+                start = self._counts[s]
+                host[s, start: start + m] = vecs[pos: pos + m]
+                self._ids[s, start: start + m] = ids[pos: pos + m]
+                self._counts[s] += m
+                pos += m
+            self._buf = jax.device_put(
+                jnp.asarray(host.reshape(-1, self.dim)), self._sharding)
 
     def delete_ids(self, ids: set[int]) -> None:
-        self._dead |= ids
+        with self._lock:
+            self._dead |= ids
 
     def compact(self) -> None:
-        if not self._dead:
-            return
-        dead = np.fromiter(self._dead, np.int64, len(self._dead))
-        host = np.array(self._buf, copy=True).reshape(
-            self.n_shards, self._shard_cap, self.dim)
-        for s in range(self.n_shards):
-            live = ~np.isin(self._ids[s, : self._counts[s]], dead)
-            kept = np.nonzero(live)[0]
-            m = len(kept)
-            host[s, :m] = host[s, kept]
-            new_ids = np.full(self._shard_cap, -1, np.int64)
-            new_ids[:m] = self._ids[s, kept]
-            self._ids[s] = new_ids
-            self._counts[s] = m
-            host[s, m:] = 0
-        self._buf = jax.device_put(
-            jnp.asarray(host.reshape(-1, self.dim)), self._sharding)
-        self._dead.clear()
+        with self._lock:
+            if not self._dead:
+                return
+            dead = np.fromiter(self._dead, np.int64, len(self._dead))
+            host = np.array(self._buf, copy=True).reshape(
+                self.n_shards, self._shard_cap, self.dim)
+            for s in range(self.n_shards):
+                live = ~np.isin(self._ids[s, : self._counts[s]], dead)
+                kept = np.nonzero(live)[0]
+                m = len(kept)
+                host[s, :m] = host[s, kept]
+                new_ids = np.full(self._shard_cap, -1, np.int64)
+                new_ids[:m] = self._ids[s, kept]
+                self._ids[s] = new_ids
+                self._counts[s] = m
+                host[s, m:] = 0
+            self._buf = jax.device_put(
+                jnp.asarray(host.reshape(-1, self.dim)), self._sharding)
+            self._dead.clear()
 
     # -- persistence ----------------------------------------------------------
     def state(self) -> dict:
         """Live vectors+ids (same contract as VectorSegment.state)."""
-        self.compact()
-        host = np.asarray(self._buf).reshape(
-            self.n_shards, self._shard_cap, self.dim)
-        parts_v, parts_i = [], []
-        for s in range(self.n_shards):
-            m = int(self._counts[s])
-            if m:
-                parts_v.append(host[s, :m])
-                parts_i.append(self._ids[s, :m])
+        with self._lock:
+            self.compact()
+            host = np.asarray(self._buf).reshape(
+                self.n_shards, self._shard_cap, self.dim)
+            parts_v, parts_i = [], []
+            for s in range(self.n_shards):
+                m = int(self._counts[s])
+                if m:
+                    parts_v.append(host[s, :m])
+                    parts_i.append(self._ids[s, :m])
         if parts_v:
             return {"vectors": np.concatenate(parts_v).astype(np.float32),
                     "ids": np.concatenate(parts_i), "dim": self.dim}
@@ -146,29 +182,41 @@ class ShardedVectorStore:
     # -- search ---------------------------------------------------------------
     def search(self, queries: np.ndarray, k: int
                ) -> tuple[np.ndarray, np.ndarray]:
-        if self.count == 0:
+        with self._lock:
+            # consistent snapshot: buffer + the metadata describing it
+            buf = self._buf
+            counts = self._counts.copy()
+            flat_ids = self._ids.reshape(-1).copy()
+            shard_cap = self._shard_cap
+            dead = set(self._dead)
+        if counts.sum() == 0:
             q = len(queries)
             return (np.full((q, k), -np.inf, np.float32),
                     np.full((q, k), -1, np.int64))
-        fetch = k + len(self._dead) if self._dead else k
-        fetch = min(fetch, self._shard_cap * self.n_shards)
+        # pow2-bucketed: fetch is jit-static in sharded_topk, and tying
+        # it to the live tombstone count forced a recompile per delete
+        fetch = bucket_pow2(k + len(dead)) if dead else k
+        fetch = min(fetch, shard_cap * self.n_shards)
         q_dev = jax.device_put(
-            jnp.asarray(queries, self._buf.dtype), self._repl)
+            jnp.asarray(queries, buf.dtype), self._repl)
         counts_dev = jax.device_put(
-            jnp.asarray(self._counts, jnp.int32), self._repl)
-        vals, idxs = sharded_topk(q_dev, self._buf, fetch, mesh=self.mesh,
+            jnp.asarray(counts, jnp.int32), self._repl)
+        vals, idxs = sharded_topk(q_dev, buf, fetch, mesh=self.mesh,
                                   valid_counts=counts_dev)
         vals = np.asarray(vals)
         idxs = np.asarray(idxs)
-        flat_ids = self._ids.reshape(-1)
         out_ids = np.where(idxs >= 0, flat_ids[np.clip(idxs, 0, None)], -1)
-        if self._dead:
-            dead = np.isin(out_ids, np.fromiter(self._dead, np.int64,
-                                                len(self._dead)))
-            vals = np.where(dead, -np.inf, vals)
-            out_ids = np.where(dead, -1, out_ids)
+        if dead:
+            dead_arr = np.fromiter(dead, np.int64, len(dead))
+            mask = np.isin(out_ids, dead_arr)
+            vals = np.where(mask, -np.inf, vals)
+            out_ids = np.where(mask, -1, out_ids)
             order = np.argsort(-vals, axis=1, kind="stable")
             vals = np.take_along_axis(vals, order, axis=1)
             out_ids = np.take_along_axis(out_ids, order, axis=1)
         out_ids = np.where(np.isneginf(vals), -1, out_ids)
+        if vals.shape[1] < k:  # store smaller than k: PAD to contract
+            pad = ((0, 0), (0, k - vals.shape[1]))
+            vals = np.pad(vals, pad, constant_values=-np.inf)
+            out_ids = np.pad(out_ids, pad, constant_values=-1)
         return vals[:, :k], out_ids[:, :k]

@@ -6,12 +6,13 @@ coarse routing and the list scans are fully local; only the per-chip
 ``[Q, k]`` candidate sets cross ICI (one ``all_gather`` + local merge).
 
 Probe semantics: each shard probes its local top-``nprobe_local`` lists.
-With balanced k-means this upper-bounds global-nprobe recall when
-``nprobe_local = ceil(nprobe / n_shards)`` per shard probes at least the
-lists a global router would have chosen on that shard — the union over
-shards always covers the global top-``nprobe`` (every globally-chosen
-list is also among its own shard's best). Total scanned work matches the
-single-chip configuration at ``nprobe = n_shards * nprobe_local``.
+The union covers the global top-``nprobe`` only when NO shard owns more
+than ``nprobe_local`` of the globally best lists — with routing skew
+(one shard holding a query's whole neighborhood) the overflow lists are
+never scanned, so this is a balance-dependent heuristic: size
+``nprobe_local`` with headroom beyond ``ceil(nprobe / n_shards)`` for
+skewed corpora. Total scanned work matches the single-chip
+configuration at ``nprobe = n_shards * nprobe_local``.
 
 Pallas kernels run inside ``shard_map`` on each chip's local partition;
 tested on the virtual CPU mesh with kernel interpret mode.
@@ -62,11 +63,21 @@ def sharded_ivf_search(
     qcap: int | None = None,
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns replicated ``(values [Q, k], global row ids [Q, k])``."""
+    """Returns replicated ``(values [Q, k], global row ids [Q, k])``.
+
+    ``k`` is clamped to the per-shard candidate width (tombstone-
+    inflated over-fetches degrade to padded (-inf, -1) columns, same
+    contract as ivf_search). NOTE: per-shard qcap overflow drops
+    probes silently here (the single-chip path returns the count) —
+    size qcap generously for skewed routing.
+    """
     n_shards = mesh.shape["shard"]
     nlist_local = index.nlist // n_shards
     cap_len = index.cap_len
     q_n = queries.shape[0]
+    width = min(nprobe_local, index.nlist // n_shards) * \
+        (cap_len // 128) * p
+    k_eff = min(k, max(1, width))
     if qcap is None:
         qcap = max(8, int(-(-(q_n * nprobe_local * 2)
                            // nlist_local // 8) * 8))
@@ -99,7 +110,7 @@ def sharded_ivf_search(
         np_l = probe_lists.shape[1]
         cand_vals = cand_vals.reshape(q_n, np_l * w)
         cand_idx = cand_idx.reshape(q_n, np_l * w)
-        top_vals, pos = jax.lax.top_k(cand_vals, k)
+        top_vals, pos = jax.lax.top_k(cand_vals, k_eff)
         top_flat = jnp.take_along_axis(cand_idx, pos, axis=-1)
         # local flat index -> local row id -> global row space is the
         # caller's (row_ids already carry global ids)
@@ -110,9 +121,11 @@ def sharded_ivf_search(
         # ICI merge: gather every shard's [Q, k] candidates
         all_vals = jax.lax.all_gather(top_vals, "shard")   # [S, Q, k]
         all_rows = jax.lax.all_gather(rows, "shard")
-        cat_vals = all_vals.transpose(1, 0, 2).reshape(q_n, n_shards * k)
-        cat_rows = all_rows.transpose(1, 0, 2).reshape(q_n, n_shards * k)
-        m_vals, m_pos = jax.lax.top_k(cat_vals, k)
+        cat_vals = all_vals.transpose(1, 0, 2).reshape(q_n,
+                                                       n_shards * k_eff)
+        cat_rows = all_rows.transpose(1, 0, 2).reshape(q_n,
+                                                       n_shards * k_eff)
+        m_vals, m_pos = jax.lax.top_k(cat_vals, min(k, n_shards * k_eff))
         m_rows = jnp.take_along_axis(cat_rows, m_pos, axis=-1)
         del sid
         return m_vals, m_rows
@@ -122,5 +135,10 @@ def sharded_ivf_search(
         in_specs=(P(), P("shard", None), P("shard", None, None),
                   P("shard", None), P()),
         out_specs=(P(), P()), check_vma=False)
-    return fn(queries, index.centroids, index.lists, index.row_ids,
-              index.scale)
+    vals, rows = fn(queries, index.centroids, index.lists,
+                    index.row_ids, index.scale)
+    if vals.shape[1] < k:  # clamped over-fetch: pad to the contract
+        pad = ((0, 0), (0, k - vals.shape[1]))
+        vals = jnp.pad(vals, pad, constant_values=-jnp.inf)
+        rows = jnp.pad(rows, pad, constant_values=-1)
+    return vals, rows
