@@ -54,12 +54,16 @@ def _user_loop(client: ApiClient, store_id: int, stop: threading.Event,
         t0 = time.perf_counter()
         try:
             if task == "chat":
-                client.ask(rng.choice(QUESTIONS), [store_id])
+                out = client.ask(rng.choice(QUESTIONS), [store_id])
+                if out["error"]:  # SSE-level failure rides HTTP 200
+                    raise RuntimeError(out["error"])
             else:
                 p = tmp / f"load-{rng.randrange(1 << 30)}.txt"
-                p.write_text(DOC_TEXT)
-                client.upload_and_poll(store_id, p, timeout_s=60)
-                p.unlink()
+                try:
+                    p.write_text(DOC_TEXT)
+                    client.upload_and_poll(store_id, p, timeout_s=60)
+                finally:
+                    p.unlink(missing_ok=True)
             stats.record(task, time.perf_counter() - t0)
         except Exception:  # noqa: BLE001 — load test records failures
             stats.record(task, None)
@@ -108,10 +112,13 @@ def main() -> None:
     out = {}
     for task in ("chat", "upload"):
         lat = stats.latencies[task]
+        total = len(lat) + stats.errors[task]
         out[task] = {
-            "requests": len(lat),
+            "requests": total,
             "errors": stats.errors[task],
-            "rps": len(lat) / wall,
+            "error_rate": stats.errors[task] / total if total else 0.0,
+            "rps": total / wall,  # offered load incl. failures
+            "ok_rps": len(lat) / wall,
             "latency_avg_s": mean(lat),
             "latency_p95_s": p95(lat),
         }

@@ -35,6 +35,8 @@ def f1_score(prediction: str, answers: list[str]) -> float:
     pred_tokens = normalize(prediction).split()
     best = 0.0
     for ans in answers:
+        if not ans:  # empty aliases score nothing (match exact_match)
+            continue
         gold = normalize(ans).split()
         if not gold or not pred_tokens:
             best = max(best, float(gold == pred_tokens))

@@ -62,8 +62,12 @@ class ApiClient:
                         and attempt < self.retries:
                     last = e
                     retry_after = e.headers.get("Retry-After")
-                    time.sleep(float(retry_after) if retry_after
-                               else self.retry_backoff_s * (attempt + 1))
+                    try:  # HTTP-date forms fall back to backoff
+                        delay = float(retry_after) if retry_after \
+                            else self.retry_backoff_s * (attempt + 1)
+                    except ValueError:
+                        delay = self.retry_backoff_s * (attempt + 1)
+                    time.sleep(min(delay, 30.0))
                     continue
                 raise
             if stream:
@@ -88,9 +92,11 @@ class ApiClient:
         return cls(base_url, token=out["access_token"])
 
     def ensure_store(self, name: str) -> dict:
+        import html
         _, out = self._request("GET", "/api/stores")
         for s in out["stores"]:
-            if s["name"] == name:
+            # the server stores the html.escape-sanitized name
+            if s["name"] in (name, html.escape(name)):
                 return s
         _, store = self._request("POST", "/api/stores",
                                  json_body={"name": name})
@@ -119,6 +125,10 @@ class ApiClient:
         while time.time() < deadline:
             _, st = self._request("GET", f"/api/upload/op-status/{op_id}")
             if st["done"]:
+                if st.get("error"):  # done=True covers ERROR too
+                    raise RuntimeError(
+                        f"ingestion failed for {path.name}: "
+                        f"{st['error']}")
                 return st
             time.sleep(self.poll_interval_s)
         raise TimeoutError(f"ingestion timeout for {path.name}")
@@ -136,7 +146,11 @@ class ApiClient:
         citations: list[dict] = []
         error = None
         ttft = None
+        deadline = t0 + timeout_s
         for raw in resp:
+            if time.perf_counter() > deadline:
+                error = error or "client deadline exceeded"
+                break
             line = raw.decode("utf-8", "replace").strip()
             if not line.startswith("data: "):
                 continue
@@ -151,8 +165,8 @@ class ApiClient:
                 text_parts.append(frame.get("delta", ""))
             elif kind == "source-document":
                 citations.append(frame)
-            elif kind == "error":
-                error = frame.get("message")
+            elif kind in ("error", "budget_exceeded"):
+                error = frame.get("message") or kind
         return {
             "answer": "".join(text_parts),
             "citations": citations,
