@@ -48,6 +48,11 @@ def _set_status(db, document_id: int, status: str,
                 op_name: str | None = None, engine_doc_id: str | None = None):
     sets = ["status=?", "status_updated_at=?"]
     params: list = [status, time.time()]
+    if status == dbschema.DOC_DONE and error is None:
+        # a retry that succeeds must clear the previous attempt's error
+        # (op-status surfaces last_error; a stale message made a DONE
+        # document look failed in the UI)
+        sets.append("last_error=NULL")
     if error is not None:
         sets.append("last_error=?")
         params.append(error[:500])

@@ -20,6 +20,18 @@ const state = {
 
 const $ = (id) => document.getElementById(id);
 
+function banner(msg) {
+  let el = $("banner");
+  if (!el) {
+    el = document.createElement("div");
+    el.id = "banner";
+    el.className = "error";
+    document.querySelector("main").prepend(el);
+  }
+  el.textContent = msg || "";
+  if (msg) setTimeout(() => { el.textContent = ""; }, 6000);
+}
+
 async function api(method, path, body, isForm = false) {
   const headers = { "X-Requested-With": "XMLHttpRequest" };
   if (state.token) headers["Authorization"] = `Bearer ${state.token}`;
@@ -29,7 +41,10 @@ async function api(method, path, body, isForm = false) {
     headers,
     body: body ? (isForm ? body : JSON.stringify(body)) : undefined,
   });
-  if (resp.status === 401 && state.token) return logout();
+  if (resp.status === 401 && state.token) {
+    logout();  // schedules reload; callers must still see a rejection
+    throw new Error("Session expired");
+  }
   const data = resp.headers.get("content-type")?.includes("json")
     ? await resp.json() : await resp.text();
   if (!resp.ok) throw new Error(data.detail || resp.statusText);
@@ -122,10 +137,9 @@ $("login-form").addEventListener("submit", async (e) => {
 
 /* password rules surfaced live on register (reference
  * utils/passwordValidation.ts) */
-const PW_RULES = [
+const PW_RULES = [  // mirrors auth.check_password_policy exactly
   ["At least 10 characters", (p) => p.length >= 10],
-  ["An uppercase letter", (p) => /[A-Z]/.test(p)],
-  ["A lowercase letter", (p) => /[a-z]/.test(p)],
+  ["A letter", (p) => /[a-zA-Z]/.test(p)],
   ["A digit", (p) => /[0-9]/.test(p)],
 ];
 
@@ -142,9 +156,13 @@ function renderPasswordHints() {
   }
 }
 
+let pwHintsWired = false;
 $("register-btn").addEventListener("click", async () => {
   renderPasswordHints();
-  $("login-password").addEventListener("input", renderPasswordHints);
+  if (!pwHintsWired) {
+    pwHintsWired = true;
+    $("login-password").addEventListener("input", renderPasswordHints);
+  }
   try {
     await api("POST", "/api/auth/register", {
       email: $("login-email").value, password: $("login-password").value,
@@ -182,8 +200,19 @@ async function probeAdmin() {
 
 /* ---- stores + uploads ------------------------------------------------ */
 async function refreshStores() {
-  const out = await api("GET", "/api/stores");
+  let out;
+  try {
+    out = await api("GET", "/api/stores");
+  } catch (e) {
+    banner(`Could not load stores: ${e.message}`);
+    return;
+  }
   state.stores = out.stores;
+  // prune selections for deleted stores or chat 404s forever
+  const live = new Set(out.stores.map((s) => s.id));
+  for (const id of [...state.selectedStores]) {
+    if (!live.has(id)) state.selectedStores.delete(id);
+  }
   if (!state.selectedStores.size && out.stores.length) {
     state.selectedStores.add(out.stores[0].id);
   }
@@ -208,10 +237,17 @@ function renderChatStores() {
   }
 }
 
+let renderGen = 0;
+
 async function renderStoreCards() {
-  const root = $("store-cards");
+  const gen = ++renderGen;   // stale overlapping renders must not
+  const root = $("store-cards");  // append into the rebuilt container
   root.innerHTML = "";
-  for (const s of state.stores) {
+  const docFetches = state.stores.map((s) =>
+    api("GET", `/api/stores/${s.id}/documents`).catch(() => null));
+  for (let si = 0; si < state.stores.length; si++) {
+    const s = state.stores[si];
+    if (gen !== renderGen) return;
     const card = document.createElement("div");
     card.className = "card";
     const created = s.created_at
@@ -255,7 +291,9 @@ async function renderStoreCards() {
     const docs = document.createElement("ul");
     card.append(del, drop, up, uploads, docs);
     root.appendChild(card);
-    const out = await api("GET", `/api/stores/${s.id}/documents`);
+    const out = await docFetches[si];
+    if (gen !== renderGen) return;
+    if (!out) continue;  // doc list failed; card still usable
     for (const d of out.documents) {
       const li = document.createElement("li");
       li.className = "doc-row";
@@ -285,6 +323,11 @@ async function uploadFile(storeId, file, card) {
   card.querySelector(".uploads").appendChild(item);
   const phase = item.querySelector(".phase");
   const t0 = Date.now();
+  state.activeUploads = (state.activeUploads || 0) + 1;
+  const finish = () => {
+    state.activeUploads -= 1;
+    if (state.activeUploads === 0) renderStoreCards();
+  };
   try {
     const form = new FormData();
     form.append("store_id", String(storeId));
@@ -296,14 +339,14 @@ async function uploadFile(storeId, file, card) {
         const secs = Math.round((Date.now() - t0) / 1000);
         if (st.done) {
           clearInterval(poll);
-          if (st.error) {
+          if (st.status !== "DONE") {  // done=true covers ERROR too
             item.classList.add("error");
-            phase.textContent = `error: ${st.error}`;
+            phase.textContent = `error: ${st.error || st.status}`;
           } else {
             phase.textContent = `done (${st.chunks} chunks, ${secs}s)`;
-            setTimeout(() => { item.remove(); renderStoreCards(); },
-                       1500);
+            setTimeout(() => { item.remove(); }, 1500);
           }
+          finish();
         } else {
           phase.textContent = `${st.status.toLowerCase()}… ${secs}s`;
         }
@@ -311,11 +354,13 @@ async function uploadFile(storeId, file, card) {
         clearInterval(poll);
         item.classList.add("error");
         phase.textContent = `error: ${e.message}`;
+        finish();
       }
     }, 800);
   } catch (e) {
     item.classList.add("error");
     phase.textContent = `error: ${e.message}`;
+    finish();
   }
 }
 
@@ -336,7 +381,13 @@ function relTime(ts) {
 }
 
 async function refreshSessions() {
-  const out = await api("GET", "/api/chat/sessions");
+  let out;
+  try {
+    out = await api("GET", "/api/chat/sessions");
+  } catch (e) {
+    banner(`Could not load sessions: ${e.message}`);
+    return;
+  }
   const ul = $("session-list");
   ul.innerHTML = "";
   for (const s of out.sessions) {
@@ -567,7 +618,13 @@ async function refreshCosts() {
 
 /* ---- admin (reference AdminSystemCards / WatchdogCard / audit) -------- */
 async function refreshAdmin() {
-  const users = await api("GET", "/api/admin/users");
+  let users;
+  try {
+    users = await api("GET", "/api/admin/users");
+  } catch (e) {
+    banner(`Admin data failed to load: ${e.message}`);
+    return;
+  }
   const table = $("admin-users");
   table.innerHTML = "<tr><th>id</th><th>email</th><th>role</th>" +
                     "<th>active</th><th></th></tr>";
@@ -645,8 +702,12 @@ async function refreshAdmin() {
 }
 
 $("watchdog-btn").addEventListener("click", async () => {
-  const out = await api("POST", "/api/admin/watchdog/reset-stuck");
-  alert(`reset ${out.reset} stuck ingestion(s)`);
+  try {
+    const out = await api("POST", "/api/admin/watchdog/reset-stuck");
+    alert(`reset ${out.reset} stuck ingestion(s)`);
+  } catch (e) {
+    banner(`Watchdog reset failed: ${e.message}`);
+  }
 });
 
 $("recall-btn").addEventListener("click", async () => {
@@ -657,7 +718,7 @@ $("recall-btn").addEventListener("click", async () => {
     const out = await api("POST", "/api/admin/engine/recall-probe",
                           {store_id: sid, k: 10});
     $("recall-out").textContent = out.recall === null
-      ? "store empty"
+      ? (out.skipped ? `skipped: ${out.skipped}` : "store empty")
       : `recall@${out.k} = ${out.recall.toFixed(4)} (n=${out.sample})`;
   } catch (e) {
     $("recall-out").textContent = `error: ${e.message}`;
