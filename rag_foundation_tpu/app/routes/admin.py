@@ -8,10 +8,14 @@ rate-limited and written to the audit log.
 
 from __future__ import annotations
 
+import asyncio
+
 import time
 from decimal import Decimal, InvalidOperation
 
 from rag_foundation_tpu.app import dbschema
+from rag_foundation_tpu.app.routes._params import (
+    int_param, json_object)
 from rag_foundation_tpu.app.auth import get_current_user, require_admin
 from rag_foundation_tpu.app.services.audit import record_admin_action
 from rag_foundation_tpu.app.services.ingestion import reset_stuck_documents
@@ -37,7 +41,7 @@ def register(app, ctx):
     @app.patch("/api/admin/users/{user_id}")
     async def update_user(req):
         admin = _admin(req)
-        uid = int(req.path_params["user_id"])
+        uid = int_param(req, "user_id")
         body = req.json()
         target = db.one("SELECT * FROM users WHERE id=?", (uid,))
         if target is None:
@@ -72,7 +76,7 @@ def register(app, ctx):
     @app.put("/api/admin/budgets/{user_id}")
     async def upsert_budget(req):
         admin = _admin(req)
-        uid = int(req.path_params["user_id"])
+        uid = int_param(req, "user_id")
         if db.one("SELECT id FROM users WHERE id=?", (uid,)) is None:
             raise HTTPError(404, "User not found")
         try:
@@ -119,18 +123,24 @@ def register(app, ctx):
     @app.post("/api/admin/watchdog/reset-stuck")
     async def watchdog_reset(req):
         admin = _admin(req)
+        if ctx.queue is None:
+            # flipping to PENDING without a queue would STRAND the
+            # documents (nothing ever re-processes PENDING rows)
+            raise HTTPError(503, "Ingestion queue unavailable")
         # admin path re-queues: RUNNING->PENDING (reference:
-        # admin.py:176-228); re-enqueue ingestion jobs for them.
+        # admin.py:176-228); snapshot then reset the SAME rows so a doc
+        # crossing staleness between the two steps isn't reset-but-
+        # never-enqueued
         cutoff = time.time() - settings.WATCHDOG_STALE_S
         stuck = db.query(
             "SELECT id FROM documents WHERE status=? AND status_updated_at<?",
             (dbschema.DOC_RUNNING, cutoff))
+        ids = [r["id"] for r in stuck]
         n = reset_stuck_documents(db, settings,
-                                  to_status=dbschema.DOC_PENDING)
-        if ctx.queue is not None:
-            for r in stuck:
-                ctx.queue.enqueue("ingest_document",
-                                  {"document_id": r["id"]})
+                                  to_status=dbschema.DOC_PENDING,
+                                  only_ids=ids)
+        for did in ids:
+            ctx.queue.enqueue("ingest_document", {"document_id": did})
         record_admin_action(db, admin_user_id=admin.id,
                             action="watchdog_reset", detail=f"count={n}")
         return Response({"reset": n})
@@ -140,7 +150,7 @@ def register(app, ctx):
         """Sampled recall-vs-exact audit for one store (SURVEY.md §5
         recall gauge); records engine_recall_at_k + HBM occupancy."""
         admin = _admin(req)
-        body = req.json()
+        body = json_object(req)
         store_id = body.get("store_id")
         if not isinstance(store_id, int):
             raise HTTPError(422, "store_id (int) required")
@@ -154,8 +164,11 @@ def register(app, ctx):
         k = int(body.get("k", 10))
         if not 1 <= k <= 100:
             raise HTTPError(422, "k must be between 1 and 100")
-        result = engine.recall_probe(
-            store["engine_key"], k=k,
+        # off the event loop: the probe runs sampled searches + an
+        # exact on-device scan (and possibly a fresh remote compile) —
+        # inline it froze every stream and health check for the duration
+        result = await asyncio.to_thread(
+            engine.recall_probe, store["engine_key"], k=k,
             sample=min(int(body.get("sample", 32)), 256))
         record_admin_action(
             db, admin_user_id=admin.id, action="recall_probe",

@@ -29,6 +29,8 @@ from typing import Any
 from pydantic import BaseModel, ValidationError
 
 from rag_foundation_tpu.app import metrics
+from rag_foundation_tpu.app.routes._params import (
+    int_param, json_object)
 from rag_foundation_tpu.app.auth import get_current_user
 from rag_foundation_tpu.app.costs import (calc_query_cost,
                                           check_budget_or_402,
@@ -282,6 +284,20 @@ def _pump(delta_iter, out_q: queue_mod.Queue, stop: threading.Event,
     """Producer thread: drain the sync engine iterator into the bounded
     queue; a full queue means the consumer stalled -> backpressure error
     (reference: chat.py:486-520)."""
+    def put_terminal(item):
+        # terminal markers must ALWAYS land: drop buffered chunks under
+        # the queue mutex (a bare deque.clear() raced the consumer's
+        # popleft into an IndexError) and never block forever (a
+        # disconnected consumer would leak this thread)
+        for _ in range(2):
+            try:
+                out_q.put(item, timeout=queue_timeout_s)
+                return
+            except queue_mod.Full:
+                with out_q.mutex:
+                    out_q.queue.clear()
+        # consumer gone and queue wedged: give up quietly
+
     try:
         for delta in delta_iter:
             if stop.is_set():
@@ -289,15 +305,12 @@ def _pump(delta_iter, out_q: queue_mod.Queue, stop: threading.Event,
             try:
                 out_q.put(("chunk", delta), timeout=queue_timeout_s)
             except queue_mod.Full:
-                out_q.queue.clear()
-                out_q.put(("error", _Backpressure("stream backpressure")))
+                put_terminal(
+                    ("error", _Backpressure("stream backpressure")))
                 return
-        out_q.put(("end", None))
+        put_terminal(("end", None))
     except Exception as e:  # noqa: BLE001 — cross-thread error channel
-        try:
-            out_q.put(("error", e), timeout=1.0)
-        except queue_mod.Full:
-            pass
+        put_terminal(("error", e))
 
 
 def register(app, ctx):
@@ -307,7 +320,7 @@ def register(app, ctx):
     async def chat_stream(req):
         user = get_current_user(req, db, ctx.kv, settings)
         try:
-            body = ChatRequest(**req.json())
+            body = ChatRequest(**json_object(req))
         except ValidationError as e:
             raise HTTPError(422, e.errors()[0]["msg"]) from None
         store_ids = body.resolved_store_ids
@@ -401,6 +414,12 @@ def register(app, ctx):
                         yield sse_frame("[DONE]")
                         status = "error"
                         return
+                    # available as soon as the search ran: every early
+                    # return below (budget cut, backpressure, error,
+                    # disconnect) must still bill the prompt cost —
+                    # leaving this 0 until success under-recorded the
+                    # ledger on exactly the cut-off paths
+                    prompt_tokens = result.prompt_tokens
                     # tests inject a queue factory to drive keepalive /
                     # backpressure paths deterministically (the reference
                     # freezes time instead; conftest.py:246-313)
@@ -538,7 +557,7 @@ def register(app, ctx):
         persistence exposes thread deletion —
         frontend/src/hooks/useThreadPersistence.ts)."""
         user = get_current_user(req, db, ctx.kv, settings)
-        sid = int(req.path_params["session_id"])
+        sid = int_param(req, "session_id")
         if db.one("SELECT id FROM chat_sessions WHERE id=? AND user_id=?",
                   (sid, user.id)) is None:
             raise HTTPError(404, "Session not found")
@@ -549,7 +568,7 @@ def register(app, ctx):
     @app.get("/api/chat/sessions/{session_id}/messages")
     async def session_messages(req):
         user = get_current_user(req, db, ctx.kv, settings)
-        sid = int(req.path_params["session_id"])
+        sid = int_param(req, "session_id")
         if db.one("SELECT id FROM chat_sessions WHERE id=? AND user_id=?",
                   (sid, user.id)) is None:
             raise HTTPError(404, "Session not found")

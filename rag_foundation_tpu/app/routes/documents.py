@@ -6,9 +6,13 @@ Reference parity: /root/reference/backend/app/routes/documents.py:19-93.
 from __future__ import annotations
 
 import asyncio
+import os
 
 import time
 
+from rag_foundation_tpu.app.routes._params import (
+    int_param, json_object)
+from rag_foundation_tpu.app import dbschema
 from rag_foundation_tpu.app.auth import get_current_user, require_admin
 from rag_foundation_tpu.app.services.audit import record_admin_action
 from rag_foundation_tpu.app.services.cleanup import cleanup_document
@@ -36,7 +40,7 @@ def register(app, ctx):
     async def list_documents(req):
         user = get_current_user(req, db, ctx.kv, settings)
         store = require_store_owned_by_user(
-            db, int(req.path_params["store_id"]), user.id)
+            db, int_param(req, "store_id"), user.id)
         rows = db.query(
             "SELECT * FROM documents WHERE store_id=? AND deleted_at IS NULL"
             " ORDER BY id", (store["id"],))
@@ -46,7 +50,7 @@ def register(app, ctx):
     async def delete_document(req):
         user = get_current_user(req, db, ctx.kv, settings)
         doc = require_document_owned_by_user(
-            db, int(req.path_params["document_id"]), user.id)
+            db, int_param(req, "document_id"), user.id)
         with db.tx() as conn:
             conn.execute("UPDATE documents SET deleted_at=? WHERE id=?",
                          (time.time(), doc["id"]))
@@ -61,13 +65,32 @@ def register(app, ctx):
     @app.post("/api/admin/documents/{document_id}/restore")
     async def restore_document(req):
         user = require_admin(get_current_user(req, db, ctx.kv, settings))
-        did = int(req.path_params["document_id"])
+        did = int_param(req, "document_id")
         row = db.one("SELECT * FROM documents WHERE id=?", (did,))
         if row is None:
             raise HTTPError(404, "Document not found")
+        # the engine copy was removed at delete time (privacy: deleted
+        # content must stop being served immediately), so a restore
+        # must RE-INGEST — flip to PENDING and enqueue; the payload (or
+        # archive copy) must still exist for the worker to read
+        from rag_foundation_tpu.app.services.ingestion import upload_path
+        payload = upload_path(settings, did)
+        has_payload = payload.exists() or bool(
+            row["archive_path"] and os.path.exists(row["archive_path"]))
+        if row["archive_path"] and not payload.exists() and has_payload:
+            import shutil
+            shutil.copyfile(row["archive_path"], payload)
         with db.tx() as conn:
-            conn.execute("UPDATE documents SET deleted_at=NULL WHERE id=?",
-                         (did,))
+            conn.execute(
+                "UPDATE documents SET deleted_at=NULL, status=?,"
+                " status_updated_at=?, last_error=? WHERE id=?",
+                (dbschema.DOC_PENDING if has_payload
+                 else dbschema.DOC_ERROR, time.time(),
+                 None if has_payload
+                 else "payload gone; re-upload required", did))
+        if has_payload and ctx.has_ingestion_queue():
+            ctx.queue.enqueue("ingest_document", {"document_id": did})
         record_admin_action(db, admin_user_id=user.id,
                             action="document_restore", target=str(did))
-        return Response({"status": "restored", "id": did})
+        return Response({"status": "restored", "id": did,
+                         "reingest": bool(has_payload)})

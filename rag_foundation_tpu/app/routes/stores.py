@@ -8,6 +8,7 @@ documents, background engine cleanup, 404-not-403 tenancy.
 from __future__ import annotations
 
 import asyncio
+import sqlite3
 
 import html
 import re
@@ -15,6 +16,8 @@ import time
 
 from pydantic import BaseModel, ValidationError, field_validator
 
+from rag_foundation_tpu.app.routes._params import (
+    int_param, json_object)
 from rag_foundation_tpu.app.auth import get_current_user, require_admin
 from rag_foundation_tpu.app.services.audit import record_admin_action
 from rag_foundation_tpu.app.services.cleanup import cleanup_store
@@ -58,7 +61,7 @@ def register(app, ctx):
     async def create_store(req):
         user = get_current_user(req, db, ctx.kv, settings)
         try:
-            body = StoreCreate(**req.json())
+            body = StoreCreate(**json_object(req))
         except ValidationError as e:
             raise HTTPError(422, e.errors()[0]["msg"]) from None
         count = db.one(
@@ -72,16 +75,20 @@ def register(app, ctx):
                                              body.name, user.id)
         if not _ENGINE_KEY_RE.match(engine_key):
             # format check analog (reference: stores.py:46-50)
-            cleanup_store(ctx.rag, engine_key)
+            await asyncio.to_thread(cleanup_store, ctx.rag, engine_key)
             raise HTTPError(502, "Engine returned malformed store key")
         try:
             sid = db.execute(
                 "INSERT INTO stores(user_id, name, engine_key, created_at)"
                 " VALUES(?,?,?,?)",
                 (user.id, body.name, engine_key, time.time()))
-        except Exception:
-            cleanup_store(ctx.rag, engine_key)
+        except sqlite3.IntegrityError:
+            await asyncio.to_thread(cleanup_store, ctx.rag, engine_key)
             raise HTTPError(409, "Store already exists") from None
+        except Exception:
+            # a real db failure is a 500, not a misleading 409
+            await asyncio.to_thread(cleanup_store, ctx.rag, engine_key)
+            raise
         row = db.one("SELECT * FROM stores WHERE id=?", (sid,))
         return Response(_store_dto(row), status=201)
 
@@ -89,7 +96,7 @@ def register(app, ctx):
     async def delete_store(req):
         user = get_current_user(req, db, ctx.kv, settings)
         store = require_store_owned_by_user(
-            db, int(req.path_params["store_id"]), user.id)
+            db, int_param(req, "store_id"), user.id)
         now = time.time()
         with db.tx() as conn:
             conn.execute("UPDATE stores SET deleted_at=? WHERE id=?",
@@ -98,20 +105,32 @@ def register(app, ctx):
             conn.execute(
                 "UPDATE documents SET deleted_at=? WHERE store_id=? AND"
                 " deleted_at IS NULL", (now, store["id"]))
-        await asyncio.to_thread(cleanup_store, ctx.rag,
-                                store["engine_key"])
+        # engine-side cleanup is DEFERRED to the stale-store janitor
+        # (24 h grace): immediate cleanup made the admin restore
+        # endpoint a lie — the row came back but the vectors were gone
         return Response({"status": "deleted", "id": store["id"]})
 
     @app.post("/api/admin/stores/{store_id}/restore")
     async def restore_store(req):
         user = require_admin(get_current_user(req, db, ctx.kv, settings))
-        sid = int(req.path_params["store_id"])
+        sid = int_param(req, "store_id")
         row = db.one("SELECT * FROM stores WHERE id=?", (sid,))
         if row is None:
             raise HTTPError(404, "Store not found")
+        if row["engine_key"] == "":
+            # the janitor already reaped the engine data (24 h grace
+            # elapsed) — a row-only restore would be an empty shell
+            raise HTTPError(409, "Store already reaped; engine data is "
+                                 "gone and cannot be restored")
         with db.tx() as conn:
             conn.execute("UPDATE stores SET deleted_at=NULL WHERE id=?",
                          (sid,))
+            if row["deleted_at"] is not None:
+                # un-cascade the documents soft-deleted with the store
+                conn.execute(
+                    "UPDATE documents SET deleted_at=NULL WHERE"
+                    " store_id=? AND deleted_at=?",
+                    (sid, row["deleted_at"]))
         record_admin_action(db, admin_user_id=user.id,
                             action="store_restore", target=str(sid))
         return Response({"status": "restored", "id": sid})

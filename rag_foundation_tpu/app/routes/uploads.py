@@ -9,6 +9,7 @@ enqueue-or-503, and the ``op-status`` polling endpoint.
 
 from __future__ import annotations
 
+import asyncio
 import os
 import re
 import shutil
@@ -98,13 +99,26 @@ def register(app, ctx):
                 part.cleanup()
 
         if settings.ARCHIVE_UPLOADS:
-            archive = (Path(settings.DATA_DIR) / "archive"
-                       / store["engine_key"].replace("/", "_"))
-            archive.mkdir(parents=True, exist_ok=True)
-            dst = archive / f"doc-{doc_id}-{safe_name[:100]}"
-            shutil.copyfile(path, dst)
-            db.execute("UPDATE documents SET archive_path=? WHERE id=?",
-                       (str(dst), doc_id))
+            try:
+                archive = (Path(settings.DATA_DIR) / "archive"
+                           / store["engine_key"].replace("/", "_"))
+                archive.mkdir(parents=True, exist_ok=True)
+                dst = archive / f"doc-{doc_id}-{safe_name[:100]}"
+                # off the event loop: the copy is up to MAX_UPLOAD_MB
+                await asyncio.to_thread(shutil.copyfile, path, dst)
+                db.execute(
+                    "UPDATE documents SET archive_path=? WHERE id=?",
+                    (str(dst), doc_id))
+            except BaseException:
+                # the document row already exists as PENDING; a raw 500
+                # here would strand it PENDING forever with no job —
+                # mark it ERROR so the state machine stays truthful
+                db.execute(
+                    "UPDATE documents SET status=?, status_updated_at=?,"
+                    " last_error=? WHERE id=?",
+                    (dbschema.DOC_ERROR, time.time(),
+                     "archive copy failed", doc_id))
+                raise
 
         if not ctx.has_ingestion_queue():
             # queue down => 503, do not lose the job silently (reference:

@@ -162,19 +162,30 @@ def run_ingestion_sync(db, rag, settings, document_id: int) -> str:
         raise
 
 
-def reset_stuck_documents(db, settings, *, to_status: str = dbschema.DOC_ERROR
-                          ) -> int:
+def reset_stuck_documents(db, settings, *,
+                          to_status: str = dbschema.DOC_ERROR,
+                          only_ids: list[int] | None = None) -> int:
     """Watchdog: flip stale RUNNING docs (reference: worker.py:83-114 flips
     to ERROR; the admin endpoint flips to PENDING for re-ingestion,
     admin.py:176-228)."""
     cutoff = time.time() - settings.WATCHDOG_STALE_S
+    id_guard, id_args = "", ()
+    if only_ids is not None:
+        # the admin path resets exactly the rows it is about to
+        # re-enqueue (a doc crossing staleness between its snapshot and
+        # this update would otherwise be reset but never enqueued)
+        if not only_ids:
+            return 0
+        id_guard = f" AND id IN ({','.join('?' * len(only_ids))})"
+        id_args = tuple(only_ids)
     with db.tx() as conn:
         cur = conn.execute(
             "UPDATE documents SET status=?, status_updated_at=?,"
             " last_error=CASE WHEN ? = 'ERROR' THEN 'watchdog: stale RUNNING'"
             " ELSE last_error END"
-            " WHERE status=? AND status_updated_at<?",
-            (to_status, time.time(), to_status, dbschema.DOC_RUNNING, cutoff))
+            " WHERE status=? AND status_updated_at<?" + id_guard,
+            (to_status, time.time(), to_status, dbschema.DOC_RUNNING,
+             cutoff) + id_args)
         n = cur.rowcount
     if n:
         log_json(logging.WARNING, "watchdog_reset_stuck", count=n,

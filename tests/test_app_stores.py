@@ -99,3 +99,65 @@ def test_document_soft_delete(tmp_path):
                                "store_ids": [store["id"]]})
     text = r.text
     assert "could not find" in text
+
+
+def test_non_numeric_path_params_are_404_not_500(tmp_path):
+    """Scanner-style probes with non-numeric ids must not 500
+    (round-2 review finding)."""
+    from tests.app_helpers import make_app, signup
+
+    client, _ = make_app(tmp_path)
+    headers = signup(client, "pp@example.com")
+    for method, path in [("DELETE", "/api/stores/abc"),
+                         ("GET", "/api/stores/abc/documents"),
+                         ("DELETE", "/api/documents/xyz"),
+                         ("DELETE", "/api/chat/sessions/nope")]:
+        r = client.request(method, path, headers=headers)
+        assert r.status_code == 404, (path, r.status_code)
+    # non-object JSON bodies are 422, not 500
+    r = client.post("/api/stores", headers=headers, json_body=[1, 2])
+    assert r.status_code == 422
+    r = client.post("/api/chat", headers=headers, json_body="hi")
+    assert r.status_code == 422
+
+
+def test_store_delete_restore_round_trip(tmp_path):
+    """Store delete defers engine cleanup to the janitor grace window,
+    so an admin restore brings back a WORKING store incl. its
+    documents (round-2 review finding: restore was an empty shell)."""
+    from tests.app_helpers import create_store, make_admin, make_app, signup
+
+    client, ctx = make_app(tmp_path)
+    headers = signup(client, "rr@example.com")
+    make_admin(ctx, "rr@example.com")
+    store = create_store(client, headers, name="Keep")
+    body = (b"--b0\r\nContent-Disposition: form-data; name=\"store_id\""
+            b"\r\n\r\n" + str(store["id"]).encode() +
+            b"\r\n--b0\r\nContent-Disposition: form-data; name=\"file\";"
+            b" filename=\"d.txt\"\r\nContent-Type: text/plain\r\n\r\n"
+            b"The quarterly revenue grew twelve percent this year."
+            b"\r\n--b0--\r\n")
+    r = client.post("/api/upload", headers={
+        **headers, "content-type": "multipart/form-data; boundary=b0"},
+        body=body)
+    assert r.status_code == 201, r.text
+    from tests.app_helpers import drain_worker
+    drain_worker(ctx)
+    op = r.json()["op_id"]
+    st = client.get(f"/api/upload/op-status/{op}",
+                    headers=headers).json()
+    assert st["status"] == "DONE", st
+    assert client.delete(f"/api/stores/{store['id']}",
+                         headers=headers).status_code == 200
+    # restore: row + cascade-deleted documents + engine data all back
+    r = client.post(f"/api/admin/stores/{store['id']}/restore",
+                    headers=headers)
+    assert r.status_code == 200
+    docs = client.get(f"/api/stores/{store['id']}/documents",
+                      headers=headers).json()["documents"]
+    assert len(docs) == 1
+    r = client.post("/api/chat", headers=headers, json_body={
+        "question": "How did revenue grow?",
+        "store_ids": [store["id"]]})
+    assert r.status_code == 200
+    assert "revenue" in r.text.lower()
