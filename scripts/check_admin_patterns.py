@@ -32,6 +32,18 @@ def _called_names(fn: ast.AST) -> set[str]:
             if isinstance(f, ast.Name):
                 names.add(f.id)
             elif isinstance(f, ast.Attribute):
+                # a bare attribute name is too weak a signal — ANY
+                # object with a .check() method would satisfy the gate.
+                # Require the receiver to look like a limiter
+                # (ctx.limiter.check / limiter.check / rate_limiter.*)
+                recv = f.value
+                recv_name = ""
+                if isinstance(recv, ast.Attribute):
+                    recv_name = recv.attr
+                elif isinstance(recv, ast.Name):
+                    recv_name = recv.id
+                if f.attr == "check" and "limit" not in recv_name:
+                    continue
                 names.add(f.attr)
     return names
 

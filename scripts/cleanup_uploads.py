@@ -32,7 +32,10 @@ ACTIVE = (dbschema.DOC_PENDING, dbschema.DOC_RUNNING)
 def cleanup_uploads(settings, db, *, max_age_hours: float = 24.0,
                     dry_run: bool = False) -> int:
     """Remove stale payloads; returns how many files were removed."""
-    uploads = Path(settings.DATA_DIR) / "uploads"
+    from rag_foundation_tpu.app.services.ingestion import upload_path
+    # derive the dir from the SAME helper ingestion uses (a layout change
+    # must not silently strand this janitor on an old path)
+    uploads = upload_path(settings, 0).parent
     if max_age_hours <= 0 or not uploads.exists():
         return 0
     cutoff = time.time() - max_age_hours * 3600

@@ -27,13 +27,22 @@ def main() -> None:
     ap.add_argument("--password", required=True)
     args = ap.parse_args()
     settings = load_settings()
-    check_password_policy(args.password, settings.PASSWORD_MIN_LENGTH)
+    try:
+        check_password_policy(args.password, settings.PASSWORD_MIN_LENGTH)
+    except Exception as e:  # HTTPError is a web-layer type; speak CLI
+        raise SystemExit(f"password rejected: {getattr(e, 'detail', e)}")
     db = Database(settings.DATABASE_PATH, migrations=MIGRATIONS)
     email = args.email.strip().lower()
     row = db.one("SELECT id FROM users WHERE email=?", (email,))
     if row is not None:
-        db.execute("UPDATE users SET role='admin' WHERE id=?", (row["id"],))
-        print(f"promoted existing user {email} (id={row['id']}) to admin")
+        # the operator supplied a password — honor it (silently keeping
+        # a lost/unknown old hash locked admins out)
+        db.execute(
+            "UPDATE users SET role='admin', password_hash=?,"
+            " is_active=1 WHERE id=?",
+            (hash_password(args.password), row["id"]))
+        print(f"promoted existing user {email} (id={row['id']}) to "
+              f"admin and reset the password")
         return
     uid = db.execute(
         "INSERT INTO users(email, password_hash, role, created_at)"

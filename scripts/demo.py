@@ -70,6 +70,10 @@ def main() -> None:
                     headers=headers).json()
     print(f"ingested sample-report.md: {st['status']}"
           f" ({st['chunks']} chunks)\n")
+    if st["status"] != "DONE":
+        raise SystemExit(
+            f"demo aborted: ingestion {st['status']}"
+            f" ({st.get('error')}) — answers would be empty")
 
     for q in QUESTIONS:
         r = client.post("/api/chat", headers=headers,

@@ -32,7 +32,7 @@ fi
 
 step "secret scan (gitleaks analog)"
 # long hex/base64 literals assigned to secret-ish names in the tree
-if grep -rnEi '(secret|password|api_key|token)\s*=\s*["'"'"'][A-Za-z0-9+/=]{24,}' \
+if grep -rnEi '(secret|password|api_key|token)\s*=\s*["'"'"'][A-Za-z0-9+/=_-]{24,}' \
     rag_foundation_tpu/ scripts/ --include='*.py' \
     | grep -v '# audit-ok'; then
   echo "possible hardcoded secret"
@@ -42,7 +42,7 @@ else
 fi
 
 step "log-scrub self-check"
-python - <<'EOF' || exit 1
+python - <<'EOF' || FAIL=1
 import logging
 from rag_foundation_tpu.app.telemetry import JsonFormatter
 rec = logging.LogRecord("t", logging.INFO, "f", 1, "msg", None, None)

@@ -38,6 +38,7 @@ Reference analog: none — the reference outsources embeddings to Gemini
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import os
 import re
@@ -207,10 +208,18 @@ def train_ict(args) -> None:
                                 temperature=args.temperature,
                                 symmetric=True)
 
+    n_chunks_t = n_pairs // 2  # rows [i] and [n_chunks+i] share a doc
+
     def one_step(carry, step_i):
         params, opt_state, key = carry
         k = jax.random.fold_in(key, step_i)
-        idx = jax.random.randint(k, (args.batch,), 0, n_pairs)
+        # sample CHUNKS then a view per draw: sampling raw rows could
+        # put both views of one chunk in a batch, making an exact copy
+        # of a query's positive act as an in-batch negative
+        cidx = jax.random.randint(k, (args.batch,), 0, n_chunks_t)
+        view = jax.random.bernoulli(jax.random.fold_in(k, 1),
+                                    shape=(args.batch,))
+        idx = cidx + view.astype(jnp.int32) * n_chunks_t
         qb = jnp.take(q_dev, idx, axis=0)
         db = jnp.take(d_dev, idx, axis=0)
         loss, grads = jax.value_and_grad(loss_fn)(params, qb, db)
@@ -221,27 +230,36 @@ def train_ict(args) -> None:
 
     spc = min(args.steps_per_call, args.steps)
 
-    @jax.jit
-    def run_block(params, opt_state, key, base):
+    @functools.partial(jax.jit, static_argnames=("count",))
+    def run_block(params, opt_state, key, base, count):
         (params, opt_state, key), losses = jax.lax.scan(
-            one_step, (params, opt_state, key), base + jnp.arange(spc))
+            one_step, (params, opt_state, key), base + jnp.arange(count))
         return params, opt_state, key, losses.mean()
 
     params, key = enc.params, jax.random.key(args.seed + 1)
     t0 = time.perf_counter()
     done = 0
     while done < args.steps:
+        count = min(spc, args.steps - done)  # exact: no overshoot
         params, opt_state, key, mloss = run_block(
-            params, opt_state, key, jnp.int32(done))
-        done += spc
+            params, opt_state, key, jnp.int32(done), count)
+        done += count
         log(f"step {done}/{args.steps}: loss {float(mloss):.4f} "
             f"({(time.perf_counter()-t0)/done*1000:.0f} ms/step)")
     enc.params = jax.tree_util.tree_map(jnp.asarray, params)
     dur = time.perf_counter() - t0
     log(f"trained {args.steps} steps in {dur:.0f}s")
+    # checkpoint BEFORE eval: an eval crash must not discard the run
+    save_params(enc.params, args.out, cfg=cfg)
 
     # held-out eval: keyword queries against the held-out chunk pool,
     # hash encoder on identical data as the baseline
+    if not eval_chunks:
+        log("corpus too small for a held-out eval; skipping")
+        print(json.dumps({"mode": "ict", "steps": args.steps,
+                          "chunks": len(chunks), "ckpt": args.out,
+                          "train_s": round(dur, 1)}))
+        return
     rng_e = np.random.default_rng(args.seed + 7)
     eval_queries = [keyword_query(rng_e, c) for c in eval_chunks]
     mini = eval_retrieval(enc.encode, "minilm(ICT)", eval_chunks,
@@ -251,7 +269,6 @@ def train_ict(args) -> None:
         lambda ts: hash_enc.encode(ts), "hash-fnv-v2", eval_chunks,
         eval_queries, log=log)
 
-    save_params(enc.params, args.out, cfg=cfg)
     print(json.dumps({
         "mode": "ict", "steps": args.steps, "batch": args.batch,
         "chunks": len(chunks), "eval_n": eval_n,
