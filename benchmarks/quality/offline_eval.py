@@ -1,0 +1,143 @@
+"""Offline quality evaluation: run the full retrieval + reader stack
+in-process (no HTTP server) against the committed labeled dataset.
+
+Same metrics as the live runner (rag_foundation_tpu/benchmark/runner.py
+-> metrics.py) so numbers are comparable; used to iterate on the
+extractive reader head and to produce honest encoder x threshold
+ablation grids without standing up the app for every cell.
+
+  python benchmarks/quality/offline_eval.py \
+      --encoder hybrid --ckpt checkpoints/minilm_ict.npz \
+      --min-coverage 0.35 --answer-mode span
+
+Runs on CPU by default (RAGTPU_ENGINE_PLATFORM=cpu equivalent).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+from types import SimpleNamespace
+
+REPO = Path(__file__).resolve().parents[2]
+sys.path.insert(0, str(REPO))
+
+from rag_foundation_tpu.utils.platform import pin_platform  # noqa: E402
+
+
+def build_settings(args) -> SimpleNamespace:
+    return SimpleNamespace(
+        ENGINE_DIM=args.dim,
+        ENGINE_CHUNK_TOKENS=200,
+        ENGINE_CHUNK_OVERLAP=40,
+        ENGINE_ENCODER=args.encoder,
+        ENGINE_ENCODER_CKPT=args.ckpt,
+        ENGINE_HYBRID_W=args.hybrid_w,
+        ENGINE_INDEX_MODE="exact",
+        ENGINE_NLIST=64,
+        ENGINE_NPROBE=8,
+        ENGINE_BUILD_THRESHOLD=1_000_000,
+        ENGINE_PQ_M=48,
+        ENGINE_PQ_PACKED=False,
+        ENGINE_IVF_P=4,
+        ENGINE_APPROX_ROUTING=False,
+        ENGINE_BATCH_WINDOW_MS=0.0,
+        ENGINE_MESH_SHARDS=1,
+        ENGINE_TOP_K=args.top_k,
+        ENGINE_MIN_SCORE=0.0,
+        ENGINE_MIN_COVERAGE=args.min_coverage,
+        ENGINE_ANSWER_MODE=args.answer_mode,
+        DATA_DIR=None,
+        MOCK_MODE=False,
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--encoder", default="hash",
+                    choices=["hash", "minilm", "hybrid"])
+    ap.add_argument("--ckpt", default="")
+    ap.add_argument("--dim", type=int, default=768)
+    ap.add_argument("--hybrid-w", type=float, default=0.35)
+    ap.add_argument("--top-k", type=int, default=5)
+    ap.add_argument("--min-coverage", type=float, default=0.35)
+    ap.add_argument("--answer-mode", default="span",
+                    choices=["span", "sentences"])
+    ap.add_argument("--questions", default=str(
+        Path(__file__).parent / "questions.jsonl"))
+    ap.add_argument("--docs", default=str(Path(__file__).parent / "docs"))
+    ap.add_argument("--out", default="")
+    ap.add_argument("--verbose", action="store_true",
+                    help="print per-question failures")
+    args = ap.parse_args()
+
+    pin_platform("cpu")
+    from rag_foundation_tpu.app.services.rag import EngineRag
+    from rag_foundation_tpu.benchmark import metrics
+
+    settings = build_settings(args)
+    rag = EngineRag(settings)
+    key = rag.create_store("offline-eval", user_id=0)
+    t0 = time.time()
+    for p in sorted(Path(args.docs).glob("*.md")):
+        rag.ingest_document(key, p.stem, p.name, p.read_text())
+    print(f"ingested in {time.time()-t0:.1f}s", file=sys.stderr)
+
+    rows = [json.loads(l) for l in open(args.questions)]
+    results = []
+    t0 = time.time()
+    for q in rows:
+        gen, res = rag.ask_stream(q["question"], [key], model="engine")
+        answer = "".join(gen)
+        rec = {
+            "question": q["question"],
+            "answer": answer,
+            "em": metrics.exact_match(answer, q.get("answers", [])),
+            "contains": metrics.contains_match(answer, q.get("answers", [])),
+            "f1": metrics.f1_score(answer, q.get("answers", [])),
+            "refusal_ok": metrics.refusal_ok(
+                answer, q.get("answerable", True)),
+            "citation_hit": metrics.citation_hit(
+                res.citations, q.get("expected_sources", [])),
+            "answerable": q.get("answerable", True),
+        }
+        results.append(rec)
+        if args.verbose and (rec["em"] < 1.0 and rec["answerable"]
+                             or rec["refusal_ok"] < 1.0):
+            srcs = [c["title"] for c in res.citations]
+            print(f"  [em={rec['em']:.0f} f1={rec['f1']:.2f} "
+                  f"ref={rec['refusal_ok']:.0f}] {q['question']}\n"
+                  f"      pred: {answer[:120]!r}\n"
+                  f"      gold: {q.get('answers')} "
+                  f"want={q.get('expected_sources')} got={srcs}",
+                  file=sys.stderr)
+
+    summary = {
+        "config": {
+            "encoder": args.encoder, "ckpt": args.ckpt,
+            "hybrid_w": args.hybrid_w, "min_coverage": args.min_coverage,
+            "answer_mode": args.answer_mode, "top_k": args.top_k,
+        },
+        "total": len(results),
+        "em": metrics.mean([r["em"] for r in results]),
+        "contains": metrics.mean([r["contains"] for r in results]),
+        "f1": metrics.mean([r["f1"] for r in results]),
+        "refusal_ok": metrics.mean([r["refusal_ok"] for r in results]),
+        "citation_hit": metrics.mean([r["citation_hit"] for r in results]),
+        "em_answerable": metrics.mean(
+            [r["em"] for r in results if r["answerable"]]),
+        "f1_answerable": metrics.mean(
+            [r["f1"] for r in results if r["answerable"]]),
+        "eval_s": round(time.time() - t0, 1),
+    }
+    print(json.dumps(summary, indent=2))
+    if args.out:
+        Path(args.out).parent.mkdir(parents=True, exist_ok=True)
+        Path(args.out).write_text(json.dumps(
+            {"summary": summary, "results": results}, indent=2))
+
+
+if __name__ == "__main__":
+    main()

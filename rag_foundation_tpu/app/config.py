@@ -117,6 +117,9 @@ class Settings(BaseModel):
     ENGINE_CHUNK_TOKENS: int = 200
     ENGINE_CHUNK_OVERLAP: int = 40
     ENGINE_TOP_K: int = 5
+    ENGINE_ANSWER_MODE: str = "span"      # span|sentences extractive head
+    ENGINE_READER_K: int = 12             # candidate pool for the reader
+    #   (search depth; citations still honor top_k)
     ENGINE_MIN_SCORE: float = 0.0         # refuse below this top-hit score
     ENGINE_MIN_COVERAGE: float = 0.0      # refuse below this question-term
     #                                       coverage (services/rag.py)
@@ -197,6 +200,9 @@ class Settings(BaseModel):
                                            "ivf_flat_int8", "ivf_pq"}:
             raise ValueError(f"invalid ENGINE_INDEX_MODE "
                              f"{self.ENGINE_INDEX_MODE!r}")
+        if self.ENGINE_ANSWER_MODE not in {"span", "sentences"}:
+            raise ValueError(f"invalid ENGINE_ANSWER_MODE "
+                             f"{self.ENGINE_ANSWER_MODE!r}")
         return self
 
     # ---------------------------------------------------------------------

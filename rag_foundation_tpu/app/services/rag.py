@@ -24,6 +24,7 @@ from dataclasses import dataclass, field
 
 from rag_foundation_tpu.app import metrics
 from rag_foundation_tpu.app.costs import estimate_tokens_from_text
+from rag_foundation_tpu.app.services import reader, textnorm
 from rag_foundation_tpu.engine import Engine, EngineConfig
 
 
@@ -46,25 +47,7 @@ def _slug(name: str) -> str:
 
 
 _SENT_SPLIT = re.compile(r"(?<=[.!?])\s+")
-_WORD = re.compile(r"[a-z0-9]+")
-_STOP = frozenset(
-    "a an the is are was were be been being do does did to of in on at by "
-    "for with from as and or but not no what which who whom whose when "
-    "where why how this that these those it its if then than there here "
-    "can could should would may might will shall has have had".split())
-
-
-def _stem(t: str) -> str:
-    """Tiny suffix stemmer ("slews" must match "slew speed")."""
-    for suf in ("ing", "ed", "es", "s"):
-        if len(t) > 4 and t.endswith(suf):
-            return t[: len(t) - len(suf)]
-    return t
-
-
-def _content_tokens(text: str) -> set[str]:
-    return {_stem(t) for t in _WORD.findall(text.lower())
-            if t not in _STOP}
+_content_tokens = textnorm.content_stems
 
 
 def _passage_coverage(question: str, hits) -> float:
@@ -73,8 +56,9 @@ def _passage_coverage(question: str, hits) -> float:
     extractive system: raw retrieval scores do NOT separate answerable
     from unanswerable questions (lexical encoders score shared common
     words), but a question whose RARE terms appear nowhere in the
-    retrieved text cannot be answered from it."""
-    q_tokens = _content_tokens(question)
+    retrieved text cannot be answered from it. Matching is fuzzy
+    (textnorm.stems_match) so "photometric" covers "photometry"."""
+    q_tokens = textnorm.StemSet.from_text(question)
     if not q_tokens or not hits:
         return 0.0
     ptoks = [_content_tokens(h.text) for h in hits[:5]]
@@ -84,57 +68,76 @@ def _passage_coverage(question: str, hits) -> float:
         for t in toks:
             df[t] = df.get(t, 0) + 1
     n_c = max(1, len(ptoks))
-    idf = {t: math.log(1 + n_c / df.get(t, 0.5)) for t in q_tokens}
-    tot = sum(idf.values())
+
+    def q_idf(t: str) -> float:
+        return math.log(1 + n_c / df.get(t, 0.5))
+
+    tot = sum(q_idf(t) for t in q_tokens)
     if tot <= 0:
         return 0.0
-    return max(sum(idf[t] for t in (q_tokens & toks))
+    return max(sum(q_idf(t) for t in q_tokens.matched_in(toks))
                for toks in ptoks) / tot
 
 
-def _extract_sentences(question: str, hits, *, max_sentences: int = 2,
-                       max_chars: int = 400) -> str:
-    """Best-matching sentences across the top hits, scored by
-    IDF-weighted question-token overlap (document frequency taken over
-    the candidate sentences themselves — no global state needed)."""
-    q_tokens = _content_tokens(question)
+def _ranked_sentences(question: str, hits, *, limit: int = 8
+                      ) -> list[tuple[str, float]]:
+    """Sentences across the top hits ranked by IDF-weighted
+    question-token overlap (document frequency taken over the candidate
+    sentences themselves — no global state needed). Returns
+    (sentence, score) descending; empty when nothing overlaps."""
+    q_tokens = textnorm.StemSet.from_text(question)
     if not q_tokens:
-        return ""
+        return []
     cands: list[tuple[int, int, str, set[str]]] = []   # (hit, pos, s, toks)
-    for hi, h in enumerate(hits[:5]):
+    seen: set[str] = set()   # chunk overlap duplicates sentences
+    for hi, h in enumerate(hits[:12]):
         for pos, s in enumerate(_SENT_SPLIT.split(h.text.strip())):
             s = s.strip()
-            if not 12 <= len(s) <= 600:
+            if not 12 <= len(s) <= 600 or s in seen:
                 continue
+            seen.add(s)
             toks = _content_tokens(s)
             if toks:
                 cands.append((hi, pos, s, toks))
     if not cands:
-        return ""
+        return []
     import math
     df: dict[str, int] = {}
     for _, _, _, toks in cands:
         for t in toks:
             df[t] = df.get(t, 0) + 1
     n_c = len(cands)
+    overlap_cache: dict[int, set[str]] = {}
 
     def score(item):
         hi, _pos, _s, toks = item
-        overlap = q_tokens & toks
+        key = id(item)
+        overlap = overlap_cache.get(key)
+        if overlap is None:
+            overlap = q_tokens.matched_in(toks)
+            overlap_cache[key] = overlap
         if not overlap:
             return 0.0
-        idf = sum(math.log(1 + n_c / df[t]) for t in overlap)
+        idf = sum(math.log(1 + n_c / df.get(t, 0.5)) for t in overlap)
         return idf / math.sqrt(len(toks)) * (1.0 - 0.05 * hi)
 
     ranked = sorted(cands, key=score, reverse=True)
-    if score(ranked[0]) <= 0.0:
-        return ""
+    out: list[tuple[str, float]] = []
+    for item in ranked[:limit]:
+        sc = score(item)
+        if sc <= 0.0:
+            break
+        out.append((item[2], sc))
+    return out
+
+
+def _extract_sentences(question: str, hits, *, max_sentences: int = 2,
+                       max_chars: int = 400) -> str:
+    """Best-matching sentences joined, bounded by count and chars."""
+    ranked = _ranked_sentences(question, hits, limit=max_sentences)
     out: list[str] = []
     used = 0
-    for item in ranked[:max_sentences]:
-        if score(item) <= 0.0:
-            break
-        s = item[2]
+    for s, _sc in ranked:
         if used + len(s) > max_chars:
             break
         out.append(s)
@@ -210,9 +213,13 @@ class EngineRag:
                    ) -> tuple[Iterator[str], StreamResult]:
         result = StreamResult()
         k = top_k or self.settings.ENGINE_TOP_K
+        # retrieve deeper than we cite: the span reader mines sentences
+        # from a wider pool (right doc, wrong chunk window is the common
+        # retrieval miss), while citations honor the requested top_k
+        k_search = max(k, getattr(self.settings, "ENGINE_READER_K", 12))
         t0 = time.perf_counter()
         try:
-            hits = self.engine.search(engine_keys, question, k=k,
+            hits = self.engine.search(engine_keys, question, k=k_search,
                                       doc_filter=doc_filter,
                                       meta_filter=metadata_filter)
         except Exception as e:  # noqa: BLE001 — provider boundary
@@ -252,7 +259,7 @@ class EngineRag:
             "uri": f"{h.store_key}#doc={h.doc_id}&chunk={h.ordinal}",
             "snippet": h.text[:400],
             "score": round(h.score, 6),
-        } for i, h in enumerate(hits)]
+        } for i, h in enumerate(hits[:k])]
 
         def gen() -> Iterator[str]:
             for delta in _word_stream(answer):
@@ -262,18 +269,23 @@ class EngineRag:
 
         return gen(), result
 
-    @staticmethod
-    def _compose_answer(question: str, hits) -> str:
-        """Extractive answer: lead with the best-matching SENTENCES from
-        the retrieved passages (IDF-weighted token overlap against the
-        question), then the cited passages. The reference outsources
-        composition to Gemini (gemini_rag.py:463-551); owning retrieval
-        end-to-end means the extractive head is ours — sentence
-        selection is what makes EM/F1 on the quality benchmark
-        meaningful rather than passage-dump noise."""
+    def _compose_answer(self, question: str, hits) -> str:
+        """Extractive answer. The reference outsources composition to a
+        generative model (gemini_rag.py:463-551); owning retrieval
+        end-to-end means the extractive head is ours. Two modes
+        (ENGINE_ANSWER_MODE): "span" (default) runs the span-extraction
+        reader over the best-matching sentences and answers with the
+        short span — the span is the exact-match unit on the quality
+        benchmark; "sentences" streams the top sentences verbatim."""
         if not hits:
             return ("I could not find relevant information in the selected "
                     "stores to answer this question.")
+        mode = getattr(self.settings, "ENGINE_ANSWER_MODE", "span")
+        ranked = _ranked_sentences(question, hits, limit=8)
+        if mode == "span" and ranked:
+            res = reader.extract_answer_span(question, ranked)
+            if res is not None and res.score > 0.0:
+                return res.span
         lead = _extract_sentences(question, hits, max_sentences=2)
         if lead:
             return lead

@@ -1,0 +1,464 @@
+"""Span-extraction reader: pick the answer SPAN out of retrieved text.
+
+The reference composes answers with a generative model
+(/root/reference/backend/app/services/gemini_rag.py:517-551 streams
+Gemini prose). Owning retrieval end-to-end means composition is ours;
+this module is the deterministic extractive analog: given the question
+and the ranked best-matching sentences from the retrieved chunks, score
+candidate token spans and return the most likely short answer. On the
+committed quality benchmark every answer string appears verbatim in the
+corpus (benchmarks/quality/make_dataset.py), so span selection makes
+exact-match a meaningful metric instead of structurally zero.
+
+Design (no model, no global state — pure lexical features):
+
+1. Classify the question's expected answer type from its interrogative
+   pattern (NUMERIC / FREQUENCY / PERSON / NAME / PLACE / PHRASE).
+2. Generate typed candidate spans inside each candidate sentence:
+   number(+unit-run) spans, capitalized-run (proper noun) spans,
+   frequency adverbs / "every N unit" spans, and the complement runs —
+   maximal token runs that are NOT question-restatement (the answer is
+   precisely the new information in the sentence).
+3. Score = type match x trigger-word adjacency ("called X", "by X",
+   "uses X") x proximity to question-term matches x edge quality,
+   weighted by the sentence's own retrieval/overlap rank.
+4. Trim edges: articles, stopwords, and question content tokens are
+   stripped from span boundaries ("36 hexagonal segments" -> "36" when
+   the question already says "hexagonal segments").
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+# ---------------------------------------------------------------------------
+# lexicons
+
+_STOP = frozenset(
+    "a an the is are was were be been being do does did to of in on at by "
+    "for with from as and or but not no what which who whom whose when "
+    "where why how this that these those it its if then than there here "
+    "can could should would may might will shall has have had also very "
+    "every each per about approximately roughly around under over above "
+    "across within between after before during up down out into onto "
+    "followed following called named respectively currently".split())
+
+# words that may EXTEND a numeric span to its unit(s)
+_UNIT_CONNECT = frozenset({"per", "square", "cubic", "of"})
+_UNIT_SUFFIX = (
+    "bytes", "byte", "watts", "watt", "volts", "volt", "bits", "bit",
+    "grams", "gram", "meters", "meter", "metres", "metre", "seconds",
+    "second", "minutes", "minute", "hours", "hour", "days", "day",
+    "weeks", "week", "months", "month", "years", "year", "magnitudes",
+    "arcseconds", "pixels", "pixel", "pascals", "pascal", "liters",
+    "litres", "hertz", "degrees", "degree", "electrons", "stars",
+    "kelvin", "percent", "%", "segments", "cores", "copies", "paths",
+    "rows", "people", "persons", "operators", "fellows", "exposures",
+    "programs", "institutions", "compressors", "terabytes", "petabytes",
+    "megapixels", "millimagnitudes", "milliarcseconds", "milliseconds",
+    "megawatts", "kilovolts", "gigabits", "megawatt-hours", "staff",
+)
+_SPELLED_NUM = frozenset(
+    "one two three four five six seven eight nine ten eleven twelve "
+    "thirteen fourteen fifteen sixteen seventeen eighteen nineteen "
+    "twenty thirty forty fifty sixty seventy eighty ninety hundred "
+    "thousand million billion trillion half quarter".split())
+_FREQ_ADVERB = frozenset(
+    "quarterly monthly weekly daily hourly annually yearly biennially "
+    "nightly continuously continuous biweekly fortnightly".split())
+_NAME_CONNECT = frozenset({"de", "del", "della", "di", "da", "van",
+                           "von", "la", "le", "el", "al"})
+_TITLE = frozenset({"dr.", "dr", "prof.", "prof", "mr.", "mrs.", "ms.",
+                    "mx.", "eng."})
+# a token just before the span that strongly marks an answer
+_TRIGGER_AFTER = frozenset(
+    "called named dubbed designated by uses use using with via at "
+    "employs supplies provides chairs leads maintains administers "
+    "manufactured operates exposes holds represents anchors monitors "
+    "distributes serialized performs protects located".split())
+
+_NUM_RE = re.compile(r"^[~$]?\d[\d,]*(?:\.\d+)?(?:st|nd|rd|th)?$")
+_WORD_RE = re.compile(r"[a-z0-9]+")
+
+from rag_foundation_tpu.app.services import textnorm  # noqa: E402
+
+_stem = textnorm.stem
+
+
+def _content_tokens(text: str) -> set[str]:
+    return {_stem(t) for t in _WORD_RE.findall(text.lower())
+            if t not in _STOP}
+
+
+@dataclass
+class _Tok:
+    raw: str          # raw whitespace token, punctuation attached
+    clean: str        # lowercased, stripped of edge punctuation
+    stemmed: str
+    cap: bool         # starts with an uppercase letter
+    is_num: bool
+    ends_clause: bool  # raw ends with , ; . : ) — span may not cross
+
+
+def _tokenize(sentence: str) -> list[_Tok]:
+    toks = []
+    for raw in sentence.split():
+        clean = raw.strip("\"'()[]{},.;:!?").lower()
+        toks.append(_Tok(
+            raw=raw,
+            clean=clean,
+            stemmed=_stem(clean),
+            cap=bool(raw.lstrip("\"'([")[:1].isupper()),
+            is_num=bool(_NUM_RE.match(clean)) or clean in _SPELLED_NUM
+            or (("-" in clean) and all(
+                p in _SPELLED_NUM for p in clean.split("-") if p)),
+            ends_clause=raw.rstrip("\"')]")[-1:] in ",.;:!?",
+        ))
+    return toks
+
+
+def _is_unit(clean: str) -> bool:
+    if clean in _UNIT_CONNECT or clean in _SPELLED_NUM:
+        return True
+    return any(clean.endswith(s) for s in _UNIT_SUFFIX) or \
+        bool(_NUM_RE.match(clean))
+
+
+# ---------------------------------------------------------------------------
+# question typing
+
+NUMERIC, FREQUENCY, PERSON, NAME, PLACE, PHRASE, TIME, EXPLAIN = (
+    "numeric", "frequency", "person", "name", "place", "phrase", "time",
+    "explain")
+
+_MEASURE_HINT = re.compile(
+    r"\b(diameter|temperature|speed|rate|size|capacity|frequency|voltage"
+    r"|duration|altitude|latency|bandwidth|accuracy|threshold|fraction"
+    r"|percentage|budget|cost|draw|width|height|depth|length|distance"
+    r"|airmass|megapixels|field of view|response time|shift|number)\b")
+_NAME_HINT = re.compile(
+    r"\b(name|company|union|department|product|brand|service|software"
+    r"|framework|instrument|system|algorithm|protocol|format|standard"
+    r"|scheme|language|network|bus|lamp|laser|metric|refrigerant"
+    r"|coating|series|country|city)\b")
+
+
+def classify_question(question: str) -> str:
+    q = question.lower().strip()
+    if re.match(r"how\s+(often|frequently)", q):
+        return FREQUENCY
+    if re.match(r"how\s+(many|much|long|far|fast|quickly|deep|old|high"
+                r"|soon|heavy|wide)", q):
+        return NUMERIC
+    if re.match(r"(how|why|what\s+happen)", q):
+        # manner/cause — a short span is the wrong shape; the caller
+        # falls back to sentence extraction
+        return EXPLAIN
+    if re.match(r"(at|to|from|by)?\s*what\s+(temperature|speed|rate|wind"
+                r"|altitude|voltage|time\b)", q):
+        return NUMERIC
+    if q.startswith("when"):
+        return TIME
+    if q.startswith("who") or "who is" in q or "who are" in q:
+        return PERSON
+    if q.startswith("where") or re.match(r"(in|at)\s+what\s+(city|country"
+                                         r"|place|location)", q):
+        return PLACE
+    if re.search(r"what\s+is\s+the\s+.*\b" + _MEASURE_HINT.pattern[2:], q) \
+            or _MEASURE_HINT.search(q):
+        return NUMERIC
+    if _NAME_HINT.search(q) or q.startswith("which"):
+        return NAME
+    return PHRASE
+
+
+# ---------------------------------------------------------------------------
+# candidate generation
+
+@dataclass
+class Span:
+    lo: int           # token index, inclusive
+    hi: int           # token index, exclusive
+    kind: str         # numeric|capital|frequency|complement
+    text: str = ""
+    score: float = 0.0
+
+
+def _clause_blocked(toks: list[_Tok], lo: int, hi: int) -> bool:
+    """True when a clause boundary falls strictly inside [lo, hi)."""
+    return any(toks[i].ends_clause and toks[i].clean not in _TITLE
+               for i in range(lo, hi - 1))
+
+
+def _numeric_spans(toks: list[_Tok], q_stems: set[str]) -> list[Span]:
+    out = []
+    for i, t in enumerate(toks):
+        if not t.is_num or t.clean in _SPELLED_NUM and t.stemmed in q_stems:
+            continue
+        # extend through unit words not present in the question
+        j = i + 1
+        while (j < len(toks) and not toks[j - 1].ends_clause
+               and not toks[j].cap
+               and _is_unit(toks[j].clean)
+               and toks[j].stemmed not in q_stems):
+            j += 1
+        # drop trailing connector ("per", "of" with nothing after)
+        while j > i + 1 and toks[j - 1].clean in _UNIT_CONNECT:
+            j -= 1
+        out.append(Span(i, j, "numeric"))
+        # "Class 4" / "Gaia DR4": a capitalized token (even a question
+        # word) immediately before the number often belongs to the span
+        if i > 0 and toks[i - 1].cap and not toks[i - 1].ends_clause:
+            out.append(Span(i - 1, j, "numeric"))
+    return out
+
+
+def _capital_spans(toks: list[_Tok], q_stems: set[str]) -> list[Span]:
+    out = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        start_ok = t.cap and (i > 0 or t.clean in _TITLE) \
+            and t.stemmed not in q_stems and t.clean not in _STOP
+        if not (t.cap and t.stemmed not in q_stems):
+            i += 1
+            continue
+        j = i
+        while j < len(toks):
+            tj = toks[j]
+            # capitalized continuation — question words allowed INSIDE a
+            # run that started on new information ("Meridian Data
+            # Release" when the question says "data release series")
+            if tj.cap and (j == i or tj.stemmed not in q_stems
+                           or toks[j - 1].cap):
+                j += 1
+                # a title's abbreviation dot is not a clause boundary
+                if toks[j - 1].ends_clause \
+                        and toks[j - 1].clean not in _TITLE:
+                    break
+                continue
+            # lowercase connector glued only if a capital follows
+            if (tj.clean in _NAME_CONNECT and j + 1 < len(toks)
+                    and toks[j + 1].cap and not toks[j - 1].ends_clause):
+                j += 2
+                continue
+            break
+        # drop trailing question-word capitals ("DeepCam detectors" when
+        # the question asked about detectors) but keep interior ones
+        while j > i + 1 and toks[j - 1].stemmed in q_stems \
+                and not toks[j - 2].cap:
+            j -= 1
+        if j > i and (start_ok or j - i > 1):
+            out.append(Span(i, j, "capital"))
+        i = max(j, i + 1)
+    return out
+
+
+def _frequency_spans(toks: list[_Tok], q_stems: set[str]) -> list[Span]:
+    out = []
+    for i, t in enumerate(toks):
+        if t.clean in _FREQ_ADVERB:
+            out.append(Span(i, i + 1, "frequency"))
+        if t.clean in ("every", "each") and i + 1 < len(toks):
+            j = i + 1
+            while (j < len(toks) and j - i <= 3 and not toks[j].cap
+                   and (toks[j].is_num or _is_unit(toks[j].clean)
+                        or toks[j].stemmed not in q_stems
+                        and toks[j].clean not in _STOP)
+                   and not toks[j - 1].ends_clause):
+                j += 1
+            if j > i + 1:
+                out.append(Span(i, j, "frequency"))
+    return out
+
+
+def _complement_spans(toks: list[_Tok], q_stems: set[str]) -> list[Span]:
+    """Runs of tokens that are not question restatement: both the
+    maximal runs (stopwords allowed inside — "humidity above 85
+    percent") and the content sub-runs between stopwords ("simulated
+    annealing" out of "...queue with simulated annealing over...")."""
+    out = []
+    i = 0
+    while i < len(toks):
+        if toks[i].stemmed in q_stems or toks[i].clean in _STOP:
+            i += 1
+            continue
+        j = i
+        while (j < len(toks) and toks[j].stemmed not in q_stems
+               and (j == i or not toks[j - 1].ends_clause)):
+            j += 1
+        if j > i:
+            out.append(Span(i, j, "complement"))
+            # content sub-runs within [i, j)
+            a = i
+            while a < j:
+                if toks[a].clean in _STOP:
+                    a += 1
+                    continue
+                b = a
+                while b < j and toks[b].clean not in _STOP \
+                        and (b == a or not toks[b - 1].ends_clause):
+                    b += 1
+                if b > a and (a != i or b != j):
+                    out.append(Span(a, b, "complement"))
+                a = b + 1
+        i = j + 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# trimming + scoring
+
+def _trim(toks: list[_Tok], lo: int, hi: int, q_stems: set[str],
+          kind: str) -> tuple[int, int]:
+    def keep(i: int) -> bool:
+        t = toks[i]
+        if t.is_num or t.clean in _FREQ_ADVERB:
+            return True
+        if kind == "capital" and t.cap:
+            return True   # proper-noun tokens stay even if in question
+        if kind == "frequency" and t.clean in ("every", "each"):
+            return True   # "every two years" — alias keeps the "every"
+        return not (t.clean in _STOP or t.stemmed in q_stems)
+
+    while lo < hi and not keep(lo):
+        lo += 1
+    while hi > lo and not keep(hi - 1):
+        hi -= 1
+    # leading verb heuristic: a lowercase -s/-ed token right after the
+    # question's subject restatement ("loop USES liquid nitrogen",
+    # "mirror CARRIES a protected silver") is the predicate verb, not
+    # the answer; a participle after a stopword ("with SIMULATED
+    # annealing") is adjectival and stays
+    if (hi - lo >= 2 and not toks[lo].cap and not toks[lo].is_num
+            and toks[lo].clean.endswith(("s", "ed"))
+            and (toks[lo + 1].clean in _STOP
+                 or (lo > 0 and toks[lo - 1].stemmed in q_stems))):
+        lo += 1
+        while lo < hi and not keep(lo):
+            lo += 1
+    return lo, hi
+
+
+def _render(toks: list[_Tok], lo: int, hi: int) -> str:
+    text = " ".join(t.raw for t in toks[lo:hi])
+    return text.strip("\"'([{").rstrip("\"')]},.;:!?")
+
+
+_TYPE_PREF = {
+    NUMERIC: {"numeric": 3.0, "frequency": 0.8, "capital": 0.3,
+              "complement": 0.5},
+    FREQUENCY: {"frequency": 3.0, "numeric": 1.2, "capital": 0.2,
+                "complement": 0.5},
+    PERSON: {"capital": 3.0, "numeric": 0.1, "frequency": 0.1,
+             "complement": 0.5},
+    NAME: {"capital": 2.4, "complement": 1.0, "numeric": 0.3,
+           "frequency": 0.3},
+    PLACE: {"capital": 2.6, "complement": 1.0, "numeric": 0.2,
+            "frequency": 0.2},
+    TIME: {"frequency": 1.5, "numeric": 1.5, "complement": 1.2,
+           "capital": 0.8},
+    PHRASE: {"complement": 1.6, "capital": 1.4, "numeric": 0.8,
+             "frequency": 0.8},
+}
+
+
+def _score_span(toks: list[_Tok], sp: Span, qtype: str,
+                q_positions: list[int], df: dict[str, int],
+                n_sents: int) -> float:
+    import math
+    base = _TYPE_PREF[qtype].get(sp.kind, 0.5)
+    n = sp.hi - sp.lo
+    if n == 0:
+        return 0.0
+    # an article/trigger immediately left of the trimmed span
+    k = sp.lo - 1
+    if k >= 0 and toks[k].clean in ("a", "an", "the"):
+        k -= 1
+    if k >= 0 and toks[k].clean in _TRIGGER_AFTER \
+            and not toks[k].ends_clause:
+        base *= 1.5
+        if toks[k].clean in ("called", "named", "dubbed"):
+            base *= 1.5
+    # proximity to the nearest question-term match in the sentence
+    if q_positions:
+        d = min(min(abs(sp.lo - p), abs(sp.hi - 1 - p))
+                for p in q_positions)
+        base *= 1.0 + 1.0 / (1.0 + 0.5 * d)
+    else:
+        base *= 0.7
+    # informativeness: rare tokens (low df across candidate sentences)
+    # are answer-like; boilerplate that recurs everywhere is not
+    content = [t for t in toks[sp.lo:sp.hi]
+               if t.clean not in _STOP and t.clean]
+    if content:
+        idf = sum(math.log(1 + n_sents / df.get(t.stemmed, 0.5))
+                  for t in content) / len(content)
+        base *= 0.5 + 0.35 * idf
+    # length prior: answers are short; complement runs may be longer
+    if sp.kind == "complement":
+        base *= 1.0 / (1.0 + 0.18 * max(0, n - 2))
+    else:
+        base *= 1.0 / (1.0 + 0.10 * max(0, n - 3))
+    # person questions like two-token names
+    if qtype == PERSON and sp.kind == "capital" and n >= 2:
+        base *= 1.3
+    return base
+
+
+@dataclass
+class ReaderResult:
+    span: str
+    score: float
+    sentence: str
+
+
+def extract_answer_span(question: str,
+                        ranked_sentences: list[tuple[str, float]],
+                        ) -> ReaderResult | None:
+    """Best answer span over ranked (sentence, weight) candidates.
+
+    Returns None when no candidate scores positively — the caller then
+    falls back to sentence-level extraction.
+    """
+    qtype = classify_question(question)
+    if qtype == EXPLAIN:
+        return None
+    # fuzzy membership: token-in-q_stems uses textnorm.stems_match
+    q_stems = textnorm.StemSet.from_text(question)
+    best: ReaderResult | None = None
+    if not ranked_sentences:
+        return None
+    top_w = max(w for _, w in ranked_sentences) or 1.0
+    # document frequency of stems over the candidate sentences — the
+    # reader's only "corpus" statistics, no global state
+    sent_toks = [_tokenize(s) for s, _ in ranked_sentences[:6]]
+    df: dict[str, int] = {}
+    for toks in sent_toks:
+        for st in {t.stemmed for t in toks if t.clean not in _STOP}:
+            df[st] = df.get(st, 0) + 1
+    n_sents = max(1, len(sent_toks))
+    for (sent, weight), toks in zip(ranked_sentences[:6], sent_toks):
+        if not toks:
+            continue
+        q_positions = [i for i, t in enumerate(toks)
+                       if t.stemmed in q_stems]
+        cands: list[Span] = []
+        cands += _numeric_spans(toks, q_stems)
+        cands += _capital_spans(toks, q_stems)
+        cands += _frequency_spans(toks, q_stems)
+        cands += _complement_spans(toks, q_stems)
+        sw = max(0.2, (weight / top_w) ** 1.5)
+        for sp in cands:
+            lo, hi = _trim(toks, sp.lo, sp.hi, q_stems, sp.kind)
+            if hi <= lo or _clause_blocked(toks, lo, hi):
+                continue
+            sp2 = Span(lo, hi, sp.kind)
+            s = _score_span(toks, sp2, qtype, q_positions, df, n_sents) * sw
+            text = _render(toks, lo, hi)
+            if not text or not _WORD_RE.search(text.lower()):
+                continue
+            if best is None or s > best.score:
+                best = ReaderResult(span=text, score=s, sentence=sent)
+    return best

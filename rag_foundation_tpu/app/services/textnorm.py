@@ -1,0 +1,92 @@
+"""Shared lexical normalization for the extractive QA path.
+
+One stemmer + fuzzy matcher used by BOTH the refusal gates / sentence
+ranking (services/rag.py) and the span reader (services/reader.py), so
+"photometric" in a question finds "photometry" in a passage and
+"rotation schedule" finds "staff rotate". A mismatch between the two
+layers' tokenization was the round-2 source of false refusals.
+
+No external NLP dependencies — a Porter-lite suffix stripper plus a
+shared-prefix fallback (>=5 chars agree => same concept). Hyphenated
+corpus tokens ("warm-up", "first-aid") match their parts.
+"""
+
+from __future__ import annotations
+
+import re
+
+_WORD_RE = re.compile(r"[a-z0-9]+(?:[-'][a-z0-9]+)*")
+
+STOPWORDS = frozenset(
+    "a an the is are was were be been being do does did to of in on at by "
+    "for with from as and or but not no what which who whom whose when "
+    "where why how this that these those it its if then than there here "
+    "can could should would may might will shall has have had also very "
+    "into onto upon".split())
+
+_SUFFIXES = ("ization", "ational", "ation", "ingly", "fully", "ness",
+             "ment", "ions", "ical", "ibly", "ably", "ies", "ion", "ing",
+             "ed", "ly", "es", "al", "ic", "s", "y", "e")
+
+
+def stem(token: str) -> str:
+    """Porter-lite: strip one long suffix, keep a >=4-char stem."""
+    t = token.lower()
+    for suf in _SUFFIXES:
+        if t.endswith(suf) and len(t) - len(suf) >= 4:
+            return t[: len(t) - len(suf)]
+    return t
+
+
+def stems_match(a: str, b: str) -> bool:
+    """Same concept? Exact stem match, a shared >=5-char prefix, or a
+    hyphen part of one matching the other."""
+    if a == b:
+        return True
+    m = min(len(a), len(b))
+    if m >= 5 and a[:m] == b[:m]:
+        return True
+    if "-" in a and any(stems_match(stem(p), b)
+                        for p in a.split("-") if p):
+        return True
+    if "-" in b and any(stems_match(a, stem(p))
+                        for p in b.split("-") if p):
+        return True
+    return False
+
+
+def words(text: str) -> list[str]:
+    return _WORD_RE.findall(text.lower())
+
+
+def content_stems(text: str) -> set[str]:
+    return {stem(w) for w in words(text) if w not in STOPWORDS}
+
+
+class StemSet:
+    """Set of stems with fuzzy membership (`in` uses stems_match)."""
+
+    def __init__(self, stems: set[str]):
+        self._stems = stems
+
+    @classmethod
+    def from_text(cls, text: str) -> "StemSet":
+        return cls(content_stems(text))
+
+    def __contains__(self, item: str) -> bool:
+        return any(stems_match(item, s) for s in self._stems)
+
+    def __iter__(self):
+        return iter(self._stems)
+
+    def __len__(self) -> int:
+        return len(self._stems)
+
+    def __bool__(self) -> bool:
+        return bool(self._stems)
+
+    def matched_in(self, other_stems: set[str] | list[str]) -> set[str]:
+        """Subset of THIS set's stems that fuzzy-match any of
+        ``other_stems`` (used for coverage fractions)."""
+        return {s for s in self._stems
+                if any(stems_match(s, o) for o in other_stems)}

@@ -53,12 +53,38 @@ def test_coverage_separates_absent_rare_terms():
     assert _passage_coverage("anything", []) == 0.0
 
 
+def _rag_shim(answer_mode: str = "span"):
+    from types import SimpleNamespace
+    return SimpleNamespace(
+        settings=SimpleNamespace(ENGINE_ANSWER_MODE=answer_mode))
+
+
 def test_compose_answer_refusal_and_fallback():
-    assert "could not find" in EngineRag._compose_answer("q?", [])
+    shim = _rag_shim()
+    assert "could not find" in EngineRag._compose_answer(shim, "q?", [])
     # no token overlap at all -> quotes the top passage instead
     out = EngineRag._compose_answer(
-        "zzz qqq?", [_Hit(text="Totally unrelated content here.")])
+        shim, "zzz qqq?", [_Hit(text="Totally unrelated content here.")])
     assert "doc.txt" in out and "Totally unrelated" in out
+
+
+def test_compose_answer_span_mode_extracts_short_span():
+    shim = _rag_shim("span")
+    hits = [_Hit(text=(
+        "The primary mirror measures 8.4 meters across and is cast "
+        "from borosilicate glass. "
+        "Deviations must be logged in the nightly report."))]
+    out = EngineRag._compose_answer(
+        shim, "What is the diameter of the primary mirror?", hits)
+    assert out == "8.4 meters"
+
+
+def test_compose_answer_sentences_mode_keeps_full_sentence():
+    shim = _rag_shim("sentences")
+    hits = [_Hit(text="The mount slews at 3.5 degrees per second.")]
+    out = EngineRag._compose_answer(
+        shim, "What is the slew speed of the mount?", hits)
+    assert "slews at 3.5 degrees per second" in out
 
 
 def test_min_coverage_setting_gates_refusal(tmp_path):

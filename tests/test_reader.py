@@ -1,0 +1,89 @@
+"""Span-extraction reader unit tests (app/services/reader.py).
+
+The reference's answer composition is generative
+(reference gemini_rag.py:517-551); this build's extractive reader is
+first-party, so span selection is tested per answer type: numeric+unit,
+proper-noun runs, frequency phrases, and complement (new-information)
+runs — plus the edge-trimming rules that make exact-match meaningful.
+"""
+
+from rag_foundation_tpu.app.services.reader import (classify_question,
+                                                    extract_answer_span)
+
+
+def _best(question, sentence, weight=1.0):
+    res = extract_answer_span(question, [(sentence, weight)])
+    return res.span if res else None
+
+
+def test_classify_question_types():
+    assert classify_question("How many segments are there?") == "numeric"
+    assert classify_question("How often is it refilled?") == "frequency"
+    assert classify_question("Who is the safety officer?") == "person"
+    assert classify_question("What is the name of the instrument?") \
+        == "name"
+    assert classify_question("Where is the cluster located?") == "place"
+    assert classify_question("When does calibration start?") == "time"
+
+
+def test_numeric_span_with_unit():
+    assert _best(
+        "What is the diameter of the primary mirror?",
+        "The primary mirror measures 8.4 meters across and is cast "
+        "from borosilicate glass.") == "8.4 meters"
+
+
+def test_numeric_span_strips_question_restatement():
+    # "hexagonal segments" is question restatement — answer is the bare
+    # count (the gold aliases are "36" / "thirty-six")
+    assert _best(
+        "How many hexagonal segments make up the secondary mirror?",
+        "The secondary mirror is assembled from 36 hexagonal segments, "
+        "each individually actuated.") == "36"
+
+
+def test_compound_unit_survives():
+    assert _best(
+        "What is the slew speed of the mount?",
+        "The mount slews at 3.5 degrees per second with a settle time "
+        "under four seconds.") == "3.5 degrees per second"
+
+
+def test_person_with_title():
+    assert _best(
+        "Who chairs the time allocation committee?",
+        "Observing time is allocated by a committee chaired by "
+        "Dr. Amara Chen of the science council.") == "Dr. Amara Chen"
+
+
+def test_capital_run_keeps_interior_question_words():
+    # "data release" appears in the question but belongs to the name
+    assert _best(
+        "What is the name of the data release series?",
+        "Products ship as part of the Meridian Data Release series."
+    ) == "Meridian Data Release"
+
+
+def test_called_trigger_wins_for_names():
+    assert _best(
+        "What is the name of the primary imaging instrument?",
+        "The primary imaging instrument, called DeepCam, sits at the "
+        "Cassegrain focus.") == "DeepCam"
+
+
+def test_frequency_keeps_every():
+    assert _best(
+        "How often are oxygen awareness refreshers required?",
+        "Oxygen awareness refreshers are required every two years."
+    ) == "every two years"
+
+
+def test_complement_phrase_answer():
+    assert _best(
+        "What refrigerant does the primary cooling loop use?",
+        "The primary cooling loop uses liquid nitrogen."
+    ) == "liquid nitrogen"
+
+
+def test_no_candidates_returns_none():
+    assert extract_answer_span("What is x?", []) is None
