@@ -46,7 +46,11 @@ def _slug(name: str) -> str:
     return s[:32] or "store"
 
 
-_SENT_SPLIT = re.compile(r"(?<=[.!?])\s+")
+# sentence split that doesn't break on honorific abbreviations
+# ("chaired by Dr. Amara Chen" is one sentence)
+_SENT_SPLIT = re.compile(
+    r"(?<=[.!?])(?<!\bDr\.)(?<!\bMr\.)(?<!\bMs\.)(?<!\bSt\.)"
+    r"(?<!\bNo\.)(?<!Mrs\.)(?<!rof\.)\s+")
 _content_tokens = textnorm.content_stems
 
 

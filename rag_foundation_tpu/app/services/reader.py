@@ -274,11 +274,13 @@ def _frequency_spans(toks: list[_Tok], q_stems: set[str]) -> list[Span]:
 
 
 def _complement_spans(toks: list[_Tok], q_stems: set[str]) -> list[Span]:
-    """Runs of tokens that are not question restatement: both the
-    maximal runs (stopwords allowed inside — "humidity above 85
-    percent") and the content sub-runs between stopwords ("simulated
-    annealing" out of "...queue with simulated annealing over...")."""
+    """Runs of tokens that are not question restatement: the maximal
+    runs (stopwords allowed inside — "humidity above 85 percent"), the
+    content sub-runs between stopwords ("simulated annealing" out of
+    "...queue with simulated annealing over..."), and comma-joined
+    enumerations ("cryogenics, computing, and dome drives")."""
     out = []
+    runs: list[tuple[int, int]] = []
     i = 0
     while i < len(toks):
         if toks[i].stemmed in q_stems or toks[i].clean in _STOP:
@@ -289,6 +291,7 @@ def _complement_spans(toks: list[_Tok], q_stems: set[str]) -> list[Span]:
                and (j == i or not toks[j - 1].ends_clause)):
             j += 1
         if j > i:
+            runs.append((i, j))
             out.append(Span(i, j, "complement"))
             # content sub-runs within [i, j)
             a = i
@@ -304,6 +307,29 @@ def _complement_spans(toks: list[_Tok], q_stems: set[str]) -> list[Span]:
                     out.append(Span(a, b, "complement"))
                 a = b + 1
         i = j + 1
+    # enumerations: merge runs split only by a comma (+ optional and/or)
+    k = 0
+    while k < len(runs):
+        lo, hi = runs[k]
+        m = k
+        while m + 1 < len(runs):
+            nlo, nhi = runs[m + 1]
+            gap = toks[hi:nlo]
+            if toks[hi - 1].raw.rstrip('"\')]').endswith(",") \
+                    and nlo - hi <= 2 \
+                    and all(t.clean in ("and", "or") or t.clean in _STOP
+                            for t in gap):
+                hi = nhi
+                m += 1
+            else:
+                break
+        if m > k:
+            out.append(Span(lo, hi, "list"))
+            first_num = next((x for x in range(lo, hi)
+                              if toks[x].is_num), None)
+            if first_num is not None and first_num > lo:
+                out.append(Span(first_num, hi, "list"))
+        k = max(m, k + 1)
     return out
 
 
@@ -316,8 +342,9 @@ def _trim(toks: list[_Tok], lo: int, hi: int, q_stems: set[str],
         t = toks[i]
         if t.is_num or t.clean in _FREQ_ADVERB:
             return True
-        if kind == "capital" and t.cap:
+        if t.cap and kind in ("capital", "numeric"):
             return True   # proper-noun tokens stay even if in question
+            # (numeric: the "Class 4" leading-capital variant)
         if kind == "frequency" and t.clean in ("every", "each"):
             return True   # "every two years" — alias keeps the "every"
         return not (t.clean in _STOP or t.stemmed in q_stems)
@@ -343,24 +370,31 @@ def _trim(toks: list[_Tok], lo: int, hi: int, q_stems: set[str],
 
 def _render(toks: list[_Tok], lo: int, hi: int) -> str:
     text = " ".join(t.raw for t in toks[lo:hi])
-    return text.strip("\"'([{").rstrip("\"')]},.;:!?")
+    text = text.strip("\"'([{").rstrip("\"')]},.;:!?")
+    # "IPv6-only networking" style: a capitalized head with a hyphenated
+    # lowercase modifier tail is the name alone ("IPv6")
+    if hi - lo == 1:
+        m = re.match(r"^([A-Z][A-Za-z0-9]*[0-9])-[a-z]+$", text)
+        if m:
+            return m.group(1)
+    return text
 
 
 _TYPE_PREF = {
     NUMERIC: {"numeric": 3.0, "frequency": 0.8, "capital": 0.3,
-              "complement": 0.5},
+              "complement": 0.5, "list": 0.8},
     FREQUENCY: {"frequency": 3.0, "numeric": 1.2, "capital": 0.2,
-                "complement": 0.5},
+                "complement": 0.5, "list": 1.0},
     PERSON: {"capital": 3.0, "numeric": 0.1, "frequency": 0.1,
-             "complement": 0.5},
+             "complement": 0.5, "list": 0.3},
     NAME: {"capital": 2.4, "complement": 1.0, "numeric": 0.3,
-           "frequency": 0.3},
+           "frequency": 0.3, "list": 0.8},
     PLACE: {"capital": 2.6, "complement": 1.0, "numeric": 0.2,
-            "frequency": 0.2},
+            "frequency": 0.2, "list": 0.5},
     TIME: {"frequency": 1.5, "numeric": 1.5, "complement": 1.2,
-           "capital": 0.8},
+           "capital": 0.8, "list": 1.0},
     PHRASE: {"complement": 1.6, "capital": 1.4, "numeric": 0.8,
-             "frequency": 0.8},
+             "frequency": 0.8, "list": 1.7},
 }
 
 
@@ -396,9 +430,11 @@ def _score_span(toks: list[_Tok], sp: Span, qtype: str,
         idf = sum(math.log(1 + n_sents / df.get(t.stemmed, 0.5))
                   for t in content) / len(content)
         base *= 0.5 + 0.35 * idf
-    # length prior: answers are short; complement runs may be longer
+    # length prior: answers are short; enumerations run longer
     if sp.kind == "complement":
         base *= 1.0 / (1.0 + 0.18 * max(0, n - 2))
+    elif sp.kind == "list":
+        base *= 1.0 / (1.0 + 0.08 * max(0, n - 4))
     else:
         base *= 1.0 / (1.0 + 0.10 * max(0, n - 3))
     # person questions like two-token names
@@ -452,7 +488,8 @@ def extract_answer_span(question: str,
         sw = max(0.2, (weight / top_w) ** 1.5)
         for sp in cands:
             lo, hi = _trim(toks, sp.lo, sp.hi, q_stems, sp.kind)
-            if hi <= lo or _clause_blocked(toks, lo, hi):
+            if hi <= lo or (sp.kind != "list"
+                            and _clause_blocked(toks, lo, hi)):
                 continue
             sp2 = Span(lo, hi, sp.kind)
             s = _score_span(toks, sp2, qtype, q_positions, df, n_sents) * sw
