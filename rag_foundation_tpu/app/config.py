@@ -128,6 +128,9 @@ class Settings(BaseModel):
     ENGINE_BUILD_THRESHOLD: int = 100_000
     ENGINE_PQ_M: int = 48
     ENGINE_PQ_PACKED: bool = False  # 2 codes/byte (100M tier)
+    ENGINE_PQ_REFINE: str = "device"  # device|host|none re-rank tier
+    #   ("host": ADC candidates re-ranked against the host int8
+    #   archive — the beyond-HBM 100M tier)
     ENGINE_IVF_P: int = 4                 # per-sub-block top-p capture
     ENGINE_APPROX_ROUTING: bool = False   # approx_max_k coarse routing
     ENGINE_DTYPE: str = "float32"         # float32|bfloat16
@@ -203,6 +206,9 @@ class Settings(BaseModel):
         if self.ENGINE_ANSWER_MODE not in {"span", "sentences"}:
             raise ValueError(f"invalid ENGINE_ANSWER_MODE "
                              f"{self.ENGINE_ANSWER_MODE!r}")
+        if self.ENGINE_PQ_REFINE not in {"device", "host", "none"}:
+            raise ValueError(f"invalid ENGINE_PQ_REFINE "
+                             f"{self.ENGINE_PQ_REFINE!r}")
         return self
 
     # ---------------------------------------------------------------------

@@ -138,10 +138,10 @@ _MEASURE_HINT = re.compile(
     r"|percentage|budget|cost|draw|width|height|depth|length|distance"
     r"|airmass|megapixels|field of view|response time|shift|number)\b")
 _NAME_HINT = re.compile(
-    r"\b(name|company|union|department|product|brand|service|software"
-    r"|framework|instrument|system|algorithm|protocol|format|standard"
-    r"|scheme|language|network|bus|lamp|laser|metric|refrigerant"
-    r"|coating|series|country|city)\b")
+    r"\b(name|codename|company|union|department|product|brand|service"
+    r"|software|framework|instrument|system|algorithm|protocol|format"
+    r"|standard|scheme|language|network|bus|lamp|laser|metric"
+    r"|refrigerant|coating|series|country|city|identifier|acronym)\b")
 
 
 def classify_question(question: str) -> str:
@@ -165,10 +165,15 @@ def classify_question(question: str) -> str:
     if q.startswith("where") or re.match(r"(in|at)\s+what\s+(city|country"
                                          r"|place|location)", q):
         return PLACE
-    if re.search(r"what\s+is\s+the\s+.*\b" + _MEASURE_HINT.pattern[2:], q) \
-            or _MEASURE_HINT.search(q):
+    # both hint classes can fire ("codename for project number 873") —
+    # the EARLIEST hint names the head noun, i.e. the answer type
+    m_name = _NAME_HINT.search(q)
+    m_meas = _MEASURE_HINT.search(q)
+    if m_name and (not m_meas or m_name.start() < m_meas.start()):
+        return NAME
+    if m_meas:
         return NUMERIC
-    if _NAME_HINT.search(q) or q.startswith("which"):
+    if q.startswith("which"):
         return NAME
     return PHRASE
 
@@ -194,7 +199,9 @@ def _clause_blocked(toks: list[_Tok], lo: int, hi: int) -> bool:
 def _numeric_spans(toks: list[_Tok], q_stems: set[str]) -> list[Span]:
     out = []
     for i, t in enumerate(toks):
-        if not t.is_num or t.clean in _SPELLED_NUM and t.stemmed in q_stems:
+        # the span must be NEW information: a number the question
+        # itself contains ("project number 873") is restatement
+        if not t.is_num or t.stemmed in q_stems:
             continue
         # extend through unit words not present in the question
         j = i + 1
@@ -340,7 +347,8 @@ def _trim(toks: list[_Tok], lo: int, hi: int, q_stems: set[str],
           kind: str) -> tuple[int, int]:
     def keep(i: int) -> bool:
         t = toks[i]
-        if t.is_num or t.clean in _FREQ_ADVERB:
+        if (t.is_num and t.stemmed not in q_stems) \
+                or t.clean in _FREQ_ADVERB:
             return True
         if t.cap and kind in ("capital", "numeric"):
             return True   # proper-noun tokens stay even if in question

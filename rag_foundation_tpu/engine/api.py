@@ -56,6 +56,7 @@ class EngineConfig:
     build_threshold: int = 100_000  # tail size that triggers IVF build
     pq_m: int = 48                  # PQ subspaces (ivf_pq mode)
     pq_packed: bool = False         # nibble-packed codes
+    pq_refine: str = "device"       # device|host|none re-rank tier
     ivf_p: int = 4                  # per-sub-block top-p capture
     approx_routing: bool = False    # lax.approx_max_k coarse routing
     batch_window_s: float = 0.0     # >0: micro-batch concurrent searches
@@ -176,7 +177,7 @@ class Engine:
         with self._registry_lock:
             if key in self._stores:
                 raise ValueError(f"store {key!r} already exists")
-            store = _Store(key=key, segment=self._new_index())
+            store = _Store(key=key, segment=self._new_index(key))
             self._stores[key] = store
         if self.config.data_dir:
             # persist immediately so sibling processes (dedicated
@@ -191,6 +192,11 @@ class Engine:
             for f in ("vectors.npz", "meta.json", "body.npz"):
                 try:
                     (p / f).unlink()
+                except FileNotFoundError:
+                    pass
+            for f in p.glob("arch-*.i8*"):
+                try:
+                    f.unlink()
                 except FileNotFoundError:
                     pass
 
@@ -244,14 +250,18 @@ class Engine:
             parts.append(f"w{cfg.hybrid_w}")
         return ":".join(parts)
 
-    def _new_index(self) -> StoreIndex:
+    def _new_index(self, key: str | None = None) -> StoreIndex:
         cfg = self.config
+        archive_dir = (str(self._store_dir(key))
+                       if key and cfg.data_dir else None)
         return StoreIndex(cfg.dim, mode=cfg.index_mode, nlist=cfg.nlist,
                           nprobe=cfg.nprobe,
                           build_threshold=cfg.build_threshold,
                           pq_m=cfg.pq_m, pq_packed=cfg.pq_packed,
+                          pq_refine=cfg.pq_refine,
                           ivf_p=cfg.ivf_p,
                           approx_routing=cfg.approx_routing,
+                          archive_dir=archive_dir,
                           mesh=self._mesh())
 
     def _store(self, key: str) -> _Store:
@@ -549,8 +559,10 @@ class Engine:
         kw = dict(mode=cfg.index_mode, nlist=cfg.nlist,
                   nprobe=cfg.nprobe, ivf_p=cfg.ivf_p,
                   pq_m=cfg.pq_m, pq_packed=cfg.pq_packed,
+                  pq_refine=cfg.pq_refine,
                   approx_routing=cfg.approx_routing,
                   build_threshold=cfg.build_threshold,
+                  archive_dir=(str(d) if cfg.data_dir else None),
                   mesh=self._mesh())
         body_f = d / "body.npz"
         if meta.get("layout") == "tail+body" and body_f.exists():

@@ -1,0 +1,149 @@
+"""Host-side int8 vector archive: the beyond-HBM tier of the memory
+ladder.
+
+At 100M x 768 the f32 corpus is 307 GB and even int8 is 77 GB — far
+over a single chip's HBM and over what the round-2 build path tried to
+materialize on device (engine/ivfpq.py round-2 OOM'd above ~40M). The
+archive keeps ONE int8 copy of every vector on the host (RAM, or a
+memmap under the store's data dir), and serves three roles:
+
+1. **Build source** — ``build_ivf_pq_streaming`` reads it in chunks, so
+   an IVF-PQ body of any size is (re)built without a device-resident
+   f32 corpus.
+2. **Refine tier** — after the device ADC scan returns top-C candidate
+   rows, ``rescore`` re-ranks them against exact int8 dot products on
+   the host (Q*C*d int8 MACs — microseconds next to a device roundtrip)
+   when the int8 table does not fit HBM (``pq_refine="host"``).
+3. **Persistence** — PQ codes are lossy; the archive is the
+   rebuild-fidelity source that replaces round 2's host f32 copy
+   (``_pq_source``, 4x the RAM).
+
+Rows are L2-normalized upstream (models/encoder.py), so a fixed
+symmetric scale of 1/127 loses nothing; the scale is stored anyway for
+forward compatibility.
+
+Reference has no analog (vector storage was inside Gemini File Search,
+reference backend/app/services/gemini_rag.py:307-352); this is
+SURVEY.md §2.5 items 3-4 territory.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+_GROW = 1.5
+_MIN_CAP = 4096
+
+
+class HostArchive:
+    """Append-only int8 row store with exact rescoring."""
+
+    def __init__(self, dim: int, *, path: str | None = None,
+                 scale: float = 1.0 / 127.0):
+        self.dim = dim
+        self.scale = float(scale)
+        self.path = path
+        self.n = 0
+        self._cap = 0
+        self._rows: np.ndarray | None = None
+
+    # -- storage ----------------------------------------------------------
+    def _ensure(self, extra: int) -> None:
+        need = self.n + extra
+        if self._rows is not None and need <= self._cap:
+            return
+        new_cap = max(_MIN_CAP, int(need * _GROW))
+        if self.path:
+            os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+            grown = np.memmap(self.path + ".grow", dtype=np.int8,
+                              mode="w+", shape=(new_cap, self.dim))
+        else:
+            grown = np.empty((new_cap, self.dim), np.int8)
+        if self._rows is not None and self.n:
+            grown[: self.n] = self._rows[: self.n]
+        if self.path:
+            # swap after the copy completes; the OLD mapping is only
+            # dropped (GC'd), never closed — racing readers (host-refine
+            # rescores) may still hold views into it, and the inode
+            # stays valid on Linux until the last mapping goes away
+            grown.flush()
+            os.replace(self.path + ".grow", self.path)
+            grown = np.memmap(self.path, dtype=np.int8, mode="r+",
+                              shape=(new_cap, self.dim))
+        self._rows = grown
+        self._cap = new_cap
+
+    def append(self, vecs: np.ndarray) -> tuple[int, int]:
+        """Quantize + append f32 (or pass through int8) rows; returns the
+        (start, end) row range."""
+        n = len(vecs)
+        if n == 0:
+            return self.n, self.n
+        self._ensure(n)
+        lo = self.n
+        if vecs.dtype == np.int8:
+            self._rows[lo: lo + n] = vecs
+        else:
+            q = np.clip(np.rint(np.asarray(vecs, np.float32) / self.scale),
+                        -127, 127)
+            self._rows[lo: lo + n] = q.astype(np.int8)
+        self.n += n
+        return lo, self.n
+
+    # -- reads ------------------------------------------------------------
+    def chunk_i8(self, lo: int, hi: int) -> np.ndarray:
+        return self._rows[lo:hi]
+
+    def chunk_f32(self, lo: int, hi: int) -> np.ndarray:
+        return self._rows[lo:hi].astype(np.float32) * self.scale
+
+    def rows_f32(self, idx: np.ndarray) -> np.ndarray:
+        safe = np.clip(idx, 0, max(0, self.n - 1))
+        return self._rows[safe].astype(np.float32) * self.scale
+
+    def rescore(self, q32: np.ndarray, rows: np.ndarray) -> np.ndarray:
+        """Exact scores for candidate ``rows [Q, C]`` (int; -1 = pad)
+        against queries ``q32 [Q, d]``: f32 result with -inf at pads."""
+        q = np.asarray(q32, np.float32)
+        safe = np.clip(rows, 0, max(0, self.n - 1))
+        gathered = self._rows[safe]                    # [Q, C, d] int8
+        scores = np.einsum("qd,qcd->qc", q,
+                           gathered.astype(np.float32)) * self.scale
+        return np.where(rows >= 0, scores, -np.inf).astype(np.float32)
+
+    # -- lifecycle --------------------------------------------------------
+    def compact(self, keep: np.ndarray,
+                path: str | None = None) -> "HostArchive":
+        """New archive with only ``keep``-masked rows (tombstone sweep),
+        chunked so no f32 copy of the table ever exists."""
+        out = HostArchive(self.dim, path=path, scale=self.scale)
+        step = 1 << 20
+        for lo in range(0, self.n, step):
+            hi = min(self.n, lo + step)
+            m = keep[lo:hi]
+            if m.any():
+                out.append(self._rows[lo:hi][m])
+        return out
+
+    def state(self) -> dict:
+        return {"rows": np.asarray(self._rows[: self.n])
+                if self.n else np.zeros((0, self.dim), np.int8),
+                "scale": np.float32(self.scale)}
+
+    @classmethod
+    def from_state(cls, state: dict, *, path: str | None = None
+                   ) -> "HostArchive":
+        a = cls(int(state["rows"].shape[1]) if state["rows"].size
+                else int(state.get("dim", state["rows"].shape[1])),
+                path=path, scale=float(state["scale"]))
+        a.append(np.asarray(state["rows"], np.int8))
+        return a
+
+    def close(self) -> None:
+        # views may be live in racing readers: drop the reference and
+        # let GC unmap
+        self._rows = None
+        self._cap = 0
+        self.n = 0

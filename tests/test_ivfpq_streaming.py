@@ -1,0 +1,138 @@
+"""Streaming (host-staged) IVF-PQ build + HostArchive refine tier.
+
+The production 100M path: build from a chunked int8 archive without a
+device- or host-resident f32 corpus (engine/ivfpq.py
+build_ivf_pq_streaming, engine/archive.py — VERDICT r2 item 3).
+Reference analog: none (vector storage lived inside Gemini File
+Search); targets BASELINE config 5's memory story.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rag_foundation_tpu.engine.archive import HostArchive
+from rag_foundation_tpu.engine.ivfpq import (build_ivf_pq,
+                                             build_ivf_pq_streaming,
+                                             ivfpq_search)
+from rag_foundation_tpu.ops.l2norm import l2_normalize
+
+N, D, NLIST, M = 4096, 64, 16, 16
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    """Clustered corpus (mixture of centers + noise): PQ is a
+    clustered-residual code; uniform gaussians are its pathological
+    worst case and would test nothing but noise."""
+    kc, kn, ka, kq = jax.random.split(jax.random.key(7), 4)
+    centers = l2_normalize(jax.random.normal(kc, (NLIST, D), jnp.float32))
+    assign = jax.random.randint(ka, (N,), 0, NLIST)
+    v = l2_normalize(centers[assign]
+                     + 0.25 * jax.random.normal(kn, (N, D), jnp.float32))
+    q = l2_normalize(v[:32] + 0.1 * jax.random.normal(kq, (32, D),
+                                                      jnp.float32))
+    exact = np.asarray(
+        jnp.argsort(-jnp.dot(q, v.T), axis=1)[:, :10])
+    return np.asarray(v), np.asarray(q), exact
+
+
+def _recall(ids, exact):
+    return np.mean([len(set(a[:10]) & set(b)) / 10
+                    for a, b in zip(np.asarray(ids), exact)])
+
+
+def test_streaming_matches_batch_build(corpus):
+    v, q, exact = corpus
+    kw = dict(nprobe=8, p=8)
+    batch = build_ivf_pq(jnp.asarray(v), NLIST, M, key=jax.random.key(0),
+                         packed=True, refine=True)
+    _, ids_b, _ = ivfpq_search(batch, jnp.asarray(q), 10, **kw)
+
+    stream, overflow = build_ivf_pq_streaming(
+        lambda lo, hi: v[lo:hi], N, D, NLIST, M, key=jax.random.key(0),
+        packed=True, chunk=1000, pq_iters=8, refine="device",
+        cap_slack=2.0)
+    assert not overflow.any()
+    assert stream.n == N
+    _, ids_s, _ = ivfpq_search(stream, jnp.asarray(q), 10, **kw)
+
+    r_b, r_s = _recall(ids_b, exact), _recall(ids_s, exact)
+    assert r_s >= 0.55         # sane absolute floor at toy params
+    assert r_s >= r_b - 0.03   # same quality as the batch build
+
+
+def test_streaming_int8_source_and_host_refine(corpus):
+    v, q, exact = corpus
+    arch = HostArchive(D)
+    arch.append(v)
+    assert arch.n == N
+
+    index, overflow = build_ivf_pq_streaming(
+        lambda lo, hi: arch.chunk_i8(lo, hi), N, D, NLIST, M,
+        key=jax.random.key(0), packed=True, chunk=1500,
+        source_scale=arch.scale, refine="none", cap_slack=2.0)
+    assert not overflow.any()
+    assert index.refine.shape[0] == 0
+
+    # device ADC candidates -> host archive rescore (pq_refine="host")
+    _, cand, _ = ivfpq_search(index, jnp.asarray(q), 40, nprobe=8, p=8)
+    cand = np.asarray(cand)
+    scores = arch.rescore(q, cand)
+    order = np.argsort(-scores, axis=1)[:, :10]
+    ids = np.take_along_axis(cand, order, axis=1)
+    # host rescore must match a device-refined search of the same
+    # budget (the candidates are identical; only the rescorer differs)
+    ref = build_ivf_pq(jnp.asarray(
+        arch.chunk_f32(0, N)), NLIST, M, key=jax.random.key(0),
+        packed=True, refine=True)
+    _, ids_dev, _ = ivfpq_search(ref, jnp.asarray(q), 10, nprobe=8,
+                                 p=8, refine_c=40)
+    assert _recall(ids, exact) >= _recall(ids_dev, exact) - 0.03
+    assert _recall(ids, exact) >= 0.55
+    # pads propagate as -inf / -1
+    pad_cand = np.where(cand >= 0, cand, -1)
+    s2 = arch.rescore(q, pad_cand)
+    assert np.all(np.isneginf(s2[pad_cand < 0]))
+
+
+def test_streaming_overflow_rows_reported():
+    key = jax.random.key(3)
+    v = np.asarray(l2_normalize(
+        jax.random.normal(key, (2048, D), jnp.float32)))
+    # cap_slack well under 1.0 forces list overflow
+    index, overflow = build_ivf_pq_streaming(
+        lambda lo, hi: v[lo:hi], 2048, D, 4, M, key=jax.random.key(0),
+        packed=True, chunk=600, cap_slack=0.5)
+    assert overflow.any()
+    assert index.n == 2048 - int(overflow.sum())
+    live_ids = np.asarray(index.row_ids.reshape(-1))
+    live_ids = live_ids[live_ids >= 0]
+    # overflowed rows are absent, landed rows are unique
+    assert not np.isin(np.nonzero(overflow)[0], live_ids).any()
+    assert len(live_ids) == index.n == len(np.unique(live_ids))
+
+
+def test_archive_compact_state_memmap(tmp_path):
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal((100, 8)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    arch = HostArchive(8, path=str(tmp_path / "arch.i8"))
+    arch.append(v[:60])
+    arch.append(v[60:])
+    assert arch.n == 100
+    # quantization round-trip error is bounded by the int8 grid
+    assert np.abs(arch.chunk_f32(0, 100) - v).max() < 0.5 / 127
+
+    keep = np.ones(100, bool)
+    keep[10:20] = False
+    small = arch.compact(keep)
+    assert small.n == 90
+    np.testing.assert_array_equal(small.chunk_i8(0, 10),
+                                  arch.chunk_i8(0, 10))
+
+    st = small.state()
+    back = HostArchive.from_state(st)
+    np.testing.assert_array_equal(back.chunk_i8(0, 90),
+                                  small.chunk_i8(0, 90))

@@ -1,0 +1,109 @@
+"""StoreIndex ivf_pq: archive-backed rebuilds, O(batch) appends, host
+refine tier, checkpoint round-trip (VERDICT r2 items 3 and 5).
+
+The production 100M design: the f32 corpus never materializes — builds
+stream from the int8 HostArchive, tail flushes encode-and-scatter with
+the existing codebooks (ivfpq_append), and beyond-HBM stores re-rank
+ADC candidates against the archive on the host.
+"""
+
+import numpy as np
+import pytest
+
+from rag_foundation_tpu.engine.index import StoreIndex
+
+DIM = 64
+N = 5200
+
+
+@pytest.fixture()
+def vecs():
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((8, DIM)).astype(np.float32)
+    assign = rng.integers(0, 8, N)
+    v = centers[assign] + 0.3 * rng.standard_normal(
+        (N, DIM)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    return v.astype(np.float32)
+
+
+def _mk(refine, **kw):
+    return StoreIndex(DIM, mode="ivf_pq", nlist=8, nprobe=8,
+                      build_threshold=1000, pq_m=16, pq_packed=True,
+                      pq_refine=refine, **kw)
+
+
+@pytest.mark.parametrize("refine", ["device", "host", "none"])
+def test_pq_store_search_all_refine_tiers(vecs, refine):
+    idx = _mk(refine)
+    idx.add(vecs[:2000], np.arange(2000))
+    assert idx.body is not None        # crossed build_threshold
+    assert idx._pq_archive is not None
+    assert idx._pq_archive.n == 2000
+    q = vecs[5:8]
+    vals, ids = idx.search(q, 5)
+    if refine == "none":
+        # raw ADC ranking is approximate — self-retrieval lands in the
+        # candidate set but not necessarily first (that's what the
+        # refine tiers are for)
+        _, wide = idx.search(q, 50)
+        assert 5 in wide[0] and 6 in wide[1] and 7 in wide[2]
+    else:
+        assert ids[0, 0] == 5 and ids[1, 0] == 6 and ids[2, 0] == 7
+    assert np.all(np.diff(vals[0]) <= 1e-6)
+
+
+def test_pq_append_is_streaming_not_rebuild(vecs):
+    idx = _mk("host")
+    # body at 4096 rows -> per-list cap 768 (6144 slots), leaving
+    # ~2048 free so the 1104-row flush fits without overflow
+    idx.add(vecs[:4096], np.arange(4096))
+    v1 = idx.body_version
+    body1 = idx.body
+    # tail flush threshold is max(1024, build_threshold//8) = 1024
+    idx.add(vecs[4096:], np.arange(4096, N))
+    assert idx.body_version > v1
+    # streaming append keeps the SAME coarse quantizer object (no
+    # retrain); a rebuild would replace it
+    assert idx.body.centroids is body1.centroids
+    assert idx._pq_archive.n == N
+    assert len(idx.body_chunk_ids) == N
+    q = vecs[4500:4503]
+    _, ids = idx.search(q, 3)
+    assert ids[0, 0] == 4500
+
+
+def test_pq_archive_checkpoint_roundtrip(vecs, tmp_path):
+    idx = _mk("host", archive_dir=str(tmp_path))
+    idx.add(vecs[:2000], np.arange(2000))
+    st = idx.body_state()
+    assert "archive_rows" in st
+
+    back = _mk("host")
+    back.restore_body(st)
+    assert back._pq_archive is not None
+    assert back._pq_archive.n == 2000
+    q = vecs[10:12]
+    _, ids_a = idx.search(q, 5)
+    _, ids_b = back.search(q, 5)
+    np.testing.assert_array_equal(ids_a, ids_b)
+
+
+def test_pq_exact_audit_uses_archive(vecs):
+    idx = _mk("host")
+    idx.add(vecs[:2000], np.arange(2000))
+    assert idx.body.refine.shape[0] == 0
+    exact = idx.exact_reference_search(vecs[3:5], 5)
+    assert exact[0, 0] == 3 and exact[1, 0] == 4
+
+
+def test_pq_delete_then_rebuild_compacts_archive(vecs):
+    idx = _mk("host")
+    idx.add(vecs[:2000], np.arange(2000))
+    idx.delete_ids(set(range(100)))
+    _, ids = idx.search(vecs[5:6], 5)
+    assert 5 not in ids[0]            # tombstoned
+    idx.rebuild()
+    assert idx._pq_archive.n == 1900
+    _, ids = idx.search(vecs[150:151], 3)
+    assert ids[0, 0] == 150
