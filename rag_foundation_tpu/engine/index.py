@@ -137,6 +137,11 @@ class StoreIndex:
             pq_refine = "device" if pq_refine else "none"
         if pq_refine not in ("device", "host", "none"):
             raise ValueError(f"unknown pq_refine {pq_refine!r}")
+        if mode == "ivf_pq" and mesh is not None and pq_refine == "device":
+            # the row-indexed refine table does not partition by lists;
+            # sharded PQ re-ranks against the host archive instead
+            raise ValueError("mesh ivf_pq requires pq_refine='host' "
+                             "or 'none'")
         self.pq_refine = pq_refine
         self.archive_dir = archive_dir
         self._pq_archive = None   # HostArchive mirroring body row order
@@ -192,9 +197,8 @@ class StoreIndex:
         """Streaming insert: append the tail into the existing IVF body
         (no retrain/relayout); capacity overflow triggers a full rebuild
         (which retrains the coarse quantizer and resizes lists)."""
-        if self.mesh is not None:
-            # sharded bodies rebuild rather than scatter into donated
-            # sharded buffers
+        if self.mesh is not None and self.mode == "ivf_pq":
+            # sharded PQ bodies still compact via the streaming rebuild
             self.rebuild()
             return
         st = self.tail.state()
@@ -204,7 +208,13 @@ class StoreIndex:
         new_rows = np.arange(row_base, row_base + len(st["ids"]),
                              dtype=np.int32)
         with self._body_lock:
-            if self.mode == "ivf_pq":
+            if self.mesh is not None:
+                from rag_foundation_tpu.parallel.sharded_ivf import \
+                    sharded_ivf_append
+                new_body, dropped = sharded_ivf_append(
+                    self.body, jnp.asarray(st["vectors"], jnp.float32),
+                    new_rows, mesh=self.mesh)
+            elif self.mode == "ivf_pq":
                 from rag_foundation_tpu.engine.ivfpq import ivfpq_append
                 if self._pq_archive is not None:
                     # archive mirrors body row order — dropped rows get
@@ -363,6 +373,10 @@ class StoreIndex:
             key=jax.random.key(self.seed), nbits=self.pq_nbits,
             packed=self.pq_packed, cap_slack=1.5,
             source_scale=arch.scale, refine=refine)
+        if self.mesh is not None:
+            from rag_foundation_tpu.parallel.sharded_ivf import \
+                shard_ivfpq_index
+            new_body = shard_ivfpq_index(new_body, self.mesh)
         over_rows = np.nonzero(overflow)[0]
         over_vecs = arch.rows_f32(over_rows) if len(over_rows) else None
         over_ids = cids[over_rows] if len(over_rows) else None
@@ -472,7 +486,27 @@ class StoreIndex:
             # wrong ids or index out of range (ADVICE r1, index.py:292)
             body_chunk_ids = self.body_chunk_ids
             nprobe = min(self.nprobe, self.body.nlist)
-            if self.mode == "ivf_pq":
+            if self.mode == "ivf_pq" and self.mesh is not None:
+                from rag_foundation_tpu.parallel.sharded_ivf import \
+                    sharded_ivfpq_search
+                shards = self.mesh.shape["shard"]
+                nprobe_local = max(1, -(-nprobe // shards))
+                c = min(max(4 * fetch, 32), 256) \
+                    if self.pq_refine == "host" \
+                    and self._pq_archive is not None else fetch
+                b_vals, b_rows = sharded_ivfpq_search(
+                    self.body, jnp.asarray(queries), c,
+                    mesh=self.mesh, nprobe_local=nprobe_local,
+                    p=min(8, c), interpret=_on_cpu())
+                if c != fetch:
+                    b_rows = np.asarray(b_rows)
+                    scores = self._pq_archive.rescore(
+                        np.asarray(queries, np.float32), b_rows)
+                    order = np.argsort(-scores, axis=1,
+                                       kind="stable")[:, :fetch]
+                    b_vals = np.take_along_axis(scores, order, axis=1)
+                    b_rows = np.take_along_axis(b_rows, order, axis=1)
+            elif self.mode == "ivf_pq":
                 from rag_foundation_tpu.engine.ivfpq import ivfpq_search
                 if self.pq_refine == "host" \
                         and self._pq_archive is not None:
@@ -825,6 +859,11 @@ class StoreIndex:
             fields.setdefault("refine", jnp.zeros((0, 0), jnp.int8))
             fields.setdefault("refine_scale", jnp.float32(1.0))
             body = IVFPQIndex(**fields)
+            if self.mesh is not None and body.refine.shape[0] == 0 \
+                    and body.nlist % self.mesh.shape["shard"] == 0:
+                from rag_foundation_tpu.parallel.sharded_ivf import \
+                    shard_ivfpq_index
+                body = shard_ivfpq_index(body, self.mesh)
         else:
             raise ValueError(f"unknown body kind {kind!r}")
         archive = None

@@ -1,0 +1,123 @@
+"""Sharded IVF-PQ + O(batch) mesh appends on the virtual CPU mesh
+(VERDICT r2 item 5): lists+codes partitioned, LUTs local, ICI merge;
+host-archive re-rank for exact ordering; mesh flat bodies append via
+per-shard scatter instead of rebuilding.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rag_foundation_tpu.engine.archive import HostArchive
+from rag_foundation_tpu.engine.index import StoreIndex
+from rag_foundation_tpu.engine.ivf import build_ivf_flat
+from rag_foundation_tpu.engine.ivfpq import build_ivf_pq, ivfpq_search
+from rag_foundation_tpu.ops.l2norm import l2_normalize
+from rag_foundation_tpu.parallel.mesh import make_mesh
+from rag_foundation_tpu.parallel.sharded_ivf import (shard_ivf_index,
+                                                     shard_ivfpq_index,
+                                                     sharded_ivf_append,
+                                                     sharded_ivfpq_search)
+
+N, D, NLIST, M = 8192, 64, 32, 16
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(8)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    kc, kn, ka, kq = jax.random.split(jax.random.key(17), 4)
+    centers = l2_normalize(jax.random.normal(kc, (NLIST, D), jnp.float32))
+    assign = jax.random.randint(ka, (N,), 0, NLIST)
+    v = l2_normalize(centers[assign]
+                     + 0.25 * jax.random.normal(kn, (N, D), jnp.float32))
+    q = l2_normalize(v[:32] + 0.05 * jax.random.normal(
+        kq, (32, D), jnp.float32))
+    return np.asarray(v), np.asarray(q)
+
+
+def test_sharded_pq_matches_single_chip_adc(corpus, mesh8):
+    v, q = corpus
+    idx = build_ivf_pq(jnp.asarray(v), NLIST, M, key=jax.random.key(0),
+                       packed=True, refine=False)
+    # single-chip ADC reference: nprobe=16 global
+    ref_vals, ref_rows, _ = ivfpq_search(
+        idx, jnp.asarray(q), 10, nprobe=16, p=8, interpret=True)
+    sharded = shard_ivfpq_index(idx, mesh8)
+    vals, rows = sharded_ivfpq_search(
+        sharded, jnp.asarray(q), 10, mesh=mesh8, nprobe_local=4, p=8,
+        interpret=True)
+    rows_np, ref_np = np.asarray(rows), np.asarray(ref_rows)
+    # local-probe union (8 shards x 4) covers the global top-16 routing:
+    # candidate sets agree on the overwhelming majority of rows
+    overlap = np.mean([len(set(a) & set(b)) / 10
+                       for a, b in zip(rows_np, ref_np)])
+    assert overlap >= 0.9, overlap
+    assert np.all(np.diff(np.asarray(vals), axis=1) <= 1e-5)
+
+
+def test_sharded_pq_host_rerank_recovers_exactness(corpus, mesh8):
+    v, q = corpus
+    arch = HostArchive(D)
+    arch.append(v)
+    idx = build_ivf_pq(jnp.asarray(v), NLIST, M, key=jax.random.key(0),
+                       packed=True, refine=False)
+    sharded = shard_ivfpq_index(idx, mesh8)
+    _, cand = sharded_ivfpq_search(
+        sharded, jnp.asarray(q), 40, mesh=mesh8, nprobe_local=4, p=8,
+        interpret=True)
+    cand = np.asarray(cand)
+    scores = arch.rescore(q, cand)
+    top = np.take_along_axis(
+        cand, np.argsort(-scores, axis=1)[:, :1], axis=1)[:, 0]
+    # self-ish queries: exact re-rank puts the source row first
+    assert (top == np.arange(32)).mean() >= 0.9
+
+
+def test_shard_ivfpq_rejects_device_refine(corpus, mesh8):
+    v, _ = corpus
+    idx = build_ivf_pq(jnp.asarray(v[:2048]), NLIST, M,
+                       key=jax.random.key(0), packed=True, refine=True)
+    with pytest.raises(ValueError, match="refine-free"):
+        shard_ivfpq_index(idx, mesh8)
+
+
+def test_sharded_append_is_o_batch(corpus, mesh8):
+    v, _ = corpus
+    idx = build_ivf_flat(jnp.asarray(v[:6000]), nlist=NLIST,
+                         key=jax.random.key(1), capacity_slack=2.0)
+    sharded = shard_ivf_index(idx, mesh8)
+    cents_before = sharded.centroids
+    new_rows = np.arange(6000, 6600, dtype=np.int32)
+    appended, dropped = sharded_ivf_append(
+        sharded, jnp.asarray(v[6000:6600]), new_rows, mesh=mesh8)
+    assert not dropped.any()
+    assert appended.n == 6600
+    assert appended.centroids is cents_before     # no retrain
+    # appended rows are findable
+    from rag_foundation_tpu.parallel.sharded_ivf import sharded_ivf_search
+    qa = jnp.asarray(v[6100:6110])
+    _, rows = sharded_ivf_search(appended, qa, 5, mesh=mesh8,
+                                 nprobe_local=4, p=5, interpret=True)
+    assert list(np.asarray(rows)[:, 0]) == list(range(6100, 6110))
+
+
+def test_mesh_store_flush_appends_not_rebuilds(corpus, mesh8):
+    v, _ = corpus
+    idx = StoreIndex(D, mode="ivf_flat", nlist=NLIST, nprobe=16,
+                     build_threshold=4000, mesh=mesh8)
+    idx.add(v[:4096], np.arange(4096))
+    assert idx.body is not None
+    v1 = idx.body_version
+    cents = idx.body.centroids
+    idx.add(v[4096:5200], np.arange(4096, 5200))  # > 1024 flush
+    assert idx.body_version > v1
+    assert idx.body.centroids is cents            # append, not rebuild
+    _, ids = idx.search(v[4500:4503], 3)
+    assert ids[0, 0] == 4500
