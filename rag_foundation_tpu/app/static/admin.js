@@ -1,0 +1,171 @@
+/* Costs panel + admin console (reference CostPanel.tsx,
+ * components/admin/*, hooks/useAdminConsole.ts) + branding. */
+"use strict";
+
+import { $, api, banner, esc, state } from "./api.js";
+import { applyTheme } from "./theme.js";
+
+export async function refreshCosts() {
+  const c = await api("GET", "/api/costs/summary");
+  const mtd = +c.month_to_date_usd;
+  let budgetCard;
+  if (c.budget_usd === null) {
+    budgetCard = "<p>no budget set</p>";
+  } else {
+    const used = Math.min(100, (mtd / +c.budget_usd) * 100 || 0);
+    budgetCard = `<p>$${c.budget_usd} budget · $${c.remaining_usd}
+      left</p><div class="meter ${used > 85 ? "hot" : ""}">
+      <div style="width:${used.toFixed(1)}%"></div></div>`;
+  }
+  $("cost-panel").innerHTML = `
+    <div class="card"><h4>Month to date</h4>
+      <p>$${mtd.toFixed(4)}</p></div>
+    <div class="card"><h4>Queries</h4><p>${c.queries}
+      (${c.prompt_tokens} in / ${c.completion_tokens} out tok)</p></div>
+    <div class="card"><h4>Indexing</h4><p>${c.index_tokens} tokens,
+      $${(+c.index_cost_usd).toFixed(4)}</p></div>
+    <div class="card"><h4>Budget</h4>${budgetCard}</div>`;
+}
+
+export async function refreshAdmin() {
+  let users;
+  try {
+    users = await api("GET", "/api/admin/users");
+  } catch (e) {
+    banner(`Admin data failed to load: ${e.message}`);
+    return;
+  }
+  const table = $("admin-users");
+  table.innerHTML = "<tr><th>id</th><th>email</th><th>role</th>" +
+                    "<th>active</th><th></th></tr>";
+  for (const u of users.users) {
+    const tr = document.createElement("tr");
+    tr.innerHTML = `<td>${u.id}</td><td>${esc(u.email)}</td>` +
+                   `<td>${u.role}</td>` +
+                   `<td>${u.is_active ? "yes" : "no"}</td>`;
+    const td = document.createElement("td");
+    const toggle = document.createElement("button");
+    toggle.textContent = u.role === "admin" ? "demote" : "promote";
+    toggle.addEventListener("click", async () => {
+      await api("PATCH", `/api/admin/users/${u.id}`,
+                { role: u.role === "admin" ? "user" : "admin" });
+      refreshAdmin();
+    });
+    const act = document.createElement("button");
+    act.textContent = u.is_active ? "deactivate" : "activate";
+    act.addEventListener("click", async () => {
+      await api("PATCH", `/api/admin/users/${u.id}`,
+                { is_active: !u.is_active });
+      refreshAdmin();
+    });
+    const bud = document.createElement("input");
+    bud.type = "number";
+    bud.step = "0.01";
+    bud.placeholder = "budget $";
+    bud.style.width = "90px";
+    const setBud = document.createElement("button");
+    setBud.textContent = "set";
+    setBud.addEventListener("click", async () => {
+      if (bud.value === "") return;
+      await api("PUT", `/api/admin/budgets/${u.id}`,
+                { monthly_usd: parseFloat(bud.value) });
+      setBud.textContent = "✓";
+      setTimeout(() => { setBud.textContent = "set"; }, 1200);
+    });
+    td.append(toggle, " ", act, " ", bud, setBud);
+    tr.appendChild(td);
+    table.appendChild(tr);
+  }
+  const sys = await api("GET", "/api/admin/system");
+  const cards = $("admin-system-cards");
+  cards.innerHTML = "";
+  const items = [
+    ["Users", sys.users], ["Stores", sys.stores],
+    ["Documents", sys.documents], ["Queue pending", sys.queue_pending],
+  ].filter(([, v]) => v !== undefined);
+  for (const [label, v] of items) {
+    const div = document.createElement("div");
+    div.className = "card";
+    div.innerHTML = `<h4>${label}</h4><p>${v}</p>`;
+    cards.appendChild(div);
+  }
+  $("admin-system").textContent = JSON.stringify(sys, null, 2);
+  const sel = $("recall-store");
+  sel.innerHTML = "<option value=''>store…</option>";
+  for (const s of state.stores || []) {
+    const opt = document.createElement("option");
+    opt.value = s.id;
+    opt.textContent = s.name;
+    sel.appendChild(opt);
+  }
+  const audit = await api("GET", "/api/admin/audit");
+  const at = $("admin-audit");
+  at.innerHTML = "<tr><th>time</th><th>admin</th><th>action</th>" +
+                 "<th>target</th></tr>";
+  for (const a of audit.audit.slice(0, 25)) {
+    const tr = document.createElement("tr");
+    const when = new Date(a.created_at * 1000).toISOString();
+    tr.innerHTML = `<td>${when}</td><td>${a.admin_user_id}</td>` +
+                   `<td>${esc(a.action)}</td><td>${esc(a.target)}</td>`;
+    at.appendChild(tr);
+  }
+}
+
+export async function applyBranding() {
+  try {
+    const out = await api("GET", "/api/settings");
+    const s = out.settings;
+    if (s.app_name) {
+      $("app-name").textContent = s.app_name;
+      document.title = s.app_name;
+    }
+    // user-local theme choice beats the deployment default
+    if (s.theme && !localStorage.getItem("ragtpu-theme")) {
+      applyTheme(s.theme, false);
+    }
+    const sel = $("opt-model");
+    if (out.models && !sel.children.length) {
+      for (const m of out.models) {
+        const opt = document.createElement("option");
+        opt.value = m === out.default_model ? "" : m;
+        opt.textContent = m + (m === out.default_model ?
+                               " (default)" : "");
+        sel.appendChild(opt);
+      }
+    }
+  } catch (e) { /* pre-auth errors fine */ }
+}
+
+export function initAdmin() {
+  $("watchdog-btn").addEventListener("click", async () => {
+    try {
+      const out = await api("POST", "/api/admin/watchdog/reset-stuck");
+      alert(`reset ${out.reset} stuck ingestion(s)`);
+    } catch (e) {
+      banner(`Watchdog reset failed: ${e.message}`);
+    }
+  });
+  $("recall-btn").addEventListener("click", async () => {
+    const sid = parseInt($("recall-store").value, 10);
+    if (!sid) return;
+    $("recall-out").textContent = "probing…";
+    try {
+      const out = await api("POST", "/api/admin/engine/recall-probe",
+                            {store_id: sid, k: 10});
+      $("recall-out").textContent = out.recall === null
+        ? (out.skipped ? `skipped: ${out.skipped}` : "store empty")
+        : `recall@${out.k} = ${out.recall.toFixed(4)} (n=${out.sample})`;
+    } catch (e) {
+      $("recall-out").textContent = `error: ${e.message}`;
+    }
+  });
+  $("branding-form").addEventListener("submit", async (e) => {
+    e.preventDefault();
+    const body = {};
+    if ($("branding-name").value) {
+      body.app_name = $("branding-name").value;
+    }
+    await api("PUT", "/api/settings", body);
+    applyBranding();
+  });
+}

@@ -1,113 +1,45 @@
-/* Frontend logic — REST + SSE client for the rag-foundation-tpu API.
- * SSE adapter parity with the reference's useSseRuntime.ts: parses the
- * start/text-start/text-delta/text-end/source-document/error/finish
- * frames terminated by [DONE], skipping ": keepalive" comments.
- * Components mirror the reference React tree (CitationPanel, theme
- * presets + ThemePreview, useUploads op-status polling, thread
- * persistence) as vanilla functions. */
+/* App shell: boot, navigation, auth (reference frontend/src/App.tsx +
+ * LoginBox.tsx). View logic lives in the sibling modules:
+ *   api.js    — shared state + REST client
+ *   sse.js    — SSE frame parser (twin of utils/sse.py, the
+ *               contract-tested executable spec)
+ *   theme.js  — theme presets + preview cards
+ *   chat.js   — sessions, streaming, citations
+ *   stores.js — store cards, uploads + op-status polling
+ *   admin.js  — costs, admin console, branding
+ */
 "use strict";
 
-const state = {
-  token: localStorage.getItem("ragtpu-token") || null,
-  stores: [],
-  selectedStores: new Set(),
-  sessionId: null,
-  role: "user",
-  streaming: false,
-  abort: null,
-  lastQuestion: null,
-};
+import { $, api, logout, state } from "./api.js";
+import { initChat, refreshSessions } from "./chat.js";
+import { applyBranding, initAdmin, refreshAdmin,
+         refreshCosts } from "./admin.js";
+import { initStores, refreshStores } from "./stores.js";
+import { applyTheme, initThemeControls } from "./theme.js";
 
-const $ = (id) => document.getElementById(id);
-
-function banner(msg) {
-  let el = $("banner");
-  if (!el) {
-    el = document.createElement("div");
-    el.id = "banner";
-    el.className = "error";
-    document.querySelector("main").prepend(el);
+/* ---- navigation ----------------------------------------------------- */
+function showView(name) {
+  for (const v of ["chat", "stores", "costs", "admin"]) {
+    $(`view-${v}`).hidden = v !== name;
   }
-  el.textContent = msg || "";
-  if (msg) setTimeout(() => { el.textContent = ""; }, 6000);
+  document.querySelectorAll("nav button[data-view]").forEach((b) =>
+    b.classList.toggle("active", b.dataset.view === name));
+  if (name === "costs") refreshCosts();
+  if (name === "admin") refreshAdmin();
+  if (name === "stores") refreshStores();
+}
+document.querySelectorAll("nav button[data-view]").forEach((b) =>
+  b.addEventListener("click", () => showView(b.dataset.view)));
+
+async function probeAdmin() {
+  try {
+    await api("GET", "/api/admin/system");
+    state.role = "admin";
+    $("nav-admin").hidden = false;
+  } catch (e) { state.role = "user"; }
 }
 
-async function api(method, path, body, isForm = false) {
-  const headers = { "X-Requested-With": "XMLHttpRequest" };
-  if (state.token) headers["Authorization"] = `Bearer ${state.token}`;
-  if (body && !isForm) headers["Content-Type"] = "application/json";
-  const resp = await fetch(path, {
-    method,
-    headers,
-    body: body ? (isForm ? body : JSON.stringify(body)) : undefined,
-  });
-  if (resp.status === 401 && state.token) {
-    logout();  // schedules reload; callers must still see a rejection
-    throw new Error("Session expired");
-  }
-  const data = resp.headers.get("content-type")?.includes("json")
-    ? await resp.json() : await resp.text();
-  if (!resp.ok) throw new Error(data.detail || resp.statusText);
-  return data;
-}
-
-/* ---- themes (reference themes/presets.ts) ---------------------------- */
-const THEMES = ["system", "light", "dark", "ocean", "forest", "contrast"];
-const THEME_SWATCHES = {
-  light: ["#f7f7f9", "#2456c4", "#1c1e21"],
-  dark: ["#121417", "#6ea8fe", "#e8eaed"],
-  ocean: ["#0b2233", "#39c1e0", "#dff3ff"],
-  forest: ["#f2f6ef", "#2e7d32", "#21301f"],
-  contrast: ["#000", "#ffd600", "#fff"],
-  system: ["#888", "#aaa", "#ccc"],
-};
-
-function applyTheme(name, persist) {
-  if (!THEMES.includes(name)) name = "system";
-  document.body.dataset.theme = name;
-  if (persist) localStorage.setItem("ragtpu-theme", name);
-  $("theme-quick").value = name;
-  document.querySelectorAll(".theme-card").forEach((c) =>
-    c.classList.toggle("active", c.dataset.theme === name));
-}
-
-function initThemeControls() {
-  const sel = $("theme-quick");
-  for (const t of THEMES) {
-    const opt = document.createElement("option");
-    opt.value = t;
-    opt.textContent = t;
-    sel.appendChild(opt);
-  }
-  sel.addEventListener("change", () => applyTheme(sel.value, true));
-  const grid = $("theme-presets");
-  for (const t of THEMES) {
-    const card = document.createElement("div");
-    card.className = "theme-card";
-    card.dataset.theme = t;
-    card.innerHTML = `<b>${t}</b>`;
-    const sw = document.createElement("div");
-    sw.className = "sw";
-    for (const c of THEME_SWATCHES[t]) {
-      const i = document.createElement("i");
-      i.style.background = c;
-      sw.appendChild(i);
-    }
-    card.appendChild(sw);
-    card.addEventListener("click", async () => {
-      applyTheme(t, true);
-      // admins persist the deployment default (reference
-      // CustomizationPanel saves theme to settings)
-      if (state.role === "admin") {
-        try { await api("PUT", "/api/settings", { theme: t }); }
-        catch (e) { /* non-admin or validation error */ }
-      }
-    });
-    grid.appendChild(card);
-  }
-}
-
-/* ---- auth ---------------------------------------------------------- */
+/* ---- auth ----------------------------------------------------------- */
 function setLoggedIn(token) {
   state.token = token;
   localStorage.setItem("ragtpu-token", token);
@@ -117,12 +49,6 @@ function setLoggedIn(token) {
   refreshStores();
   refreshSessions();
   probeAdmin();
-}
-
-function logout() {
-  state.token = null;
-  localStorage.removeItem("ragtpu-token");
-  location.reload();
 }
 
 $("login-form").addEventListener("submit", async (e) => {
@@ -172,594 +98,15 @@ $("register-btn").addEventListener("click", async () => {
 });
 
 $("logout").addEventListener("click", async () => {
-  try { await api("POST", "/api/auth/logout"); } catch (e) { /* ignore */ }
+  try { await api("POST", "/api/auth/logout"); } catch (e) { /* ok */ }
   logout();
 });
 
-/* ---- navigation ----------------------------------------------------- */
-function showView(name) {
-  for (const v of ["chat", "stores", "costs", "admin"]) {
-    $(`view-${v}`).hidden = v !== name;
-  }
-  document.querySelectorAll("nav button[data-view]").forEach((b) =>
-    b.classList.toggle("active", b.dataset.view === name));
-  if (name === "costs") refreshCosts();
-  if (name === "admin") refreshAdmin();
-  if (name === "stores") refreshStores();
-}
-document.querySelectorAll("nav button[data-view]").forEach((b) =>
-  b.addEventListener("click", () => showView(b.dataset.view)));
-
-async function probeAdmin() {
-  try {
-    await api("GET", "/api/admin/system");
-    state.role = "admin";
-    $("nav-admin").hidden = false;
-  } catch (e) { state.role = "user"; }
-}
-
-/* ---- stores + uploads ------------------------------------------------ */
-async function refreshStores() {
-  let out;
-  try {
-    out = await api("GET", "/api/stores");
-  } catch (e) {
-    banner(`Could not load stores: ${e.message}`);
-    return;
-  }
-  state.stores = out.stores;
-  // prune selections for deleted stores or chat 404s forever
-  const live = new Set(out.stores.map((s) => s.id));
-  for (const id of [...state.selectedStores]) {
-    if (!live.has(id)) state.selectedStores.delete(id);
-  }
-  if (!state.selectedStores.size && out.stores.length) {
-    state.selectedStores.add(out.stores[0].id);
-  }
-  renderChatStores();
-  renderStoreCards();
-}
-
-function renderChatStores() {
-  const ul = $("chat-store-list");
-  ul.innerHTML = "";
-  for (const s of state.stores) {
-    const li = document.createElement("li");
-    const cb = document.createElement("input");
-    cb.type = "checkbox";
-    cb.checked = state.selectedStores.has(s.id);
-    cb.addEventListener("change", () => {
-      cb.checked ? state.selectedStores.add(s.id)
-                 : state.selectedStores.delete(s.id);
-    });
-    li.append(cb, ` ${s.name}`);
-    ul.appendChild(li);
-  }
-}
-
-let renderGen = 0;
-
-async function renderStoreCards() {
-  const gen = ++renderGen;   // stale overlapping renders must not
-  const root = $("store-cards");  // append into the rebuilt container
-  root.innerHTML = "";
-  const docFetches = state.stores.map((s) =>
-    api("GET", `/api/stores/${s.id}/documents`).catch(() => null));
-  for (let si = 0; si < state.stores.length; si++) {
-    const s = state.stores[si];
-    if (gen !== renderGen) return;
-    const card = document.createElement("div");
-    card.className = "card";
-    const created = s.created_at
-      ? new Date(s.created_at * 1000).toLocaleDateString() : "";
-    card.innerHTML = `<h4>${esc(s.name)}</h4>
-      <p class="doc-row"><span class="status">created ${created}</span></p>`;
-    const del = document.createElement("button");
-    del.textContent = "Delete store";
-    del.addEventListener("click", async () => {
-      if (!confirm(`Delete store "${s.name}" and all its documents?`)) {
-        return;
-      }
-      await api("DELETE", `/api/stores/${s.id}`);
-      refreshStores();
-    });
-    const drop = document.createElement("div");
-    drop.className = "dropzone";
-    drop.textContent = "Drop files here or click to choose";
-    const up = document.createElement("input");
-    up.type = "file";
-    up.multiple = true;
-    up.hidden = true;
-    drop.addEventListener("click", () => up.click());
-    drop.addEventListener("dragover", (e) => {
-      e.preventDefault();
-      drop.classList.add("over");
-    });
-    drop.addEventListener("dragleave", () =>
-      drop.classList.remove("over"));
-    drop.addEventListener("drop", (e) => {
-      e.preventDefault();
-      drop.classList.remove("over");
-      for (const f of e.dataTransfer.files) uploadFile(s.id, f, card);
-    });
-    up.addEventListener("change", () => {
-      for (const f of up.files) uploadFile(s.id, f, card);
-      up.value = "";
-    });
-    const uploads = document.createElement("div");
-    uploads.className = "uploads";
-    const docs = document.createElement("ul");
-    card.append(del, drop, up, uploads, docs);
-    root.appendChild(card);
-    const out = await docFetches[si];
-    if (gen !== renderGen) return;
-    if (!out) continue;  // doc list failed; card still usable
-    for (const d of out.documents) {
-      const li = document.createElement("li");
-      li.className = "doc-row";
-      li.innerHTML = `<span>${esc(d.filename)}</span>
-        <span class="status ${d.status}">${d.status}` +
-        (d.chunks ? ` · ${d.chunks} chunks` : "") +
-        (d.last_error ? ` — ${esc(d.last_error)}` : "") + `</span>`;
-      const rm = document.createElement("button");
-      rm.textContent = "✕";
-      rm.addEventListener("click", async () => {
-        await api("DELETE", `/api/documents/${d.id}`);
-        renderStoreCards();
-      });
-      li.appendChild(rm);
-      docs.appendChild(li);
-    }
-  }
-}
-
-/* per-file progress element (reference useUploads.ts + upload progress
- * components): uploading -> queued/processing (elapsed) -> done/error */
-async function uploadFile(storeId, file, card) {
-  const item = document.createElement("div");
-  item.className = "upload-item";
-  item.innerHTML = `<span>${esc(file.name)}</span>
-    <span class="phase">uploading…</span>`;
-  card.querySelector(".uploads").appendChild(item);
-  const phase = item.querySelector(".phase");
-  const t0 = Date.now();
-  state.activeUploads = (state.activeUploads || 0) + 1;
-  const finish = () => {
-    state.activeUploads -= 1;
-    if (state.activeUploads === 0) renderStoreCards();
-  };
-  try {
-    const form = new FormData();
-    form.append("store_id", String(storeId));
-    form.append("file", file);
-    const out = await api("POST", "/api/upload", form, true);
-    const poll = setInterval(async () => {
-      try {
-        const st = await api("GET", `/api/upload/op-status/${out.op_id}`);
-        const secs = Math.round((Date.now() - t0) / 1000);
-        if (st.done) {
-          clearInterval(poll);
-          if (st.status !== "DONE") {  // done=true covers ERROR too
-            item.classList.add("error");
-            phase.textContent = `error: ${st.error || st.status}`;
-          } else {
-            phase.textContent = `done (${st.chunks} chunks, ${secs}s)`;
-            setTimeout(() => { item.remove(); }, 1500);
-          }
-          finish();
-        } else {
-          phase.textContent = `${st.status.toLowerCase()}… ${secs}s`;
-        }
-      } catch (e) {
-        clearInterval(poll);
-        item.classList.add("error");
-        phase.textContent = `error: ${e.message}`;
-        finish();
-      }
-    }, 800);
-  } catch (e) {
-    item.classList.add("error");
-    phase.textContent = `error: ${e.message}`;
-    finish();
-  }
-}
-
-$("store-form").addEventListener("submit", async (e) => {
-  e.preventDefault();
-  await api("POST", "/api/stores", { name: $("store-name").value });
-  $("store-name").value = "";
-  refreshStores();
-});
-
-/* ---- chat (SSE) ------------------------------------------------------ */
-function relTime(ts) {
-  const s = Math.max(1, (Date.now() / 1000 - ts) | 0);
-  if (s < 60) return `${s}s`;
-  if (s < 3600) return `${(s / 60) | 0}m`;
-  if (s < 86400) return `${(s / 3600) | 0}h`;
-  return `${(s / 86400) | 0}d`;
-}
-
-async function refreshSessions() {
-  let out;
-  try {
-    out = await api("GET", "/api/chat/sessions");
-  } catch (e) {
-    banner(`Could not load sessions: ${e.message}`);
-    return;
-  }
-  const ul = $("session-list");
-  ul.innerHTML = "";
-  for (const s of out.sessions) {
-    const li = document.createElement("li");
-    li.classList.toggle("active", s.id === state.sessionId);
-    const title = document.createElement("span");
-    title.textContent = s.title || `session ${s.id}`;
-    const when = document.createElement("span");
-    when.className = "when";
-    when.textContent = relTime(s.updated_at || s.created_at);
-    const del = document.createElement("button");
-    del.className = "del";
-    del.textContent = "✕";
-    del.title = "Delete session";
-    del.addEventListener("click", async (e) => {
-      e.stopPropagation();
-      await api("DELETE", `/api/chat/sessions/${s.id}`);
-      if (state.sessionId === s.id) $("new-session").click();
-      refreshSessions();
-    });
-    li.append(title, when, del);
-    li.addEventListener("click", () => loadSession(s.id));
-    ul.appendChild(li);
-  }
-}
-
-async function loadSession(id) {
-  state.sessionId = id;
-  const out = await api("GET", `/api/chat/sessions/${id}/messages`);
-  $("messages").innerHTML = "";
-  for (const m of out.messages) addMessage(m.role, m.content);
-  refreshSessions();
-}
-
-$("new-session").addEventListener("click", () => {
-  state.sessionId = null;
-  $("messages").innerHTML = "";
-  $("messages").appendChild($("welcome-card") || welcomeCard());
-});
-
-function welcomeCard() {
-  const div = document.createElement("div");
-  div.className = "card welcome";
-  div.id = "welcome-card";
-  div.innerHTML = "<h3>Ask your documents</h3>";
-  return div;
-}
-
-function esc(s) {
-  const div = document.createElement("div");
-  div.textContent = s == null ? "" : String(s);
-  return div.innerHTML;
-}
-
-function addMessage(role, text) {
-  const w = $("welcome-card");
-  if (w) w.remove();
-  const div = document.createElement("div");
-  div.className = `msg ${role}`;
-  div.textContent = text;
-  $("messages").appendChild(div);
-  $("messages").scrollTop = $("messages").scrollHeight;
-  return div;
-}
-
-/* CitationPanel analog: numbered, expandable, attached to the message */
-function citationPanel() {
-  const details = document.createElement("details");
-  details.className = "citations";
-  details.innerHTML = "<summary>Sources (0)</summary><ol></ol>";
-  return details;
-}
-
-function addCitation(panel, frame) {
-  const ol = panel.querySelector("ol");
-  const li = document.createElement("li");
-  li.innerHTML = `<span class="cite-title">${esc(frame.title)}</span>
-    <div class="cite-snippet">${esc(frame.snippet || "")}</div>`;
-  ol.appendChild(li);
-  panel.querySelector("summary").textContent =
-    `Sources (${ol.children.length})`;
-}
-
-function setChatError(msg, canRetry = false) {
-  $("chat-error-text").textContent = msg;
-  $("retry").hidden = !(canRetry && state.lastQuestion);
-}
-
-$("retry").addEventListener("click", () => {
-  if (!state.lastQuestion || state.streaming) return;
-  $("question").value = state.lastQuestion;
-  $("chat-form").dispatchEvent(new Event("submit"));
-});
-
-$("stop").addEventListener("click", () => state.abort?.abort());
-
-$("chat-form").addEventListener("submit", async (e) => {
-  e.preventDefault();
-  if (state.streaming) return;
-  const q = $("question").value.trim();
-  if (!q || !state.selectedStores.size) {
-    setChatError(q ? "Select at least one store" : "");
-    return;
-  }
-  state.lastQuestion = q;
-  $("question").value = "";
-  setChatError("");
-  addMessage("user", q);
-  const target = addMessage("assistant", "");
-  const panel = citationPanel();
-  state.streaming = true;
-  state.abort = new AbortController();
-  $("send").disabled = true;
-  $("stop").hidden = false;
-  try {
-    const headers = { "Content-Type": "application/json",
-                      "X-Requested-With": "XMLHttpRequest",
-                      Authorization: `Bearer ${state.token}` };
-    const body = {
-      question: q,
-      store_ids: [...state.selectedStores],
-      session_id: state.sessionId,
-    };
-    const topk = $("opt-topk").value;
-    if (topk) body.top_k = parseInt(topk, 10);
-    const tags = $("opt-tags").value.trim();
-    if (tags) {
-      // tags are key=value labels for the cost ledger (the backend
-      // requires an OBJECT; sanitize_tags caps 5 entries)
-      const obj = {};
-      for (const part of tags.split(",")) {
-        const [k, ...rest] = part.split("=");
-        if (k.trim()) obj[k.trim()] = rest.join("=").trim() || "1";
-      }
-      if (Object.keys(obj).length) body.tags = obj;
-    }
-    const model = $("opt-model").value;
-    if (model) body.model = model;
-    const resp = await fetch("/api/chat", {
-      method: "POST", headers, body: JSON.stringify(body),
-      signal: state.abort.signal,
-    });
-    if (!resp.ok) {
-      const err = await resp.json();
-      throw new Error(err.detail || resp.statusText);
-    }
-    const sid = resp.headers.get("x-session-id");
-    if (sid) state.sessionId = parseInt(sid, 10);
-    await consumeSse(resp, target, panel);
-    if (panel.querySelector("ol").children.length) {
-      target.after(panel);
-    }
-    refreshSessions();
-  } catch (err) {
-    if (err.name !== "AbortError") {
-      setChatError(err.message, true);
-    }
-  } finally {
-    state.streaming = false;
-    state.abort = null;
-    $("send").disabled = false;
-    $("stop").hidden = true;
-  }
-});
-
-async function consumeSse(resp, target, panel) {
-  const reader = resp.body.getReader();
-  const decoder = new TextDecoder();
-  let buffer = "";
-  for (;;) {
-    const { value, done } = await reader.read();
-    if (done) break;
-    buffer += decoder.decode(value, { stream: true });
-    let idx;
-    while ((idx = buffer.indexOf("\n\n")) >= 0) {
-      const raw = buffer.slice(0, idx);
-      buffer = buffer.slice(idx + 2);
-      for (const line of raw.split("\n")) {
-        if (!line.startsWith("data: ")) continue;  // keepalive comments
-        const payload = line.slice(6);
-        if (payload === "[DONE]") return;
-        handleFrame(JSON.parse(payload), target, panel);
-      }
-    }
-  }
-}
-
-function handleFrame(frame, target, panel) {
-  switch (frame.type) {
-    case "text-delta":
-      target.textContent += frame.delta;
-      $("messages").scrollTop = $("messages").scrollHeight;
-      break;
-    case "source-document":
-      addCitation(panel, frame);
-      break;
-    case "error":
-    case "budget_exceeded":
-      setChatError(frame.message || frame.errorText, true);
-      break;
-    default:  /* start / text-start / text-end / finish */
-      break;
-  }
-}
-
-/* ---- costs (reference CostPanel.tsx: MTD + budget meter) -------------- */
-async function refreshCosts() {
-  const c = await api("GET", "/api/costs/summary");
-  const mtd = +c.month_to_date_usd;
-  let budgetCard;
-  if (c.budget_usd === null) {
-    budgetCard = "<p>no budget set</p>";
-  } else {
-    const used = Math.min(100, (mtd / +c.budget_usd) * 100 || 0);
-    budgetCard = `<p>$${c.budget_usd} budget · $${c.remaining_usd}
-      left</p><div class="meter ${used > 85 ? "hot" : ""}">
-      <div style="width:${used.toFixed(1)}%"></div></div>`;
-  }
-  $("cost-panel").innerHTML = `
-    <div class="card"><h4>Month to date</h4>
-      <p>$${mtd.toFixed(4)}</p></div>
-    <div class="card"><h4>Queries</h4><p>${c.queries}
-      (${c.prompt_tokens} in / ${c.completion_tokens} out tok)</p></div>
-    <div class="card"><h4>Indexing</h4><p>${c.index_tokens} tokens,
-      $${(+c.index_cost_usd).toFixed(4)}</p></div>
-    <div class="card"><h4>Budget</h4>${budgetCard}</div>`;
-}
-
-/* ---- admin (reference AdminSystemCards / WatchdogCard / audit) -------- */
-async function refreshAdmin() {
-  let users;
-  try {
-    users = await api("GET", "/api/admin/users");
-  } catch (e) {
-    banner(`Admin data failed to load: ${e.message}`);
-    return;
-  }
-  const table = $("admin-users");
-  table.innerHTML = "<tr><th>id</th><th>email</th><th>role</th>" +
-                    "<th>active</th><th></th></tr>";
-  for (const u of users.users) {
-    const tr = document.createElement("tr");
-    tr.innerHTML = `<td>${u.id}</td><td>${esc(u.email)}</td>` +
-                   `<td>${u.role}</td>` +
-                   `<td>${u.is_active ? "yes" : "no"}</td>`;
-    const td = document.createElement("td");
-    const toggle = document.createElement("button");
-    toggle.textContent = u.role === "admin" ? "demote" : "promote";
-    toggle.addEventListener("click", async () => {
-      await api("PATCH", `/api/admin/users/${u.id}`,
-                { role: u.role === "admin" ? "user" : "admin" });
-      refreshAdmin();
-    });
-    const act = document.createElement("button");
-    act.textContent = u.is_active ? "deactivate" : "activate";
-    act.addEventListener("click", async () => {
-      await api("PATCH", `/api/admin/users/${u.id}`,
-                { is_active: !u.is_active });
-      refreshAdmin();
-    });
-    const bud = document.createElement("input");
-    bud.type = "number";
-    bud.step = "0.01";
-    bud.placeholder = "budget $";
-    bud.style.width = "90px";
-    const setBud = document.createElement("button");
-    setBud.textContent = "set";
-    setBud.addEventListener("click", async () => {
-      if (bud.value === "") return;
-      await api("PUT", `/api/admin/budgets/${u.id}`,
-                { monthly_usd: parseFloat(bud.value) });
-      setBud.textContent = "✓";
-      setTimeout(() => { setBud.textContent = "set"; }, 1200);
-    });
-    td.append(toggle, " ", act, " ", bud, setBud);
-    tr.appendChild(td);
-    table.appendChild(tr);
-  }
-  const sys = await api("GET", "/api/admin/system");
-  const cards = $("admin-system-cards");
-  cards.innerHTML = "";
-  const items = [
-    ["Users", sys.users], ["Stores", sys.stores],
-    ["Documents", sys.documents], ["Queue pending", sys.queue_pending],
-  ].filter(([, v]) => v !== undefined);
-  for (const [label, v] of items) {
-    const div = document.createElement("div");
-    div.className = "card";
-    div.innerHTML = `<h4>${label}</h4><p>${v}</p>`;
-    cards.appendChild(div);
-  }
-  $("admin-system").textContent = JSON.stringify(sys, null, 2);
-  const sel = $("recall-store");
-  sel.innerHTML = "<option value=''>store…</option>";
-  for (const s of state.stores || []) {
-    const opt = document.createElement("option");
-    opt.value = s.id;
-    opt.textContent = s.name;
-    sel.appendChild(opt);
-  }
-  const audit = await api("GET", "/api/admin/audit");
-  const at = $("admin-audit");
-  at.innerHTML = "<tr><th>time</th><th>admin</th><th>action</th>" +
-                 "<th>target</th></tr>";
-  for (const a of audit.audit.slice(0, 25)) {
-    const tr = document.createElement("tr");
-    const when = new Date(a.created_at * 1000).toISOString();
-    tr.innerHTML = `<td>${when}</td><td>${a.admin_user_id}</td>` +
-                   `<td>${esc(a.action)}</td><td>${esc(a.target)}</td>`;
-    at.appendChild(tr);
-  }
-}
-
-$("watchdog-btn").addEventListener("click", async () => {
-  try {
-    const out = await api("POST", "/api/admin/watchdog/reset-stuck");
-    alert(`reset ${out.reset} stuck ingestion(s)`);
-  } catch (e) {
-    banner(`Watchdog reset failed: ${e.message}`);
-  }
-});
-
-$("recall-btn").addEventListener("click", async () => {
-  const sid = parseInt($("recall-store").value, 10);
-  if (!sid) return;
-  $("recall-out").textContent = "probing…";
-  try {
-    const out = await api("POST", "/api/admin/engine/recall-probe",
-                          {store_id: sid, k: 10});
-    $("recall-out").textContent = out.recall === null
-      ? (out.skipped ? `skipped: ${out.skipped}` : "store empty")
-      : `recall@${out.k} = ${out.recall.toFixed(4)} (n=${out.sample})`;
-  } catch (e) {
-    $("recall-out").textContent = `error: ${e.message}`;
-  }
-});
-
-$("branding-form").addEventListener("submit", async (e) => {
-  e.preventDefault();
-  const body = {};
-  if ($("branding-name").value) body.app_name = $("branding-name").value;
-  await api("PUT", "/api/settings", body);
-  applyBranding();
-});
-
-async function applyBranding() {
-  try {
-    const out = await api("GET", "/api/settings");
-    const s = out.settings;
-    if (s.app_name) {
-      $("app-name").textContent = s.app_name;
-      document.title = s.app_name;
-    }
-    // user-local theme choice beats the deployment default
-    if (s.theme && !localStorage.getItem("ragtpu-theme")) {
-      applyTheme(s.theme, false);
-    }
-    const sel = $("opt-model");
-    if (out.models && !sel.children.length) {
-      for (const m of out.models) {
-        const opt = document.createElement("option");
-        opt.value = m === out.default_model ? "" : m;
-        opt.textContent = m + (m === out.default_model ?
-                               " (default)" : "");
-        sel.appendChild(opt);
-      }
-    }
-  } catch (e) { /* pre-auth errors fine */ }
-}
-
-/* ---- boot -------------------------------------------------------------- */
+/* ---- boot ------------------------------------------------------------ */
 initThemeControls();
+initChat();
+initStores();
+initAdmin();
 applyTheme(localStorage.getItem("ragtpu-theme") || "system", false);
 applyBranding();
 if (state.token) {

@@ -1,0 +1,203 @@
+/* Chat view: sessions, SSE streaming via the shared parser, citations,
+ * retry/stop (reference contexts/ChatContext.tsx + useSseRuntime.ts +
+ * CitationPanel.tsx). */
+"use strict";
+
+import { $, api, banner, esc, state } from "./api.js";
+import { consumeSseResponse } from "./sse.js";
+
+function relTime(ts) {
+  const s = Math.max(1, (Date.now() / 1000 - ts) | 0);
+  if (s < 60) return `${s}s`;
+  if (s < 3600) return `${(s / 60) | 0}m`;
+  if (s < 86400) return `${(s / 3600) | 0}h`;
+  return `${(s / 86400) | 0}d`;
+}
+
+export async function refreshSessions() {
+  let out;
+  try {
+    out = await api("GET", "/api/chat/sessions");
+  } catch (e) {
+    banner(`Could not load sessions: ${e.message}`);
+    return;
+  }
+  const ul = $("session-list");
+  ul.innerHTML = "";
+  for (const s of out.sessions) {
+    const li = document.createElement("li");
+    li.classList.toggle("active", s.id === state.sessionId);
+    const title = document.createElement("span");
+    title.textContent = s.title || `session ${s.id}`;
+    const when = document.createElement("span");
+    when.className = "when";
+    when.textContent = relTime(s.updated_at || s.created_at);
+    const del = document.createElement("button");
+    del.className = "del";
+    del.textContent = "✕";
+    del.title = "Delete session";
+    del.addEventListener("click", async (e) => {
+      e.stopPropagation();
+      await api("DELETE", `/api/chat/sessions/${s.id}`);
+      if (state.sessionId === s.id) $("new-session").click();
+      refreshSessions();
+    });
+    li.append(title, when, del);
+    li.addEventListener("click", () => loadSession(s.id));
+    ul.appendChild(li);
+  }
+}
+
+async function loadSession(id) {
+  state.sessionId = id;
+  const out = await api("GET", `/api/chat/sessions/${id}/messages`);
+  $("messages").innerHTML = "";
+  for (const m of out.messages) addMessage(m.role, m.content);
+  refreshSessions();
+}
+
+function welcomeCard() {
+  const div = document.createElement("div");
+  div.className = "card welcome";
+  div.id = "welcome-card";
+  div.innerHTML = "<h3>Ask your documents</h3>";
+  return div;
+}
+
+function addMessage(role, text) {
+  const w = $("welcome-card");
+  if (w) w.remove();
+  const div = document.createElement("div");
+  div.className = `msg ${role}`;
+  div.textContent = text;
+  $("messages").appendChild(div);
+  $("messages").scrollTop = $("messages").scrollHeight;
+  return div;
+}
+
+/* CitationPanel analog: numbered, expandable, attached to the message */
+function citationPanel() {
+  const details = document.createElement("details");
+  details.className = "citations";
+  details.innerHTML = "<summary>Sources (0)</summary><ol></ol>";
+  return details;
+}
+
+function addCitation(panel, frame) {
+  const ol = panel.querySelector("ol");
+  const li = document.createElement("li");
+  li.innerHTML = `<span class="cite-title">${esc(frame.title)}</span>
+    <div class="cite-snippet">${esc(frame.snippet || "")}</div>`;
+  ol.appendChild(li);
+  panel.querySelector("summary").textContent =
+    `Sources (${ol.children.length})`;
+}
+
+function setChatError(msg, canRetry = false) {
+  $("chat-error-text").textContent = msg;
+  $("retry").hidden = !(canRetry && state.lastQuestion);
+}
+
+function handleFrame(frame, target, panel) {
+  switch (frame.type) {
+    case "text-delta":
+      target.textContent += frame.delta;
+      $("messages").scrollTop = $("messages").scrollHeight;
+      break;
+    case "source-document":
+      addCitation(panel, frame);
+      break;
+    case "error":
+    case "budget_exceeded":
+      setChatError(frame.message || frame.errorText, true);
+      break;
+    default:  /* start / text-start / text-end / finish */
+      break;
+  }
+}
+
+async function submitQuestion() {
+  if (state.streaming) return;
+  const q = $("question").value.trim();
+  if (!q || !state.selectedStores.size) {
+    setChatError(q ? "Select at least one store" : "");
+    return;
+  }
+  state.lastQuestion = q;
+  $("question").value = "";
+  setChatError("");
+  addMessage("user", q);
+  const target = addMessage("assistant", "");
+  const panel = citationPanel();
+  state.streaming = true;
+  state.abort = new AbortController();
+  $("send").disabled = true;
+  $("stop").hidden = false;
+  try {
+    const headers = { "Content-Type": "application/json",
+                      "X-Requested-With": "XMLHttpRequest",
+                      Authorization: `Bearer ${state.token}` };
+    const body = {
+      question: q,
+      store_ids: [...state.selectedStores],
+      session_id: state.sessionId,
+    };
+    const topk = $("opt-topk").value;
+    if (topk) body.top_k = parseInt(topk, 10);
+    const tags = $("opt-tags").value.trim();
+    if (tags) {
+      // tags are key=value labels for the cost ledger (the backend
+      // requires an OBJECT; sanitize_tags caps 5 entries)
+      const obj = {};
+      for (const part of tags.split(",")) {
+        const [k, ...rest] = part.split("=");
+        if (k.trim()) obj[k.trim()] = rest.join("=").trim() || "1";
+      }
+      if (Object.keys(obj).length) body.tags = obj;
+    }
+    const model = $("opt-model").value;
+    if (model) body.model = model;
+    const resp = await fetch("/api/chat", {
+      method: "POST", headers, body: JSON.stringify(body),
+      signal: state.abort.signal,
+    });
+    if (!resp.ok) {
+      const err = await resp.json();
+      throw new Error(err.detail || resp.statusText);
+    }
+    const sid = resp.headers.get("x-session-id");
+    if (sid) state.sessionId = parseInt(sid, 10);
+    await consumeSseResponse(resp, (f) => handleFrame(f, target, panel));
+    if (panel.querySelector("ol").children.length) {
+      target.after(panel);
+    }
+    refreshSessions();
+  } catch (err) {
+    if (err.name !== "AbortError") {
+      setChatError(err.message, true);
+    }
+  } finally {
+    state.streaming = false;
+    state.abort = null;
+    $("send").disabled = false;
+    $("stop").hidden = true;
+  }
+}
+
+export function initChat() {
+  $("retry").addEventListener("click", () => {
+    if (!state.lastQuestion || state.streaming) return;
+    $("question").value = state.lastQuestion;
+    $("chat-form").dispatchEvent(new Event("submit"));
+  });
+  $("stop").addEventListener("click", () => state.abort?.abort());
+  $("chat-form").addEventListener("submit", (e) => {
+    e.preventDefault();
+    submitQuestion();
+  });
+  $("new-session").addEventListener("click", () => {
+    state.sessionId = null;
+    $("messages").innerHTML = "";
+    $("messages").appendChild($("welcome-card") || welcomeCard());
+  });
+}

@@ -1,0 +1,160 @@
+"""SSE wire-contract tests against the frontend parser's executable
+spec (utils/sse.py; app/static/sse.js is its line-for-line browser
+twin — no JS runtime exists in this image, so the Python side carries
+the behavioral coverage; tests here are the feasible analog of the
+reference's Playwright stream mocks,
+/root/reference/frontend/tests/e2e/chat.spec.ts:1-76 + mocks.ts).
+
+Covers every frame type the product emits, keepalive comments, error
+frames, the budget cut-off sequence, CRLF tolerance, frames split
+across reads at every byte boundary, malformed payloads, and a stream
+recorded from the LIVE app.
+"""
+
+import json
+
+from rag_foundation_tpu.utils.sse import SseParser, parse_stream
+
+
+def _wire(*events: str) -> str:
+    return "".join(e + "\n\n" for e in events)
+
+
+FULL_STREAM = _wire(
+    'data: {"type": "start", "messageId": "m1"}',
+    'data: {"type": "text-start", "id": "t1"}',
+    ": keepalive",
+    'data: {"type": "text-delta", "id": "t1", "delta": "8.4"}',
+    'data: {"type": "text-delta", "id": "t1", "delta": " meters"}',
+    'data: {"type": "text-end", "id": "t1"}',
+    'data: {"type": "source-document", "sourceId": "cit-0", '
+    '"title": "telescope.md", "snippet": "The primary mirror..."}',
+    'data: {"type": "finish", "finishReason": "stop", '
+    '"promptTokens": 11, "completionTokens": 3}',
+    "data: [DONE]",
+)
+
+
+def test_full_stream_all_frame_types():
+    frames, done = parse_stream([FULL_STREAM])
+    assert done
+    types = [f["type"] for f in frames]
+    assert types == ["start", "text-start", "text-delta", "text-delta",
+                     "text-end", "source-document", "finish"]
+    text = "".join(f["delta"] for f in frames
+                   if f["type"] == "text-delta")
+    assert text == "8.4 meters"
+    assert frames[-1]["finishReason"] == "stop"
+
+
+def test_split_at_every_byte_boundary():
+    """The parser must be position-independent: any chunking of the
+    byte stream yields identical frames (network reads split anywhere,
+    including inside "data: " or mid-JSON)."""
+    want, _ = parse_stream([FULL_STREAM])
+    for cut in range(1, len(FULL_STREAM)):
+        got, done = parse_stream([FULL_STREAM[:cut], FULL_STREAM[cut:]])
+        assert done, cut
+        assert got == want, f"differs when split at byte {cut}"
+
+
+def test_keepalive_comments_skipped():
+    frames, done = parse_stream([_wire(
+        ": keepalive", ": keepalive",
+        'data: {"type": "text-delta", "delta": "x"}',
+        ": keepalive", "data: [DONE]")])
+    assert done and len(frames) == 1
+
+
+def test_error_frame_and_budget_cutoff():
+    """Mid-stream budget exhaustion: deltas then an error-shaped frame
+    then [DONE] (the chat route's budget cut-off sequence)."""
+    frames, done = parse_stream([_wire(
+        'data: {"type": "text-delta", "delta": "partial"}',
+        'data: {"type": "budget_exceeded", '
+        '"message": "monthly budget exhausted"}',
+        'data: {"type": "finish", "finishReason": "length"}',
+        "data: [DONE]")])
+    assert done
+    assert [f["type"] for f in frames] == ["text-delta",
+                                           "budget_exceeded", "finish"]
+    frames2, _ = parse_stream([_wire(
+        'data: {"type": "error", "message": "engine search failed"}',
+        "data: [DONE]")])
+    assert frames2[0]["type"] == "error"
+
+
+def test_crlf_streams():
+    s = FULL_STREAM.replace("\n", "\r\n")
+    frames, done = parse_stream([s])
+    assert done
+    assert [f["type"] for f in frames][:2] == ["start", "text-start"]
+
+
+def test_after_done_input_ignored():
+    p = SseParser()
+    p.push(_wire("data: [DONE]"))
+    assert p.done
+    assert p.push(_wire('data: {"type": "text-delta"}')) == []
+
+
+def test_malformed_payload_surfaces_as_error_frame():
+    frames, _ = parse_stream([_wire("data: {not json}",
+                                    "data: [DONE]")])
+    assert frames[0]["type"] == "error"
+    assert "malformed" in frames[0]["message"]
+
+
+def test_non_data_fields_skipped():
+    frames, done = parse_stream([_wire(
+        "event: message\nid: 7\ndata: "
+        '{"type": "text-delta", "delta": "y"}',
+        "data: [DONE]")])
+    assert done and frames == [{"type": "text-delta", "delta": "y"}]
+
+
+def test_live_recorded_stream(tmp_path):
+    """Record a real /api/chat SSE stream from the live app and replay
+    it through the parser: the contract holds end to end."""
+    from tests.app_helpers import (create_store, drain_worker, make_app,
+                                   signup, upload_text)
+    client, ctx = make_app(tmp_path)
+    headers = signup(client)
+    store = create_store(client, headers)
+    upload_text(client, headers, store["id"],
+                "The quarterly revenue grew twelve percent driven by "
+                "cloud subscriptions. " * 6, "fin.txt")
+    drain_worker(ctx)
+    r = client.post("/api/chat", headers=headers,
+                    json_body={"question": "How did revenue grow?",
+                               "storeIds": [store["id"]]})
+    assert r.status_code == 200
+    # replay the raw bytes in awkward 7-byte reads
+    raw = r.text
+    chunks = [raw[i:i + 7] for i in range(0, len(raw), 7)]
+    frames, done = parse_stream(chunks)
+    assert done
+    types = [f["type"] for f in frames]
+    assert types[0] == "start"
+    assert "text-delta" in types and "finish" in types
+    assert types.index("text-end") < types.index("source-document")
+    text = "".join(f.get("delta", "") for f in frames
+                   if f["type"] == "text-delta")
+    assert "revenue" in text.lower()
+
+
+def test_js_twin_in_lockstep():
+    """Guard the transliteration: the browser twin must carry the same
+    wire constants and termination handling as this spec."""
+    from pathlib import Path
+    js = (Path(__file__).resolve().parents[1] / "rag_foundation_tpu"
+          / "app" / "static" / "sse.js").read_text()
+    for token in ('"data: "', "[DONE]", "malformed frame",
+                  "SseParser", "push(chunk)"):
+        assert token in js, token
+    # same frame-type universe documented in both
+    spec = (Path(__file__).resolve().parents[1] / "rag_foundation_tpu"
+            / "utils" / "sse.py").read_text()
+    for t in ("start", "text-start", "text-delta", "text-end",
+              "source-document", "error", "finish"):
+        assert t in js and t in spec, t
