@@ -1,0 +1,236 @@
+"""100M x 768 through the PRODUCT path on ONE chip (VERDICT r2 item 3).
+
+Round 2's 100M number came from benchmarks/bench_ivfpq_100m.py driving
+``ivfpq_search`` directly with a bench-only regenerated-vector re-rank.
+This bench runs the SHIPPED design end to end:
+
+  ingest  — docwalk vectors generated on device, int8-quantized, fetched
+            once, and appended to the HostArchive (the path a production
+            deployment takes: device encoder -> int8 rows -> archive)
+  build   — ``StoreIndex.bulk_load_archive`` -> the same
+            ``build_ivf_pq_streaming`` host-staged build every ivf_pq
+            rebuild uses (device encode overlapped with host scatter,
+            one donated upload)
+  serve   — ``StoreIndex.search``: device ADC top-C + host-archive int8
+            re-rank (pq_refine="host"), tail merge, dedup — the exact
+            code path behind /api/chat
+
+Ground truth is an exact f32 scan accumulated during generation (the
+f32 corpus never exists in full). Also prints the tunnel-bandwidth
+roofline for the build rate (the staged build moves ~864 B/vec over the
+axon tunnel; on-box PCIe moves the same bytes >30x faster).
+
+Usage: python benchmarks/bench_store_pq_100m.py [--n 100000000]
+       [--archive-cache /tmp/ar100m]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=100_000_000)
+    ap.add_argument("--d", type=int, default=768)
+    ap.add_argument("--nlist", type=int, default=16384)
+    ap.add_argument("--m", type=int, default=192)
+    ap.add_argument("--cap_slack", type=float, default=1.09)
+    ap.add_argument("--nprobe", type=int, default=32)
+    ap.add_argument("--q", type=int, default=1024)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--gt_sub", type=int, default=128)
+    ap.add_argument("--chunk", type=int, default=524_288)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--archive-cache", default="",
+                    help="dir holding archive.i8 + meta (skips the "
+                         "~15 min ingest phase on reruns)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from benchmarks import corpus as corpus_mod
+    from rag_foundation_tpu.engine.archive import HostArchive
+    from rag_foundation_tpu.engine.index import StoreIndex
+    from rag_foundation_tpu.ops.l2norm import l2_normalize
+
+    n, d = args.n, args.d
+    key = jax.random.key(0)
+    k_centers, k_noise, _ = jax.random.split(key, 3)
+    centers = l2_normalize(
+        jax.random.normal(k_centers, (args.nlist, d), jnp.float32))
+
+    # -- tunnel bandwidth roofline (incompressible payloads: zeros can
+    # compress over the tunnel and fake a 30x bandwidth) ------------------
+    rng = np.random.default_rng(0)
+    probe = rng.integers(-127, 127, (64 << 20,), np.int8)   # 64 MB
+    t0 = time.perf_counter()
+    dev = jnp.asarray(probe)
+    dev.block_until_ready()
+    up_bw = probe.nbytes / (time.perf_counter() - t0) / 1e6
+    dev2 = (dev ^ jnp.int8(85))          # freshly computed on device
+    dev2.block_until_ready()
+    t0 = time.perf_counter()
+    _ = np.asarray(dev2)
+    down_bw = probe.nbytes / (time.perf_counter() - t0) / 1e6
+    del dev, dev2, probe
+    log(f"tunnel bandwidth: up {up_bw:.0f} MB/s, down {down_bw:.0f} MB/s")
+
+    @jax.jit
+    def gen_q8(base):
+        v = corpus_mod.gen_docwalk_chunk(k_noise, centers,
+                                         jnp.int32(base),
+                                         chunk=args.chunk)
+        q8 = jnp.clip(jnp.round(v * 127.0), -127, 127).astype(jnp.int8)
+        return v, q8
+
+    @jax.jit
+    def gt_merge(run_vals, run_ids, q_sub, chunk_v, row_base):
+        scores = jnp.dot(q_sub, chunk_v.T,
+                         preferred_element_type=jnp.float32)
+        v, i = jax.lax.top_k(scores, args.k)
+        ids = row_base + i.astype(jnp.int32)
+        allv = jnp.concatenate([run_vals, v], axis=1)
+        alli = jnp.concatenate([run_ids, ids], axis=1)
+        nv, pos = jax.lax.top_k(allv, args.k)
+        return nv, jnp.take_along_axis(alli, pos, axis=1)
+
+    cache = args.archive_cache
+    arch_f = os.path.join(cache, "archive.i8") if cache else ""
+    meta_f = os.path.join(cache, "meta.npz") if cache else ""
+
+    if cache and os.path.exists(arch_f) and os.path.exists(meta_f):
+        log("loading cached archive")
+        arch = HostArchive(d, path=arch_f, scale=1.0 / 127.0)
+        arch._rows = np.memmap(arch_f, dtype=np.int8, mode="r+"
+                               ).reshape(-1, d)
+        arch._cap = len(arch._rows)
+        arch.n = n
+        meta = np.load(meta_f)
+        queries = np.asarray(meta["queries"])
+        exact_ids = np.asarray(meta["gt_ids"])
+        fill_mvps = float(meta["fill_mvps"])
+    else:
+        arch = HostArchive(d, path=arch_f or None, scale=1.0 / 127.0)
+        arch.reserve(n)      # one exact allocation, no growth copies
+        run_vals = jnp.full((args.gt_sub, args.k), -jnp.inf, jnp.float32)
+        run_ids = jnp.full((args.gt_sub, args.k), -1, jnp.int32)
+        queries = q_sub = None
+        row_base = 0
+        t_fill = time.perf_counter()
+        n_chunks = -(-n // args.chunk)
+        pending = None   # (q8_handle, rows) — fetch after dispatching
+        for ci in range(n_chunks):
+            mrows = min(args.chunk, n - row_base)
+            v, q8 = gen_q8(row_base)     # async dispatch: overlaps the
+            if ci == 0:                  # previous chunk's fetch below
+                qnp, _src = corpus_mod.make_queries(v, args.q, qnoise=0.2)
+                queries = np.asarray(qnp)
+                q_sub = jnp.asarray(queries[: args.gt_sub])
+            run_vals, run_ids = gt_merge(run_vals, run_ids, q_sub,
+                                         v[:mrows], row_base)
+            if pending is not None:
+                ph, prows = pending
+                arch.append(np.asarray(ph[:prows]))  # 768 B/vec fetch
+            pending = (q8, mrows)
+            row_base += mrows
+            if ci % 20 == 0 or ci == n_chunks - 1:
+                log(f"ingest {ci+1}/{n_chunks} ({row_base/1e6:.1f}M, "
+                    f"{time.perf_counter()-t_fill:.0f}s)")
+            del v
+        ph, prows = pending
+        arch.append(np.asarray(ph[:prows]))
+        del pending, ph
+        t_fill = time.perf_counter() - t_fill
+        fill_mvps = n / t_fill / 1e6
+        exact_ids = np.asarray(run_ids)
+        log(f"ingest fill: {fill_mvps:.2f}M vec/s (incl. GT merge + "
+            f"{768*n/2**30:.0f} GiB archive fetch)")
+        if cache:
+            os.makedirs(cache, exist_ok=True)
+            np.savez(meta_f, queries=queries, gt_ids=exact_ids,
+                     fill_mvps=fill_mvps)
+
+    # -- build through the product path ----------------------------------
+    idx = StoreIndex(d, mode="ivf_pq", nlist=args.nlist,
+                     nprobe=args.nprobe, pq_m=args.m, pq_packed=True,
+                     pq_refine="host", pq_cap_slack=args.cap_slack,
+                     build_threshold=1)
+    marks = {}
+
+    def progress(done, total):
+        marks.setdefault("first", (time.perf_counter(), done))
+        marks["last"] = (time.perf_counter(), done)
+
+    t0 = time.perf_counter()
+    idx.bulk_load_archive(arch, np.arange(n, dtype=np.int64),
+                          progress=progress)
+    t_build = time.perf_counter() - t0
+    (t1, d1), (t2, d2) = marks["first"], marks["last"]
+    steady_mvps = (d2 - d1) / max(1e-9, t2 - t1) / 1e6
+    dropped = int((idx.body_chunk_ids < 0).sum())
+    log(f"build: {t_build:.0f}s total; steady {steady_mvps:.2f}M vec/s; "
+        f"overflow->tail {dropped} ({dropped/n*100:.4f}%); "
+        f"tail count {idx.tail.count}")
+
+    # roofline: the staged build moves int8 rows up (768 B) and packed
+    # codes down (m/2 B) per vector
+    per_vec = 768 / up_bw + (args.m / 2) / down_bw
+    log(f"tunnel roofline: {1.0/per_vec:.2f}M vec/s for 768 B up + "
+        f"{args.m//2} B down per vector at measured bandwidth")
+
+    # -- serve through the product path ----------------------------------
+    def recall_of(ids):
+        approx = np.asarray(ids[: args.gt_sub])
+        return float(np.mean([len(set(a) & set(b)) / args.k
+                              for a, b in zip(approx, exact_ids)]))
+
+    # (a) host-refine product config
+    t0 = time.perf_counter()
+    vals, ids = idx.search(queries, args.k)
+    log(f"first search (compile): {time.perf_counter()-t0:.0f}s")
+    t0 = time.perf_counter()
+    for _ in range(args.reps):
+        vals, ids = idx.search(queries, args.k)
+    per = (time.perf_counter() - t0) / args.reps
+    qps_host = args.q / per
+    rec_host = recall_of(ids)
+    log(f"host-refine: {per*1000:.1f} ms/batch -> {qps_host:.0f} QPS, "
+        f"recall@{args.k}={rec_host:.4f}")
+
+    # (b) pure ADC (pq_refine='none' serving tier)
+    idx.pq_refine = "none"
+    t0 = time.perf_counter()
+    vals, ids = idx.search(queries, args.k)
+    log(f"ADC first (compile): {time.perf_counter()-t0:.0f}s")
+    t0 = time.perf_counter()
+    for _ in range(args.reps):
+        vals, ids = idx.search(queries, args.k)
+    per_adc = (time.perf_counter() - t0) / args.reps
+    qps_adc = args.q / per_adc
+    rec_adc = recall_of(ids)
+    idx.pq_refine = "host"
+    log(f"pure-ADC: {per_adc*1000:.1f} ms/batch -> {qps_adc:.0f} QPS, "
+        f"recall@{args.k}={rec_adc:.4f}")
+
+    print(f"RESULT n={n} qps_host_refine={qps_host:.0f} "
+          f"recall_host={rec_host:.4f} qps_adc={qps_adc:.0f} "
+          f"recall_adc={rec_adc:.4f} build_Mvps={steady_mvps:.2f} "
+          f"fill_Mvps={fill_mvps:.2f} overflow_pct={dropped/n*100:.4f} "
+          f"tunnel_up_MBs={up_bw:.0f} tunnel_down_MBs={down_bw:.0f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -129,6 +129,7 @@ class Settings(BaseModel):
     ENGINE_PQ_M: int = 48
     ENGINE_PQ_PACKED: bool = False  # 2 codes/byte (100M tier)
     ENGINE_PQ_REFINE: str = "device"  # device|host|none re-rank tier
+    ENGINE_PQ_CAP_SLACK: float = 1.5  # PQ list-capacity headroom
     #   ("host": ADC candidates re-ranked against the host int8
     #   archive — the beyond-HBM 100M tier)
     ENGINE_IVF_P: int = 4                 # per-sub-block top-p capture

@@ -168,6 +168,7 @@ class EngineRag:
             pq_m=settings.ENGINE_PQ_M,
             pq_packed=getattr(settings, 'ENGINE_PQ_PACKED', False),
             pq_refine=getattr(settings, 'ENGINE_PQ_REFINE', 'device'),
+            pq_cap_slack=getattr(settings, 'ENGINE_PQ_CAP_SLACK', 1.5),
             ivf_p=settings.ENGINE_IVF_P,
             approx_routing=settings.ENGINE_APPROX_ROUTING,
             batch_window_s=settings.ENGINE_BATCH_WINDOW_MS / 1000.0,

@@ -57,6 +57,7 @@ class EngineConfig:
     pq_m: int = 48                  # PQ subspaces (ivf_pq mode)
     pq_packed: bool = False         # nibble-packed codes
     pq_refine: str = "device"       # device|host|none re-rank tier
+    pq_cap_slack: float = 1.5       # PQ list-capacity headroom
     ivf_p: int = 4                  # per-sub-block top-p capture
     approx_routing: bool = False    # lax.approx_max_k coarse routing
     batch_window_s: float = 0.0     # >0: micro-batch concurrent searches
@@ -259,6 +260,7 @@ class Engine:
                           build_threshold=cfg.build_threshold,
                           pq_m=cfg.pq_m, pq_packed=cfg.pq_packed,
                           pq_refine=cfg.pq_refine,
+                          pq_cap_slack=cfg.pq_cap_slack,
                           ivf_p=cfg.ivf_p,
                           approx_routing=cfg.approx_routing,
                           archive_dir=archive_dir,
@@ -560,6 +562,7 @@ class Engine:
                   nprobe=cfg.nprobe, ivf_p=cfg.ivf_p,
                   pq_m=cfg.pq_m, pq_packed=cfg.pq_packed,
                   pq_refine=cfg.pq_refine,
+                  pq_cap_slack=cfg.pq_cap_slack,
                   approx_routing=cfg.approx_routing,
                   build_threshold=cfg.build_threshold,
                   archive_dir=(str(d) if cfg.data_dir else None),

@@ -50,11 +50,16 @@ class HostArchive:
         self._rows: np.ndarray | None = None
 
     # -- storage ----------------------------------------------------------
-    def _ensure(self, extra: int) -> None:
+    def reserve(self, total_rows: int) -> None:
+        """Pre-allocate EXACT capacity (bulk loads of known size — the
+        1.5x growth factor would waste tens of GB at the 100M tier)."""
+        self._ensure(max(0, total_rows - self.n), exact=True)
+
+    def _ensure(self, extra: int, *, exact: bool = False) -> None:
         need = self.n + extra
         if self._rows is not None and need <= self._cap:
             return
-        new_cap = max(_MIN_CAP, int(need * _GROW))
+        new_cap = need if exact else max(_MIN_CAP, int(need * _GROW))
         if self.path:
             os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
             grown = np.memmap(self.path + ".grow", dtype=np.int8,

@@ -119,6 +119,7 @@ class StoreIndex:
                  pq_m: int = 48, pq_nbits: int = 4,
                  pq_refine: bool | str = True,
                  pq_packed: bool = False,
+                 pq_cap_slack: float = 1.5,
                  ivf_p: int = 4, approx_routing: bool = False,
                  archive_dir: str | None = None,
                  seed: int = 0, mesh=None):
@@ -143,6 +144,10 @@ class StoreIndex:
             raise ValueError("mesh ivf_pq requires pq_refine='host' "
                              "or 'none'")
         self.pq_refine = pq_refine
+        # list-capacity headroom over the mean fill; 1.5 is generous for
+        # small stores, the 100M tier runs ~1.1 to keep the padded code
+        # table inside HBM (overflow rows re-route to the tail)
+        self.pq_cap_slack = pq_cap_slack
         self.archive_dir = archive_dir
         self._pq_archive = None   # HostArchive mirroring body row order
         self.dim = dim
@@ -364,6 +369,25 @@ class StoreIndex:
                 self._pq_archive = None
             return
         cids = np.concatenate(cid_parts)
+        self._publish_pq_build(arch, cids)
+
+    def bulk_load_archive(self, archive, chunk_ids: np.ndarray,
+                          progress=None) -> None:
+        """Bulk ingestion for ivf_pq stores: take ownership of a filled
+        HostArchive (row i holds the vector for ``chunk_ids[i]``) and
+        build+publish the body through the same streaming path rebuilds
+        use. The product API for reindex / mass import at scales where
+        per-chunk ``add()`` churn is wasteful (the 100M tier)."""
+        if self.mode != "ivf_pq":
+            raise ValueError("bulk_load_archive requires mode='ivf_pq'")
+        if archive.n != len(chunk_ids):
+            raise ValueError("archive rows != chunk_ids length")
+        self._publish_pq_build(archive, np.asarray(chunk_ids, np.int64),
+                               progress=progress)
+
+    def _publish_pq_build(self, arch, cids: np.ndarray,
+                          progress=None) -> None:
+        from rag_foundation_tpu.engine.ivfpq import build_ivf_pq_streaming
         n = arch.n
         assert n == len(cids)
         nlist = self._sized_nlist(n)
@@ -371,8 +395,8 @@ class StoreIndex:
         new_body, overflow = build_ivf_pq_streaming(
             arch.chunk_i8, n, self.dim, nlist, self.pq_m,
             key=jax.random.key(self.seed), nbits=self.pq_nbits,
-            packed=self.pq_packed, cap_slack=1.5,
-            source_scale=arch.scale, refine=refine)
+            packed=self.pq_packed, cap_slack=self.pq_cap_slack,
+            source_scale=arch.scale, refine=refine, progress=progress)
         if self.mesh is not None:
             from rag_foundation_tpu.parallel.sharded_ivf import \
                 shard_ivfpq_index
