@@ -138,6 +138,11 @@ class Settings(BaseModel):
     ENGINE_BATCH_WINDOW_MS: float = 0.0   # micro-batch admission window
     ENGINE_RECALL_AUDIT_S: float = 0.0    # >0: periodic recall audit cron
     ENGINE_MESH_SHARDS: int = 1           # corpus shards across chips
+    # engine RPC: one TPU-owning engine process, many API processes
+    # ("serve": host the engine + rpc socket; "connect": use a remote
+    # engine over the socket; "": in-process engine)
+    ENGINE_RPC_MODE: str = ""             # ""|serve|connect
+    ENGINE_RPC_SOCKET: str = ""           # default: DATA_DIR/engine.sock
 
     # ---------------------------------------------------------------------
     @field_validator("CORS_ORIGINS", "TRUSTED_PROXIES", "ALLOWED_MODELS",
@@ -210,12 +215,20 @@ class Settings(BaseModel):
         if self.ENGINE_PQ_REFINE not in {"device", "host", "none"}:
             raise ValueError(f"invalid ENGINE_PQ_REFINE "
                              f"{self.ENGINE_PQ_REFINE!r}")
+        if self.ENGINE_RPC_MODE not in {"", "serve", "connect"}:
+            raise ValueError(f"invalid ENGINE_RPC_MODE "
+                             f"{self.ENGINE_RPC_MODE!r}")
         return self
 
     # ---------------------------------------------------------------------
     @property
     def kv_path(self) -> str:
         return self.KV_PATH or str(Path(self.DATA_DIR) / "kv.db")
+
+    @property
+    def engine_rpc_socket(self) -> str:
+        return self.ENGINE_RPC_SOCKET or \
+            str(Path(self.DATA_DIR) / "engine.sock")
 
     @property
     def is_production(self) -> bool:

@@ -1,0 +1,61 @@
+"""Dedicated engine process: owns the TPU, serves the engine RPC socket.
+
+The scale-out serving topology (engine/rpc.py):
+
+    python -m rag_foundation_tpu.app.engine_main          # TPU owner
+    RAGTPU_ENGINE_RPC_MODE=connect RAGTPU_ENGINE_PLATFORM=cpu \\
+        python -m rag_foundation_tpu.app.main --port P &  # x N servers
+
+The engine here is the same one the in-process app builds
+(services/rag.engine_config_from_settings); set
+RAGTPU_ENGINE_BATCH_WINDOW_MS > 0 so concurrent searches funneled from
+every API process coalesce into batched device calls.
+
+Reference analog: none needed — the reference's provider was a remote
+HTTPS API shared across gunicorn workers by nature
+(reference docker-compose.yml:73); a local device needs this explicit
+single-owner split.
+"""
+
+from __future__ import annotations
+
+import logging
+import signal
+import threading
+
+
+def main() -> None:  # pragma: no cover — production entrypoint
+    from rag_foundation_tpu.utils.platform import pin_platform
+    pin_platform()  # RAGTPU_ENGINE_PLATFORM=cpu pins before backend init
+
+    from rag_foundation_tpu.app.config import load_settings
+    from rag_foundation_tpu.app.services.rag import \
+        engine_config_from_settings
+    from rag_foundation_tpu.app.telemetry import (configure_logging,
+                                                  log_json)
+    from rag_foundation_tpu.engine import Engine
+    from rag_foundation_tpu.engine.rpc import EngineRpcServer
+
+    settings = load_settings()
+    configure_logging()
+    engine = Engine(engine_config_from_settings(settings))
+    server = EngineRpcServer(engine, settings.engine_rpc_socket).start()
+    log_json(logging.INFO, "engine_rpc_started",
+             socket=settings.engine_rpc_socket,
+             stores=len(engine.list_stores()),
+             batch_window_ms=settings.ENGINE_BATCH_WINDOW_MS)
+
+    stop = threading.Event()
+
+    def _stop(signum, frame):
+        stop.set()
+
+    signal.signal(signal.SIGTERM, _stop)
+    signal.signal(signal.SIGINT, _stop)
+    stop.wait()
+    server.shutdown()
+    log_json(logging.INFO, "engine_rpc_stopped")
+
+
+if __name__ == "__main__":
+    main()

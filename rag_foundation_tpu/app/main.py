@@ -61,6 +61,13 @@ def build_context(settings: Settings | None = None, *, db=None, kv=None,
         return True
 
     ctx.extra["engine_probe"] = engine_probe
+    # ENGINE_RPC_MODE=serve: host the engine for sibling API processes
+    # (engine/rpc.py scale-out topology — one TPU owner, N servers)
+    if getattr(settings, "ENGINE_RPC_MODE", "") == "serve" \
+            and getattr(ctx.rag, "engine", None) is not None:
+        from rag_foundation_tpu.engine.rpc import EngineRpcServer
+        ctx.extra["engine_rpc"] = EngineRpcServer(
+            ctx.rag.engine, settings.engine_rpc_socket).start()
     # production topology (deploy/docker-compose.yml): API processes set
     # WORKER_IN_PROCESS=0 and dedicated worker_main processes drain the
     # shared sqlite queue — ingestion (encode + IVF rebuilds) then never

@@ -149,33 +149,49 @@ def _extract_sentences(question: str, hits, *, max_sentences: int = 2,
     return " ".join(out)
 
 
-class EngineRag:
-    """TPU-engine-backed RAG client."""
+def engine_config_from_settings(settings) -> EngineConfig:
+    """The one settings -> EngineConfig mapping (shared by the
+    in-process path and the dedicated engine_main process)."""
+    return EngineConfig(
+        dim=settings.ENGINE_DIM,
+        chunk_tokens=settings.ENGINE_CHUNK_TOKENS,
+        chunk_overlap=settings.ENGINE_CHUNK_OVERLAP,
+        encoder=settings.ENGINE_ENCODER,
+        encoder_ckpt=settings.ENGINE_ENCODER_CKPT or None,
+        hybrid_w=getattr(settings, "ENGINE_HYBRID_W", 0.35),
+        index_mode=settings.ENGINE_INDEX_MODE,
+        nlist=settings.ENGINE_NLIST,
+        nprobe=settings.ENGINE_NPROBE,
+        build_threshold=settings.ENGINE_BUILD_THRESHOLD,
+        pq_m=settings.ENGINE_PQ_M,
+        pq_packed=getattr(settings, 'ENGINE_PQ_PACKED', False),
+        pq_refine=getattr(settings, 'ENGINE_PQ_REFINE', 'device'),
+        pq_cap_slack=getattr(settings, 'ENGINE_PQ_CAP_SLACK', 1.5),
+        ivf_p=settings.ENGINE_IVF_P,
+        approx_routing=settings.ENGINE_APPROX_ROUTING,
+        batch_window_s=settings.ENGINE_BATCH_WINDOW_MS / 1000.0,
+        mesh_shards=settings.ENGINE_MESH_SHARDS,
+        data_dir=(str(settings.DATA_DIR) + "/engine"
+                  if settings.DATA_DIR else None),
+    )
 
-    def __init__(self, settings, engine: Engine | None = None):
+
+class EngineRag:
+    """TPU-engine-backed RAG client.
+
+    ``ENGINE_RPC_MODE=connect`` swaps the in-process Engine for a
+    RemoteEngine speaking to the one TPU-owning process
+    (engine/rpc.py) — this process then never touches the device."""
+
+    def __init__(self, settings, engine=None):
         self.settings = settings
-        self.engine = engine or Engine(EngineConfig(
-            dim=settings.ENGINE_DIM,
-            chunk_tokens=settings.ENGINE_CHUNK_TOKENS,
-            chunk_overlap=settings.ENGINE_CHUNK_OVERLAP,
-            encoder=settings.ENGINE_ENCODER,
-            encoder_ckpt=settings.ENGINE_ENCODER_CKPT or None,
-            hybrid_w=getattr(settings, "ENGINE_HYBRID_W", 0.35),
-            index_mode=settings.ENGINE_INDEX_MODE,
-            nlist=settings.ENGINE_NLIST,
-            nprobe=settings.ENGINE_NPROBE,
-            build_threshold=settings.ENGINE_BUILD_THRESHOLD,
-            pq_m=settings.ENGINE_PQ_M,
-            pq_packed=getattr(settings, 'ENGINE_PQ_PACKED', False),
-            pq_refine=getattr(settings, 'ENGINE_PQ_REFINE', 'device'),
-            pq_cap_slack=getattr(settings, 'ENGINE_PQ_CAP_SLACK', 1.5),
-            ivf_p=settings.ENGINE_IVF_P,
-            approx_routing=settings.ENGINE_APPROX_ROUTING,
-            batch_window_s=settings.ENGINE_BATCH_WINDOW_MS / 1000.0,
-            mesh_shards=settings.ENGINE_MESH_SHARDS,
-            data_dir=(str(settings.DATA_DIR) + "/engine"
-                      if settings.DATA_DIR else None),
-        ))
+        if engine is not None:
+            self.engine = engine
+        elif getattr(settings, "ENGINE_RPC_MODE", "") == "connect":
+            from rag_foundation_tpu.engine.rpc import RemoteEngine
+            self.engine = RemoteEngine(settings.engine_rpc_socket)
+        else:
+            self.engine = Engine(engine_config_from_settings(settings))
 
     # -- store lifecycle (reference: gemini_rag.py:271-304,354-424) --------
     def create_store(self, name: str, user_id: int) -> str:
