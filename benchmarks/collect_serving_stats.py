@@ -1,0 +1,106 @@
+"""Aggregate the serving-scale run's observability: per-stage chat
+budget summed across every API process (/metrics) + engine-process
+coalescing stats over the RPC socket (VERDICT r2 item 4's "where do
+the milliseconds go" table).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def parse_prom(text: str) -> dict[str, float]:
+    out: dict[str, float] = {}
+    for line in text.splitlines():
+        if line.startswith("#") or not line.strip():
+            continue
+        try:
+            name, val = line.rsplit(" ", 1)
+            out[name] = out.get(name, 0.0) + float(val)
+        except ValueError:
+            continue
+    return out
+
+
+def stage_table(metrics: dict[str, float], family: str) -> dict:
+    stages = {}
+    for key, val in metrics.items():
+        m = re.match(rf'{family}_sum{{stage="([a-z]+)"}}', key)
+        if m:
+            stages.setdefault(m.group(1), {})["sum"] = val
+        m = re.match(rf'{family}_count{{stage="([a-z]+)"}}', key)
+        if m:
+            stages.setdefault(m.group(1), {})["count"] = val
+    return {s: {"count": int(v.get("count", 0)),
+                "avg_ms": round(1000 * v.get("sum", 0.0)
+                                / max(1, v.get("count", 0)), 3)}
+            for s, v in stages.items()}
+
+
+def batch_histogram(metrics: dict[str, float]) -> dict:
+    buckets = {}
+    for key, val in metrics.items():
+        m = re.match(r'engine_search_batch_size_bucket{le="([^"]+)"}',
+                     key)
+        if m:
+            buckets[m.group(1)] = int(val)
+    count = metrics.get("engine_search_batch_size_count", 0.0)
+    total = metrics.get("engine_search_batch_size_sum", 0.0)
+    return {"device_calls": int(count),
+            "queries": int(total),
+            "avg_batch": round(total / max(1.0, count), 2),
+            "cumulative_buckets": buckets}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ports", type=int, required=True,
+                    help="first API port")
+    ap.add_argument("--n-api", type=int, required=True)
+    ap.add_argument("--socket", required=True)
+    args = ap.parse_args()
+
+    agg: dict[str, float] = {}
+    for i in range(args.n_api):
+        url = f"http://127.0.0.1:{args.ports + i}/metrics"
+        try:
+            text = urllib.request.urlopen(url, timeout=10).read().decode()
+        except OSError as e:
+            print(f"scrape {url} failed: {e}", file=sys.stderr)
+            continue
+        for k, v in parse_prom(text).items():
+            agg[k] = agg.get(k, 0.0) + v
+
+    from rag_foundation_tpu.engine.rpc import RemoteEngine
+    eng = parse_prom(RemoteEngine(args.socket).metrics_text())
+
+    out = {
+        "api_chat_stages": stage_table(agg, "chat_stage_seconds"),
+        "engine_query_stages": stage_table(
+            eng, "engine_query_stage_seconds"),
+        # as seen by the API processes: RemoteEngine search roundtrip
+        # including the admission-window wait
+        "api_search_rpc": {
+            "count": int(agg.get('engine_latency_seconds_count'
+                                 '{op="search"}', 0)),
+            "avg_ms": round(1000 * agg.get('engine_latency_seconds_sum'
+                                           '{op="search"}', 0.0)
+                            / max(1.0, agg.get(
+                                'engine_latency_seconds_count'
+                                '{op="search"}', 0.0)), 3),
+        },
+        "coalescing": batch_histogram(eng),
+    }
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,97 @@
+#!/usr/bin/env bash
+# Scale-out serving measurement (VERDICT r2 item 4): one TPU-owning
+# engine process (engine_main, QueryBatcher window on) + N CPU API
+# processes on one SO_REUSEPORT port, closed-loop chat load, per-stage
+# budget table from chat_stage_seconds + engine-side coalescing stats
+# from the RPC metrics op.
+#
+#   bash benchmarks/measure_serving_scale.sh [N_API] [USERS] [DUR_S] [SEED_DOCS]
+#
+# Kills only its own pids on exit. Engine platform: the engine process
+# takes the real TPU unless RAGTPU_ENGINE_PLATFORM=cpu is exported.
+set -euo pipefail
+N_API="${1:-6}"
+USERS="${2:-64}"
+DUR="${3:-45}"
+SEED_DOCS="${4:-40}"          # x 500 passages each
+PORT="${PORT:-8791}"
+ROOT="$(cd "$(dirname "$0")/.." && pwd)"
+RUN="/tmp/ragtpu-scale-$$"
+mkdir -p "$RUN"
+PIDS=()
+cleanup() {
+  for p in "${PIDS[@]:-}"; do kill "$p" 2>/dev/null || true; done
+  sleep 1
+  for p in "${PIDS[@]:-}"; do kill -9 "$p" 2>/dev/null || true; done
+}
+trap cleanup EXIT
+
+export PYTHONPATH="$ROOT:/root/.axon_site"
+COMMON_ENV=(
+  RAGTPU_ENVIRONMENT=development RAGTPU_DEV_LOGIN_ENABLED=true
+  RAGTPU_DATA_DIR="$RUN/data" RAGTPU_DATABASE_PATH="$RUN/db.sqlite"
+  RAGTPU_KV_BACKEND=sqlite
+  RAGTPU_ENGINE_ENCODER="${RAGTPU_ENGINE_ENCODER:-hybrid}"
+  RAGTPU_ENGINE_DIM=768
+  RAGTPU_ENGINE_ENCODER_CKPT="$ROOT/checkpoints/minilm_ict.npz"
+  RAGTPU_ENGINE_INDEX_MODE=ivf_flat_int8
+  RAGTPU_ENGINE_NLIST=256 RAGTPU_ENGINE_NPROBE=32
+  RAGTPU_ENGINE_BUILD_THRESHOLD=10000
+  RAGTPU_ENGINE_CHUNK_TOKENS=120 RAGTPU_ENGINE_CHUNK_OVERLAP=24
+  RAGTPU_RATE_LIMIT_GLOBAL_PER_MIN=10000000
+  RAGTPU_RATE_LIMIT_CHAT_PER_MIN=10000000
+  RAGTPU_RATE_LIMIT_UPLOAD_PER_MIN=10000000
+  RAGTPU_RATE_LIMIT_LOGIN_PER_MIN=1000000
+  RAGTPU_MAX_CONCURRENT_STREAMS=500
+  RAGTPU_ENGINE_RPC_SOCKET="$RUN/engine.sock"
+)
+
+echo "== engine process (batch window 4 ms)" >&2
+env "${COMMON_ENV[@]}" \
+  RAGTPU_ENGINE_BATCH_WINDOW_MS=4 \
+  python -m rag_foundation_tpu.app.engine_main > "$RUN/engine.log" 2>&1 &
+PIDS+=($!)
+for i in $(seq 1 120); do [ -S "$RUN/engine.sock" ] && break; sleep 1; done
+[ -S "$RUN/engine.sock" ] || { cat "$RUN/engine.log" >&2; exit 1; }
+
+echo "== $N_API API processes (CPU, connect mode, ports $PORT..$((PORT+N_API-1)))" >&2
+URLS=""
+for i in $(seq 0 $((N_API-1))); do
+  WORKER=0; [ "$i" = 0 ] && WORKER=1   # proc 0 drains the ingest queue
+  env "${COMMON_ENV[@]}" \
+    RAGTPU_ENGINE_PLATFORM=cpu RAGTPU_ENGINE_RPC_MODE=connect \
+    RAGTPU_WORKER_IN_PROCESS=$WORKER \
+    python -m rag_foundation_tpu.app.main --port "$((PORT+i))" \
+    > "$RUN/api-$i.log" 2>&1 &
+  PIDS+=($!)
+  URLS="$URLS,http://127.0.0.1:$((PORT+i))"
+done
+URLS="${URLS#,}"
+for i in $(seq 0 $((N_API-1))); do
+  for t in $(seq 1 60); do
+    curl -sf "http://127.0.0.1:$((PORT+i))/ready" >/dev/null && break
+    sleep 1
+  done
+done
+curl -sf "http://127.0.0.1:$PORT/health" >&2; echo >&2
+
+echo "== seeding corpus through the API (${SEED_DOCS} docs x 500 passages)" >&2
+python "$ROOT/benchmarks/seed_serving_store.py" \
+  --base-url "http://127.0.0.1:$PORT" --docs "$SEED_DOCS" >&2
+
+echo "== warmup (compiles the search signatures)" >&2
+python -m rag_foundation_tpu.benchmark.loadgen \
+  --base-url "$URLS" \
+  --users 8 --duration 10 --chat-ratio 1.0 --think 0 >/dev/null
+
+echo "== closed-loop chat load: $USERS users, ${DUR}s" >&2
+python -m rag_foundation_tpu.benchmark.loadgen \
+  --base-url "$URLS" \
+  --users "$USERS" --duration "$DUR" --chat-ratio 1.0 --think 0 \
+  | tee "$RUN/loadgen.json"
+
+echo "== per-stage budget (summed across API processes)" >&2
+python "$ROOT/benchmarks/collect_serving_stats.py" \
+  --ports "$PORT" --n-api "$N_API" --socket "$RUN/engine.sock" \
+  | tee "$RUN/stages.json"
+echo "logs in $RUN" >&2

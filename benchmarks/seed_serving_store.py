@@ -1,0 +1,57 @@
+"""Seed the serving-scale store through the real API (uploads + the
+ingest worker), so the load test retrieves against a populated index.
+
+Each doc carries 500 unique-fact passages; retrieval correctness stays
+observable in citations under load.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from rag_foundation_tpu.benchmark.runner import ApiClient  # noqa: E402
+
+
+def doc_text(di: int, passages: int = 500) -> str:
+    out = []
+    for i in range(passages):
+        pid = di * passages + i
+        out.append(
+            f"Operations passage {pid}. The codename for project "
+            f"number {pid} is ZEBRA{pid * 7}. It runs in sector "
+            f"{pid % 31} with priority {pid % 9} and reports to team "
+            f"{pid % 13}. Quarterly revenue for unit {pid} grew "
+            f"{pid % 19 + 1} percent.")
+    return "\n".join(out)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base-url", required=True)
+    ap.add_argument("--docs", type=int, default=40)
+    ap.add_argument("--email", default="load@example.com")
+    ap.add_argument("--password", default="Load-Passw0rd-1")
+    args = ap.parse_args()
+
+    client = ApiClient.from_credentials(args.base_url, args.email,
+                                        args.password, register=True)
+    store = client.ensure_store("load-test")
+    with tempfile.TemporaryDirectory() as td:
+        for di in range(args.docs):
+            p = Path(td) / f"ops-{di}.txt"
+            p.write_text(doc_text(di))
+            client.upload_and_poll(store["id"], p, timeout_s=600)
+            if di % 10 == 0 or di == args.docs - 1:
+                print(f"seeded doc {di + 1}/{args.docs}",
+                      file=sys.stderr, flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -318,6 +318,7 @@ def register(app, ctx):
 
     @app.post("/api/chat")
     async def chat_stream(req):
+        t_pre = time.perf_counter()
         user = get_current_user(req, db, ctx.kv, settings)
         try:
             body = ChatRequest(**json_object(req))
@@ -362,9 +363,14 @@ def register(app, ctx):
         meta_filter = validate_metadata_filter(
             body.resolved_metadata_filter, settings)
 
+        metrics.chat_stage_seconds.labels("preamble").observe(
+            time.perf_counter() - t_pre)
+        t_sess = time.perf_counter()
         session_id = _ensure_session(
             db, user.id, stores[0]["id"], body.resolved_session_id, question)
         _persist_message(db, session_id, user.id, "user", question)
+        metrics.chat_stage_seconds.labels("session").observe(
+            time.perf_counter() - t_sess)
         engine_keys = [s["engine_key"] for s in stores]
         message_id = f"msg-{uuid.uuid4().hex[:12]}"
         text_id = f"txt-{uuid.uuid4().hex[:12]}"
@@ -395,6 +401,7 @@ def register(app, ctx):
                 emitted = False
                 attempts = max(1, settings.STREAM_RETRY_ATTEMPTS)
                 for attempt in range(attempts):
+                    t_eng = time.perf_counter()
                     try:
                         deltas, result = await asyncio.to_thread(
                             functools.partial(
@@ -402,6 +409,8 @@ def register(app, ctx):
                                 model=model, history=history,
                                 top_k=top_k, doc_filter=doc_filter,
                                 metadata_filter=meta_filter))
+                        metrics.chat_stage_seconds.labels(
+                            "engine").observe(time.perf_counter() - t_eng)
                     except RagError as e:
                         if attempt + 1 < attempts:
                             continue  # retry-on-transient
@@ -496,9 +505,12 @@ def register(app, ctx):
                     yield frame
                 yield _finish_frame(prompt_tokens, completion_tokens, model)
                 yield sse_frame("[DONE]")
+                metrics.chat_stage_seconds.labels("stream").observe(
+                    time.perf_counter() - t_start)
             finally:
                 if acquired and sem is not None:
                     sem.release()
+                t_fin = time.perf_counter()
                 # finalize: usage + cost ledger + assistant persist
                 # (reference: chat.py:653-788)
                 try:
@@ -528,6 +540,8 @@ def register(app, ctx):
                     if answer_parts:
                         _persist_message(db, session_id, user.id,
                                          "assistant", "".join(answer_parts))
+                    metrics.chat_stage_seconds.labels(
+                        "finalize").observe(time.perf_counter() - t_fin)
                     log_json(logging.INFO, "chat_complete",
                              dur_ms=int((time.perf_counter() - t_start)
                                         * 1000),

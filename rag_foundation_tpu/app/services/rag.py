@@ -274,7 +274,10 @@ class EngineRag:
                                 for m in (history or []))
         result.prompt_tokens = estimate_tokens_from_text(
             question + " " + history_text)
+        t0 = time.perf_counter()
         answer = self._compose_answer(question, hits)
+        metrics.engine_latency_seconds.labels("compose").observe(
+            time.perf_counter() - t0)
         result.citations = [{
             "index": i,
             "title": h.doc_name,

@@ -73,7 +73,9 @@ def _user_loop(client: ApiClient, store_id: int, stop: threading.Event,
 
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--base-url", required=True)
+    ap.add_argument("--base-url", required=True,
+                    help="target URL, or comma-separated URLs for a "
+                         "multi-process topology (users round-robin)")
     ap.add_argument("--users", type=int, default=4)
     ap.add_argument("--duration", type=float, default=30.0)
     ap.add_argument("--email", default="load@example.com")
@@ -88,17 +90,19 @@ def main() -> None:
                     " capacity test)")
     args = ap.parse_args()
 
-    client = ApiClient.from_credentials(args.base_url, args.email,
-                                        args.password,
-                                        register=args.register)
-    store = client.ensure_store("load-test")
+    urls = [u.strip() for u in args.base_url.split(",") if u.strip()]
+    clients = [ApiClient.from_credentials(u, args.email, args.password,
+                                          register=(args.register
+                                                    and i == 0))
+               for i, u in enumerate(urls)]
+    store = clients[0].ensure_store("load-test")
     args.tmp.mkdir(parents=True, exist_ok=True)
     stats = _Stats()
     stop = threading.Event()
     threads = [
         threading.Thread(target=_user_loop,
-                         args=(client, store["id"], stop, stats,
-                               random.Random(i), args.tmp,
+                         args=(clients[i % len(clients)], store["id"],
+                               stop, stats, random.Random(i), args.tmp,
                                args.chat_ratio, args.think), daemon=True)
         for i in range(args.users)]
     t0 = time.time()

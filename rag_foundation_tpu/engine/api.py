@@ -397,6 +397,9 @@ class Engine:
         from rag_foundation_tpu.app import metrics as _metrics
         from rag_foundation_tpu.utils.profiling import StageTimer, maybe_trace
         timer = StageTimer(histogram=_metrics.query_stage_seconds)
+        # coalescing evidence for the micro-batcher (RPC topology:
+        # searches funnel here from every API process)
+        _metrics.search_batch_size.observe(len(queries))
         with timer.stage("embed"):
             qv = self.encoder.encode(queries)
         filtered = doc_filter is not None or meta_filter is not None

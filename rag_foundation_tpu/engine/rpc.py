@@ -74,7 +74,7 @@ def _recv_exact(sock: socket.socket, n: int) -> bytes | None:
 
 _OPS = ("ping", "list_stores", "create_store", "delete_store",
         "has_store", "store_stats", "ingest_document", "delete_document",
-        "search", "recall_probe")
+        "search", "recall_probe", "metrics_text")
 
 
 class EngineRpcServer:
@@ -172,6 +172,14 @@ class EngineRpcServer:
     def _op_recall_probe(self, req):
         return self.engine.recall_probe(
             req["key"], k=req.get("k", 10), sample=req.get("sample", 32))
+
+    def _op_metrics_text(self, req):
+        """Engine-process Prometheus exposition (batch-size histogram,
+        per-stage query latency) — the engine_main process has no HTTP
+        listener, so observability rides the RPC socket."""
+        from prometheus_client import generate_latest
+        from rag_foundation_tpu.app.metrics import registry
+        return generate_latest(registry).decode()
 
 
 # ---------------------------------------------------------------------------
@@ -272,3 +280,6 @@ class RemoteEngine:
     def recall_probe(self, key: str, *, k: int = 10, sample: int = 32
                      ) -> dict:
         return self._call("recall_probe", key=key, k=k, sample=sample)
+
+    def metrics_text(self) -> str:
+        return self._call("metrics_text")

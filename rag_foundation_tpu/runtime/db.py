@@ -45,6 +45,13 @@ class Database:
         else:
             conn = sqlite3.connect(self.path, timeout=30)
             conn.execute("PRAGMA journal_mode=WAL")
+            # WAL + NORMAL is the durable-fast pairing: commits stop
+            # fsyncing the WAL on every transaction (app crash loses
+            # nothing; only an OS crash can drop the last batch). FULL
+            # cost ~40-50 ms per chat finalize on this disk — the bulk
+            # of the round-2 55.9 req/s serving wall (ENGINE.md budget
+            # table)
+            conn.execute("PRAGMA synchronous=NORMAL")
         conn.execute("PRAGMA foreign_keys=ON")
         conn.execute("PRAGMA busy_timeout=30000")
         conn.row_factory = sqlite3.Row

@@ -120,6 +120,9 @@ class SqliteKV:
         if c is None:
             c = sqlite3.connect(self.path, timeout=30)
             c.execute("PRAGMA journal_mode=WAL")
+            # rate-limit buckets + jti cache are hot-path writes; NORMAL
+            # skips the per-commit WAL fsync (see runtime/db.py note)
+            c.execute("PRAGMA synchronous=NORMAL")
             c.execute("PRAGMA busy_timeout=30000")
             self._local.conn = c
         return c
