@@ -216,7 +216,16 @@ def train_ict(args) -> None:
         # sample CHUNKS then a view per draw: sampling raw rows could
         # put both views of one chunk in a batch, making an exact copy
         # of a query's positive act as an in-batch negative
-        cidx = jax.random.randint(k, (args.batch,), 0, n_chunks_t)
+        if args.hard_neg:
+            # adjacent chunks come from the same source passage stream
+            # (load_chunks emits docs sequentially): pairing i with i+1
+            # fills the batch with near-duplicate topics — the in-batch
+            # negatives the contrastive loss actually learns from
+            half = args.batch // 2
+            base_idx = jax.random.randint(k, (half,), 0, n_chunks_t - 1)
+            cidx = jnp.concatenate([base_idx, base_idx + 1])
+        else:
+            cidx = jax.random.randint(k, (args.batch,), 0, n_chunks_t)
         view = jax.random.bernoulli(jax.random.fold_in(k, 1),
                                     shape=(args.batch,))
         idx = cidx + view.astype(jnp.int32) * n_chunks_t
@@ -336,6 +345,9 @@ def main() -> None:
     ap.add_argument("--q-len", type=int, default=32)
     ap.add_argument("--d-len", type=int, default=128)
     ap.add_argument("--steps-per-call", type=int, default=50)
+    ap.add_argument("--hard-neg", action="store_true",
+                    help="batch adjacent same-source chunks as hard "
+                         "in-batch negatives")
     ap.add_argument("--max-len", type=int, dest="q_len_legacy",
                     default=None, help="(legacy alias of --q-len)")
     ap.add_argument("--out", default="/tmp/minilm_finetuned.npz")
