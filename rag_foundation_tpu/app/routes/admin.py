@@ -67,7 +67,7 @@ def register(app, ctx):
         if not sets:
             raise HTTPError(422, "Nothing to update")
         params.append(uid)
-        db.execute(f"UPDATE users SET {', '.join(sets)} WHERE id=?",
+        db.execute(f"UPDATE users SET {', '.join(sets)} WHERE id=?",  # sql-ok: sets are literal fragments, values bound
                    tuple(params))
         record_admin_action(db, admin_user_id=admin.id, action="user_update",
                             target=str(uid), detail=";".join(changes))
@@ -110,7 +110,7 @@ def register(app, ctx):
         counts = {}
         for table in ("users", "stores", "documents", "query_log",
                       "chat_sessions"):
-            counts[table] = db.one(
+            counts[table] = db.one(  # sql-ok: table from a literal tuple
                 f"SELECT COUNT(*) AS n FROM {table}")["n"]
         counts["documents_by_status"] = {
             r["status"]: r["n"] for r in db.query(

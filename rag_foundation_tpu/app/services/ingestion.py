@@ -66,7 +66,7 @@ def _set_status(db, document_id: int, status: str,
         sets.append("engine_doc_id=?")
         params.append(engine_doc_id)
     params.append(document_id)
-    db.execute(f"UPDATE documents SET {', '.join(sets)} WHERE id=?",
+    db.execute(f"UPDATE documents SET {', '.join(sets)} WHERE id=?",  # sql-ok: literal fragments, values bound
                tuple(params))
 
 
@@ -179,7 +179,7 @@ def reset_stuck_documents(db, settings, *,
         id_guard = f" AND id IN ({','.join('?' * len(only_ids))})"
         id_args = tuple(only_ids)
     with db.tx() as conn:
-        cur = conn.execute(
+        cur = conn.execute(  # sql-ok: literal fragments, values bound
             "UPDATE documents SET status=?, status_updated_at=?,"
             " last_error=CASE WHEN ? = 'ERROR' THEN 'watchdog: stale RUNNING'"
             " ELSE last_error END"

@@ -112,7 +112,7 @@ class Database:
             current = conn.execute("PRAGMA user_version").fetchone()[0]
             for i, script in enumerate(migrations[current:], start=current + 1):
                 conn.executescript(script)
-                conn.execute(f"PRAGMA user_version = {i}")
+                conn.execute(f"PRAGMA user_version = {i}")  # sql-ok: int index
                 conn.commit()
             return len(migrations)
 

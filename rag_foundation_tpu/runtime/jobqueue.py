@@ -107,7 +107,7 @@ class JobQueue:
                 if cur is None or cur["claim_token"] != claim_token:
                     return  # lease lost; the new owner reports
             if error is None:
-                conn.execute(
+                conn.execute(  # sql-ok: placeholder list, values bound
                     "UPDATE jobs SET status='done', finished_at=?, error=NULL"
                     " WHERE id=?" + guard,
                     (self._clock(), job_id) + gargs)
@@ -121,7 +121,7 @@ class JobQueue:
                 delay = 0.0 if terminal else min(
                     self.retry_backoff_s,
                     2.0 ** row["attempts"]) * (0.5 + random.random())
-                conn.execute(
+                conn.execute(  # sql-ok: guard is a placeholder fragment
                     "UPDATE jobs SET status=?, finished_at=?, error=?,"
                     " leased_until=NULL, not_before=? WHERE id=?" + guard,
                     ("error" if terminal else "queued",

@@ -1,0 +1,101 @@
+"""AST lint: no dynamically-built SQL reaches the database layer.
+
+CodeQL-analog for the audit runner (the reference ran CodeQL's
+python-security suite in CI, /root/reference/.github/workflows/
+security.yml; this image has no CodeQL, so the highest-value query —
+SQL built from interpolation — is reimplemented on the AST).
+
+Flags calls to db-layer methods (execute / executemany / query / one /
+scalar) whose SQL argument is an f-string, a string concatenation with
+non-literal parts, a %-format, or a .format() call. Literal
+concatenation ("SELECT ..." "..." adjacency or + between constants) is
+fine; parameter binding is the only accepted way to pass values.
+
+Annotate a reviewed exception with `# sql-ok` on the call line.
+"""
+
+from __future__ import annotations
+
+import ast
+import sys
+from pathlib import Path
+
+DB_METHODS = {"execute", "executemany", "query", "one", "scalar"}
+
+
+def _is_static_str(node: ast.AST) -> bool:
+    if isinstance(node, ast.Constant) and isinstance(node.value, str):
+        return True
+    if isinstance(node, ast.BinOp) and isinstance(node.op, ast.Add):
+        return _is_static_str(node.left) and _is_static_str(node.right)
+    if isinstance(node, ast.Name):  # module-level SQL constants
+        return node.id.isupper() or node.id.startswith("_SQL")
+    return False
+
+
+def _dynamic_sql(node: ast.AST) -> bool:
+    if isinstance(node, ast.JoinedStr):          # f-string
+        return any(isinstance(v, ast.FormattedValue)
+                   for v in node.values)
+    if isinstance(node, ast.BinOp):
+        if isinstance(node.op, ast.Mod):         # "..." % x
+            return _looks_like_sql(node.left)
+        if isinstance(node.op, ast.Add):         # "..." + var
+            return not _is_static_str(node)
+    if isinstance(node, ast.Call) \
+            and isinstance(node.func, ast.Attribute) \
+            and node.func.attr == "format":      # "...".format(x)
+        return _looks_like_sql(node.func.value)
+    return False
+
+
+def _looks_like_sql(node: ast.AST) -> bool:
+    if isinstance(node, ast.Constant) and isinstance(node.value, str):
+        s = node.value.upper()
+        return any(kw in s for kw in ("SELECT", "INSERT", "UPDATE",
+                                      "DELETE", "CREATE", "PRAGMA"))
+    if isinstance(node, ast.JoinedStr):
+        return any(isinstance(v, ast.Constant)
+                   and _looks_like_sql(v) for v in node.values)
+    if isinstance(node, ast.BinOp):
+        return _looks_like_sql(node.left) or _looks_like_sql(node.right)
+    return False
+
+
+def scan(path: Path) -> list[str]:
+    src = path.read_text()
+    lines = src.splitlines()
+    findings = []
+    try:
+        tree = ast.parse(src)
+    except SyntaxError as e:
+        return [f"{path}:{e.lineno}: unparseable ({e.msg})"]
+    for node in ast.walk(tree):
+        if not (isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr in DB_METHODS and node.args):
+            continue
+        sql = node.args[0]
+        if _dynamic_sql(sql) and _looks_like_sql(sql):
+            line = lines[node.lineno - 1] if node.lineno <= len(lines) \
+                else ""
+            if "# sql-ok" in line:
+                continue
+            findings.append(f"{path}:{node.lineno}: dynamically built "
+                            f"SQL passed to .{node.func.attr}()")
+    return findings
+
+
+def main() -> int:
+    root = Path(__file__).resolve().parents[1] / "rag_foundation_tpu"
+    findings: list[str] = []
+    for p in sorted(root.rglob("*.py")):
+        findings.extend(scan(p))
+    for f in findings:
+        print(f)
+    print(f"sql-pattern scan: {len(findings)} finding(s)")
+    return 1 if findings else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -19,9 +19,9 @@ step "admin route patterns (audit + rate limit)"
 python scripts/check_admin_patterns.py || FAIL=1
 
 step "dangerous-pattern scan (bandit analog)"
-# eval/exec/pickle/shell=True in product code; tests and this script are
-# out of scope. yaml.load is absent (no pyyaml dependency).
-if grep -rnE '\beval\(|\bexec\(|pickle\.loads?\(|shell=True' \
+# eval/exec/pickle/shell=True/os.system/mktemp/yaml.load/verify=False in
+# product code; tests and this script are out of scope.
+if grep -rnE '\beval\(|\bexec\(|pickle\.loads?\(|shell=True|os\.system\(|tempfile\.mktemp\b|yaml\.load\(|verify=False' \
     rag_foundation_tpu/ --include='*.py' \
     | grep -v '# audit-ok'; then
   echo "dangerous pattern found (annotate '# audit-ok' only with review)"
@@ -30,12 +30,33 @@ else
   echo "clean"
 fi
 
+step "SQL construction lint (CodeQL analog, AST-based)"
+python scripts/check_sql_patterns.py || FAIL=1
+
+step "egress-surface scan (supply-chain analog)"
+# the product tree is zero-egress by design: no HTTP client libraries
+# may appear outside the benchmark/ clients
+if grep -rnE '^\s*(import|from)\s+(requests|httpx|aiohttp|urllib\.request|http\.client)\b' \
+    rag_foundation_tpu/ --include='*.py' \
+    | grep -v 'rag_foundation_tpu/benchmark/' | grep -v '# audit-ok'; then
+  echo "unexpected network-client import in product code"
+  FAIL=1
+else
+  echo "clean"
+fi
+
 step "secret scan (gitleaks analog)"
-# long hex/base64 literals assigned to secret-ish names in the tree
+# long hex/base64 literals assigned to secret-ish names, cloud key ids,
+# and PEM private-key blocks anywhere in the tree
 if grep -rnEi '(secret|password|api_key|token)\s*=\s*["'"'"'][A-Za-z0-9+/=_-]{24,}' \
     rag_foundation_tpu/ scripts/ --include='*.py' \
     | grep -v '# audit-ok'; then
   echo "possible hardcoded secret"
+  FAIL=1
+elif grep -rnE 'AKIA[0-9A-Z]{16}|-----BEGIN (RSA |EC |OPENSSH )?PRIVATE KEY' \
+    rag_foundation_tpu/ scripts/ deploy/ docs/ 2>/dev/null \
+    | grep -v '# audit-ok'; then
+  echo "credential material found in the tree"
   FAIL=1
 else
   echo "clean"
