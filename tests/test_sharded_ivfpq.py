@@ -108,6 +108,32 @@ def test_sharded_append_is_o_batch(corpus, mesh8):
     assert list(np.asarray(rows)[:, 0]) == list(range(6100, 6110))
 
 
+def test_mesh_store_ivfpq_end_to_end(corpus, mesh8):
+    """StoreIndex mode=ivf_pq on a mesh: rebuild shards the streamed
+    body, search routes through sharded_ivfpq_search + the host-archive
+    re-rank (the beyond-HBM sharded serving path)."""
+    v, _ = corpus
+    idx = StoreIndex(D, mode="ivf_pq", nlist=NLIST, nprobe=16,
+                     build_threshold=4000, pq_m=16, pq_packed=True,
+                     pq_refine="host", mesh=mesh8)
+    idx.add(v[:4096], np.arange(4096))
+    assert idx.body is not None
+    # the codes array is list-dim sharded over the mesh
+    from jax.sharding import NamedSharding
+    sh = idx.body.codes.sharding
+    assert isinstance(sh, NamedSharding) and "shard" in sh.spec
+    _, ids = idx.search(v[100:104], 5)
+    assert list(ids[:, 0]) == [100, 101, 102, 103]
+    # checkpoint round-trip keeps the sharded layout + archive
+    st = idx.body_state()
+    back = StoreIndex(D, mode="ivf_pq", nlist=NLIST, nprobe=16,
+                      build_threshold=4000, pq_m=16, pq_packed=True,
+                      pq_refine="host", mesh=mesh8)
+    back.restore_body(st)
+    _, ids2 = back.search(v[100:104], 5)
+    np.testing.assert_array_equal(ids, ids2)
+
+
 def test_mesh_store_flush_appends_not_rebuilds(corpus, mesh8):
     v, _ = corpus
     idx = StoreIndex(D, mode="ivf_flat", nlist=NLIST, nprobe=16,
