@@ -106,8 +106,15 @@ class Database:
 
     # -- migrations --------------------------------------------------------
     def migrate(self, migrations: list[str]) -> int:
-        """Apply ordered migration scripts past the current user_version."""
-        with self._write_lock:
+        """Apply ordered migration scripts past the current user_version.
+
+        Cross-process safe: N processes may point at one fresh DB file
+        (the SO_REUSEPORT scale-out topology boots every API process at
+        once); ``executescript`` commits implicitly so sqlite's own tx
+        locking can't serialize whole scripts — an OS-level file lock
+        around the version check + apply does.
+        """
+        with self._write_lock, self._migrate_lock():
             conn = self.conn
             current = conn.execute("PRAGMA user_version").fetchone()[0]
             for i, script in enumerate(migrations[current:], start=current + 1):
@@ -115,6 +122,20 @@ class Database:
                 conn.execute(f"PRAGMA user_version = {i}")  # sql-ok: int index
                 conn.commit()
             return len(migrations)
+
+    @contextmanager
+    def _migrate_lock(self) -> Iterator[None]:
+        if self._memory:          # single-process by construction
+            yield
+            return
+        import fcntl
+        lock_path = self.path + ".migrate.lock"
+        with open(lock_path, "w") as f:
+            fcntl.flock(f, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(f, fcntl.LOCK_UN)
 
     def ping(self) -> bool:
         try:

@@ -159,6 +159,35 @@ def test_db_migrations_and_tx(tmp_path):
     assert db.ping()
 
 
+def test_db_concurrent_process_migration(tmp_path):
+    """N processes booting one fresh DB must not race the migrations
+    (the SO_REUSEPORT scale-out topology starts every API process at
+    once against a shared DATABASE_PATH)."""
+    import multiprocessing as mp
+
+    path = str(tmp_path / "race.db")
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue()
+    ps = [ctx.Process(target=_migrate_boot, args=(path, q))
+          for _ in range(6)]
+    for p in ps:
+        p.start()
+    for p in ps:
+        p.join(60)
+    results = [q.get(timeout=5) for _ in ps]
+    assert results == ["ok"] * len(ps), results
+
+
+def _migrate_boot(path, q):  # top-level: must be picklable for spawn
+    try:
+        from rag_foundation_tpu.app.dbschema import MIGRATIONS
+        from rag_foundation_tpu.runtime.db import Database
+        Database(path, migrations=MIGRATIONS)
+        q.put("ok")
+    except Exception as e:  # pragma: no cover - failure detail for CI
+        q.put(f"fail: {type(e).__name__}: {e}")
+
+
 def test_db_memory_shared_across_threads():
     db = Database(":memory:", migrations=["CREATE TABLE t(a INTEGER);"])
     db.execute("INSERT INTO t VALUES (42)")
