@@ -79,6 +79,21 @@ echo "== seeding corpus through the API (${SEED_DOCS} docs x 500 passages)" >&2
 python "$ROOT/benchmarks/seed_serving_store.py" \
   --base-url "http://127.0.0.1:$PORT" --docs "$SEED_DOCS" >&2
 
+if [ -n "${PAD_N:-}" ]; then
+  echo "== padding the store's index to ~$PAD_N vectors (synthetic," >&2
+  echo "   metadata-less rows; the device scan does real ${PAD_N}-row work" >&2
+  echo "   while queries/citations stay on the seeded text chunks)" >&2
+  python - "$RUN/engine.sock" "$PAD_N" <<'EOF' >&2
+import sys, time
+from rag_foundation_tpu.engine.rpc import RemoteEngine
+eng = RemoteEngine(sys.argv[1], timeout=3600)
+key = [k for k in eng.list_stores()][0]
+t0 = time.time()
+print("pad:", eng.pad_store(key, int(sys.argv[2])),
+      f"({time.time()-t0:.0f}s)")
+EOF
+fi
+
 echo "== warmup (compiles the search signatures)" >&2
 python -m rag_foundation_tpu.benchmark.loadgen \
   --base-url "$URLS" \

@@ -39,7 +39,9 @@ def main() -> None:  # pragma: no cover — production entrypoint
     settings = load_settings()
     configure_logging()
     engine = Engine(engine_config_from_settings(settings))
-    server = EngineRpcServer(engine, settings.engine_rpc_socket).start()
+    server = EngineRpcServer(
+        engine, settings.engine_rpc_socket,
+        allow_pad=settings.ENVIRONMENT != "production").start()
     log_json(logging.INFO, "engine_rpc_started",
              socket=settings.engine_rpc_socket,
              stores=len(engine.list_stores()),

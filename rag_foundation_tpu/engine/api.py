@@ -169,6 +169,7 @@ class Engine:
                             "ENGINE_CHUNK_TOKENS or retrain with a "
                             "longer max_len")
         self._stores: dict[str, _Store] = {}
+        self._pad_counts: dict[str, int] = {}   # bench pads (pad_store)
         self._registry_lock = threading.Lock()
         if self.config.data_dir:
             self._load_all()
@@ -403,7 +404,12 @@ class Engine:
         with timer.stage("embed"):
             qv = self.encoder.encode(queries)
         filtered = doc_filter is not None or meta_filter is not None
-        fetch = k if not filtered else max(4 * k, 32)
+        # padded stores (bench pad_store) drop metadata-less rows in
+        # assembly below — over-fetch so k real hits usually survive
+        if filtered or self._pad_counts:
+            fetch = max(4 * k, 32)
+        else:
+            fetch = k
 
         def _meta_ok(meta) -> bool:
             if meta_filter is None:
@@ -455,6 +461,57 @@ class Engine:
         """Batched raw search for benchmarking: (scores [Q,k], chunk_ids)."""
         qv = self.encoder.encode(queries)
         return self._store(store_key).segment.search(qv, k)
+
+    # Synthetic pad ids start far above any real chunk id so they can
+    # never collide with ingested chunks (and stay within int32 for the
+    # index's row/id plumbing).
+    PAD_ID_BASE = 1 << 24
+
+    def pad_store(self, store_key: str, n: int, *, batch: int = 1 << 19,
+                  seed: int = 0) -> dict:
+        """Bench/dev only: append ``n`` synthetic metadata-less vectors.
+
+        Serving measurements need the ENGINE leg of a chat request to
+        scan a production-scale corpus, but seeding 10M chunks of real
+        text through the API is days of ingest and ~3 GB of sqlite —
+        so the scale harness seeds a few thousand REAL chunks (queries,
+        citations and snippets stay honest) and pads the index to the
+        target vector count with clustered synthetic rows. Pad rows
+        have no ``_ChunkMeta`` so hit assembly skips them
+        (``_search_group``); they exist purely to make the device scan
+        do 10M-row work. Not persisted intentionally: pads vanish on
+        restart. Gated to non-production via the RPC layer.
+        """
+        if n <= 0:
+            return {"padded": 0}
+        d = self.config.dim
+        rng = np.random.default_rng(seed)
+        ncenters = 1024
+        centers = rng.standard_normal((ncenters, d), dtype=np.float32)
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        with self._mutation_lock(store_key):
+            store = self._store(store_key)
+            with store.lock:
+                if store.next_chunk_id >= self.PAD_ID_BASE:
+                    raise ValueError("store too large to pad safely")
+                base = self.PAD_ID_BASE + self._pad_counts.get(
+                    store_key, 0)       # repeat pads never reuse ids
+                done = 0
+                while done < n:
+                    m = int(min(batch, n - done))
+                    cid = rng.integers(0, ncenters, m)
+                    v = centers[cid] + rng.standard_normal(
+                        (m, d), dtype=np.float32) * np.float32(0.35)
+                    v /= np.linalg.norm(v, axis=1, keepdims=True)
+                    ids = np.arange(base + done, base + done + m,
+                                    dtype=np.int64)
+                    store.segment.add(v, ids)
+                    done += m
+                self._pad_counts[store_key] = \
+                    self._pad_counts.get(store_key, 0) + done
+                if store.segment.mode != "exact":
+                    store.segment.rebuild()  # body sized for the final N
+        return {"padded": int(n), "vectors": store.segment.count}
 
     def recall_probe(self, store_key: str, *, sample: int = 32,
                      k: int = 10, seed: int = 0) -> dict:

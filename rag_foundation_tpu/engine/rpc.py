@@ -74,15 +74,16 @@ def _recv_exact(sock: socket.socket, n: int) -> bytes | None:
 
 _OPS = ("ping", "list_stores", "create_store", "delete_store",
         "has_store", "store_stats", "ingest_document", "delete_document",
-        "search", "recall_probe", "metrics_text")
+        "search", "recall_probe", "metrics_text", "pad_store")
 
 
 class EngineRpcServer:
     """Threaded unix-socket server wrapping a live Engine."""
 
-    def __init__(self, engine, path: str):
+    def __init__(self, engine, path: str, *, allow_pad: bool = False):
         self.engine = engine
         self.path = path
+        self.allow_pad = allow_pad     # bench/dev only; never in prod
         if os.path.exists(path):
             os.unlink(path)
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
@@ -172,6 +173,16 @@ class EngineRpcServer:
     def _op_recall_probe(self, req):
         return self.engine.recall_probe(
             req["key"], k=req.get("k", 10), sample=req.get("sample", 32))
+
+    def _op_pad_store(self, req):
+        """Bench/dev: pad a store's index with synthetic metadata-less
+        vectors so serving runs scan a production-scale corpus
+        (Engine.pad_store). Refused unless the server was started with
+        allow_pad (engine_main enables it outside production)."""
+        if not self.allow_pad:
+            raise PermissionError("pad_store disabled on this server")
+        return self.engine.pad_store(req["key"], int(req["n"]),
+                                     seed=int(req.get("seed", 0)))
 
     def _op_metrics_text(self, req):
         """Engine-process Prometheus exposition (batch-size histogram,
@@ -283,3 +294,6 @@ class RemoteEngine:
 
     def metrics_text(self) -> str:
         return self._call("metrics_text")
+
+    def pad_store(self, key: str, n: int, *, seed: int = 0) -> dict:
+        return self._call("pad_store", key=key, n=n, seed=seed)

@@ -129,3 +129,41 @@ def test_engine_rag_connect_mode(tmp_path):
         assert res.citations
     finally:
         server.shutdown()
+
+
+def test_pad_store_gate_and_behavior(tmp_path):
+    """pad_store: refused without allow_pad; with it, the index gains
+    metadata-less rows that searches scan but never surface as hits."""
+    from rag_foundation_tpu.engine.rpc import EngineRpcError
+
+    engine = Engine(EngineConfig(dim=256, index_mode="ivf_flat_int8",
+                                 nlist=16, nprobe=16,
+                                 build_threshold=256))
+    sock = str(tmp_path / "pad.sock")
+    server = EngineRpcServer(engine, sock).start()          # gate OFF
+    try:
+        remote = RemoteEngine(sock)
+        remote.create_store("stores/pad-1")
+        remote.ingest_document("stores/pad-1", "d1", "fin.txt", DOC)
+        with pytest.raises(EngineRpcError, match="pad_store disabled"):
+            remote.pad_store("stores/pad-1", 100)
+    finally:
+        server.shutdown()
+
+    server = EngineRpcServer(engine, sock, allow_pad=True).start()
+    try:
+        remote = RemoteEngine(sock)
+        before = remote.store_stats("stores/pad-1")["vectors"]
+        out = remote.pad_store("stores/pad-1", 3000)
+        assert out["padded"] == 3000
+        assert out["vectors"] == before + 3000
+        # repeat pads extend, never collide
+        out2 = remote.pad_store("stores/pad-1", 500)
+        assert out2["vectors"] == before + 3500
+        # searches still return only real, text-bearing chunks
+        hits = remote.search(["stores/pad-1"], "revenue growth", k=3)
+        assert hits and all(h.text for h in hits)
+        assert all(h.chunk_id < Engine.PAD_ID_BASE for h in hits)
+        assert "revenue" in hits[0].text
+    finally:
+        server.shutdown()
