@@ -83,6 +83,57 @@ def _passage_coverage(question: str, hits) -> float:
                for toks in ptoks) / tot
 
 
+# Stems that carry no answerability signal when unmatched: question
+# function words ("how many", "how often"), light verbs, and
+# bound/requirement qualifiers. A question is only unanswerable-looking
+# when INFORMATIVE terms beyond these are absent from the retrieval.
+_GENERIC_STEMS = {textnorm.stem(w) for w in (
+    "many much often name named long use used uses using take takes "
+    "come comes make makes far quickly quick fraction located location "
+    "applied installed contained contains issued kept keep run runs "
+    "does happen happens typical total maximum minimum allowed target "
+    "specification currently per each get gets given".split())}
+
+_HEAD_NOUN_RE = re.compile(
+    r"\b(?:what|which)\s+([A-Za-z-]+)(?:\s+([A-Za-z-]+))?", re.I)
+
+
+def _informative_unmatched(question: str, hits) -> int:
+    """Count question content terms matched NOWHERE in the top hits,
+    excluding the interrogative head noun(s) and generic stems.
+
+    The head noun names the answer's CATEGORY and is routinely absent
+    from the answering text ("what refrigerant ... uses liquid
+    nitrogen", "what weather metric ... pauses at humidity"), so its
+    absence is not evidence of unanswerability — but two or more
+    missing informative terms ("melting point", "password policy")
+    reliably mark a question the corpus does not cover. Complements
+    ``_passage_coverage``: that gate is IDF-mass, this one is a count
+    of hard misses."""
+    q_tokens = textnorm.StemSet.from_text(question)
+    if not q_tokens or not hits:
+        return 0
+    head: set[str] = set()
+    m = _HEAD_NOUN_RE.search(question)
+    if m:
+        head.add(textnorm.stem(m.group(1).lower()))
+        second = (m.group(2) or "").lower()
+        # the token after the head noun is part of a compound head
+        # ("weather metric", "synchronization standard") unless it is
+        # the clause's verb ("which senator SPONSORED ...") — crude
+        # verb filter on inflection suffixes
+        if second and not second.endswith(("ed", "es", "te")) \
+                and not (second.endswith("s")
+                         and not second.endswith("ss")):
+            head.add(textnorm.stem(second))
+    matched: set[str] = set()
+    for h in hits[:5]:
+        matched |= q_tokens.matched_in(_content_tokens(h.text))
+    return sum(1 for t in set(q_tokens) - matched
+               if t not in matched and t not in head
+               and t not in _GENERIC_STEMS)
+
+
 def _ranked_sentences(question: str, hits, *, limit: int = 8
                       ) -> list[tuple[str, float]]:
     """Sentences across the top hits ranked by IDF-weighted
@@ -97,6 +148,11 @@ def _ranked_sentences(question: str, hits, *, limit: int = 8
     for hi, h in enumerate(hits[:12]):
         for pos, s in enumerate(_SENT_SPLIT.split(h.text.strip())):
             s = s.strip()
+            if s.startswith("#"):
+                # markdown heading glued to the chunk's first sentence
+                # — headings and their boilerplate lead-ins ("This
+                # chapter of the ... handbook") are structure, not facts
+                continue
             if not 12 <= len(s) <= 600 or s in seen:
                 continue
             seen.add(s)
@@ -265,6 +321,15 @@ class EngineRag:
         min_cov = getattr(self.settings, "ENGINE_MIN_COVERAGE", 0.0)
         if hits and min_cov > 0 \
                 and _passage_coverage(question, hits) < min_cov:
+            hits = []
+        # hard-miss gate: >= max_unmatched informative question terms
+        # absent from every top hit => the corpus does not cover the
+        # question, regardless of how much IDF mass the common terms
+        # carry ("melting point of the mirror glass" matches mirror+
+        # glass handsomely and still cannot be answered)
+        max_unm = getattr(self.settings, "ENGINE_MAX_UNMATCHED", 2)
+        if hits and min_cov > 0 and max_unm > 0 \
+                and _informative_unmatched(question, hits) >= max_unm:
             hits = []
         metrics.engine_latency_seconds.labels("search").observe(
             time.perf_counter() - t0)

@@ -78,6 +78,13 @@ _TRIGGER_AFTER = frozenset(
     "manufactured operates exposes holds represents anchors monitors "
     "distributes serialized performs protects located".split())
 
+# complement runs may keep interior stopwords ("humidity above 85
+# percent") but never cross a coordination or a copula/auxiliary —
+# those splice separate clauses
+_RUN_SPLIT = frozenset(
+    "or and is are was were be been being has have had will would "
+    "can could must may might shall should does do did".split())
+
 _NUM_RE = re.compile(r"^[~$]?\d[\d,]*(?:\.\d+)?(?:st|nd|rd|th)?$")
 _WORD_RE = re.compile(r"[a-z0-9]+")
 
@@ -136,7 +143,52 @@ _MEASURE_HINT = re.compile(
     r"\b(diameter|temperature|speed|rate|size|capacity|frequency|voltage"
     r"|duration|altitude|latency|bandwidth|accuracy|threshold|fraction"
     r"|percentage|budget|cost|draw|width|height|depth|length|distance"
-    r"|airmass|megapixels|field of view|response time|shift|number)\b")
+    r"|airmass|megapixels|field of view|response time|shift|number"
+    r"|specification|spec|tolerance)\b")
+
+# measure hint -> the unit family its answer is expressed in. A numeric
+# span whose unit belongs to the expected family is almost surely the
+# answer; one from a DIFFERENT family almost surely is not ("eight
+# days" is no altitude). Families are matched by unit-token suffix.
+_UNIT_FAMILIES: dict[str, tuple[str, ...]] = {
+    "length": ("meters", "meter", "metres", "metre", "kilometers",
+               "kilometres", "feet", "foot", "miles", "millimeters"),
+    "temperature": ("kelvin", "celsius", "fahrenheit"),
+    "duration": ("seconds", "second", "minutes", "minute", "hours",
+                 "hour", "days", "day", "weeks", "week", "months",
+                 "month", "years", "year", "milliseconds",
+                 "microseconds"),
+    "data": ("bytes", "byte", "bits", "bit", "terabytes", "petabytes",
+             "gigabytes", "megabytes", "gigabits", "megabits"),
+    "power": ("watts", "watt", "megawatts", "kilowatts",
+              "megawatt-hours", "kilowatt-hours"),
+    "voltage": ("volts", "volt", "kilovolts"),
+    "pressure": ("pascals", "pascal", "bar", "torr"),
+    "angle": ("arcseconds", "arcsecond", "milliarcseconds", "mas",
+              "degrees", "degree"),
+    "photometry": ("magnitudes", "millimagnitudes", "mmag"),
+    "percent": ("percent", "%"),
+    "people": ("people", "persons", "operators", "staff", "fellows"),
+}
+_HINT_FAMILY: dict[str, tuple[str, ...]] = {
+    "altitude": ("length",), "distance": ("length",),
+    "depth": ("length",), "width": ("length",), "height": ("length",),
+    "length": ("length",), "diameter": ("length",),
+    "temperature": ("temperature",),
+    "duration": ("duration",), "latency": ("duration",),
+    "accuracy": ("photometry", "angle", "percent", "duration"),
+    "bandwidth": ("data",), "voltage": ("voltage",),
+    "draw": ("power",), "capacity": ("power", "data"),
+    "fraction": ("percent",), "percentage": ("percent",),
+}
+
+# requirement/limit questions answer in limit-language sentences
+_LIMIT_Q = re.compile(
+    r"\b(maximum|minimum|allowed|limit|requirement|specification|spec"
+    r"|tolerance|threshold)\b")
+_LIMIT_S = re.compile(
+    r"\b(must|exceed|below|least|most|accurate|accuracy|repeatable"
+    r"|stay|cap|capped|never|within|allowed|limit)\b", re.I)
 _NAME_HINT = re.compile(
     r"\b(name|codename|company|union|department|product|brand|service"
     r"|software|framework|instrument|system|algorithm|protocol|format"
@@ -156,7 +208,11 @@ def classify_question(question: str) -> str:
         # falls back to sentence extraction
         return EXPLAIN
     if re.match(r"(at|to|from|by)?\s*what\s+(temperature|speed|rate|wind"
-                r"|altitude|voltage|time\b)", q):
+                r"|altitude|voltage)", q):
+        return NUMERIC
+    # clock-time only: "what time does X start" — NOT "what time
+    # synchronization standard" (a NAME question about a standard)
+    if re.match(r"(at\s+)?what\s+time\s+(do|does|did|is|are|will)", q):
         return NUMERIC
     if q.startswith("when"):
         return TIME
@@ -284,8 +340,10 @@ def _complement_spans(toks: list[_Tok], q_stems: set[str]) -> list[Span]:
     """Runs of tokens that are not question restatement: the maximal
     runs (stopwords allowed inside — "humidity above 85 percent"), the
     content sub-runs between stopwords ("simulated annealing" out of
-    "...queue with simulated annealing over..."), and comma-joined
-    enumerations ("cryogenics, computing, and dome drives")."""
+    "...queue with simulated annealing over..."), coordination halves
+    ("humidity above 85 percent" out of "... 85 percent or wind beyond
+    18 meters per second"), and comma-joined enumerations
+    ("cryogenics, computing, and dome drives")."""
     out = []
     runs: list[tuple[int, int]] = []
     i = 0
@@ -299,7 +357,23 @@ def _complement_spans(toks: list[_Tok], q_stems: set[str]) -> list[Span]:
             j += 1
         if j > i:
             runs.append((i, j))
-            out.append(Span(i, j, "complement"))
+            # coordination/copula split: each side of an interior
+            # and/or/auxiliary is a complete candidate with its other
+            # interior stopwords kept ("humidity above 85 percent" |
+            # "wind beyond 18 meters per second"); the run CROSSING
+            # the boundary is two clauses glued together ("Class 4 and
+            # requires aircraft spotters", "544 is ZEBRA3808") and is
+            # not a candidate
+            coords = [b for b in range(i, j)
+                      if toks[b].clean in _RUN_SPLIT]
+            if coords:
+                a = i
+                for b in coords + [j]:
+                    if b > a:
+                        out.append(Span(a, b, "complement"))
+                    a = b + 1
+            else:
+                out.append(Span(i, j, "complement"))
             # content sub-runs within [i, j)
             a = i
             while a < j:
@@ -313,7 +387,11 @@ def _complement_spans(toks: list[_Tok], q_stems: set[str]) -> list[Span]:
                 if b > a and (a != i or b != j):
                     out.append(Span(a, b, "complement"))
                 a = b + 1
-        i = j + 1
+        # resume AT j: when a clause boundary ended the run ("...,
+        # computing, ..."), toks[j] starts the next run — skipping it
+        # dropped every second comma-list member and broke enumeration
+        # merging
+        i = j
     # enumerations: merge runs split only by a comma (+ optional and/or)
     k = 0
     while k < len(runs):
@@ -373,6 +451,35 @@ def _trim(toks: list[_Tok], lo: int, hi: int, q_stems: set[str],
         lo += 1
         while lo < hi and not keep(lo):
             lo += 1
+    if kind in ("complement", "list"):
+        # brand-adjective drop: "redundant Sentinel-9 gauges" — the
+        # leading lowercase modifier before a capitalized product name
+        # is packaging, not answer
+        if (hi - lo >= 2 and not toks[lo].cap and not toks[lo].is_num
+                and toks[lo + 1].cap):
+            lo += 1
+        # leading adverb drop: "automatically at humidity above 85
+        # percent" — the -ly adverb modifies the clause verb
+        if (hi - lo >= 2 and not toks[lo].cap
+                and toks[lo].clean.endswith("ly")
+                and toks[lo].clean not in _FREQ_ADVERB):
+            lo += 1
+            while lo < hi and not keep(lo):
+                lo += 1
+        # trailing participle before a preposition: "gauges wired to
+        # the PLC" — the "wired" belongs to the next clause
+        if (hi - lo >= 2 and hi < len(toks)
+                and toks[hi - 1].clean.endswith("ed")
+                and len(toks[hi - 1].clean) >= 5
+                and not toks[hi - 1].is_num
+                and toks[hi].clean in ("to", "by", "with", "into",
+                                       "onto", "for", "from")):
+            hi -= 1
+        # trailing locative connector: "control building next [to ...]"
+        if (hi - lo >= 2 and hi < len(toks)
+                and toks[hi - 1].clean in ("next", "adjacent", "close")
+                and toks[hi].clean == "to"):
+            hi -= 1
     return lo, hi
 
 
@@ -395,9 +502,9 @@ _TYPE_PREF = {
                 "complement": 0.5, "list": 1.0},
     PERSON: {"capital": 3.0, "numeric": 0.1, "frequency": 0.1,
              "complement": 0.5, "list": 0.3},
-    NAME: {"capital": 2.4, "complement": 1.0, "numeric": 0.3,
+    NAME: {"capital": 2.4, "complement": 1.6, "numeric": 0.3,
            "frequency": 0.3, "list": 0.8},
-    PLACE: {"capital": 2.6, "complement": 1.0, "numeric": 0.2,
+    PLACE: {"capital": 2.0, "complement": 1.4, "numeric": 0.2,
             "frequency": 0.2, "list": 0.5},
     TIME: {"frequency": 1.5, "numeric": 1.5, "complement": 1.2,
            "capital": 0.8, "list": 1.0},
@@ -406,23 +513,129 @@ _TYPE_PREF = {
 }
 
 
-def _score_span(toks: list[_Tok], sp: Span, qtype: str,
+@dataclass
+class _QInfo:
+    qtype: str
+    families: tuple[str, ...] = ()     # expected unit families
+    rate_q: bool = False               # answer should carry "per"
+    limit_q: bool = False              # requirement/limit question
+    plural: bool = False               # plural head noun -> enumeration
+    count_q: bool = False              # "how many/much" question
+    q_stems: object = None             # textnorm.StemSet of the question
+    class_q: bool = False              # head noun is class/type/grade...
+    subj_stems: frozenset = frozenset()  # "does the <subject> <verb>"
+
+
+_LOCATIVE = frozenset({"at", "in", "inside", "near", "beside", "atop",
+                       "under", "next", "within"})
+
+
+def _span_families(toks: list[_Tok], lo: int, hi: int
+                   ) -> set[str]:
+    fams: set[str] = set()
+    for t in toks[lo:hi]:
+        for fam, units in _UNIT_FAMILIES.items():
+            if t.clean in units:
+                fams.add(fam)
+    return fams
+
+
+def _score_span(toks: list[_Tok], sp: Span, qinfo: _QInfo,
                 q_positions: list[int], df: dict[str, int],
                 n_sents: int) -> float:
     import math
-    base = _TYPE_PREF[qtype].get(sp.kind, 0.5)
+    qtype = qinfo.qtype
     n = sp.hi - sp.lo
     if n == 0:
         return 0.0
+    kind = sp.kind
+    # a complement that is nothing but number+units answers a NUMERIC
+    # question, not a NAME one ("4 megawatt-hours" is no storage
+    # system). Requires an actual number (bare "hour" is not a
+    # measurement) and a complete unit expression — a span the next
+    # token would extend ("22 meters" cut from "22 meters per second")
+    # is a truncation, not a reading.
+    if kind == "complement" \
+            and any(t.is_num for t in toks[sp.lo:sp.hi]) \
+            and all(t.is_num or _is_unit(t.clean)
+                    for t in toks[sp.lo:sp.hi]) \
+            and not (sp.hi < len(toks)
+                     and toks[sp.hi].clean in _UNIT_CONNECT
+                     and not toks[sp.hi - 1].ends_clause):
+        kind = "numeric"
+    base = _TYPE_PREF[qtype].get(kind, 0.5)
     # an article/trigger immediately left of the trimmed span
     k = sp.lo - 1
     if k >= 0 and toks[k].clean in ("a", "an", "the"):
         k -= 1
-    if k >= 0 and toks[k].clean in _TRIGGER_AFTER \
+    if qtype == PLACE and k >= 0 and toks[k].clean in _LOCATIVE \
+            and not toks[k].ends_clause:
+        base *= 2.0       # "at the base facility", "in the control building"
+    elif qinfo.limit_q and k >= 0 and not toks[k].ends_clause \
+            and toks[k].clean in ("below", "above", "exceed", "exceeds",
+                                  "least", "most", "within", "to"):
+        base *= 1.6       # "must stay below 0.02 ...", "repeatable to 10 ..."
+    elif k >= 0 and toks[k].clean in _TRIGGER_AFTER \
             and not toks[k].ends_clause:
         base *= 1.5
         if toks[k].clean in ("called", "named", "dubbed"):
             base *= 1.5
+    # a PLACE is never the modifier inside a noun compound ("18,000 CPU
+    # cores" — the capitalized acronym modifies "cores")
+    if qtype == PLACE and kind == "capital" and sp.hi < len(toks) \
+            and not toks[sp.hi].cap and toks[sp.hi].clean not in _STOP \
+            and not toks[sp.hi - 1].ends_clause:
+        base *= 0.6
+    # a bare number whose trimmed-off unit was the question's own noun
+    # COUNTS that noun ("spread over 189 CCDs" for "what is the ...
+    # specification for CCDs") — only a how-many question wants it
+    if kind == "numeric" and n == 1 and not qinfo.count_q \
+            and sp.hi < len(toks) and toks[sp.hi].stemmed \
+            and not toks[sp.hi - 1].ends_clause \
+            and toks[sp.hi].clean not in _STOP \
+            and toks[sp.hi].stemmed in qinfo.q_stems:
+        base *= 0.55
+    # expected-unit matching: "altitude" answers in meters, not days
+    if qinfo.families and kind in ("numeric", "complement", "list"):
+        fams = _span_families(toks, sp.lo, sp.hi)
+        if fams & set(qinfo.families):
+            base *= 1.6
+        elif fams:
+            base *= 0.55
+    # rate questions answer in compound per-units ("2 kelvin per hour")
+    if qinfo.rate_q and kind == "numeric":
+        if any(t.clean == "per" for t in toks[sp.lo:sp.hi]):
+            base *= 1.5
+        elif _span_families(toks, sp.lo, sp.hi):
+            base *= 0.7
+    # class/type/grade questions answer in designations ("Class 4"),
+    # which the NAME type preference would otherwise bury
+    if qinfo.class_q and kind == "numeric":
+        base *= 5.0
+    # plural head noun ("which systems") wants the full enumeration,
+    # not one of its members
+    if qinfo.plural:
+        if kind == "list":
+            base *= 2.5
+        elif kind == "complement":
+            base *= 0.6
+    # "Class 4" style: the capitalized category token belongs in the
+    # answer even when the question names the category
+    if kind == "numeric" and toks[sp.lo].cap \
+            and not toks[sp.lo].is_num:
+        base *= 1.35
+    # a lone token directly modifying the question's own noun is a
+    # modifier, not an answer ("static ADDRESS assignment" for "what
+    # addressing scheme" — the name is elsewhere in the sentence)
+    if kind == "complement" and n == 1 and sp.hi < len(toks) \
+            and toks[sp.hi].stemmed and not toks[sp.hi].cap \
+            and toks[sp.hi].clean not in _STOP:
+        base *= 0.6
+    # an unmatched number inside a NAME/PHRASE complement marks the
+    # qualified form ("humidity above 85 percent", not "humidity")
+    if qtype in (NAME, PHRASE) and kind in ("complement", "list") \
+            and n >= 3 and any(t.is_num for t in toks[sp.lo:sp.hi]):
+        base *= 1.55
     # proximity to the nearest question-term match in the sentence
     if q_positions:
         d = min(min(abs(sp.lo - p), abs(sp.hi - 1 - p))
@@ -439,14 +652,14 @@ def _score_span(toks: list[_Tok], sp: Span, qtype: str,
                   for t in content) / len(content)
         base *= 0.5 + 0.35 * idf
     # length prior: answers are short; enumerations run longer
-    if sp.kind == "complement":
+    if kind == "complement":
         base *= 1.0 / (1.0 + 0.18 * max(0, n - 2))
-    elif sp.kind == "list":
+    elif kind == "list":
         base *= 1.0 / (1.0 + 0.08 * max(0, n - 4))
     else:
         base *= 1.0 / (1.0 + 0.10 * max(0, n - 3))
     # person questions like two-token names
-    if qtype == PERSON and sp.kind == "capital" and n >= 2:
+    if qtype == PERSON and kind == "capital" and n >= 2:
         base *= 1.3
     return base
 
@@ -469,8 +682,40 @@ def extract_answer_span(question: str,
     qtype = classify_question(question)
     if qtype == EXPLAIN:
         return None
+    q_lower = question.lower()
+    families: tuple[str, ...] = ()
+    for hint, fams in _HINT_FAMILY.items():
+        if re.search(rf"\b{hint}\b", q_lower):
+            families = tuple(set(families) | set(fams))
+    m_plural = re.match(r"(?:which|what)\s+([a-z-]+s)\b", q_lower)
     # fuzzy membership: token-in-q_stems uses textnorm.stems_match
     q_stems = textnorm.StemSet.from_text(question)
+    qinfo = _QInfo(
+        qtype=qtype,
+        families=families,
+        rate_q=bool(re.search(r"\brate\b", q_lower)),
+        limit_q=bool(_LIMIT_Q.search(q_lower)),
+        plural=bool(m_plural and m_plural.group(1) not in
+                    ("is", "does", "was", "has", "its")),
+        count_q=bool(re.match(r"how\s+(many|much)", q_lower)),
+        q_stems=q_stems,
+        # "what laser class", "what type of..." — the answer is a
+        # category designation (number or Cap+number), not a name
+        class_q=bool(re.search(
+            r"\b(?:what|which)\s+(?:[a-z-]+\s+)?(class|type|category"
+            r"|grade|level|tier|version)\b", q_lower)),
+        # "does the nightly scheduler use" — the clause subject; the
+        # answering sentence talks about THAT subject, a sentence
+        # matching only the head noun talks about something else's
+        # algorithm/format/etc.
+        subj_stems=frozenset(
+            _stem(w) for m2 in
+            [re.search(r"\b(?:do|does|did|is|are)\s+(?:the|a|an)\s+"
+                       r"([a-z][a-z -]+?)\s+"
+                       r"(?:use|run|employ|have|take|hold|need|serve)",
+                       q_lower)] if m2
+            for w in m2.group(1).split() if w not in _STOP),
+    )
     best: ReaderResult | None = None
     if not ranked_sentences:
         return None
@@ -493,14 +738,33 @@ def extract_answer_span(question: str,
         cands += _capital_spans(toks, q_stems)
         cands += _frequency_spans(toks, q_stems)
         cands += _complement_spans(toks, q_stems)
-        sw = max(0.2, (weight / top_w) ** 1.5)
+        sw = max(0.1, (weight / top_w) ** 1.5)
+        # the sentence whose SUBJECT restates the question is the one
+        # answering it ("The nightly scheduler optimizes ... with X"
+        # over "Image differencing uses the Y algorithm")
+        if any(p <= 2 for p in q_positions):
+            sw *= 1.25
+        # requirement questions answer in limit-language sentences
+        # ("must never exceed", "must be repeatable to")
+        if qinfo.limit_q and _LIMIT_S.search(sent):
+            sw *= 1.4
+        # clause-subject agreement: "what algorithm does the nightly
+        # SCHEDULER use" — the sentence about the scheduler answers;
+        # "Image differencing uses the ZOGY algorithm" talks about a
+        # different subject's algorithm
+        if qinfo.subj_stems:
+            if any(t.stemmed in qinfo.subj_stems for t in toks):
+                sw *= 1.3
+            else:
+                sw *= 0.75
         for sp in cands:
             lo, hi = _trim(toks, sp.lo, sp.hi, q_stems, sp.kind)
             if hi <= lo or (sp.kind != "list"
                             and _clause_blocked(toks, lo, hi)):
                 continue
             sp2 = Span(lo, hi, sp.kind)
-            s = _score_span(toks, sp2, qtype, q_positions, df, n_sents) * sw
+            s = _score_span(toks, sp2, qinfo, q_positions, df,
+                            n_sents) * sw
             text = _render(toks, lo, hi)
             if not text or not _WORD_RE.search(text.lower()):
                 continue

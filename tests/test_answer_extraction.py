@@ -113,3 +113,24 @@ def test_min_coverage_setting_gates_refusal(tmp_path):
     answer = "".join(gen)
     assert "240" in answer
     assert res.citations
+
+
+def test_hard_miss_gate_counts_informative_unmatched():
+    from rag_foundation_tpu.app.services.rag import _informative_unmatched
+    hits = [_Hit(text=(
+        "The primary mirror measures 8.4 meters across and is cast "
+        "from borosilicate glass."))]
+    # two informative terms (melting, point) absent -> unanswerable
+    assert _informative_unmatched(
+        "What is the melting point of the mirror glass?", hits) >= 2
+    # the interrogative head noun does not count against the question:
+    # "what refrigerant" is answerable by a sentence naming none
+    cool = [_Hit(text="The primary cooling loop uses liquid nitrogen.")]
+    assert _informative_unmatched(
+        "What refrigerant does the primary cooling loop use?",
+        cool) == 0
+    # a verb after the head noun is NOT excluded as a compound head
+    staff = [_Hit(text="The observatory employs 240 staff.")]
+    assert _informative_unmatched(
+        "Which senator sponsored the observatory funding bill?",
+        staff) >= 2

@@ -87,3 +87,73 @@ def test_complement_phrase_answer():
 
 def test_no_candidates_returns_none():
     assert extract_answer_span("What is x?", []) is None
+
+
+# -- round-3 reader features ------------------------------------------------
+
+def test_unit_family_rejects_wrong_measure():
+    # "altitude" answers in meters; a duration from a higher-ranked
+    # sentence must not win
+    res = extract_answer_span(
+        "What altitude is the summit at?",
+        [("Summit crews work eight days on, six days off to manage "
+          "altitude exposure.", 2.0),
+         ("The summit sits at 4,150 meters, so oxygen awareness "
+          "training is mandatory.", 1.0)])
+    assert res.span == "4,150 meters"
+
+
+def test_rate_question_wants_per_unit():
+    res = extract_answer_span(
+        "What is the maximum allowed detector warm-up rate?",
+        [("Detectors are held at 173 kelvin to suppress dark "
+          "current.", 1.6),
+         ("Warm-ups must never exceed 2 kelvin per hour to avoid "
+          "delaminating the sensor bonds.", 1.2)])
+    assert res.span == "2 kelvin per hour"
+
+
+def test_class_question_keeps_designation():
+    res = extract_answer_span(
+        "What laser class is the adaptive-optics guide star laser?",
+        [("The guide star laser is Class 4 and requires aircraft "
+          "spotters during propagation.", 1.0)])
+    assert res.span == "Class 4"
+
+
+def test_plural_head_wants_enumeration():
+    res = extract_answer_span(
+        "Which systems are on the critical power bus?",
+        [("The critical bus feeds cryogenics, computing, and dome "
+          "drives.", 1.0)])
+    assert res.span == "cryogenics, computing, and dome drives"
+
+
+def test_coordination_split_keeps_qualified_side():
+    res = extract_answer_span(
+        "What weather metric pauses the observing queue?",
+        [("The queue pauses automatically at humidity above 85 "
+          "percent or wind beyond 18 meters per second.", 1.0)])
+    assert res.span == "humidity above 85 percent"
+
+
+def test_subject_agreement_beats_head_noun_adjacency():
+    # the scheduler's algorithm, not image differencing's
+    res = extract_answer_span(
+        "What algorithm does the nightly scheduler use?",
+        [("Image differencing uses the ZOGY algorithm against "
+          "seasonal template coadds.", 1.0),
+         ("The nightly scheduler optimizes the observing queue with "
+          "simulated annealing over a rolling four-hour horizon.",
+          0.95)])
+    assert res.span == "simulated annealing"
+
+
+def test_pure_measurement_is_not_a_name():
+    res = extract_answer_span(
+        "What storage system holds the hot archive tier?",
+        [("The hot tier lives on a Ceph object store spanning three "
+          "machine rooms.", 1.0),
+         ("Battery storage holds 4 megawatt-hours, enough to ride "
+          "through generator start.", 0.95)])
+    assert res.span == "Ceph"
