@@ -94,10 +94,14 @@ print("pad:", eng.pad_store(key, int(sys.argv[2])),
 EOF
 fi
 
-echo "== warmup (compiles the search signatures)" >&2
+echo "== warmup (compiles the search signatures; WARMUP_S=${WARMUP_S:-10})" >&2
+# every fresh coalesced (Q-bucket, k) signature pays a compile — on the
+# tunneled TPU that is 1-5 min, so a real-chip run needs WARMUP_S high
+# enough for buckets 1..max to compile before the measured window
 python -m rag_foundation_tpu.benchmark.loadgen \
   --base-url "$URLS" \
-  --users 8 --duration 10 --chat-ratio 1.0 --think 0 >/dev/null
+  --users "$USERS" --duration "${WARMUP_S:-10}" --chat-ratio 1.0 \
+  --think 0 >/dev/null
 
 echo "== closed-loop chat load: $USERS users, ${DUR}s" >&2
 python -m rag_foundation_tpu.benchmark.loadgen \

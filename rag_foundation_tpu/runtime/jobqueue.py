@@ -48,7 +48,12 @@ class JobQueue:
         self.lease_s = lease_s
         self.retry_backoff_s = retry_backoff_s
         self._clock = clock  # injectable for deterministic lease tests
-        with db.tx() as conn:
+        # the migrate file lock serializes concurrent process boots:
+        # executescript commits the enclosing transaction, so the
+        # check-then-ALTER below would otherwise race a second process
+        # into "duplicate column name" (seen with N SO_REUSEPORT API
+        # processes on one fresh DB)
+        with db._migrate_lock(), db.tx() as conn:
             conn.executescript(_SCHEMA)
             # retry backoff column (added after first release; ALTER is
             # the sqlite-idiomatic in-place migration for this table)

@@ -182,7 +182,9 @@ def _migrate_boot(path, q):  # top-level: must be picklable for spawn
     try:
         from rag_foundation_tpu.app.dbschema import MIGRATIONS
         from rag_foundation_tpu.runtime.db import Database
-        Database(path, migrations=MIGRATIONS)
+        from rag_foundation_tpu.runtime.jobqueue import JobQueue
+        db = Database(path, migrations=MIGRATIONS)
+        JobQueue(db)   # ad-hoc ALTER migration must not race either
         q.put("ok")
     except Exception as e:  # pragma: no cover - failure detail for CI
         q.put(f"fail: {type(e).__name__}: {e}")
