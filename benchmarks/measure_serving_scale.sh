@@ -94,7 +94,16 @@ print("pad:", eng.pad_store(key, int(sys.argv[2])),
 EOF
 fi
 
-echo "== warmup (compiles the search signatures; WARMUP_S=${WARMUP_S:-10})" >&2
+echo "== prewarm: compile every pow2 query-bucket signature" >&2
+python - "$RUN/engine.sock" <<'EOF' >&2
+import sys
+from rag_foundation_tpu.engine.rpc import RemoteEngine
+eng = RemoteEngine(sys.argv[1], timeout=3600)
+key = [k for k in eng.list_stores()][0]
+print("prewarm:", eng.prewarm(key, k=5, max_bucket=64))
+EOF
+
+echo "== warmup (residual signatures; WARMUP_S=${WARMUP_S:-10})" >&2
 # every fresh coalesced (Q-bucket, k) signature pays a compile — on the
 # tunneled TPU that is 1-5 min, so a real-chip run needs WARMUP_S high
 # enough for buckets 1..max to compile before the measured window

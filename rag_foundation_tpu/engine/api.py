@@ -513,6 +513,26 @@ class Engine:
                     store.segment.rebuild()  # body sized for the final N
         return {"padded": int(n), "vectors": store.segment.count}
 
+    def prewarm(self, store_key: str, *, k: int = 5,
+                max_bucket: int = 64) -> dict:
+        """Compile the batched-search signatures for every pow2 query
+        bucket up to ``max_bucket`` against the store's CURRENT shapes.
+
+        Under the remote-compile tunnel a fresh (Q-bucket, k) signature
+        costs 1-5 minutes; without prewarming, the first production
+        traffic at each coalesced batch size eats that latency live.
+        Run after bulk loads/pads (they change body shapes and thus
+        the compiled signatures)."""
+        import time as _time
+        timings = {}
+        b = 1
+        while b <= max_bucket:
+            t0 = _time.perf_counter()
+            self._search_group([store_key], ["prewarm probe"] * b, k)
+            timings[str(b)] = round(_time.perf_counter() - t0, 3)
+            b *= 2
+        return {"store": store_key, "k": k, "buckets_s": timings}
+
     def recall_probe(self, store_key: str, *, sample: int = 32,
                      k: int = 10, seed: int = 0) -> dict:
         """Sampled recall-vs-exact audit (the SURVEY.md §5 "recall

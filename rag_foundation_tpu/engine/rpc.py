@@ -74,7 +74,8 @@ def _recv_exact(sock: socket.socket, n: int) -> bytes | None:
 
 _OPS = ("ping", "list_stores", "create_store", "delete_store",
         "has_store", "store_stats", "ingest_document", "delete_document",
-        "search", "recall_probe", "metrics_text", "pad_store")
+        "search", "recall_probe", "metrics_text", "pad_store",
+        "prewarm")
 
 
 class EngineRpcServer:
@@ -183,6 +184,14 @@ class EngineRpcServer:
             raise PermissionError("pad_store disabled on this server")
         return self.engine.pad_store(req["key"], int(req["n"]),
                                      seed=int(req.get("seed", 0)))
+
+    def _op_prewarm(self, req):
+        """Compile batched-search signatures for pow2 query buckets
+        (Engine.prewarm) — run after bulk loads so production traffic
+        never pays a first-compile live."""
+        return self.engine.prewarm(req["key"], k=int(req.get("k", 5)),
+                                   max_bucket=int(req.get(
+                                       "max_bucket", 64)))
 
     def _op_metrics_text(self, req):
         """Engine-process Prometheus exposition (batch-size histogram,
@@ -297,3 +306,7 @@ class RemoteEngine:
 
     def pad_store(self, key: str, n: int, *, seed: int = 0) -> dict:
         return self._call("pad_store", key=key, n=n, seed=seed)
+
+    def prewarm(self, key: str, *, k: int = 5, max_bucket: int = 64
+                ) -> dict:
+        return self._call("prewarm", key=key, k=k, max_bucket=max_bucket)

@@ -167,3 +167,12 @@ def test_pad_store_gate_and_behavior(tmp_path):
         assert "revenue" in hits[0].text
     finally:
         server.shutdown()
+
+
+def test_prewarm_compiles_buckets(served_engine):
+    _, remote = served_engine
+    remote.create_store("stores/warm-1")
+    remote.ingest_document("stores/warm-1", "d1", "fin.txt", DOC)
+    out = remote.prewarm("stores/warm-1", k=3, max_bucket=8)
+    assert set(out["buckets_s"]) == {"1", "2", "4", "8"}
+    assert all(v >= 0 for v in out["buckets_s"].values())
