@@ -77,6 +77,9 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--max-passages", type=int, default=120_000)
     ap.add_argument("--site-packages", default=None)
+    ap.add_argument("--with-stdlib", action="store_true",
+                    help="also harvest the Python stdlib's docstring "
+                         "prose (~500 modules of curated English)")
     args = ap.parse_args()
 
     roots: list[Path] = []
@@ -85,6 +88,9 @@ def main() -> None:
     else:
         import sysconfig
         roots.append(Path(sysconfig.get_paths()["purelib"]))
+    if args.with_stdlib:
+        import sysconfig
+        roots.append(Path(sysconfig.get_paths()["stdlib"]))
     repo = Path(__file__).resolve().parent.parent
     extra_docs = [p for p in (repo / "docs").glob("*.md")] + \
         [repo / "README.md", repo / "SECURITY.md"]
