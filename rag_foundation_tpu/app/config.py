@@ -123,6 +123,11 @@ class Settings(BaseModel):
     ENGINE_MIN_SCORE: float = 0.0         # refuse below this top-hit score
     ENGINE_MIN_COVERAGE: float = 0.0      # refuse below this question-term
     #                                       coverage (services/rag.py)
+    ENGINE_MAX_UNMATCHED: int = 2         # hard-miss refusal: refuse when
+    #                                       >= this many informative question
+    #                                       terms match NO retrieved hit
+    #                                       (0 disables; active only with
+    #                                       MIN_COVERAGE > 0)
     ENGINE_NLIST: int = 1024
     ENGINE_NPROBE: int = 64
     ENGINE_BUILD_THRESHOLD: int = 100_000
