@@ -35,7 +35,8 @@ COMMON_ENV=(
   RAGTPU_ENGINE_DIM=768
   RAGTPU_ENGINE_ENCODER_CKPT="$ROOT/checkpoints/minilm_ict.npz"
   RAGTPU_ENGINE_INDEX_MODE=ivf_flat_int8
-  RAGTPU_ENGINE_NLIST=256 RAGTPU_ENGINE_NPROBE=32
+  RAGTPU_ENGINE_NLIST="${RAGTPU_ENGINE_NLIST:-256}"   # 4096 for PAD_N=10M
+  RAGTPU_ENGINE_NPROBE=32
   RAGTPU_ENGINE_BUILD_THRESHOLD=10000
   RAGTPU_ENGINE_CHUNK_TOKENS=120 RAGTPU_ENGINE_CHUNK_OVERLAP=24
   RAGTPU_RATE_LIMIT_GLOBAL_PER_MIN=10000000

@@ -485,10 +485,21 @@ class Engine:
         if n <= 0:
             return {"padded": 0}
         d = self.config.dim
-        rng = np.random.default_rng(seed)
         ncenters = 1024
-        centers = rng.standard_normal((ncenters, d), dtype=np.float32)
+        centers = np.random.default_rng(seed).standard_normal(
+            (ncenters, d), dtype=np.float32)
         centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        PBLOCK = 1 << 18   # pads regenerate on demand, block-seeded
+
+        def pad_block(bi: int) -> np.ndarray:
+            rng = np.random.default_rng((seed + 1) * 1_000_003 + bi)
+            m = int(min(PBLOCK, n - bi * PBLOCK))
+            v = centers[rng.integers(0, ncenters, m)] \
+                + rng.standard_normal((m, d), np.float32) \
+                * np.float32(0.35)
+            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            return v
+
         with self._mutation_lock(store_key):
             store = self._store(store_key)
             with store.lock:
@@ -496,21 +507,61 @@ class Engine:
                     raise ValueError("store too large to pad safely")
                 base = self.PAD_ID_BASE + self._pad_counts.get(
                     store_key, 0)       # repeat pads never reuse ids
-                done = 0
-                while done < n:
-                    m = int(min(batch, n - done))
-                    cid = rng.integers(0, ncenters, m)
-                    v = centers[cid] + rng.standard_normal(
-                        (m, d), dtype=np.float32) * np.float32(0.35)
-                    v /= np.linalg.norm(v, axis=1, keepdims=True)
-                    ids = np.arange(base + done, base + done + m,
-                                    dtype=np.int64)
-                    store.segment.add(v, ids)
-                    done += m
+                pad_ids = np.arange(base, base + n, dtype=np.int64)
+                seg = store.segment
+                if seg.mode == "ivf_flat_int8":
+                    # host-staged streaming build: the full f32 corpus
+                    # never touches the device (a 10M pad would OOM the
+                    # direct rebuild — 30 GB f32 > HBM), and incremental
+                    # appends into an undersized body would rebuild
+                    # O(N) repeatedly
+                    base_v, base_i = seg.live_rows()
+                    nb = len(base_i)
+                    if nb > 2_000_000:
+                        raise ValueError("pad_store expects a small "
+                                         "seeded store to pad")
+                    total = nb + n
+
+                    def source(lo: int, hi: int) -> np.ndarray:
+                        out = np.empty((hi - lo, d), np.float32)
+                        pos = lo
+                        while pos < hi:
+                            if pos < nb:
+                                take = min(hi, nb) - pos
+                                out[pos - lo: pos - lo + take] = \
+                                    base_v[pos: pos + take]
+                            else:
+                                p = pos - nb
+                                bi, off = divmod(p, PBLOCK)
+                                blk = pad_block(bi)
+                                take = min(hi - pos, len(blk) - off)
+                                out[pos - lo: pos - lo + take] = \
+                                    blk[off: off + take]
+                            pos += take
+                        return out
+
+                    from rag_foundation_tpu.engine.ivf import \
+                        build_ivf_flat_streaming
+                    import jax
+                    body, overflow = build_ivf_flat_streaming(
+                        source, total, d, seg._sized_nlist(total),
+                        key=jax.random.key(seed),
+                        capacity_slack=1.05)
+                    cids = np.concatenate([base_i, pad_ids])
+                    cids[overflow] = -1    # dropped rows stay dead
+                    seg.adopt_body(body, cids)
+                else:
+                    done = 0
+                    while done < n:
+                        m = int(min(batch, n - done))
+                        bi, off = divmod(done, PBLOCK)
+                        v = pad_block(bi)[off: off + m]
+                        seg.add(v, pad_ids[done: done + len(v)])
+                        done += len(v)
+                    if seg.mode != "exact":
+                        seg.rebuild()  # body sized for the final N
                 self._pad_counts[store_key] = \
-                    self._pad_counts.get(store_key, 0) + done
-                if store.segment.mode != "exact":
-                    store.segment.rebuild()  # body sized for the final N
+                    self._pad_counts.get(store_key, 0) + n
         return {"padded": int(n), "vectors": store.segment.count}
 
     def prewarm(self, store_key: str, *, k: int = 5,

@@ -259,15 +259,10 @@ class StoreIndex:
         self._dead |= ids
         self.body_version += 1  # the persisted dead set changed
 
-    def rebuild(self) -> None:
-        """Compact tail + body into a fresh IVF body (copy-on-compact).
-        IVF-PQ routes through the host-staged streaming build — its f32
-        corpus never materializes on device OR host (the round-2 build
-        path OOM'd above ~40M; VERDICT r2 item 3)."""
-        if self.mode == "exact":
-            return
-        if self.mode == "ivf_pq":
-            return self._rebuild_pq()
+    def live_rows(self) -> tuple[np.ndarray, np.ndarray]:
+        """Host copies of every live row: ``(vectors [n, d] f32,
+        chunk_ids [n] int64)`` — tail + body minus tombstones. Bulk
+        paths (rebuild, host-staged adopt builds) start from this."""
         parts_v, parts_i = [], []
         st = self.tail.state()  # compacts tombstones
         if len(st["ids"]):
@@ -279,16 +274,31 @@ class StoreIndex:
                 keep &= ~np.isin(self.body_chunk_ids,
                                  np.fromiter(self._dead, np.int64,
                                              len(self._dead)))
-            body_vecs = self._body_vectors()[keep]
-            parts_v.append(body_vecs)
+            parts_v.append(self._body_vectors()[keep])
             parts_i.append(self.body_chunk_ids[keep])
         if not parts_v:
+            return (np.empty((0, self.dim), np.float32),
+                    np.empty((0,), np.int64))
+        return np.concatenate(parts_v), np.concatenate(parts_i)
+
+    def rebuild(self) -> None:
+        """Compact tail + body into a fresh IVF body (copy-on-compact).
+        IVF-PQ routes through the host-staged streaming build — its f32
+        corpus never materializes on device OR host (the round-2 build
+        path OOM'd above ~40M; VERDICT r2 item 3). NOTE: the flat-mode
+        path below materializes the full f32 corpus on device — fine to
+        ~4M rows on one v5e; bigger flat stores build through
+        ``build_ivf_flat_streaming`` + ``adopt_body``."""
+        if self.mode == "exact":
+            return
+        if self.mode == "ivf_pq":
+            return self._rebuild_pq()
+        vecs, cids = self.live_rows()
+        if not len(cids):
             self.body = None
             self.body_version += 1
             self.body_chunk_ids = None
             return
-        vecs = np.concatenate(parts_v)
-        cids = np.concatenate(parts_i)
         n = len(cids)
         nlist = self._sized_nlist(n)
         new_body = build_ivf_flat(
@@ -309,6 +319,19 @@ class StoreIndex:
             self.body_version += 1
         self.tail = self._new_tail()
         self._dead.clear()  # rebuild compacted all tombstones away
+
+    def adopt_body(self, body, chunk_ids: np.ndarray) -> None:
+        """Swap in an externally built body (host-staged bulk builds:
+        ``build_ivf_flat_streaming`` / pad paths). ``chunk_ids[i]`` is
+        the chunk id of the build's global row i. Replaces the current
+        body AND tail — callers pass a build that already includes
+        every live row."""
+        with self._body_lock:
+            self.body_chunk_ids = np.asarray(chunk_ids, np.int64)
+            self.body = body
+            self.body_version += 1
+        self.tail = self._new_tail()
+        self._dead.clear()
 
     def _sized_nlist(self, n: int) -> int:
         nlist = max(8, min(self.nlist, n // 64 or 8))

@@ -119,6 +119,103 @@ def build_ivf_flat(
         n=n)
 
 
+def build_ivf_flat_streaming(
+    source,
+    n: int,
+    d: int,
+    nlist: int,
+    *,
+    key: jax.Array,
+    kmeans_iters: int = 10,
+    sample: int | None = None,
+    capacity_slack: float = 1.0,
+    chunk: int = 262_144,
+    progress=None,
+) -> tuple[IVFFlatIndex, np.ndarray]:
+    """Host-staged int8 IVF-Flat build for corpora whose f32 form cannot
+    sit on device (10M x 768 f32 = 30 GB > one v5e's HBM — the direct
+    ``build_ivf_flat`` materializes exactly that; flat analog of
+    ``build_ivf_pq_streaming``).
+
+    ``source(lo, hi) -> np f32 [hi-lo, d]``. Device work is the k-means
+    sample fit plus per-chunk assignment (int32 down: 4 B/vec — the
+    only traffic in the tunnel's slow direction); quantization and the
+    interleaved layout run in host numpy, and the packed int8 table
+    uploads once in the fast direction.
+
+    Returns ``(index, overflow_mask [n])`` — with the default
+    ``capacity_slack=1.0`` capacity tracks the true max list count and
+    nothing overflows; a tighter explicit cap (memory-bounded callers)
+    drops the masked rows, which callers must re-route (exact tail).
+    """
+    sample_n = min(n, sample or max(nlist * 64, 16_384))
+    samp = jnp.asarray(np.asarray(source(0, sample_n),
+                                  dtype=np.float32))
+    centroids, _ = kmeans_fit(samp, nlist, key=key, iters=kmeans_iters,
+                              spherical=True)
+    del samp
+    assign_j = jax.jit(lambda v: assign_clusters(v, centroids)[0])
+
+    # pass 1: assignments (buffered, 4 B/vec) + global absmax for the
+    # shared int8 scale
+    assigns = np.empty(n, np.int32)
+    absmax = 1e-12
+    for lo in range(0, n, chunk):
+        hi = min(n, lo + chunk)
+        rows = np.asarray(source(lo, hi), dtype=np.float32)
+        assigns[lo:hi] = np.asarray(assign_j(jnp.asarray(rows)))
+        absmax = max(absmax, float(np.abs(rows).max()))
+        del rows
+
+    counts = np.bincount(assigns, minlength=nlist)
+    need = int(counts.max() * capacity_slack)
+    cap_len = max(LBLOCK, int(-(-need // LBLOCK) * LBLOCK))
+    scale = absmax / 127.0
+
+    # pass 2: host quantize + interleaved scatter (same dest math as
+    # build_ivf_flat — bit-identical layout)
+    flat = np.zeros((nlist * cap_len, d), np.int8)
+    ids = np.full((nlist * cap_len,), -1, np.int32)
+    next_slot = np.zeros(nlist, np.int64)
+    overflow = np.zeros(n, bool)
+    for lo in range(0, n, chunk):
+        hi = min(n, lo + chunk)
+        rows = np.asarray(source(lo, hi), dtype=np.float32)
+        a = assigns[lo:hi]
+        order = np.argsort(a, kind="stable")
+        sa = a[order]
+        ccounts = np.bincount(a, minlength=nlist)
+        cstarts = np.concatenate(([0], np.cumsum(ccounts)[:-1]))
+        rank = (np.arange(hi - lo) - cstarts[sa]) + next_slot[sa]
+        next_slot += ccounts
+        ok = rank < cap_len
+        overflow[lo:hi][order] = ~ok
+        dest = (sa.astype(np.int64) * cap_len
+                + interleave_slots(np.minimum(rank, cap_len - 1),
+                                   cap_len))[ok]
+        flat[dest] = np.clip(np.rint(rows[order][ok] / scale),
+                             -127, 127).astype(np.int8)
+        ids[dest] = (lo + order[ok]).astype(np.int32)
+        del rows
+        if progress is not None:
+            progress(hi, n)
+
+    # single upload; reshapes ride the donated buffers (no device copy)
+    r3 = jax.jit(lambda x: x.reshape(nlist, cap_len, d),
+                 donate_argnums=0)
+    r2 = jax.jit(lambda x: x.reshape(nlist, cap_len), donate_argnums=0)
+    lists_dev = r3(jnp.asarray(flat))
+    ids_dev = r2(jnp.asarray(ids))
+    del flat, ids
+    index = IVFFlatIndex(
+        centroids=centroids,
+        lists=lists_dev,
+        row_ids=ids_dev,
+        scale=jnp.asarray(np.float32(scale)),
+        n=n - int(overflow.sum()))
+    return index, overflow
+
+
 @functools.partial(jax.jit, donate_argnums=(0, 1))
 def _scatter_rows(lists3d, ids2d, vecs, dest, row_ids):
     # reshapes stay inside the jit: bitcasts on the donated buffers, so

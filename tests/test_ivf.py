@@ -211,3 +211,39 @@ def test_ivf_search_small_matches_batched():
     a = ivf_search_small(idx8, jnp.asarray(q), 5, nprobe=16)
     b = ivf_search_small(idx8, jnp.asarray(q), 5, nprobe=16)
     np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+
+def test_build_ivf_flat_streaming_matches_direct():
+    """Host-staged streaming int8 build produces the same layout and
+    search results as the direct device build."""
+    import jax
+    import numpy as np
+    from rag_foundation_tpu.engine.ivf import (build_ivf_flat,
+                                               build_ivf_flat_streaming,
+                                               ivf_search)
+    rng = np.random.default_rng(3)
+    n, d, nlist = 5000, 64, 8
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    import jax.numpy as jnp
+    direct = build_ivf_flat(jnp.asarray(vecs), nlist,
+                            key=jax.random.key(0), int8=True)
+    stream, overflow = build_ivf_flat_streaming(
+        lambda lo, hi: vecs[lo:hi], n, d, nlist,
+        key=jax.random.key(0), chunk=1024)
+    assert not overflow.any()
+    assert stream.n == direct.n == n
+    # identical layout (same kmeans key + same dest math)
+    assert np.array_equal(np.asarray(stream.row_ids),
+                          np.asarray(direct.row_ids))
+    # same quantization up to 1 lsb (device vs host rounding)
+    diff = np.abs(np.asarray(stream.lists, np.int32)
+                  - np.asarray(direct.lists, np.int32))
+    assert diff.max() <= 1
+    # identical search results
+    q = jnp.asarray(vecs[:64])
+    _, ia, _ = ivf_search(direct, q, 5, nprobe=4, p=5, interpret=True)
+    _, ib, _ = ivf_search(stream, q, 5, nprobe=4, p=5, interpret=True)
+    agree = np.mean([len(set(a) & set(b)) / 5 for a, b in
+                     zip(np.asarray(ia), np.asarray(ib))])
+    assert agree >= 0.99
