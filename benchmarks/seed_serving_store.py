@@ -42,12 +42,16 @@ def main() -> None:
 
     client = ApiClient.from_credentials(args.base_url, args.email,
                                         args.password, register=True)
+    # first device ops after a fresh TPU lease can stall minutes
+    # (remote compiles / pool re-claims); a 60 s HTTP timeout would
+    # abort the whole harness
+    client.timeout = 900.0
     store = client.ensure_store("load-test")
     with tempfile.TemporaryDirectory() as td:
         for di in range(args.docs):
             p = Path(td) / f"ops-{di}.txt"
             p.write_text(doc_text(di))
-            client.upload_and_poll(store["id"], p, timeout_s=600)
+            client.upload_and_poll(store["id"], p, timeout_s=1800)
             if di % 10 == 0 or di == args.docs - 1:
                 print(f"seeded doc {di + 1}/{args.docs}",
                       file=sys.stderr, flush=True)
