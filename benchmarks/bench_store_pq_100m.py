@@ -41,6 +41,14 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def rss_gb() -> float:
+    """Anon+file resident set — the first 100M build run died at 130 GB
+    anon RSS (staged f32 upload buffers); every phase logs this so a
+    regression is visible long before the OOM killer's verdict."""
+    with open("/proc/self/statm") as f:
+        return int(f.read().split()[1]) * os.sysconf("SC_PAGE_SIZE") / 2**30
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=100_000_000)
@@ -148,7 +156,8 @@ def main():
             row_base += mrows
             if ci % 20 == 0 or ci == n_chunks - 1:
                 log(f"ingest {ci+1}/{n_chunks} ({row_base/1e6:.1f}M, "
-                    f"{time.perf_counter()-t_fill:.0f}s)")
+                    f"{time.perf_counter()-t_fill:.0f}s, "
+                    f"rss {rss_gb():.1f}G)")
             del v
         ph, prows = pending
         arch.append(np.asarray(ph[:prows]))
@@ -173,6 +182,9 @@ def main():
     def progress(done, total):
         marks.setdefault("first", (time.perf_counter(), done))
         marks["last"] = (time.perf_counter(), done)
+        if done // args.chunk % 20 == 0:
+            log(f"build {done/1e6:.1f}M/{total/1e6:.0f}M "
+                f"(rss {rss_gb():.1f}G)")
 
     t0 = time.perf_counter()
     idx.bulk_load_archive(arch, np.arange(n, dtype=np.int64),

@@ -25,6 +25,7 @@ ranking) or keep refine host-side and re-rank there.
 from __future__ import annotations
 
 import functools
+import gc
 from typing import NamedTuple
 
 import jax
@@ -141,9 +142,15 @@ def build_ivf_pq(vectors: jnp.ndarray, nlist: int, m: int, *,
 
 
 @functools.partial(jax.jit, static_argnames=("packed",))
-def _encode_chunk(v32, centroids, cb_centroids, *, packed: bool):
+def _encode_chunk(v, centroids, cb_centroids, scale=1.0, *, packed: bool):
     """Device encode for one build chunk: coarse assign -> residual ->
-    PQ codes (nibble-packed when ``packed``)."""
+    PQ codes (nibble-packed when ``packed``). ``v`` may be int8 scaled
+    by ``scale`` ON DEVICE — the streaming build uploads raw int8 so
+    each staged transfer is 4x smaller (the host-side f32 conversion
+    made every chunk an ~800 MB pinned upload; the axon transport's
+    staging of those killed the 100M build at ~130 GB anon RSS)."""
+    v32 = (v.astype(jnp.float32) * scale
+           if v.dtype == jnp.int8 else v * scale)
     assign, _ = assign_clusters(v32, centroids, block_size=65536)
     residual = v32 - centroids[assign]
     codes = pq_encode(PQCodebook(centroids=cb_centroids), residual)
@@ -246,15 +253,26 @@ def build_ivf_pq_streaming(
         host_codes[dest] = codes_h[ok]
         host_ids[dest] = (lo + np.arange(rows, dtype=np.int32))[ok]
 
+    def fetch_raw(lo, hi):
+        # int8 sources upload RAW and scale on device: 4x fewer staged
+        # bytes per chunk, and the staging buffers are what OOM'd the
+        # 100M build (see _encode_chunk docstring)
+        raw = np.asarray(source(lo, hi))
+        if raw.dtype == np.int8:
+            return raw, source_scale
+        return raw.astype(np.float32, copy=False), 1.0
+
     pending = None   # (assign_dev, codes_dev, lo, rows)
     lo = 0
     while lo < n or pending is not None:
         nxt = None
         if lo < n:
             hi = min(n, lo + chunk)
-            v = jnp.asarray(fetch(lo, hi))
+            v_raw, vscale = fetch_raw(lo, hi)
+            v = jnp.asarray(v_raw)
+            del v_raw
             a_dev, c_dev = _encode_chunk(v, centroids,
-                                         codebook.centroids,
+                                         codebook.centroids, vscale,
                                          packed=packed)
             nxt = (a_dev, c_dev, lo, hi - lo)
             del v
@@ -266,6 +284,7 @@ def build_ivf_pq_streaming(
                 progress(plo + prows, n)
         pending = nxt
         lo = min(n, lo + chunk)
+        gc.collect()   # big per-chunk buffers must not wait for gen-2
         if nxt is None:
             break
 
