@@ -1,0 +1,88 @@
+"""Probe: does the axon transport retain host staging for uploads?
+
+The 100M product build OOM'd at 130 GB anon RSS with per-iteration
+growth ~= the staged f32 chunk size, and the 10M pad's flat build shows
+the same slope (engine RSS ~27 -> ~36 GB across pass 1's ~31 GB of f32
+uploads). Both syncs (np.asarray of a downstream result) and gc do not
+return the memory, which implicates the transport's host-side staging
+rather than Python references.
+
+This probe uploads ``--iters`` chunks of ``--mb`` MB, fully consumes
+each on device (scalar reduce fetched to host = hard sync), deletes the
+arrays, gc-collects, and prints RSS after every iteration; then tries
+the candidate remedies in order, printing RSS after each:
+
+  1. ``arr.delete()``            (explicit PJRT buffer delete)
+  2. ``jax.clear_caches()``      (jit cache — should be irrelevant)
+  3. 30 s idle sleep             (deferred reclaim / flush timers)
+
+Interpretation: if RSS climbs ~= --mb per iteration and none of the
+remedies return it, the plugin pins upload staging for the process
+lifetime -> mitigation is dtype-minimal uploads (int8/bf16), which
+engine/ivfpq.py's streaming build now does.
+
+Run ONLY when no other TPU process is active (CLAUDE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import gc
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def rss_gb() -> float:
+    with open("/proc/self/statm") as f:
+        return int(f.read().split()[1]) * os.sysconf("SC_PAGE_SIZE") / 2**30
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mb", type=int, default=512)
+    ap.add_argument("--iters", type=int, default=12)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    reduce_j = jax.jit(lambda x: jnp.sum(x))
+    n = args.mb * (1 << 20) // 4
+    rng = np.random.default_rng(0)
+
+    print(f"baseline rss {rss_gb():.2f}G", flush=True)
+    last = None
+    for i in range(args.iters):
+        host = rng.standard_normal(n).astype(np.float32)  # incompressible
+        dev = jnp.asarray(host)
+        del host
+        s = reduce_j(dev)
+        _ = np.asarray(s)          # hard sync: upload + compute done
+        last = dev
+        del dev, s
+        gc.collect()
+        print(f"iter {i}: rss {rss_gb():.2f}G", flush=True)
+
+    if last is not None and hasattr(last, "delete"):
+        try:
+            last.delete()
+        except Exception as e:  # noqa: BLE001 - probe reports, never dies
+            print("delete() raised:", e)
+    gc.collect()
+    print(f"after delete(): rss {rss_gb():.2f}G", flush=True)
+    import jax
+    jax.clear_caches()
+    gc.collect()
+    print(f"after clear_caches(): rss {rss_gb():.2f}G", flush=True)
+    time.sleep(30)
+    print(f"after 30s idle: rss {rss_gb():.2f}G", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -523,6 +523,12 @@ class Engine:
                     total = nb + n
 
                     def source(lo: int, hi: int) -> np.ndarray:
+                        # int8 rows (scale 1/127 — all inputs are
+                        # L2-normalized): pass-1 uploads move 4x fewer
+                        # bytes than f32, which matters both for RSS
+                        # (the transport retains upload staging) and
+                        # for wall time when the tunnel degrades to
+                        # single-digit MB/s
                         out = np.empty((hi - lo, d), np.float32)
                         pos = lo
                         while pos < hi:
@@ -538,7 +544,8 @@ class Engine:
                                 out[pos - lo: pos - lo + take] = \
                                     blk[off: off + take]
                             pos += take
-                        return out
+                        return np.clip(np.rint(out * 127.0),
+                                       -127, 127).astype(np.int8)
 
                     from rag_foundation_tpu.engine.ivf import \
                         build_ivf_flat_streaming
@@ -546,7 +553,8 @@ class Engine:
                     body, overflow = build_ivf_flat_streaming(
                         source, total, d, seg._sized_nlist(total),
                         key=jax.random.key(seed),
-                        capacity_slack=1.05)
+                        capacity_slack=1.05,
+                        source_scale=1.0 / 127.0)
                     cids = np.concatenate([base_i, pad_ids])
                     cids[overflow] = -1    # dropped rows stay dead
                     seg.adopt_body(body, cids)

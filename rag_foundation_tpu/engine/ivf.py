@@ -19,6 +19,7 @@ Supports f32/bf16 storage or int8 (per-tensor symmetric, MXU int8 path).
 from __future__ import annotations
 
 import functools
+import gc
 from typing import NamedTuple
 
 import jax
@@ -131,6 +132,7 @@ def build_ivf_flat_streaming(
     capacity_slack: float = 1.0,
     chunk: int = 262_144,
     progress=None,
+    source_scale: float | None = None,
 ) -> tuple[IVFFlatIndex, np.ndarray]:
     """Host-staged int8 IVF-Flat build for corpora whose f32 form cannot
     sit on device (10M x 768 f32 = 30 GB > one v5e's HBM — the direct
@@ -143,34 +145,59 @@ def build_ivf_flat_streaming(
     interleaved layout run in host numpy, and the packed int8 table
     uploads once in the fast direction.
 
+    ``source`` may instead return int8 rows with ``source_scale`` set
+    (dequantized value = row * source_scale): pass-1 uploads then move
+    4x fewer bytes (dequantization happens on device) and pass 2 stores
+    the rows verbatim with ``scale = source_scale``. The axon
+    transport retains host staging for every upload (~f32-chunk-sized
+    anon growth per chunk, measured on the 100M PQ build and the 10M
+    pad), so f32 sources cost ~3 KB/vec of process RSS for the build's
+    lifetime — int8 sources cost 1/4 of that.
+
     Returns ``(index, overflow_mask [n])`` — with the default
     ``capacity_slack=1.0`` capacity tracks the true max list count and
     nothing overflows; a tighter explicit cap (memory-bounded callers)
     drops the masked rows, which callers must re-route (exact tail).
     """
+    def fetch(lo, hi):
+        raw = np.asarray(source(lo, hi))
+        if raw.dtype == np.int8:
+            if source_scale is None:
+                raise ValueError("int8 source requires source_scale")
+            return raw
+        return raw.astype(np.float32, copy=False)
+
+    dequant_j = jax.jit(
+        lambda v: v.astype(jnp.float32) * source_scale
+        if v.dtype == jnp.int8 else v)
+
     sample_n = min(n, sample or max(nlist * 64, 16_384))
-    samp = jnp.asarray(np.asarray(source(0, sample_n),
-                                  dtype=np.float32))
+    samp = dequant_j(jnp.asarray(fetch(0, sample_n)))
     centroids, _ = kmeans_fit(samp, nlist, key=key, iters=kmeans_iters,
                               spherical=True)
     del samp
-    assign_j = jax.jit(lambda v: assign_clusters(v, centroids)[0])
+    assign_j = jax.jit(
+        lambda v: assign_clusters(dequant_j(v), centroids)[0])
 
     # pass 1: assignments (buffered, 4 B/vec) + global absmax for the
     # shared int8 scale
     assigns = np.empty(n, np.int32)
     absmax = 1e-12
+    int8_src = False
     for lo in range(0, n, chunk):
         hi = min(n, lo + chunk)
-        rows = np.asarray(source(lo, hi), dtype=np.float32)
+        rows = fetch(lo, hi)
+        int8_src = rows.dtype == np.int8
         assigns[lo:hi] = np.asarray(assign_j(jnp.asarray(rows)))
-        absmax = max(absmax, float(np.abs(rows).max()))
+        if not int8_src:
+            absmax = max(absmax, float(np.abs(rows).max()))
         del rows
+        gc.collect()   # staged upload buffers must not wait for gen-2
 
     counts = np.bincount(assigns, minlength=nlist)
     need = int(counts.max() * capacity_slack)
     cap_len = max(LBLOCK, int(-(-need // LBLOCK) * LBLOCK))
-    scale = absmax / 127.0
+    scale = float(source_scale) if int8_src else absmax / 127.0
 
     # pass 2: host quantize + interleaved scatter (same dest math as
     # build_ivf_flat — bit-identical layout)
@@ -180,7 +207,7 @@ def build_ivf_flat_streaming(
     overflow = np.zeros(n, bool)
     for lo in range(0, n, chunk):
         hi = min(n, lo + chunk)
-        rows = np.asarray(source(lo, hi), dtype=np.float32)
+        rows = fetch(lo, hi)
         a = assigns[lo:hi]
         order = np.argsort(a, kind="stable")
         sa = a[order]
@@ -193,8 +220,9 @@ def build_ivf_flat_streaming(
         dest = (sa.astype(np.int64) * cap_len
                 + interleave_slots(np.minimum(rank, cap_len - 1),
                                    cap_len))[ok]
-        flat[dest] = np.clip(np.rint(rows[order][ok] / scale),
-                             -127, 127).astype(np.int8)
+        flat[dest] = (rows[order][ok] if rows.dtype == np.int8
+                      else np.clip(np.rint(rows[order][ok] / scale),
+                                   -127, 127).astype(np.int8))
         ids[dest] = (lo + order[ok]).astype(np.int32)
         del rows
         if progress is not None:
