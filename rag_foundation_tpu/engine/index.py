@@ -333,8 +333,18 @@ class StoreIndex:
         self.tail = self._new_tail()
         self._dead.clear()
 
+    # Mean rows/list ceiling for auto-sized IVF bodies. The flat
+    # list-scan kernel holds one padded list block in VMEM per grid
+    # step; a store that grows far past its configured nlist (e.g.
+    # nlist=256 padded to 10M rows -> 48k-row lists) produces blocks
+    # the Mosaic compiler cannot fit (measured: scoped-vmem OOM at
+    # compile). 4096 matches the known-good 10M/nlist=4096 headline
+    # config with ample margin.
+    MAX_MEAN_LIST_ROWS = 4096
+
     def _sized_nlist(self, n: int) -> int:
-        nlist = max(8, min(self.nlist, n // 64 or 8))
+        floor = -(-n // self.MAX_MEAN_LIST_ROWS)
+        nlist = max(8, floor, min(self.nlist, n // 64 or 8))
         if self.mesh is not None:
             # list dim shards across chips (parallel/sharded_ivf); keep
             # nlist divisible by the shard count

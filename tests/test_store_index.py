@@ -243,3 +243,19 @@ def test_recall_probe_pq_body_uses_refine_store():
     assert len(qv) == 16
     exact = idx.exact_reference_search(qv, 5)
     assert (exact[:, 0] == qids).mean() >= 0.9
+
+
+def test_sized_nlist_scales_up_for_huge_stores():
+    """A store that grows far past its configured nlist must not build
+    lists the Mosaic list-scan kernel cannot hold in VMEM (measured:
+    nlist=256 padded to 10M rows -> 48k-row lists -> scoped-vmem OOM at
+    compile). _sized_nlist floors nlist at n / MAX_MEAN_LIST_ROWS."""
+    from rag_foundation_tpu.engine.index import StoreIndex
+    idx = StoreIndex(64, mode="ivf_flat_int8", nlist=256)
+    # small stores: configured nlist shrinks with n as before
+    assert idx._sized_nlist(1_000) == max(8, 1_000 // 64)
+    assert idx._sized_nlist(100_000) == 256
+    # huge store: floor kicks in -> mean list rows stays bounded
+    nl = idx._sized_nlist(10_000_000)
+    assert 10_000_000 / nl <= StoreIndex.MAX_MEAN_LIST_ROWS
+    assert nl >= 2442
