@@ -10,11 +10,18 @@ v5e-8 int8-flat path remains the SPEED story for config 5 (virtual-mesh
 merge tests + the 12.5M/chip real slice); this is the CAPACITY story.
 
 Design notes:
-- Host-staged build: the code scatter's donation does NOT alias for
-  [N, 96]-byte minor dims (XLA inserts an 11 GB copy -> OOM, the round-1
-  40M ceiling, CLAUDE.md). Codes are therefore encoded on device in
-  512k chunks, fetched (~50 MB/chunk), scattered into a host numpy
-  table (125 GB RAM), and uploaded ONCE at the end.
+- Host-staged build (default): the code scatter's donation does NOT
+  alias for [N, 96]-byte minor dims (XLA inserts an 11 GB copy -> OOM,
+  the round-1 40M ceiling, CLAUDE.md). Codes are therefore encoded on
+  device in 512k chunks, fetched (~50 MB/chunk), scattered into a host
+  numpy table (125 GB RAM), and uploaded ONCE at the end.
+- --device-build (m=256 only): packed rows are exactly 128 B, the one
+  minor dim whose donated uint8 scatter aliases in place (verified on
+  a 10 GiB table, benchmarks/probe_tunnel_roofline.py) — so encode,
+  slot allocation, and scatter all run on device
+  (engine.ivfpq.pq_build_step, bit-identical to the host pass) and
+  NOTHING crosses the ~25-45 MB/s tunnel, which is what bound the
+  host-staged build to ~0.14M vec/s.
 - Ground truth: streaming exact f32 scan per generated chunk (the
   corpus never exists in full anywhere).
 - Refine at this scale cannot be HBM-resident (int8 = 77 GB). Two
@@ -62,13 +69,21 @@ def main():
     ap.add_argument("--refine_c", type=int, default=32)
     ap.add_argument("--gt_sub", type=int, default=128)
     ap.add_argument("--chunk", type=int, default=524_288)
-    ap.add_argument("--pq_sample", type=int, default=131_072)
+    # >64k per-subspace samples at m=256 blow HBM in pq_train: the
+    # [m, sample, 4] f32 temp tiles T(8,128) with 32x padding (16 GB
+    # at 131072 — measured compile OOM; CLAUDE.md)
+    ap.add_argument("--pq_sample", type=int, default=65_536)
     ap.add_argument("--pq_iters", type=int, default=6)
     ap.add_argument("--cap_block", type=int, default=0)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--cache", default="",
                     help="dir to save/load the host-staged build "
                          "(skips the ~15 min rebuild on reruns)")
+    ap.add_argument("--device-build", action="store_true",
+                    help="tunnel-free on-device build (pq_build_step):"
+                         " donated in-place scatter into the resident"
+                         " code table — needs m=256 (128 B packed rows)"
+                         " to alias, and --chunk dividing --n")
     args = ap.parse_args()
 
     import jax
@@ -86,7 +101,8 @@ def main():
     cap_len = int(-(-(mean_len * args.cap_slack) // 512) * 512)
     mb = m // 2
     log(f"n={n} nlist={nlist} m={m} packed cap_len={cap_len} "
-        f"codes={nlist*cap_len*mb/2**30:.2f} GiB (host-staged)")
+        f"codes={nlist*cap_len*mb/2**30:.2f} GiB "
+        f"({'device' if args.device_build else 'host-staged'} build)")
 
     key = jax.random.key(0)
     k_centers, k_noise, k_pq = jax.random.split(key, 3)
@@ -142,6 +158,69 @@ def main():
         codebook.centroids.block_until_ready()
         log(f"pq_train: {time.perf_counter()-t0:.1f}s")
 
+        if args.device_build:
+            # -- tunnel-free device build (engine.ivfpq.pq_build_step):
+            # encode + slot-allocate + scatter all on device; nothing
+            # crosses the ~25-45 MB/s host link (the per-chunk ~64 MB
+            # code fetch + the final 14 GiB upload are what bound the
+            # host-staged build to ~0.14M vec/s — probe_tunnel_roofline)
+            from rag_foundation_tpu.engine.ivfpq import pq_build_step
+            if mb != 128:
+                log(f"WARN: packed minor dim {mb} B != 128 B — the "
+                    "donated scatter may relayout-copy the table "
+                    "(OOM at 100M); use --m 256")
+            if n % args.chunk:
+                raise SystemExit("--device-build needs --chunk "
+                                 "dividing --n (static shapes)")
+            mtot = nlist * cap_len
+            codes_flat = jax.jit(
+                lambda: jnp.zeros((mtot, mb), jnp.uint8))()
+            ids_flat = jax.jit(
+                lambda: jnp.full((mtot,), -1, jnp.int32))()
+            next_slot = jnp.zeros((nlist,), jnp.int32)
+            run_vals = jnp.full((args.gt_sub, args.k), -jnp.inf,
+                                jnp.float32)
+            run_ids = jnp.full((args.gt_sub, args.k), -1, jnp.int32)
+            drops = []
+            row_base = 0
+            n_chunks = n // args.chunk
+            t_loop = time.perf_counter()
+            t_first = 0.0
+            for ci in range(n_chunks):
+                v = v0 if ci == 0 else gen_at(row_base)
+                if ci == 0:
+                    qnp, _src = corpus_mod.make_queries(
+                        v, args.q, qnoise=0.2)
+                    queries = jnp.asarray(qnp)
+                    q_sub = queries[: args.gt_sub]
+                    v0 = None
+                run_vals, run_ids = gt_merge(run_vals, run_ids, q_sub,
+                                             v, row_base)
+                codes_flat, ids_flat, next_slot, nd = pq_build_step(
+                    codes_flat, ids_flat, next_slot, v,
+                    jnp.int32(row_base), centers, codebook.centroids,
+                    jnp.float32(1.0))
+                drops.append(nd)
+                del v
+                if ci == 0 or ci % 8 == 7:
+                    # bound in-flight work: each queued step pins its
+                    # [chunk, d] f32 operand until it executes
+                    np.asarray(drops[-1])
+                    if ci == 0:
+                        t_first = time.perf_counter() - t_loop
+                if ci % 80 == 0 or ci == n_chunks - 1:
+                    log(f"chunk {ci+1}/{n_chunks}: "
+                        f"{time.perf_counter()-t_loop:.1f}s")
+                row_base += args.chunk
+            overflow = int(sum(int(np.asarray(x)) for x in drops))
+            t_build = time.perf_counter() - t_loop
+            steady = t_build - t_first
+            mvps = (n - args.chunk) / steady / 1e6 if steady > 0 else 0
+            log(f"device build: {t_build:.1f}s; steady {mvps:.2f}M "
+                f"vec/s; overflow {overflow} ({overflow/n*100:.4f}%)")
+            host_codes = host_ids = None
+
+    if not cache_hit and not args.device_build:
         # -- host-staged build ------------------------------------------------
         host_codes = np.zeros((nlist * cap_len, mb), np.uint8)
         host_ids = np.full((nlist * cap_len,), -1, np.int32)
@@ -218,12 +297,17 @@ def main():
     r3 = jax.jit(lambda x: x.reshape(nlist, cap_len, mb),
                  donate_argnums=0)
     r2 = jax.jit(lambda x: x.reshape(nlist, cap_len), donate_argnums=0)
-    codes_dev = r3(jnp.asarray(host_codes))
-    ids_dev = r2(jnp.asarray(host_ids))
-    codes_dev.block_until_ready()
-    log(f"upload: {time.perf_counter()-t0:.1f}s "
-        f"({host_codes.nbytes/2**30:.1f} GiB)")
-    del host_codes, host_ids
+    if args.device_build and not cache_hit:
+        codes_dev = r3(codes_flat)         # already resident: aliased
+        ids_dev = r2(ids_flat)
+        codes_dev.block_until_ready()
+    else:
+        codes_dev = r3(jnp.asarray(host_codes))
+        ids_dev = r2(jnp.asarray(host_ids))
+        codes_dev.block_until_ready()
+        log(f"upload: {time.perf_counter()-t0:.1f}s "
+            f"({host_codes.nbytes/2**30:.1f} GiB)")
+        del host_codes, host_ids
     index = IVFPQIndex(
         centroids=centers, codebook_centroids=codebook.centroids,
         codes=codes_dev, row_ids=ids_dev, n=n - overflow,

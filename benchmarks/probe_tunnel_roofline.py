@@ -1,0 +1,160 @@
+"""Probe the axon-tunnel transfer rooflines + scatter-donation aliasing.
+
+Establishes the two facts the 100M build roofline rests on
+(VERDICT r2 item 6):
+
+1. Sustained H2D and D2H bandwidth over the tunneled TPU transport,
+   sequential and 2-deep pipelined — any HOST-staged build of an
+   N-row index moves >= N*bytes_per_row across this link, so the
+   measured MB/s is a hard ceiling on host-sourced build throughput.
+2. Whether a donated ``.at[rows].set()`` scatter into a uint8
+   ``[N, 128]`` table aliases in place (bytes_in_use stays ~1x the
+   table) or copies (2x).  m=256 packed 4-bit codes are exactly
+   128 B/row, so if this aliases, the beyond-HBM PQ tier can build
+   its 14 GiB code table ON DEVICE and skip the tunnel entirely
+   (the [N, 96]-byte layout measured round 2 does NOT alias: minor
+   dim < 128 lanes forces an XLA relayout copy, CLAUDE.md).
+
+Run ONLY when no other TPU process is active (CLAUDE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mb", type=int, default=256, help="chunk size MB")
+    ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument("--table-gb", type=float, default=4.0,
+                    help="aliasing-probe table size")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    dev = jax.devices()[0]
+    out: dict = {"platform": dev.platform, "chunk_mb": args.mb}
+
+    # -- seed op (first op after a fresh lease can take minutes) -----
+    t0 = time.perf_counter()
+    np.asarray(jax.jit(lambda x: jnp.sum(x))(jnp.ones((8, 8))))
+    out["seed_s"] = round(time.perf_counter() - t0, 1)
+    print(f"seed {out['seed_s']}s", flush=True)
+
+    nbytes = args.mb << 20
+    rng = np.random.default_rng(0)
+    host = [rng.integers(-127, 128, (nbytes,), np.int8)
+            for _ in range(2)]
+    reduce_j = jax.jit(lambda x: jnp.sum(x.astype(jnp.int32)))
+
+    # -- H2D sequential: put chunk, hard-sync via scalar fetch -------
+    times = []
+    for i in range(args.iters):
+        t0 = time.perf_counter()
+        a = jax.device_put(host[i % 2])
+        np.asarray(reduce_j(a))
+        times.append(time.perf_counter() - t0)
+        a.delete()
+    # drop the first rep (compile of reduce_j)
+    seq = float(np.median(times[1:]))
+    out["h2d_seq_MBps"] = round(args.mb / seq, 1)
+    print(f"h2d seq {out['h2d_seq_MBps']} MB/s {times}", flush=True)
+
+    # -- H2D pipelined 2-deep: keep two puts in flight ---------------
+    t0 = time.perf_counter()
+    bufs = []
+    for i in range(args.iters):
+        bufs.append(jax.device_put(host[i % 2]))
+        if len(bufs) > 2:
+            old = bufs.pop(0)
+            np.asarray(reduce_j(old))
+            old.delete()
+    for b in bufs:
+        np.asarray(reduce_j(b))
+        b.delete()
+    pipe = time.perf_counter() - t0
+    out["h2d_pipe_MBps"] = round(args.mb * args.iters / pipe, 1)
+    print(f"h2d pipe {out['h2d_pipe_MBps']} MB/s", flush=True)
+
+    # -- D2H: generate on device, fetch -----------------------------
+    gen = jax.jit(lambda k: jax.random.randint(
+        k, (nbytes,), -127, 128, jnp.int8))
+    times = []
+    for i in range(args.iters):
+        a = gen(jax.random.key(i))
+        np.asarray(reduce_j(a))          # ensure materialized
+        t0 = time.perf_counter()
+        np.asarray(a)
+        times.append(time.perf_counter() - t0)
+        a.delete()
+    d2h = float(np.median(times[1:]))
+    out["d2h_MBps"] = round(args.mb / d2h, 1)
+    print(f"d2h {out['d2h_MBps']} MB/s {times}", flush=True)
+
+    # -- RTT: tiny scalar round trips -------------------------------
+    times = []
+    one = jnp.ones(())
+    for _ in range(10):
+        t0 = time.perf_counter()
+        np.asarray(reduce_j(one))
+        times.append(time.perf_counter() - t0)
+    out["rtt_ms"] = round(float(np.median(times)) * 1e3, 1)
+    print(f"rtt {out['rtt_ms']} ms", flush=True)
+
+    # -- donation aliasing for uint8 [N, 128] scatter ----------------
+    def stats():
+        return (dev.memory_stats() or {}).get("bytes_in_use", 0)
+
+    rows = int(args.table_gb * (1 << 30)) // 128
+    upd = 1 << 16
+    base = stats()
+    table = jax.device_put(np.zeros((rows, 128), np.uint8))
+    np.asarray(reduce_j(table[:8]))
+    with_table = stats()
+
+    def _scatter(t, idx, vals):
+        return t.at[idx].set(vals)
+    scatter_d = jax.jit(_scatter, donate_argnums=0)
+
+    idx = jnp.arange(upd, dtype=jnp.int32) * (rows // upd)
+    vals = jax.device_put(
+        rng.integers(0, 255, (upd, 128), np.uint8))
+    peak0 = (dev.memory_stats() or {}).get("peak_bytes_in_use", 0)
+    table = scatter_d(table, idx, vals)
+    np.asarray(reduce_j(table[:8]))
+    after = stats()
+    peak1 = (dev.memory_stats() or {}).get("peak_bytes_in_use", 0)
+    tbytes = rows * 128
+    out["alias_u8_128"] = {
+        "table_gb": round(tbytes / 2**30, 2),
+        "in_use_before_mb": round((with_table - base) / 2**20),
+        "in_use_after_mb": round((after - base) / 2**20),
+        "peak_delta_mb": round((peak1 - peak0) / 2**20),
+        "aliased": bool(peak1 - peak0 < 0.5 * tbytes),
+    }
+    print(json.dumps(out), flush=True)
+
+    # timed in-place scatter throughput (if aliased)
+    times = []
+    for i in range(4):
+        t0 = time.perf_counter()
+        table = scatter_d(table, idx, vals)
+        np.asarray(reduce_j(table[:8]))
+        times.append(time.perf_counter() - t0)
+    out["scatter_64k_rows_ms"] = round(float(np.median(times)) * 1e3, 1)
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

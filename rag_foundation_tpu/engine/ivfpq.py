@@ -330,6 +330,66 @@ def build_ivf_pq_streaming(
     return index, overflow
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2),
+                   static_argnames=("packed",))
+def pq_build_step(codes_flat, ids_flat, next_slot, v, row_base,
+                  centroids, cb_centroids, scale, *, packed: bool = True):
+    """One donated ON-DEVICE chunk step of an IVF-PQ build: encode →
+    per-list slot allocation → in-place scatter of codes + ids.
+
+    The device-resident build path. When chunk vectors are already on
+    device (synthetic bench corpora, rebuilds/compactions of a device
+    flat index, ``pad_store``), nothing crosses the host link: vs the
+    host-staged ``build_ivf_pq_streaming`` this removes the per-chunk
+    ~64 MB D2H code fetch, the single-core numpy layout pass, and the
+    final ~14 GiB table upload — which together bound the 100M packed
+    build to ~0.14M vec/s on the ~25-45 MB/s tunneled transport
+    (measured: benchmarks/probe_tunnel_roofline.py).
+
+    In-place update relies on the packed m≥256 layout's 128-byte minor
+    dim: a donated uint8 ``[M, 128]`` scatter aliases (verified against
+    a 10 GiB table that cannot exist twice in HBM); minors <128 bytes
+    relayout-copy on scatter (CLAUDE.md) — that trap is why the
+    host-staged path exists for the other layouts.
+
+    Slot allocation mirrors the host pass bit-for-bit: stable sort by
+    list id → rank within chunk → ``next_slot`` offset → sub-block
+    interleave; rows past ``cap_len`` get an out-of-bounds destination
+    and are dropped by ``mode="drop"`` (the ``ivf_append`` contract —
+    callers re-route dropped rows).
+
+    Args: ``codes_flat [M, m_bytes] u8``, ``ids_flat [M] i32`` (-1 =
+    dead), ``next_slot [nlist] i32`` (all three donated), ``v
+    [chunk, d]`` f32 — or int8 scaled by ``scale`` on device, the
+    4×-cheaper transfer dtype for host-sourced chunks. Returns
+    ``(codes_flat, ids_flat, next_slot, n_dropped)``.
+    """
+    nlist = centroids.shape[0]
+    cap_len = ids_flat.shape[0] // nlist
+    chunk = v.shape[0]
+    assign, codes = _encode_chunk(v, centroids, cb_centroids, scale,
+                                  packed=packed)
+    order = jnp.argsort(assign, stable=True)
+    sa = assign[order]
+    counts = jnp.zeros((nlist,), jnp.int32).at[assign].add(1)
+    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                              jnp.cumsum(counts)[:-1]])
+    rank_sorted = jnp.arange(chunk, dtype=jnp.int32) - starts[sa]
+    slot_sorted = rank_sorted + next_slot[sa]
+    slots = jnp.zeros((chunk,), jnp.int32).at[order].set(slot_sorted)
+    ok = slots < cap_len
+    nsub = cap_len // LBLOCK
+    slot_c = jnp.minimum(slots, cap_len - 1)
+    islot = (slot_c % nsub) * LBLOCK + slot_c // nsub
+    dest = jnp.where(ok, assign * cap_len + islot,
+                     nlist * cap_len)            # OOB → dropped
+    codes_flat = codes_flat.at[dest].set(codes, mode="drop")
+    ids_flat = ids_flat.at[dest].set(
+        row_base + jnp.arange(chunk, dtype=jnp.int32), mode="drop")
+    return (codes_flat, ids_flat, next_slot + counts,
+            chunk - jnp.sum(ok.astype(jnp.int32)))
+
+
 @functools.partial(jax.jit, donate_argnums=(0, 1))
 def _scatter_codes(codes3d, ids2d, new_codes, dest, row_ids):
     nlist, cap_len, mb = codes3d.shape

@@ -15,7 +15,7 @@ import pytest
 from rag_foundation_tpu.engine.archive import HostArchive
 from rag_foundation_tpu.engine.ivfpq import (build_ivf_pq,
                                              build_ivf_pq_streaming,
-                                             ivfpq_search)
+                                             ivfpq_search, pq_build_step)
 from rag_foundation_tpu.ops.l2norm import l2_normalize
 
 N, D, NLIST, M = 4096, 64, 16, 16
@@ -112,6 +112,60 @@ def test_streaming_overflow_rows_reported():
     # overflowed rows are absent, landed rows are unique
     assert not np.isin(np.nonzero(overflow)[0], live_ids).any()
     assert len(live_ids) == index.n == len(np.unique(live_ids))
+
+
+def _device_build(v, centroids, cb_centroids, nlist, cap_len, mb,
+                  chunk):
+    """Drive pq_build_step over ``v`` in ``chunk``-row steps."""
+    mtot = nlist * cap_len
+    codes_flat = jnp.zeros((mtot, mb), jnp.uint8)
+    ids_flat = jnp.full((mtot,), -1, jnp.int32)
+    next_slot = jnp.zeros((nlist,), jnp.int32)
+    dropped = 0
+    for lo in range(0, len(v), chunk):
+        codes_flat, ids_flat, next_slot, nd = pq_build_step(
+            codes_flat, ids_flat, next_slot, jnp.asarray(v[lo:lo + chunk]),
+            jnp.int32(lo), centroids, cb_centroids, jnp.float32(1.0))
+        dropped += int(nd)
+    return (np.asarray(codes_flat).reshape(nlist, cap_len, mb),
+            np.asarray(ids_flat).reshape(nlist, cap_len), dropped)
+
+
+def test_device_build_step_matches_host_staged(corpus):
+    """pq_build_step (on-device slot allocation + donated scatter) is
+    bit-identical to the host-staged numpy layout pass given the same
+    codebooks and chunking — the correctness basis for the tunnel-free
+    100M device build (docs/ENGINE.md build roofline)."""
+    v, _, _ = corpus
+    host_idx, overflow = build_ivf_pq_streaming(
+        lambda lo, hi: v[lo:hi], N, D, NLIST, M, key=jax.random.key(0),
+        packed=True, chunk=1024, cap_slack=2.0)
+    assert not overflow.any()
+    nlist, cap_len, mb = host_idx.codes.shape
+    codes, ids, dropped = _device_build(
+        v, host_idx.centroids, host_idx.codebook_centroids,
+        nlist, cap_len, mb, 1024)
+    assert dropped == 0
+    np.testing.assert_array_equal(codes, np.asarray(host_idx.codes))
+    np.testing.assert_array_equal(ids, np.asarray(host_idx.row_ids))
+
+
+def test_device_build_step_overflow_parity():
+    """Capacity overflow drops the same rows as the host pass (OOB
+    dest + mode='drop', the ivf_append contract)."""
+    key = jax.random.key(3)
+    v = np.asarray(l2_normalize(
+        jax.random.normal(key, (2048, D), jnp.float32)))
+    host_idx, overflow = build_ivf_pq_streaming(
+        lambda lo, hi: v[lo:hi], 2048, D, 4, M, key=jax.random.key(0),
+        packed=True, chunk=512, cap_slack=0.5)
+    nlist, cap_len, mb = host_idx.codes.shape
+    codes, ids, dropped = _device_build(
+        v, host_idx.centroids, host_idx.codebook_centroids,
+        nlist, cap_len, mb, 512)
+    assert dropped == int(overflow.sum()) > 0
+    np.testing.assert_array_equal(codes, np.asarray(host_idx.codes))
+    np.testing.assert_array_equal(ids, np.asarray(host_idx.row_ids))
 
 
 def test_archive_compact_state_memmap(tmp_path):
