@@ -1,0 +1,187 @@
+"""10M x 768 IVF-PQ through the PRODUCT path (VERDICT r2 weak #8).
+
+Round 2 measured the config-4 kernels at 30.1k QPS (bench_ivfpq_10m.py
+driving ``ivfpq_search`` directly, async-pipelined batches) but the
+path the APP serves — ``StoreIndex.search`` → pow2 bucketing → body
+dispatch → host id-mapping/tail-merge/dedup — was only smoked at 1M.
+This bench measures it at 10M against the same f32 ground truth the
+kernel bench uses, and decomposes the product-path tax: for each Q it
+also times the bare ``ivfpq_search`` call on the same body so the delta
+(host merge + query upload + sync fetch) is explicit.
+
+Reuses the first 10M rows of the 100M archive cache when present
+(``--archive-cache /tmp/ar100m``) — the docwalk corpus is regenerated
+on device (deterministic in (key, base)) to recompute exact f32 GT for
+the 10M prefix; only int8 codes ride the tunnel.
+
+Usage: python benchmarks/bench_store_pq_10m.py \
+           [--archive-cache /tmp/ar100m] [--n 10000000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=10_000_000)
+    ap.add_argument("--d", type=int, default=768)
+    ap.add_argument("--corpus-topics", type=int, default=16384,
+                    help="MUST match the archive's generator")
+    ap.add_argument("--nlist", type=int, default=4096)
+    ap.add_argument("--m", type=int, default=192)
+    ap.add_argument("--nprobe", type=int, default=32)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--gt_sub", type=int, default=128)
+    ap.add_argument("--chunk", type=int, default=524_288)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--qs", default="1024,2048",
+                    help="comma list of batch sizes to sweep")
+    ap.add_argument("--archive-cache", default="/tmp/ar100m")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from benchmarks import corpus as corpus_mod
+    from rag_foundation_tpu.engine.archive import HostArchive
+    from rag_foundation_tpu.engine.index import StoreIndex
+    from rag_foundation_tpu.engine.ivfpq import ivfpq_search
+    from rag_foundation_tpu.ops.l2norm import l2_normalize
+
+    n, d = args.n, args.d
+    key = jax.random.key(0)
+    k_centers, k_noise, _ = jax.random.split(key, 3)
+    centers = l2_normalize(jax.random.normal(
+        k_centers, (args.corpus_topics, d), jnp.float32))
+
+    @jax.jit
+    def gen_q8(base):
+        v = corpus_mod.gen_docwalk_chunk(k_noise, centers,
+                                         jnp.int32(base),
+                                         chunk=args.chunk)
+        q8 = jnp.clip(jnp.round(v * 127.0), -127, 127).astype(jnp.int8)
+        return v, q8
+
+    @jax.jit
+    def gt_merge(run_vals, run_ids, q_sub, chunk_v, row_base):
+        scores = jnp.dot(q_sub, chunk_v.T,
+                         preferred_element_type=jnp.float32)
+        v, i = jax.lax.top_k(scores, args.k)
+        ids = row_base + i.astype(jnp.int32)
+        allv = jnp.concatenate([run_vals, v], axis=1)
+        alli = jnp.concatenate([run_ids, ids], axis=1)
+        nv, pos = jax.lax.top_k(allv, args.k)
+        return nv, jnp.take_along_axis(alli, pos, axis=1)
+
+    # -- archive: reuse the 100M cache prefix or regenerate ----------------
+    arch_f = os.path.join(args.archive_cache, "archive.i8")
+    meta_f = os.path.join(args.archive_cache, "meta.npz")
+    cached = os.path.exists(arch_f) and os.path.exists(meta_f)
+    max_q = max(int(s) for s in args.qs.split(","))
+    if cached:
+        log("reusing 100M archive cache prefix")
+        arch = HostArchive(d, path=arch_f, scale=1.0 / 127.0)
+        arch._rows = np.memmap(arch_f, dtype=np.int8, mode="r+"
+                               ).reshape(-1, d)
+        arch._cap = len(arch._rows)
+        assert arch._cap >= n, "cache smaller than --n"
+        arch.n = n
+    else:
+        arch = HostArchive(d, scale=1.0 / 127.0)
+        arch.reserve(n)
+
+    # queries are regenerated from chunk 0 (deterministic in the key),
+    # and GT is recomputed for the 10M prefix corpus either way
+    queries = None
+    run_vals = jnp.full((args.gt_sub, args.k), -jnp.inf, jnp.float32)
+    run_ids = jnp.full((args.gt_sub, args.k), -1, jnp.int32)
+    q_sub = None
+    row_base = 0
+    t0 = time.perf_counter()
+    n_chunks = -(-n // args.chunk)
+    for ci in range(n_chunks):
+        mrows = min(args.chunk, n - row_base)
+        v, q8 = gen_q8(row_base)
+        if ci == 0:
+            if queries is None:
+                qnp, _src = corpus_mod.make_queries(v, max_q, qnoise=0.2)
+                queries = np.asarray(qnp)
+            q_sub = jnp.asarray(queries[: args.gt_sub])
+        run_vals, run_ids = gt_merge(run_vals, run_ids, q_sub,
+                                     v[:mrows], row_base)
+        if not cached:
+            arch.append(np.asarray(q8[:mrows]))
+        row_base += mrows
+    exact_ids = np.asarray(run_ids)   # forces the GT chain
+    log(f"GT over {n/1e6:.0f}M recomputed on device in "
+        f"{time.perf_counter()-t0:.0f}s")
+
+    def recall_of(ids):
+        approx = np.asarray(ids[: args.gt_sub])
+        return float(np.mean([len(set(a) & set(b)) / args.k
+                              for a, b in zip(approx, exact_ids)]))
+
+    # -- build through the product path (device int8 refine tier) ---------
+    idx = StoreIndex(d, mode="ivf_pq", nlist=args.nlist,
+                     nprobe=args.nprobe, pq_m=args.m, pq_packed=True,
+                     pq_refine="device", build_threshold=1)
+    t0 = time.perf_counter()
+    idx.bulk_load_archive(arch, np.arange(n, dtype=np.int64))
+    t_build = time.perf_counter() - t0
+    log(f"build (host-staged archive -> device codes+refine): "
+        f"{t_build:.0f}s = {n/t_build/1e6:.2f}M vec/s; "
+        f"tail {idx.tail.count}")
+
+    results = {}
+    for q_n in (int(s) for s in args.qs.split(",")):
+        qv = queries[:q_n]
+        # (a) PRODUCT path: StoreIndex.search end to end
+        t0 = time.perf_counter()
+        idx.search(qv, args.k)
+        log(f"Q={q_n} product first call (compile): "
+            f"{time.perf_counter()-t0:.0f}s")
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            vals, ids = idx.search(qv, args.k)
+        per_prod = (time.perf_counter() - t0) / args.reps
+        rec = recall_of(ids)
+        # (b) bare kernel on the same body, same sync discipline
+        #     (upload + dispatch + fetch [Q,fetch] results)
+        qj = jnp.asarray(qv)
+        bv, br, _ = ivfpq_search(idx.body, qj, 16,
+                                 nprobe=args.nprobe, p=8)
+        np.asarray(bv)
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            bv, br, _ = ivfpq_search(idx.body, jnp.asarray(qv), 16,
+                                     nprobe=args.nprobe, p=8)
+            np.asarray(bv), np.asarray(br)
+        per_kern = (time.perf_counter() - t0) / args.reps
+        results[q_n] = (per_prod, rec, per_kern)
+        log(f"Q={q_n}: product {per_prod*1000:.1f} ms/batch -> "
+            f"{q_n/per_prod:.0f} QPS recall@{args.k}={rec:.4f} | "
+            f"bare kernel {per_kern*1000:.1f} ms -> "
+            f"{q_n/per_kern:.0f} QPS | product tax "
+            f"{(per_prod-per_kern)*1000:.1f} ms")
+
+    parts = " ".join(
+        f"q{q}_qps={q/p:.0f} q{q}_recall={r:.4f} q{q}_kernel_qps={q/pk:.0f}"
+        for q, (p, r, pk) in results.items())
+    print(f"RESULT n={n} {parts} build_Mvps={n/t_build/1e6:.2f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -510,11 +510,14 @@ class Engine:
                 pad_ids = np.arange(base, base + n, dtype=np.int64)
                 seg = store.segment
                 if seg.mode == "ivf_flat_int8":
-                    # host-staged streaming build: the full f32 corpus
-                    # never touches the device (a 10M pad would OOM the
-                    # direct rebuild — 30 GB f32 > HBM), and incremental
-                    # appends into an undersized body would rebuild
-                    # O(N) repeatedly
+                    # device-sourced build: pads are synthetic, so they
+                    # can be GENERATED on device — no row bytes cross
+                    # the transport in either direction (the previous
+                    # host-staged build uploaded 2×768 B/vec through
+                    # the ~25-45 MB/s tunnel: 1603 s for a 10M pad;
+                    # device-gen measures ~20× faster). The full f32
+                    # corpus still never materializes (chunked int8
+                    # scatter), so 10M pads fit HBM.
                     base_v, base_i = seg.live_rows()
                     nb = len(base_i)
                     if nb > 2_000_000:
@@ -522,39 +525,33 @@ class Engine:
                                          "seeded store to pad")
                     total = nb + n
 
-                    def source(lo: int, hi: int) -> np.ndarray:
-                        # int8 rows (scale 1/127 — all inputs are
-                        # L2-normalized): pass-1 uploads move 4x fewer
-                        # bytes than f32, which matters both for RSS
-                        # (the transport retains upload staging) and
-                        # for wall time when the tunnel degrades to
-                        # single-digit MB/s
-                        out = np.empty((hi - lo, d), np.float32)
-                        pos = lo
-                        while pos < hi:
-                            if pos < nb:
-                                take = min(hi, nb) - pos
-                                out[pos - lo: pos - lo + take] = \
-                                    base_v[pos: pos + take]
-                            else:
-                                p = pos - nb
-                                bi, off = divmod(p, PBLOCK)
-                                blk = pad_block(bi)
-                                take = min(hi - pos, len(blk) - off)
-                                out[pos - lo: pos - lo + take] = \
-                                    blk[off: off + take]
-                            pos += take
-                        return np.clip(np.rint(out * 127.0),
-                                       -127, 127).astype(np.int8)
-
-                    from rag_foundation_tpu.engine.ivf import \
-                        build_ivf_flat_streaming
                     import jax
-                    body, overflow = build_ivf_flat_streaming(
-                        source, total, d, seg._sized_nlist(total),
-                        key=jax.random.key(seed),
-                        capacity_slack=1.05,
-                        source_scale=1.0 / 127.0)
+                    import jax.numpy as jnp
+                    from rag_foundation_tpu.engine.ivf import \
+                        build_ivf_flat_device
+                    from rag_foundation_tpu.ops.l2norm import l2_normalize
+                    chunk = 1 << 18
+                    centers_j = jnp.asarray(centers)
+                    kb = jax.random.key((seed + 1) * 1_000_003)
+
+                    @jax.jit
+                    def _gen(ci):
+                        # ci is TRACED: a static chunk index would
+                        # recompile the generator for every chunk
+                        k1, k2 = jax.random.split(
+                            jax.random.fold_in(kb, ci))
+                        cid = jax.random.randint(k1, (chunk,), 0,
+                                                 ncenters)
+                        v = centers_j[cid] + jnp.float32(0.35) \
+                            * jax.random.normal(k2, (chunk, d),
+                                                jnp.float32)
+                        return l2_normalize(v)
+
+                    body, overflow = build_ivf_flat_device(
+                        lambda ci: _gen(jnp.int32(ci)), n, d,
+                        seg._sized_nlist(total),
+                        key=jax.random.key(seed), head=base_v,
+                        capacity_slack=1.05, chunk=chunk)
                     cids = np.concatenate([base_i, pad_ids])
                     cids[overflow] = -1    # dropped rows stay dead
                     seg.adopt_body(body, cids)

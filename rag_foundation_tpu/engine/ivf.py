@@ -244,6 +244,158 @@ def build_ivf_flat_streaming(
     return index, overflow
 
 
+def build_ivf_flat_device(
+    gen,
+    n: int,
+    d: int,
+    nlist: int,
+    *,
+    key: jax.Array,
+    head: np.ndarray | None = None,
+    kmeans_iters: int = 10,
+    sample: int | None = None,
+    capacity_slack: float = 1.05,
+    chunk: int = 262_144,
+    scale: float = 1.0 / 127.0,
+    progress=None,
+) -> tuple[IVFFlatIndex, np.ndarray]:
+    """Device-sourced int8 IVF-Flat build: rows never cross the link.
+
+    ``gen(ci) -> jnp f32 [chunk, d]`` produces synthetic/derived rows ON
+    DEVICE (deterministic in ``ci``; regenerated once per pass). Only
+    int32 assignments ride the link down (4 B/vec) and int32 dest slots
+    ride up (4 B/vec) — 768× fewer bytes than staging rows through the
+    host, which is what made ``Engine.pad_store``'s host-staged 10M pad
+    cost ~27 min on the tunnel transport. Rows are assumed unit-norm
+    (``scale`` defaults to 1/127 like the host pad path).
+
+    ``head``: optional real rows (np f32 [nb, d], global rows
+    ``0..nb``) stored ahead of the generated rows ``nb..nb+n``; pads a
+    seeded store without re-encoding it.
+
+    Layout (interleave + next_slot math) is identical to
+    ``build_ivf_flat_streaming``; returns ``(index, overflow[nb+n])``.
+    """
+    nb = 0 if head is None else len(head)
+    total = nb + n
+    n_chunks = -(-n // chunk)
+    head_j = None
+    if nb:
+        head_j = jnp.asarray(np.asarray(head, np.float32))
+
+    # quantize-dequantize before fit/assign: the stored representation
+    # is int8, and the host-staged int8-source build fits/assigns on
+    # exactly these values — keeps the two builds layout-identical
+    # (parity test) and assignment consistent with what queries scan
+    q8 = lambda v: jnp.clip(jnp.round(v / scale), -127,
+                            127).astype(jnp.int8)
+    q8_j = jax.jit(q8)
+    dq = lambda v: q8(v).astype(jnp.float32) * scale
+
+    # coarse quantizer fit on head + first generated chunk(s)
+    sample_n = min(total, sample or max(nlist * 64, 16_384))
+    parts = []
+    if nb:
+        parts.append(dq(head_j[: min(nb, sample_n)]))
+    got = sum(int(p.shape[0]) for p in parts)
+    ci = 0
+    while got < sample_n and ci < n_chunks:
+        blk = gen(ci)
+        take = min(int(blk.shape[0]), sample_n - got)
+        parts.append(dq(blk[:take]))
+        got += take
+        ci += 1
+    samp = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+    centroids, _ = kmeans_fit(samp, nlist, key=key, iters=kmeans_iters,
+                              spherical=True)
+    del samp, parts
+
+    assign_j = jax.jit(lambda v: assign_clusters(dq(v), centroids)[0])
+
+    # pass 1: assignments only (double-buffered: chunk i+1's gen/assign
+    # is in flight while chunk i's 1 MB assign vector crosses the link)
+    assigns = np.empty(total, np.int32)
+    if nb:
+        assigns[:nb] = np.asarray(assign_j(head_j))
+    pending = None   # (handle, lo, hi)
+    lo = nb
+    for ci in range(n_chunks):
+        hi = min(total, lo + chunk)
+        h = assign_j(gen(ci))
+        if pending is not None:
+            ph, plo, phi = pending
+            assigns[plo:phi] = np.asarray(ph)[: phi - plo]
+        pending = (h, lo, hi)
+        lo = hi
+    if pending is not None:
+        ph, plo, phi = pending
+        assigns[plo:phi] = np.asarray(ph)[: phi - plo]
+
+    counts = np.bincount(assigns, minlength=nlist)
+    need = int(counts.max() * capacity_slack)
+    cap_len = max(LBLOCK, int(-(-need // LBLOCK) * LBLOCK))
+
+    # pass 2: regenerate + quantize on device, scatter donated in place.
+    # No sync points: dest math is host-side from pass-1 assigns, and
+    # the scatter chain is dispatch-only (device-to-device).
+    lists3d = jnp.zeros((nlist, cap_len, d), jnp.int8)
+    ids2d = jnp.full((nlist, cap_len), -1, jnp.int32)
+    next_slot = np.zeros(nlist, np.int64)
+    overflow = np.zeros(total, bool)
+
+    def dest_of(lo: int, hi: int) -> tuple[np.ndarray, np.ndarray]:
+        a = assigns[lo:hi]
+        order = np.argsort(a, kind="stable")
+        sa = a[order]
+        ccounts = np.bincount(a, minlength=nlist)
+        cstarts = np.concatenate(([0], np.cumsum(ccounts)[:-1]))
+        rank = (np.arange(hi - lo) - cstarts[sa]) + next_slot[sa]
+        next_slot[:] += ccounts
+        ok = rank < cap_len
+        overflow[lo:hi][order] = ~ok
+        dest = np.where(
+            ok,
+            sa.astype(np.int64) * cap_len
+            + interleave_slots(np.minimum(rank, cap_len - 1), cap_len),
+            nlist * cap_len)            # OOB -> dropped by the scatter
+        inv = np.empty_like(order)
+        inv[order] = np.arange(len(order))
+        return dest[inv], (lo + np.arange(hi - lo)).astype(np.int32)
+
+    if nb:
+        dest, rid = dest_of(0, nb)
+        lists3d, ids2d = _scatter_rows(lists3d, ids2d, q8_j(head_j),
+                                       jnp.asarray(dest),
+                                       jnp.asarray(rid))
+    lo = nb
+    for ci in range(n_chunks):
+        hi = min(total, lo + chunk)
+        v8 = q8_j(gen(ci))
+        dest, rid = dest_of(lo, hi)
+        if hi - lo < chunk:
+            # constant scatter shapes: pad the short tail with OOB
+            # dests (mode="drop") instead of recompiling the donated
+            # scatter for a one-off shape (remote compiles are minutes)
+            pad = chunk - (hi - lo)
+            dest = np.concatenate(
+                [dest, np.full(pad, nlist * cap_len, np.int64)])
+            rid = np.concatenate([rid, np.full(pad, -1, np.int32)])
+        lists3d, ids2d = _scatter_rows(lists3d, ids2d, v8,
+                                       jnp.asarray(dest),
+                                       jnp.asarray(rid))
+        lo = hi
+        if progress is not None:
+            progress(hi, total)
+
+    index = IVFFlatIndex(
+        centroids=centroids,
+        lists=lists3d,
+        row_ids=ids2d,
+        scale=jnp.asarray(np.float32(scale)),
+        n=total - int(overflow.sum()))
+    return index, overflow
+
+
 @functools.partial(jax.jit, donate_argnums=(0, 1))
 def _scatter_rows(lists3d, ids2d, vecs, dest, row_ids):
     # reshapes stay inside the jit: bitcasts on the donated buffers, so

@@ -296,3 +296,53 @@ def test_build_ivf_flat_streaming_int8_source():
     self_f32 = np.mean(np.asarray(ia)[:, 0] == np.arange(64))
     self_i8 = np.mean(np.asarray(ib)[:, 0] == np.arange(64))
     assert self_f32 >= 0.98 and self_i8 >= 0.98
+
+
+def test_build_ivf_flat_device_matches_streaming():
+    """Device-sourced build (rows generated on device, nothing staged
+    through the host) produces the same layout, overflow mask, and
+    search results as the host-staged streaming build over identical
+    rows — incl. the head (real seeded rows) + generated split that
+    Engine.pad_store uses."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from rag_foundation_tpu.engine.ivf import (build_ivf_flat_device,
+                                               build_ivf_flat_streaming,
+                                               ivf_search)
+    rng = np.random.default_rng(7)
+    nb, n, d, nlist, chunk = 300, 4000, 64, 8, 1024
+    head = rng.standard_normal((nb, d)).astype(np.float32)
+    head /= np.linalg.norm(head, axis=1, keepdims=True)
+    # generated rows: fixed host table served both ways (the device
+    # path consumes full-chunk blocks; short tails pad with OOB dests)
+    n_chunks = -(-n // chunk)
+    gen_rows = rng.standard_normal((n_chunks * chunk, d)
+                                   ).astype(np.float32)
+    gen_rows /= np.linalg.norm(gen_rows, axis=1, keepdims=True)
+    allv = np.concatenate([head, gen_rows[:n]])
+
+    all8 = np.clip(np.rint(allv * 127.0), -127, 127).astype(np.int8)
+    stream, ov_s = build_ivf_flat_streaming(
+        lambda lo, hi: all8[lo:hi], nb + n, d, nlist,
+        key=jax.random.key(0), chunk=chunk, capacity_slack=1.0,
+        source_scale=1.0 / 127.0)
+    dev, ov_d = build_ivf_flat_device(
+        lambda ci: jnp.asarray(gen_rows[ci * chunk:(ci + 1) * chunk]),
+        n, d, nlist, key=jax.random.key(0), head=head, chunk=chunk,
+        capacity_slack=1.0)
+    assert np.array_equal(ov_s, ov_d)
+    assert dev.n == stream.n
+    # same kmeans sample + key => same centroids => same assigns; the
+    # dest math is shared, so row placement must be identical
+    assert np.array_equal(np.asarray(stream.row_ids),
+                          np.asarray(dev.row_ids))
+    diff = np.abs(np.asarray(stream.lists, np.int32)
+                  - np.asarray(dev.lists, np.int32))
+    assert diff.max() <= 1   # host np.rint(v*127) vs device round(v/s)
+    q = jnp.asarray(allv[:64])
+    _, ia, _ = ivf_search(stream, q, 5, nprobe=4, p=5, interpret=True)
+    _, ib, _ = ivf_search(dev, q, 5, nprobe=4, p=5, interpret=True)
+    agree = np.mean([len(set(a) & set(b)) / 5 for a, b in
+                     zip(np.asarray(ia), np.asarray(ib))])
+    assert agree >= 0.99
