@@ -11,12 +11,13 @@ import re
 import time
 
 from rag_foundation_tpu.app.auth import get_current_user, require_admin
+from rag_foundation_tpu.app.file_types import allowed_types
 from rag_foundation_tpu.app.services.audit import record_admin_action
 from rag_foundation_tpu.runtime.http import HTTPError, Response
 
 ALLOWED_KEYS = {
     "app_name", "app_icon", "theme", "primary_color", "accent_color",
-    "favicon_url", "welcome_prompts", "footer_text",
+    "favicon_url", "welcome_message", "welcome_prompts", "footer_text",
 }
 _COLOR_RE = re.compile(r"^#[0-9a-fA-F]{3,8}$")
 
@@ -46,6 +47,14 @@ def register(app, ctx):
             # picker, frontend ChatContext.tsx)
             "models": list(settings.ALLOWED_MODELS),
             "default_model": settings.DEFAULT_MODEL,
+            # upload limits for the composer-attachment UI (reference
+            # utils/uploadLimits.ts reads these from build-time env;
+            # server-driven here so the SPA always matches the API)
+            "upload": {
+                "max_mb": settings.MAX_UPLOAD_MB,
+                "profile": settings.UPLOAD_PROFILE,
+                "mime_count": len(allowed_types(settings.UPLOAD_PROFILE)),
+            },
         })
 
     @app.put("/api/settings")

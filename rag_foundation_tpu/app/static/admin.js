@@ -111,14 +111,49 @@ export async function refreshAdmin() {
   }
 }
 
+/* reference components/admin/IconPicker.tsx icon set analog */
+const ICONS = ["✦", "🔎", "📚", "🤖", "💬", "🗂", "⚡", "🧠"];
+
 export async function applyBranding() {
   try {
     const out = await api("GET", "/api/settings");
     const s = out.settings;
+    state.branding = s;
+    state.uploadLimits = out.upload || null;
+    if (out.upload) {
+      $("attach").title = `Attach to the selected store ` +
+        `(≤${out.upload.max_mb} MB, ${out.upload.mime_count} ` +
+        `allowed types)`;
+    }
     if (s.app_name) {
       $("app-name").textContent = s.app_name;
       document.title = s.app_name;
     }
+    $("app-icon").textContent = s.app_icon || "";
+    // colors land as CSS custom properties (reference ThemeContext
+    // applies primary/accent the same way)
+    const root = document.documentElement;
+    if (s.primary_color) root.style.setProperty("--accent",
+                                                s.primary_color);
+    if (s.accent_color) root.style.setProperty("--accent-2",
+                                               s.accent_color);
+    if (s.favicon_url) {
+      let link = document.querySelector("link[rel=icon]");
+      if (!link) {
+        link = document.createElement("link");
+        link.rel = "icon";
+        document.head.appendChild(link);
+      }
+      link.href = s.favicon_url;
+    }
+    const foot = $("app-footer");
+    foot.hidden = !s.footer_text;
+    foot.textContent = s.footer_text || "";
+    if (s.welcome_message) {
+      const wm = $("welcome-message");
+      if (wm) wm.textContent = s.welcome_message;
+    }
+    renderWelcomePrompts(s.welcome_prompts);
     // user-local theme choice beats the deployment default
     if (s.theme && !localStorage.getItem("ragtpu-theme")) {
       applyTheme(s.theme, false);
@@ -134,6 +169,28 @@ export async function applyBranding() {
       }
     }
   } catch (e) { /* pre-auth errors fine */ }
+}
+
+/* suggested-prompt chips on the welcome card (reference
+ * AppSettings.suggested_prompt_1..3 + WelcomeCard.tsx): click fills
+ * and submits the composer */
+function renderWelcomePrompts(prompts) {
+  const box = $("welcome-prompts");
+  if (!box) return;
+  box.innerHTML = "";
+  for (const p of String(prompts || "").split("\n")) {
+    const text = p.trim();
+    if (!text) continue;
+    const chip = document.createElement("button");
+    chip.type = "button";
+    chip.className = "chip";
+    chip.textContent = text;
+    chip.addEventListener("click", () => {
+      $("question").value = text;
+      $("chat-form").dispatchEvent(new Event("submit"));
+    });
+    box.appendChild(chip);
+  }
 }
 
 export function initAdmin() {
@@ -159,13 +216,62 @@ export function initAdmin() {
       $("recall-out").textContent = `error: ${e.message}`;
     }
   });
+  // icon picker (reference IconPicker.tsx): one-click selection
+  const iconBox = $("branding-icons");
+  for (const ic of ICONS) {
+    const b = document.createElement("button");
+    b.type = "button";
+    b.textContent = ic;
+    b.addEventListener("click", () => {
+      $("branding-icon").value = ic;
+      iconBox.querySelectorAll("button").forEach((x) =>
+        x.classList.toggle("sel", x === b));
+    });
+    iconBox.appendChild(b);
+  }
   $("branding-form").addEventListener("submit", async (e) => {
     e.preventDefault();
-    const body = {};
-    if ($("branding-name").value) {
-      body.app_name = $("branding-name").value;
+    const body = {
+      app_name: $("branding-name").value,
+      app_icon: $("branding-icon").value,
+      primary_color: $("branding-primary").value,
+      accent_color: $("branding-accent").value,
+      welcome_prompts: $("branding-prompts").value,
+      footer_text: $("branding-footer").value,
+    };
+    if ($("branding-welcome").value) {
+      body.welcome_message = $("branding-welcome").value;
     }
-    await api("PUT", "/api/settings", body);
-    applyBranding();
+    // drop empties so a partial form never clears existing branding
+    for (const k of Object.keys(body)) if (!body[k]) delete body[k];
+    try {
+      await api("PUT", "/api/settings", body);
+      $("branding-saved").textContent = "✓ saved";
+      setTimeout(() => { $("branding-saved").textContent = ""; }, 1500);
+      applyBranding();
+    } catch (err) {
+      banner(`Branding save failed: ${err.message}`);
+    }
   });
+}
+
+/* prefill the branding form from current settings when the admin view
+ * opens (reference CustomizationPanel loads current values) */
+export function fillBrandingForm() {
+  const s = state.branding || {};
+  if ($("branding-name").value === "") {
+    $("branding-name").value = s.app_name || "";
+  }
+  $("branding-icon").value = s.app_icon || "";
+  if (s.primary_color) $("branding-primary").value = s.primary_color;
+  if (s.accent_color) $("branding-accent").value = s.accent_color;
+  if (s.welcome_message) {
+    $("branding-welcome").value = s.welcome_message;
+  }
+  if ($("branding-prompts").value === "") {
+    $("branding-prompts").value = s.welcome_prompts || "";
+  }
+  if ($("branding-footer").value === "") {
+    $("branding-footer").value = s.footer_text || "";
+  }
 }

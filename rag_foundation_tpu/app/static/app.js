@@ -12,7 +12,7 @@
 
 import { $, api, logout, state } from "./api.js";
 import { initChat, refreshSessions } from "./chat.js";
-import { applyBranding, initAdmin, refreshAdmin,
+import { applyBranding, fillBrandingForm, initAdmin, refreshAdmin,
          refreshCosts } from "./admin.js";
 import { initStores, refreshStores } from "./stores.js";
 import { applyTheme, initThemeControls } from "./theme.js";
@@ -25,7 +25,7 @@ function showView(name) {
   document.querySelectorAll("nav button[data-view]").forEach((b) =>
     b.classList.toggle("active", b.dataset.view === name));
   if (name === "costs") refreshCosts();
-  if (name === "admin") refreshAdmin();
+  if (name === "admin") { refreshAdmin(); fillBrandingForm(); }
   if (name === "stores") refreshStores();
 }
 document.querySelectorAll("nav button[data-view]").forEach((b) =>

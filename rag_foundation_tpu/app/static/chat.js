@@ -5,6 +5,7 @@
 
 import { $, api, banner, esc, state } from "./api.js";
 import { consumeSseResponse } from "./sse.js";
+import { refreshStores, uploadFileInto } from "./stores.js";
 
 function relTime(ts) {
   const s = Math.max(1, (Date.now() / 1000 - ts) | 0);
@@ -98,11 +99,30 @@ function setChatError(msg, canRetry = false) {
   $("retry").hidden = !(canRetry && state.lastQuestion);
 }
 
+/* markdown-lite for completed assistant messages (reference renders
+ * prose via assistant-ui markdown classes): escape FIRST, then allow
+ * bold / italic / inline code / bullet lines. No raw HTML ever. */
+function mdLite(text) {
+  const html = esc(text)
+    .replace(/\*\*([^*\n]+)\*\*/g, "<b>$1</b>")
+    .replace(/(^|[^*])\*([^*\n]+)\*/g, "$1<i>$2</i>")
+    .replace(/`([^`\n]+)`/g, "<code>$1</code>");
+  return html.split("\n").map((line) =>
+    /^\s*[-•]\s+/.test(line)
+      ? `<li>${line.replace(/^\s*[-•]\s+/, "")}</li>`
+      : line).join("<br>").replace(/<\/li><br>/g, "</li>");
+}
+
 function handleFrame(frame, target, panel) {
   switch (frame.type) {
     case "text-delta":
-      target.textContent += frame.delta;
+      target._raw = (target._raw || "") + frame.delta;
+      target.textContent = target._raw;
+      target.appendChild(streamDot());
       $("messages").scrollTop = $("messages").scrollHeight;
+      break;
+    case "text-end":
+      target.innerHTML = mdLite(target._raw || "");
       break;
     case "source-document":
       addCitation(panel, frame);
@@ -111,9 +131,18 @@ function handleFrame(frame, target, panel) {
     case "budget_exceeded":
       setChatError(frame.message || frame.errorText, true);
       break;
-    default:  /* start / text-start / text-end / finish */
+    default:  /* start / text-start / finish */
       break;
   }
+}
+
+/* streaming in-progress indicator (reference
+ * MessagePartPrimitive.InProgress dot) */
+function streamDot() {
+  const s = document.createElement("span");
+  s.className = "stream-dot";
+  s.textContent = " ●";
+  return s;
 }
 
 async function submitQuestion() {
@@ -177,6 +206,9 @@ async function submitQuestion() {
       setChatError(err.message, true);
     }
   } finally {
+    // stopped/failed streams keep their partial text, lose the dot
+    target.querySelector(".stream-dot")?.remove();
+    if (target._raw) target.innerHTML = mdLite(target._raw);
     state.streaming = false;
     state.abort = null;
     $("send").disabled = false;
@@ -184,7 +216,39 @@ async function submitQuestion() {
   }
 }
 
+/* composer attachments (reference ComposerAttachments.tsx): attach or
+ * drop files straight into the first selected store from the chat
+ * view; progress rides the same upload-item machinery as store cards */
+function composerUpload(files) {
+  const sid = [...state.selectedStores][0];
+  if (!sid) {
+    setChatError("Select a store before attaching files");
+    return;
+  }
+  for (const f of files) {
+    const lim = state.uploadLimits;
+    if (lim && f.size > lim.max_mb * 1024 * 1024) {
+      banner(`${f.name}: exceeds the ${lim.max_mb} MB upload limit`);
+      continue;
+    }
+    uploadFileInto(sid, f, $("composer-uploads"), () => {
+      if (state.activeUploads === 0) refreshStores();
+    });
+  }
+}
+
 export function initChat() {
+  $("attach").addEventListener("click", () => $("attach-input").click());
+  $("attach-input").addEventListener("change", () => {
+    composerUpload($("attach-input").files);
+    $("attach-input").value = "";
+  });
+  const form = $("chat-form");
+  form.addEventListener("dragover", (e) => e.preventDefault());
+  form.addEventListener("drop", (e) => {
+    e.preventDefault();
+    composerUpload(e.dataTransfer.files);
+  });
   $("retry").addEventListener("click", () => {
     if (!state.lastQuestion || state.streaming) return;
     $("question").value = state.lastQuestion;

@@ -82,13 +82,20 @@ export async function renderStoreCards() {
     });
     drop.addEventListener("dragleave", () =>
       drop.classList.remove("over"));
+    const onDone = () => {
+      if (state.activeUploads === 0) renderStoreCards();
+    };
     drop.addEventListener("drop", (e) => {
       e.preventDefault();
       drop.classList.remove("over");
-      for (const f of e.dataTransfer.files) uploadFile(s.id, f, card);
+      for (const f of e.dataTransfer.files) {
+        uploadFileInto(s.id, f, card.querySelector(".uploads"), onDone);
+      }
     });
     up.addEventListener("change", () => {
-      for (const f of up.files) uploadFile(s.id, f, card);
+      for (const f of up.files) {
+        uploadFileInto(s.id, f, card.querySelector(".uploads"), onDone);
+      }
       up.value = "";
     });
     const uploads = document.createElement("div");
@@ -119,19 +126,21 @@ export async function renderStoreCards() {
 }
 
 /* per-file progress element (reference useUploads.ts + upload progress
- * components): uploading -> queued/processing (elapsed) -> done/error */
-function uploadFile(storeId, file, card) {
+ * components): uploading -> queued/processing (elapsed) -> done/error.
+ * Renders into any container so the chat composer (reference
+ * ComposerAttachments.tsx) reuses the same machinery. */
+export function uploadFileInto(storeId, file, uploadsEl, onDone) {
   const item = document.createElement("div");
   item.className = "upload-item";
   item.innerHTML = `<span>${esc(file.name)}</span>
     <span class="phase">uploading…</span>`;
-  card.querySelector(".uploads").appendChild(item);
+  uploadsEl.appendChild(item);
   const phase = item.querySelector(".phase");
   const t0 = Date.now();
   state.activeUploads += 1;
   const finish = () => {
     state.activeUploads -= 1;
-    if (state.activeUploads === 0) renderStoreCards();
+    if (onDone) onDone();
   };
   const form = new FormData();
   form.append("store_id", String(storeId));

@@ -90,6 +90,57 @@ def test_spa_components_present(tmp_path):
         assert f'id="{el}"' in html, el
 
 
+def test_spa_branding_and_composer_depth(tmp_path):
+    """Round-3 depth additions (reference CustomizationPanel,
+    IconPicker, WelcomeCard suggested prompts, ComposerAttachments,
+    InProgress dot, markdown prose rendering)."""
+    client, _ = make_app(tmp_path)
+    js = _js(client)
+    # branding customization writes every reference AppSettings field
+    for key in ("app_icon", "primary_color", "accent_color",
+                "welcome_prompts", "footer_text", "welcome_message"):
+        assert key in js["admin.js"], key
+    assert "ICONS" in js["admin.js"]
+    assert "fillBrandingForm" in js["admin.js"]
+    # welcome-card suggested prompts submit the composer
+    assert "renderWelcomePrompts" in js["admin.js"]
+    # composer attachments reuse the store upload machinery w/ limits
+    assert "uploadFileInto" in js["chat.js"]
+    assert "uploadLimits" in js["chat.js"]
+    # streaming dot + markdown-lite (escape-first: esc( before replace)
+    assert "stream-dot" in js["chat.js"]
+    assert "mdLite" in js["chat.js"]
+    assert "esc(text)" in js["chat.js"]
+    html = client.get("/").text
+    for el in ("branding-icons", "branding-primary", "branding-prompts",
+               "welcome-prompts", "composer-uploads", "attach-input",
+               "app-footer", "app-icon"):
+        assert f'id="{el}"' in html, el
+
+
+def test_settings_branding_keys_and_upload_limits(tmp_path):
+    """GET /api/settings carries upload limits for the composer UI;
+    PUT accepts the full reference branding key universe."""
+    from tests.app_helpers import make_admin, signup
+    client, ctx = make_app(tmp_path)
+    r = client.get("/api/settings")
+    up = r.json()["upload"]
+    assert up["max_mb"] > 0 and up["mime_count"] > 0
+    headers = signup(client)
+    make_admin(ctx)
+    r = client.put("/api/settings", json_body={
+        "app_icon": "✦", "primary_color": "#112233",
+        "welcome_message": "Hi!", "welcome_prompts": "a\nb",
+        "footer_text": "foot"}, headers=headers)
+    assert r.status_code == 200, r.text
+    got = client.get("/api/settings").json()["settings"]
+    assert got["welcome_message"] == "Hi!"
+    assert got["primary_color"] == "#112233"
+    r = client.put("/api/settings", json_body={"primary_color": "red"},
+                   headers=headers)
+    assert r.status_code == 422
+
+
 def test_spa_model_picker_retry_budgets(tmp_path):
     client, _ = make_app(tmp_path)
     js = _js(client)
