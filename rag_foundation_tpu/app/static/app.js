@@ -11,7 +11,7 @@
 "use strict";
 
 import { $, api, logout, state } from "./api.js";
-import { initChat, refreshSessions } from "./chat.js";
+import { initChat, refreshSessions, restoreSession } from "./chat.js";
 import { applyBranding, fillBrandingForm, initAdmin, refreshAdmin,
          refreshCosts } from "./admin.js";
 import { initStores, refreshStores } from "./stores.js";
@@ -47,7 +47,7 @@ function setLoggedIn(token) {
   $("logout").hidden = false;
   showView("chat");
   refreshStores();
-  refreshSessions();
+  refreshSessions().then(restoreSession);
   probeAdmin();
 }
 

@@ -49,12 +49,34 @@ export async function refreshSessions() {
   }
 }
 
+function persistSession() {
+  if (state.sessionId) {
+    localStorage.setItem("ragtpu-session", String(state.sessionId));
+  } else {
+    localStorage.removeItem("ragtpu-session");
+  }
+}
+
 async function loadSession(id) {
   state.sessionId = id;
+  persistSession();
   const out = await api("GET", `/api/chat/sessions/${id}/messages`);
   $("messages").innerHTML = "";
   for (const m of out.messages) addMessage(m.role, m.content);
   refreshSessions();
+}
+
+/* reference useThreadPersistence.ts: reopen the thread the user was in
+ * before the reload (silently drops sessions deleted meanwhile) */
+export async function restoreSession() {
+  const saved = parseInt(localStorage.getItem("ragtpu-session"), 10);
+  if (!saved || state.sessionId) return;
+  try {
+    await loadSession(saved);
+  } catch (e) {
+    state.sessionId = null;
+    persistSession();
+  }
 }
 
 function welcomeCard() {
@@ -196,6 +218,7 @@ async function submitQuestion() {
     }
     const sid = resp.headers.get("x-session-id");
     if (sid) state.sessionId = parseInt(sid, 10);
+    persistSession();
     await consumeSseResponse(resp, (f) => handleFrame(f, target, panel));
     if (panel.querySelector("ol").children.length) {
       target.after(panel);
@@ -261,6 +284,7 @@ export function initChat() {
   });
   $("new-session").addEventListener("click", () => {
     state.sessionId = null;
+    persistSession();
     $("messages").innerHTML = "";
     $("messages").appendChild($("welcome-card") || welcomeCard());
   });

@@ -13,16 +13,32 @@ export async function refreshStores() {
     return;
   }
   state.stores = out.stores;
-  // prune selections for deleted stores or chat 404s forever
+  // restore the last visit's selection once (reference
+  // useThreadPersistence.ts keeps the working set across reloads)
   const live = new Set(out.stores.map((s) => s.id));
+  if (!state.selectedStores.size) {
+    try {
+      for (const id of JSON.parse(
+          localStorage.getItem("ragtpu-stores") || "[]")) {
+        if (live.has(id)) state.selectedStores.add(id);
+      }
+    } catch (e) { /* corrupt entry: fall through to the default */ }
+  }
+  // prune selections for deleted stores or chat 404s forever
   for (const id of [...state.selectedStores]) {
     if (!live.has(id)) state.selectedStores.delete(id);
   }
   if (!state.selectedStores.size && out.stores.length) {
     state.selectedStores.add(out.stores[0].id);
   }
+  persistSelection();
   renderChatStores();
   renderStoreCards();
+}
+
+function persistSelection() {
+  localStorage.setItem("ragtpu-stores",
+                       JSON.stringify([...state.selectedStores]));
 }
 
 function renderChatStores() {
@@ -36,6 +52,7 @@ function renderChatStores() {
     cb.addEventListener("change", () => {
       cb.checked ? state.selectedStores.add(s.id)
                  : state.selectedStores.delete(s.id);
+      persistSelection();
     });
     li.append(cb, ` ${s.name}`);
     ul.appendChild(li);

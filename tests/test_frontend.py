@@ -141,6 +141,22 @@ def test_settings_branding_keys_and_upload_limits(tmp_path):
     assert r.status_code == 422
 
 
+def test_spa_thread_persistence(tmp_path):
+    """Reference useThreadPersistence.ts analog: active session id and
+    store selection survive a reload via localStorage, restored on
+    login and pruned when the saved session/store no longer exists."""
+    client, _ = make_app(tmp_path)
+    js = _js(client)
+    assert "ragtpu-session" in js["chat.js"]
+    assert "restoreSession" in js["chat.js"]
+    # a deleted saved session must clear the sticky key, not error-loop
+    assert "localStorage.removeItem(\"ragtpu-session\")" in js["chat.js"]
+    assert "ragtpu-stores" in js["stores.js"]
+    assert "persistSelection" in js["stores.js"]
+    # boot restores only after the session list is fresh
+    assert "refreshSessions().then(restoreSession)" in js["app.js"]
+
+
 def test_spa_model_picker_retry_budgets(tmp_path):
     client, _ = make_app(tmp_path)
     js = _js(client)
