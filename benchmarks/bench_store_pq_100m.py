@@ -84,10 +84,16 @@ def main():
     # compress over the tunnel and fake a 30x bandwidth) ------------------
     rng = np.random.default_rng(0)
     probe = rng.integers(-127, 127, (64 << 20,), np.int8)   # 64 MB
+    # block_until_ready does NOT sync across the axon tunnel — fetching
+    # a scalar reduction is the only reliable H2D completion barrier
+    # (CLAUDE.md); without it this probe measured an async-dispatch
+    # 756 MB/s fantasy. Warm the reduction's remote compile FIRST or
+    # its compile time (~1 min) lands inside the measurement instead.
+    sync = jax.jit(lambda x: x[:: 1 << 22].astype(jnp.int32).sum())
+    _ = int(sync(jnp.asarray(probe[: 64 << 20])))
     t0 = time.perf_counter()
-    dev = jnp.asarray(probe)
-    dev.block_until_ready()
-    up_bw = probe.nbytes / (time.perf_counter() - t0) / 1e6
+    _ = int(sync(jnp.asarray(probe)))
+    up_bw = probe.nbytes / max(1e-9, time.perf_counter() - t0 - 0.03) / 1e6
     dev2 = (dev ^ jnp.int8(85))          # freshly computed on device
     dev2.block_until_ready()
     t0 = time.perf_counter()

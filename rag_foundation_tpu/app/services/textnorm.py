@@ -13,6 +13,7 @@ corpus tokens ("warm-up", "first-aid") match their parts.
 
 from __future__ import annotations
 
+import functools
 import re
 
 _WORD_RE = re.compile(r"[a-z0-9]+(?:[-'][a-z0-9]+)*")
@@ -29,6 +30,15 @@ _SUFFIXES = ("ization", "ational", "ation", "ingly", "fully", "ness",
              "ed", "ly", "es", "al", "ic", "s", "y", "e")
 
 
+# The chat serving plane is host-CPU-bound (ENGINE.md "Serving at
+# scale": the engine answers in single-digit ms; the reader/refusal
+# path dominated the per-request budget). All three hot functions are
+# pure and their inputs recur heavily across requests — the same chunk
+# sentences are re-ranked for every question that retrieves them — so
+# memoization cuts most of the per-request stemming/matching work
+# (profiled: ~55k stem() + ~213k stems_match() calls per 60 requests
+# before caching; caches turn repeat traffic into dict hits).
+@functools.lru_cache(maxsize=65536)
 def stem(token: str) -> str:
     """Porter-lite: strip one long suffix, keep a >=4-char stem."""
     t = token.lower()
@@ -38,6 +48,7 @@ def stem(token: str) -> str:
     return t
 
 
+@functools.lru_cache(maxsize=1 << 18)
 def stems_match(a: str, b: str) -> bool:
     """Same concept? Exact stem match, a shared >=5-char prefix, or a
     hyphen part of one matching the other."""
@@ -59,8 +70,10 @@ def words(text: str) -> list[str]:
     return _WORD_RE.findall(text.lower())
 
 
-def content_stems(text: str) -> set[str]:
-    return {stem(w) for w in words(text) if w not in STOPWORDS}
+@functools.lru_cache(maxsize=16384)
+def content_stems(text: str) -> frozenset[str]:
+    """Frozen (it is cached and shared) stem set of the content words."""
+    return frozenset(stem(w) for w in words(text) if w not in STOPWORDS)
 
 
 class StemSet:

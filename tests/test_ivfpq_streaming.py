@@ -97,6 +97,29 @@ def test_streaming_int8_source_and_host_refine(corpus):
     assert np.all(np.isneginf(s2[pad_cand < 0]))
 
 
+def test_rescore_chunked_matches_unchunked(monkeypatch):
+    """The slabbed BLAS rescore is bit-identical across chunk
+    boundaries to a one-shot einsum (serving-path optimization must
+    not change scores)."""
+    from rag_foundation_tpu.engine import archive as archive_mod
+    rng = np.random.default_rng(3)
+    arch = HostArchive(D)
+    arch.append(rng.standard_normal((500, D)).astype(np.float32) * 0.1)
+    q = rng.standard_normal((37, D)).astype(np.float32)
+    rows = rng.integers(-1, 500, (37, 9))
+    ref = np.where(
+        rows >= 0,
+        np.einsum("qd,qcd->qc", q,
+                  arch._rows[np.clip(rows, 0, arch.n - 1)]
+                  .astype(np.float32)) * arch.scale,
+        -np.inf).astype(np.float32)
+    full = arch.rescore(q, rows)
+    monkeypatch.setattr(archive_mod, "_RESCORE_CHUNK_ELEMS", 5 * D)
+    sliced = arch.rescore(q, rows)   # step=5 -> 8 slabs
+    np.testing.assert_allclose(full, ref, rtol=1e-5)
+    np.testing.assert_array_equal(full, sliced)
+
+
 def test_streaming_overflow_rows_reported():
     key = jax.random.key(3)
     v = np.asarray(l2_normalize(
