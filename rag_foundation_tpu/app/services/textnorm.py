@@ -87,6 +87,8 @@ class StemSet:
         return cls(content_stems(text))
 
     def __contains__(self, item: str) -> bool:
+        if item in self._stems:           # exact: one hash probe
+            return True
         return any(stems_match(item, s) for s in self._stems)
 
     def __iter__(self):
@@ -100,6 +102,13 @@ class StemSet:
 
     def matched_in(self, other_stems: set[str] | list[str]) -> set[str]:
         """Subset of THIS set's stems that fuzzy-match any of
-        ``other_stems`` (used for coverage fractions)."""
-        return {s for s in self._stems
-                if any(stems_match(s, o) for o in other_stems)}
+        ``other_stems`` (used for coverage fractions). Exact matches
+        resolve by set intersection; only the remainder pays the
+        O(|self|x|other|) fuzzy scan."""
+        others = (other_stems if isinstance(other_stems, (set, frozenset))
+                  else set(other_stems))
+        out = set(self._stems & others)
+        for s in self._stems:
+            if s not in out and any(stems_match(s, o) for o in others):
+                out.add(s)
+        return out
