@@ -65,6 +65,10 @@ def main():
     ap.add_argument("--archive-cache", default="",
                     help="dir holding archive.i8 + meta (skips the "
                          "~15 min ingest phase on reruns)")
+    ap.add_argument("--body-cache", default="",
+                    help="npz path for the built PQ body (skips the "
+                         "~1 h streaming build on serve-only reruns; "
+                         "the archive is cached separately)")
     args = ap.parse_args()
 
     import jax
@@ -183,25 +187,52 @@ def main():
                      nprobe=args.nprobe, pq_m=args.m, pq_packed=True,
                      pq_refine="host", pq_cap_slack=args.cap_slack,
                      build_threshold=1)
-    marks = {}
+    if args.body_cache and os.path.exists(args.body_cache):
+        # serve-only rerun: restore the built body (codes upload only,
+        # ~5-12 min at tunnel bandwidth vs ~1 h streaming rebuild),
+        # reattach the cached archive, refill the overflow tail
+        from rag_foundation_tpu.engine.ivfpq import IVFPQIndex
+        log("loading cached body")
+        z = np.load(args.body_cache)
+        fields = {k[2:]: (int(v) if k[2:] == "n" else jnp.asarray(v))
+                  for k, v in z.items() if k.startswith("f_")}
+        idx.body = IVFPQIndex(**fields)
+        idx.body_chunk_ids = np.asarray(z["body_chunk_ids"])
+        idx._pq_archive = arch
+        over = np.nonzero(idx.body_chunk_ids < 0)[0]
+        if len(over):
+            idx.tail.add(arch.rows_f32(over), over)
+        steady_mvps = float(z["steady_mvps"])
+        dropped = len(over)
+        log(f"body restored: overflow tail {dropped}")
+    else:
+        marks = {}
 
-    def progress(done, total):
-        marks.setdefault("first", (time.perf_counter(), done))
-        marks["last"] = (time.perf_counter(), done)
-        if done // args.chunk % 20 == 0:
-            log(f"build {done/1e6:.1f}M/{total/1e6:.0f}M "
-                f"(rss {rss_gb():.1f}G)")
+        def progress(done, total):
+            marks.setdefault("first", (time.perf_counter(), done))
+            marks["last"] = (time.perf_counter(), done)
+            if done // args.chunk % 20 == 0:
+                log(f"build {done/1e6:.1f}M/{total/1e6:.0f}M "
+                    f"(rss {rss_gb():.1f}G)")
 
-    t0 = time.perf_counter()
-    idx.bulk_load_archive(arch, np.arange(n, dtype=np.int64),
-                          progress=progress)
-    t_build = time.perf_counter() - t0
-    (t1, d1), (t2, d2) = marks["first"], marks["last"]
-    steady_mvps = (d2 - d1) / max(1e-9, t2 - t1) / 1e6
-    dropped = int((idx.body_chunk_ids < 0).sum())
-    log(f"build: {t_build:.0f}s total; steady {steady_mvps:.2f}M vec/s; "
-        f"overflow->tail {dropped} ({dropped/n*100:.4f}%); "
-        f"tail count {idx.tail.count}")
+        t0 = time.perf_counter()
+        idx.bulk_load_archive(arch, np.arange(n, dtype=np.int64),
+                              progress=progress)
+        t_build = time.perf_counter() - t0
+        (t1, d1), (t2, d2) = marks["first"], marks["last"]
+        steady_mvps = (d2 - d1) / max(1e-9, t2 - t1) / 1e6
+        dropped = int((idx.body_chunk_ids < 0).sum())
+        log(f"build: {t_build:.0f}s total; steady {steady_mvps:.2f}M "
+            f"vec/s; overflow->tail {dropped} ({dropped/n*100:.4f}%); "
+            f"tail count {idx.tail.count}")
+        if args.body_cache:
+            log("saving body cache (codes fetch)")
+            out = {"body_chunk_ids": np.asarray(idx.body_chunk_ids),
+                   "steady_mvps": np.float64(steady_mvps)}
+            for name, val in idx.body._asdict().items():
+                out["f_" + name] = (np.int64(val) if isinstance(val, int)
+                                    else np.asarray(val))
+            np.savez(args.body_cache, **out)
 
     # roofline: the staged build moves int8 rows up (768 B) and packed
     # codes down (m/2 B) per vector
