@@ -1,0 +1,56 @@
+"""textnorm: the shared stemmer/matcher under the reader + refusal
+gates (app/services/textnorm.py). The round-3 serving-plane work
+memoized stem/stems_match/content_stems and added exact-match fast
+paths — these tests pin that the optimizations are pure speedups
+(identical semantics to the unoptimized definitions)."""
+
+import numpy as np
+
+from rag_foundation_tpu.app.services import textnorm
+
+
+def _naive_matched_in(stems, others):
+    return {s for s in stems
+            if any(textnorm.stems_match(s, o) for o in others)}
+
+
+def _random_words(rng, n):
+    roots = ["photometr", "rotat", "synchron", "calibrat", "humid",
+             "altitud", "refriger", "sensor", "schedul", "polic",
+             "warm-up", "first-aid", "zebra", "budget", "staff"]
+    sufs = ["", "y", "ic", "ion", "ing", "ed", "s", "es", "ation"]
+    return [rng.choice(roots) + rng.choice(sufs) for _ in range(n)]
+
+
+def test_stem_idempotent_cachable():
+    assert textnorm.stem("photometry") == textnorm.stem("photometry")
+    assert textnorm.stem("Rotation") == textnorm.stem("rotation")
+    # short tokens never stem below 4 chars
+    assert textnorm.stem("runs") == "runs"
+
+
+def test_content_stems_frozen_and_stable():
+    a = textnorm.content_stems("The sensor calibration schedule.")
+    b = textnorm.content_stems("The sensor calibration schedule.")
+    assert isinstance(a, frozenset)
+    assert a is b          # memoized: same shared object
+    assert "sensor" in a
+
+
+def test_contains_fast_path_matches_fuzzy_semantics():
+    s = textnorm.StemSet.from_text(
+        "photometric calibration of the warm-up sensor rotation")
+    # exact hit via hash probe, fuzzy hit via stems_match — both True
+    assert textnorm.stem("calibration") in s
+    assert "photometry" in s          # fuzzy: shared >=5-char prefix
+    assert "zebra" not in s
+
+
+def test_matched_in_equals_naive_definition():
+    rng = np.random.default_rng(11)
+    for _ in range(25):
+        q = textnorm.StemSet.from_text(" ".join(_random_words(rng, 6)))
+        others = textnorm.content_stems(" ".join(_random_words(rng, 12)))
+        assert q.matched_in(others) == _naive_matched_in(set(q), others)
+        assert q.matched_in(list(others)) == \
+            _naive_matched_in(set(q), others)
