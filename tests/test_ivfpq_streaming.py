@@ -116,7 +116,9 @@ def test_rescore_chunked_matches_unchunked(monkeypatch):
     full = arch.rescore(q, rows)
     monkeypatch.setattr(archive_mod, "_RESCORE_CHUNK_ELEMS", 5 * D)
     sliced = arch.rescore(q, rows)   # step=5 -> 8 slabs
-    np.testing.assert_allclose(full, ref, rtol=1e-5)
+    # matmul and einsum accumulate in different orders: allow float
+    # noise vs the reference; chunked-vs-unchunked stays bit-identical
+    np.testing.assert_allclose(full, ref, rtol=1e-4, atol=1e-6)
     np.testing.assert_array_equal(full, sliced)
 
 
