@@ -7,27 +7,36 @@ This bench runs the SHIPPED design end to end:
   ingest  — docwalk vectors generated on device, int8-quantized, fetched
             once, and appended to the HostArchive (the path a production
             deployment takes: device encoder -> int8 rows -> archive)
-  build   — ``StoreIndex.bulk_load_archive`` -> the same
-            ``build_ivf_pq_streaming`` host-staged build every ivf_pq
-            rebuild uses (device encode overlapped with host scatter,
-            one donated upload)
+  build   — the same host-staged streaming build every ivf_pq rebuild
+            uses (``engine.ivfpq.HostScatter`` layout, bit-identical to
+            ``build_ivf_pq_streaming``)
   serve   — ``StoreIndex.search``: device ADC top-C + host-archive int8
             re-rank (pq_refine="host"), tail merge, dedup — the exact
             code path behind /api/chat
 
 Ground truth is an exact f32 scan accumulated during generation (the
-f32 corpus never exists in full). Also prints the tunnel-bandwidth
-roofline for the build rate (the staged build moves ~864 B/vec over the
-axon tunnel; on-box PCIe moves the same bytes >30x faster).
+f32 corpus never exists in full).
 
-Usage: python benchmarks/bench_store_pq_100m.py [--n 100000000]
-       [--archive-cache /tmp/ar100m]
+**Run 100M with --phase all** (phase-split subprocesses). A single
+process moving ~150 GB through the axon tunnel accumulates client-side
+upload staging it never frees under load (~0.8 GB per 512k-row chunk;
+measured 103 GB anon RSS at 63M rows) and the tunnel session wedged
+after ~2 h — so each phase (ingest / train / encode segments / scatter
+/ serve) runs in its OWN process with bounded lifetime and staging,
+handing off through disk caches:
+
+  python benchmarks/bench_store_pq_100m.py --phase all \
+      --archive-cache /root/b100m-cache --body-cache /root/b100m-body.npz
+
+The legacy single-process mode (no --phase) remains for <=10M runs.
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import os
+import subprocess
 import sys
 import time
 
@@ -42,14 +51,13 @@ def log(msg):
 
 
 def rss_gb() -> float:
-    """Anon+file resident set — the first 100M build run died at 130 GB
-    anon RSS (staged f32 upload buffers); every phase logs this so a
-    regression is visible long before the OOM killer's verdict."""
+    """Anon+file resident set — logged each phase so staging growth is
+    visible long before the OOM killer's verdict."""
     with open("/proc/self/statm") as f:
         return int(f.read().split()[1]) * os.sysconf("SC_PAGE_SIZE") / 2**30
 
 
-def main():
+def parse_args(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=100_000_000)
     ap.add_argument("--d", type=int, default=768)
@@ -64,47 +72,99 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--archive-cache", default="",
                     help="dir holding archive.i8 + meta (skips the "
-                         "~15 min ingest phase on reruns)")
+                         "ingest phase when present)")
     ap.add_argument("--body-cache", default="",
                     help="npz path for the built PQ body (skips the "
-                         "~1 h streaming build on serve-only reruns; "
-                         "the archive is cached separately)")
-    args = ap.parse_args()
+                         "build on serve-only reruns; the archive is "
+                         "cached separately)")
+    ap.add_argument("--phase", default="",
+                    choices=["", "all", "ingest", "train", "encode",
+                             "scatter", "serve"],
+                    help="phase-split mode (see module docstring); "
+                         "'all' orchestrates subprocess phases")
+    ap.add_argument("--work", default="",
+                    help="work dir for phase hand-off files "
+                         "(default: <archive-cache>/work)")
+    ap.add_argument("--seg-chunks", type=int, default=48,
+                    help="encode chunks per subprocess (bounds "
+                         "per-process tunnel staging to ~20 GB)")
+    ap.add_argument("--seg-lo", type=int, default=0)
+    ap.add_argument("--seg-hi", type=int, default=0)
+    return ap.parse_args(argv)
 
+
+# ---------------------------------------------------------------------------
+# shared state on disk
+# ---------------------------------------------------------------------------
+
+def cache_paths(args):
+    cache = args.archive_cache
+    return (os.path.join(cache, "archive.i8") if cache else "",
+            os.path.join(cache, "meta.npz") if cache else "")
+
+
+def work_dir(args) -> str:
+    w = args.work or (os.path.join(args.archive_cache, "work")
+                      if args.archive_cache else "/tmp/pq100m-work")
+    os.makedirs(w, exist_ok=True)
+    return w
+
+
+def load_cached_archive(args):
+    from rag_foundation_tpu.engine.archive import HostArchive
+    arch_f, meta_f = cache_paths(args)
+    arch = HostArchive(args.d, path=arch_f, scale=1.0 / 127.0)
+    arch._rows = np.memmap(arch_f, dtype=np.int8, mode="r+"
+                           ).reshape(-1, args.d)
+    arch._cap = len(arch._rows)
+    arch.n = args.n
+    meta = np.load(meta_f)
+    return arch, meta
+
+
+def measure_tunnel():
+    """(up_MB/s, down_MB/s) with hard syncs; incompressible payloads
+    (zeros compress over the tunnel and fake a 30x bandwidth)."""
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0)
+    probe = rng.integers(-127, 127, (64 << 20,), np.int8)   # 64 MB
+    sync = jax.jit(lambda x: x[:: 1 << 22].astype(jnp.int32).sum())
+    _ = int(sync(jnp.asarray(probe)))          # warm the remote compile
+    t0 = time.perf_counter()
+    dev = jnp.asarray(probe)
+    _ = int(sync(dev))
+    up_bw = probe.nbytes / max(1e-9, time.perf_counter() - t0 - 0.03) / 1e6
+    dev2 = (dev ^ jnp.int8(85))                # freshly computed on device
+    _ = int(sync(dev2))
+    t0 = time.perf_counter()
+    _ = np.asarray(dev2)
+    down_bw = probe.nbytes / (time.perf_counter() - t0) / 1e6
+    return up_bw, down_bw
+
+
+# ---------------------------------------------------------------------------
+# phases
+# ---------------------------------------------------------------------------
+
+def phase_ingest(args):
+    """Device-generated docwalk corpus -> int8 archive + f32 ground
+    truth, cached to --archive-cache."""
     import jax
     import jax.numpy as jnp
     from benchmarks import corpus as corpus_mod
     from rag_foundation_tpu.engine.archive import HostArchive
-    from rag_foundation_tpu.engine.index import StoreIndex
     from rag_foundation_tpu.ops.l2norm import l2_normalize
 
     n, d = args.n, args.d
+    arch_f, meta_f = cache_paths(args)
+    if arch_f and os.path.exists(arch_f) and os.path.exists(meta_f):
+        log("archive cache present; ingest skipped")
+        return
     key = jax.random.key(0)
     k_centers, k_noise, _ = jax.random.split(key, 3)
     centers = l2_normalize(
         jax.random.normal(k_centers, (args.nlist, d), jnp.float32))
-
-    # -- tunnel bandwidth roofline (incompressible payloads: zeros can
-    # compress over the tunnel and fake a 30x bandwidth) ------------------
-    rng = np.random.default_rng(0)
-    probe = rng.integers(-127, 127, (64 << 20,), np.int8)   # 64 MB
-    # block_until_ready does NOT sync across the axon tunnel — fetching
-    # a scalar reduction is the only reliable H2D completion barrier
-    # (CLAUDE.md); without it this probe measured an async-dispatch
-    # 756 MB/s fantasy. Warm the reduction's remote compile FIRST or
-    # its compile time (~1 min) lands inside the measurement instead.
-    sync = jax.jit(lambda x: x[:: 1 << 22].astype(jnp.int32).sum())
-    _ = int(sync(jnp.asarray(probe[: 64 << 20])))
-    t0 = time.perf_counter()
-    _ = int(sync(jnp.asarray(probe)))
-    up_bw = probe.nbytes / max(1e-9, time.perf_counter() - t0 - 0.03) / 1e6
-    dev2 = (dev ^ jnp.int8(85))          # freshly computed on device
-    dev2.block_until_ready()
-    t0 = time.perf_counter()
-    _ = np.asarray(dev2)
-    down_bw = probe.nbytes / (time.perf_counter() - t0) / 1e6
-    del dev, dev2, probe
-    log(f"tunnel bandwidth: up {up_bw:.0f} MB/s, down {down_bw:.0f} MB/s")
 
     @jax.jit
     def gen_q8(base):
@@ -125,122 +185,210 @@ def main():
         nv, pos = jax.lax.top_k(allv, args.k)
         return nv, jnp.take_along_axis(alli, pos, axis=1)
 
-    cache = args.archive_cache
-    arch_f = os.path.join(cache, "archive.i8") if cache else ""
-    meta_f = os.path.join(cache, "meta.npz") if cache else ""
+    arch = HostArchive(d, path=arch_f or None, scale=1.0 / 127.0)
+    arch.reserve(n)      # one exact allocation, no growth copies
+    run_vals = jnp.full((args.gt_sub, args.k), -jnp.inf, jnp.float32)
+    run_ids = jnp.full((args.gt_sub, args.k), -1, jnp.int32)
+    queries = q_sub = None
+    row_base = 0
+    t_fill = time.perf_counter()
+    n_chunks = -(-n // args.chunk)
+    pending = None   # (q8_handle, rows) — fetch after dispatching
+    for ci in range(n_chunks):
+        mrows = min(args.chunk, n - row_base)
+        v, q8 = gen_q8(row_base)     # async dispatch: overlaps the
+        if ci == 0:                  # previous chunk's fetch below
+            qnp, _src = corpus_mod.make_queries(v, args.q, qnoise=0.2)
+            queries = np.asarray(qnp)
+            q_sub = jnp.asarray(queries[: args.gt_sub])
+        run_vals, run_ids = gt_merge(run_vals, run_ids, q_sub,
+                                     v[:mrows], row_base)
+        if pending is not None:
+            ph, prows = pending
+            arch.append(np.asarray(ph[:prows]))  # 768 B/vec fetch
+        pending = (q8, mrows)
+        row_base += mrows
+        if ci % 20 == 0 or ci == n_chunks - 1:
+            log(f"ingest {ci+1}/{n_chunks} ({row_base/1e6:.1f}M, "
+                f"{time.perf_counter()-t_fill:.0f}s, "
+                f"rss {rss_gb():.1f}G)")
+        del v
+    ph, prows = pending
+    arch.append(np.asarray(ph[:prows]))
+    del pending, ph
+    t_fill = time.perf_counter() - t_fill
+    fill_mvps = n / t_fill / 1e6
+    log(f"ingest fill: {fill_mvps:.2f}M vec/s (incl. GT merge + "
+        f"{768*n/2**30:.0f} GiB archive fetch)")
+    if args.archive_cache:
+        os.makedirs(args.archive_cache, exist_ok=True)
+        np.savez(meta_f, queries=queries, gt_ids=np.asarray(run_ids),
+                 fill_mvps=fill_mvps)
 
-    if cache and os.path.exists(arch_f) and os.path.exists(meta_f):
-        log("loading cached archive")
-        arch = HostArchive(d, path=arch_f, scale=1.0 / 127.0)
-        arch._rows = np.memmap(arch_f, dtype=np.int8, mode="r+"
-                               ).reshape(-1, d)
-        arch._cap = len(arch._rows)
-        arch.n = n
-        meta = np.load(meta_f)
-        queries = np.asarray(meta["queries"])
-        exact_ids = np.asarray(meta["gt_ids"])
-        fill_mvps = float(meta["fill_mvps"])
-    else:
-        arch = HostArchive(d, path=arch_f or None, scale=1.0 / 127.0)
-        arch.reserve(n)      # one exact allocation, no growth copies
-        run_vals = jnp.full((args.gt_sub, args.k), -jnp.inf, jnp.float32)
-        run_ids = jnp.full((args.gt_sub, args.k), -1, jnp.int32)
-        queries = q_sub = None
-        row_base = 0
-        t_fill = time.perf_counter()
-        n_chunks = -(-n // args.chunk)
-        pending = None   # (q8_handle, rows) — fetch after dispatching
-        for ci in range(n_chunks):
-            mrows = min(args.chunk, n - row_base)
-            v, q8 = gen_q8(row_base)     # async dispatch: overlaps the
-            if ci == 0:                  # previous chunk's fetch below
-                qnp, _src = corpus_mod.make_queries(v, args.q, qnoise=0.2)
-                queries = np.asarray(qnp)
-                q_sub = jnp.asarray(queries[: args.gt_sub])
-            run_vals, run_ids = gt_merge(run_vals, run_ids, q_sub,
-                                         v[:mrows], row_base)
-            if pending is not None:
-                ph, prows = pending
-                arch.append(np.asarray(ph[:prows]))  # 768 B/vec fetch
-            pending = (q8, mrows)
-            row_base += mrows
-            if ci % 20 == 0 or ci == n_chunks - 1:
-                log(f"ingest {ci+1}/{n_chunks} ({row_base/1e6:.1f}M, "
-                    f"{time.perf_counter()-t_fill:.0f}s, "
-                    f"rss {rss_gb():.1f}G)")
-            del v
-        ph, prows = pending
-        arch.append(np.asarray(ph[:prows]))
-        del pending, ph
-        t_fill = time.perf_counter() - t_fill
-        fill_mvps = n / t_fill / 1e6
-        exact_ids = np.asarray(run_ids)
-        log(f"ingest fill: {fill_mvps:.2f}M vec/s (incl. GT merge + "
-            f"{768*n/2**30:.0f} GiB archive fetch)")
-        if cache:
-            os.makedirs(cache, exist_ok=True)
-            np.savez(meta_f, queries=queries, gt_ids=exact_ids,
-                     fill_mvps=fill_mvps)
 
-    # -- build through the product path ----------------------------------
-    idx = StoreIndex(d, mode="ivf_pq", nlist=args.nlist,
+def phase_train(args):
+    """Coarse + PQ codebooks on a leading archive sample ->
+    work/codebooks.npz (same params as build_ivf_pq_streaming)."""
+    import jax
+    import jax.numpy as jnp
+    from rag_foundation_tpu.ops.kmeans import assign_clusters, kmeans_fit
+    from rag_foundation_tpu.ops.pq import pq_train
+
+    arch, _ = load_cached_archive(args)
+    sample_n = min(args.n, max(args.nlist * 32, 16_384))
+    sample = jnp.asarray(arch.chunk_f32(0, sample_n))
+    k1, k2 = jax.random.split(jax.random.key(0))
+    centroids, _ = kmeans_fit(sample, args.nlist, key=k1, iters=10,
+                              spherical=True)
+    ps = min(sample_n, 65_536)   # >64k trips the remote Mosaic helper
+    assign_s, _ = assign_clusters(sample[:ps], centroids)
+    residual_s = sample[:ps] - centroids[assign_s]
+    codebook = pq_train(residual_s, args.m, key=k2, iters=6, nbits=4)
+    np.savez(os.path.join(work_dir(args), "codebooks.npz"),
+             centroids=np.asarray(centroids),
+             cb_centroids=np.asarray(codebook.centroids))
+    log(f"train: nlist={args.nlist} m={args.m} on {sample_n} rows "
+        f"(rss {rss_gb():.1f}G)")
+
+
+def phase_encode(args):
+    """Encode archive chunks [seg-lo, seg-hi) on device into the shared
+    assign/codes memmaps. Run per segment in its own process: tunnel
+    staging dies with the process."""
+    import jax.numpy as jnp
+    from rag_foundation_tpu.engine.ivfpq import _encode_chunk
+
+    arch, _ = load_cached_archive(args)
+    w = work_dir(args)
+    cb = np.load(os.path.join(w, "codebooks.npz"))
+    centroids = jnp.asarray(cb["centroids"])
+    cb_centroids = jnp.asarray(cb["cb_centroids"])
+    m_bytes = args.m // 2
+    assign_mm = np.memmap(os.path.join(w, "assign.i32"), dtype=np.int32,
+                          mode="r+", shape=(args.n,))
+    codes_mm = np.memmap(os.path.join(w, "codes.u8"), dtype=np.uint8,
+                         mode="r+", shape=(args.n, m_bytes))
+    t0 = time.perf_counter()
+    pending = None
+    ci = args.seg_lo
+    while ci < args.seg_hi or pending is not None:
+        nxt = None
+        if ci < args.seg_hi:
+            lo = ci * args.chunk
+            hi = min(args.n, lo + args.chunk)
+            if lo < hi:
+                v = jnp.asarray(arch.chunk_i8(lo, hi))
+                a_dev, c_dev = _encode_chunk(v, centroids, cb_centroids,
+                                             arch.scale, packed=True)
+                nxt = (a_dev, c_dev, lo, hi)
+                del v
+        if pending is not None:
+            a_dev, c_dev, plo, phi = pending
+            assign_mm[plo:phi] = np.asarray(a_dev)
+            codes_mm[plo:phi] = np.asarray(c_dev)
+        pending = nxt
+        ci += 1
+        if ci % 16 == 0:
+            log(f"encode chunk {ci}/{args.seg_hi} "
+                f"(rss {rss_gb():.1f}G)")
+    dur = time.perf_counter() - t0
+    with open(os.path.join(w, f"seg-{args.seg_lo}.json"), "w") as f:
+        json.dump({"lo": args.seg_lo, "hi": args.seg_hi, "s": dur}, f)
+    rows = min(args.n, args.seg_hi * args.chunk) - args.seg_lo * args.chunk
+    log(f"encode seg [{args.seg_lo},{args.seg_hi}): {rows/1e6:.1f}M in "
+        f"{dur:.0f}s = {rows/dur/1e6:.2f}M vec/s")
+
+
+def phase_scatter(args):
+    """Pure-numpy: scatter encoded rows into the posting-table layout
+    (bit-identical to build_ivf_pq_streaming via HostScatter) and write
+    the --body-cache npz the serve phase consumes."""
+    from rag_foundation_tpu.engine.ivfpq import HostScatter, pq_cap_len
+
+    w = work_dir(args)
+    m_bytes = args.m // 2
+    cap_len = pq_cap_len(args.n, args.nlist, args.cap_slack)
+    assign_mm = np.memmap(os.path.join(w, "assign.i32"), dtype=np.int32,
+                          mode="r", shape=(args.n,))
+    codes_mm = np.memmap(os.path.join(w, "codes.u8"), dtype=np.uint8,
+                         mode="r", shape=(args.n, m_bytes))
+    hs = HostScatter(args.n, args.nlist, cap_len, m_bytes)
+    t0 = time.perf_counter()
+    for lo in range(0, args.n, args.chunk):
+        hi = min(args.n, lo + args.chunk)
+        hs.scatter(np.asarray(assign_mm[lo:hi]),
+                   np.asarray(codes_mm[lo:hi]), lo, hi - lo)
+        if lo // args.chunk % 20 == 0:
+            log(f"scatter {hi/1e6:.1f}M/{args.n/1e6:.0f}M "
+                f"(rss {rss_gb():.1f}G)")
+    log(f"scatter: {time.perf_counter()-t0:.0f}s")
+    enc_s = 0.0
+    for f in os.listdir(w):
+        if f.startswith("seg-"):
+            with open(os.path.join(w, f)) as fh:
+                enc_s += json.load(fh)["s"]
+    steady = args.n / enc_s / 1e6 if enc_s else 0.0
+    dropped = int(hs.overflow.sum())
+    log(f"encode steady {steady:.2f}M vec/s; overflow {dropped} "
+        f"({dropped/args.n*100:.4f}%)")
+    cids = np.arange(args.n, dtype=np.int64)
+    cids[hs.overflow] = -1
+    out = {
+        "body_chunk_ids": cids,
+        "steady_mvps": np.float64(steady),
+        "f_centroids": np.load(os.path.join(w, "codebooks.npz")
+                               )["centroids"],
+        "f_codebook_centroids": np.load(os.path.join(w, "codebooks.npz")
+                                        )["cb_centroids"],
+        "f_codes": hs.codes.reshape(args.nlist, cap_len, m_bytes),
+        "f_row_ids": hs.ids.reshape(args.nlist, cap_len),
+        "f_n": np.int64(args.n - dropped),
+        "f_refine": np.zeros((0, 0), np.int8),
+        "f_refine_scale": np.float32(1.0),
+    }
+    np.savez(args.body_cache, **out)
+    log(f"body cache written: {args.body_cache} "
+        f"({os.path.getsize(args.body_cache)/2**30:.1f} GiB)")
+
+
+def phase_serve(args):
+    """Restore the body into a StoreIndex (codes upload only) and
+    measure the shipped search path."""
+    import jax.numpy as jnp
+    from rag_foundation_tpu.engine.index import StoreIndex
+    from rag_foundation_tpu.engine.ivfpq import IVFPQIndex
+
+    up_bw, down_bw = measure_tunnel()
+    log(f"tunnel bandwidth: up {up_bw:.0f} MB/s, down {down_bw:.0f} MB/s")
+    arch, meta = load_cached_archive(args)
+    queries = np.asarray(meta["queries"])
+    exact_ids = np.asarray(meta["gt_ids"])
+    fill_mvps = float(meta["fill_mvps"])
+
+    idx = StoreIndex(args.d, mode="ivf_pq", nlist=args.nlist,
                      nprobe=args.nprobe, pq_m=args.m, pq_packed=True,
                      pq_refine="host", pq_cap_slack=args.cap_slack,
                      build_threshold=1)
-    if args.body_cache and os.path.exists(args.body_cache):
-        # serve-only rerun: restore the built body (codes upload only,
-        # ~5-12 min at tunnel bandwidth vs ~1 h streaming rebuild),
-        # reattach the cached archive, refill the overflow tail
-        from rag_foundation_tpu.engine.ivfpq import IVFPQIndex
-        log("loading cached body")
-        z = np.load(args.body_cache)
-        fields = {k[2:]: (int(v) if k[2:] == "n" else jnp.asarray(v))
-                  for k, v in z.items() if k.startswith("f_")}
-        idx.body = IVFPQIndex(**fields)
-        idx.body_chunk_ids = np.asarray(z["body_chunk_ids"])
-        idx._pq_archive = arch
-        over = np.nonzero(idx.body_chunk_ids < 0)[0]
-        if len(over):
-            idx.tail.add(arch.rows_f32(over), over)
-        steady_mvps = float(z["steady_mvps"])
-        dropped = len(over)
-        log(f"body restored: overflow tail {dropped}")
-    else:
-        marks = {}
+    log("loading cached body")
+    z = np.load(args.body_cache)
+    fields = {k[2:]: (int(v) if k[2:] == "n" else jnp.asarray(v))
+              for k, v in z.items() if k.startswith("f_")}
+    idx.body = IVFPQIndex(**fields)
+    idx.body_chunk_ids = np.asarray(z["body_chunk_ids"])
+    idx._pq_archive = arch
+    steady_mvps = float(z["steady_mvps"])
+    over = np.nonzero(idx.body_chunk_ids < 0)[0]
+    if len(over):
+        idx.tail.add(arch.rows_f32(over), over)
+    dropped = len(over)
+    log(f"body restored: overflow tail {dropped} (rss {rss_gb():.1f}G)")
 
-        def progress(done, total):
-            marks.setdefault("first", (time.perf_counter(), done))
-            marks["last"] = (time.perf_counter(), done)
-            if done // args.chunk % 20 == 0:
-                log(f"build {done/1e6:.1f}M/{total/1e6:.0f}M "
-                    f"(rss {rss_gb():.1f}G)")
-
-        t0 = time.perf_counter()
-        idx.bulk_load_archive(arch, np.arange(n, dtype=np.int64),
-                              progress=progress)
-        t_build = time.perf_counter() - t0
-        (t1, d1), (t2, d2) = marks["first"], marks["last"]
-        steady_mvps = (d2 - d1) / max(1e-9, t2 - t1) / 1e6
-        dropped = int((idx.body_chunk_ids < 0).sum())
-        log(f"build: {t_build:.0f}s total; steady {steady_mvps:.2f}M "
-            f"vec/s; overflow->tail {dropped} ({dropped/n*100:.4f}%); "
-            f"tail count {idx.tail.count}")
-        if args.body_cache:
-            log("saving body cache (codes fetch)")
-            out = {"body_chunk_ids": np.asarray(idx.body_chunk_ids),
-                   "steady_mvps": np.float64(steady_mvps)}
-            for name, val in idx.body._asdict().items():
-                out["f_" + name] = (np.int64(val) if isinstance(val, int)
-                                    else np.asarray(val))
-            np.savez(args.body_cache, **out)
-
-    # roofline: the staged build moves int8 rows up (768 B) and packed
-    # codes down (m/2 B) per vector
+    # roofline context: the staged build moves int8 rows up (768 B) and
+    # packed codes down (m/2 B) per vector
     per_vec = 768 / up_bw + (args.m / 2) / down_bw
     log(f"tunnel roofline: {1.0/per_vec:.2f}M vec/s for 768 B up + "
         f"{args.m//2} B down per vector at measured bandwidth")
 
-    # -- serve through the product path ----------------------------------
     def recall_of(ids):
         approx = np.asarray(ids[: args.gt_sub])
         return float(np.mean([len(set(a) & set(b)) / args.k
@@ -274,11 +422,155 @@ def main():
     log(f"pure-ADC: {per_adc*1000:.1f} ms/batch -> {qps_adc:.0f} QPS, "
         f"recall@{args.k}={rec_adc:.4f}")
 
-    print(f"RESULT n={n} qps_host_refine={qps_host:.0f} "
+    print(f"RESULT n={args.n} qps_host_refine={qps_host:.0f} "
           f"recall_host={rec_host:.4f} qps_adc={qps_adc:.0f} "
           f"recall_adc={rec_adc:.4f} build_Mvps={steady_mvps:.2f} "
-          f"fill_Mvps={fill_mvps:.2f} overflow_pct={dropped/n*100:.4f} "
+          f"fill_Mvps={fill_mvps:.2f} overflow_pct={dropped/args.n*100:.4f} "
           f"tunnel_up_MBs={up_bw:.0f} tunnel_down_MBs={down_bw:.0f}")
+
+
+def run_phases(args):
+    """Orchestrate the phases as subprocesses (one TPU process at a
+    time; each exits before the next starts)."""
+    base = [sys.executable, "-u", os.path.abspath(__file__),
+            "--n", str(args.n), "--d", str(args.d),
+            "--nlist", str(args.nlist), "--m", str(args.m),
+            "--cap_slack", str(args.cap_slack),
+            "--nprobe", str(args.nprobe), "--q", str(args.q),
+            "--k", str(args.k), "--gt_sub", str(args.gt_sub),
+            "--chunk", str(args.chunk), "--reps", str(args.reps),
+            "--archive-cache", args.archive_cache,
+            "--body-cache", args.body_cache,
+            "--work", work_dir(args)]
+
+    def run(phase, *extra):
+        log(f"== phase {phase} {' '.join(extra)}")
+        t0 = time.perf_counter()
+        r = subprocess.run(base + ["--phase", phase, *extra])
+        if r.returncode != 0:
+            raise SystemExit(f"phase {phase} failed rc={r.returncode}")
+        log(f"== phase {phase} done in {time.perf_counter()-t0:.0f}s")
+
+    if not (args.archive_cache and args.body_cache):
+        raise SystemExit("--phase all needs --archive-cache and "
+                         "--body-cache")
+    arch_f, meta_f = cache_paths(args)
+    if not (os.path.exists(arch_f) and os.path.exists(meta_f)):
+        run("ingest")
+    if not os.path.exists(args.body_cache):
+        w = work_dir(args)
+        m_bytes = args.m // 2
+        # preallocate the shared encode outputs
+        np.memmap(os.path.join(w, "assign.i32"), dtype=np.int32,
+                  mode="w+", shape=(args.n,)).flush()
+        np.memmap(os.path.join(w, "codes.u8"), dtype=np.uint8,
+                  mode="w+", shape=(args.n, m_bytes)).flush()
+        run("train")
+        n_chunks = -(-args.n // args.chunk)
+        for lo in range(0, n_chunks, args.seg_chunks):
+            hi = min(n_chunks, lo + args.seg_chunks)
+            run("encode", "--seg-lo", str(lo), "--seg-hi", str(hi))
+        run("scatter")
+        # the encode outputs are consumed; free the disk
+        os.unlink(os.path.join(w, "assign.i32"))
+        os.unlink(os.path.join(w, "codes.u8"))
+    run("serve")
+
+
+# ---------------------------------------------------------------------------
+# legacy single-process mode (<=10M: fine; at 100M use --phase all)
+# ---------------------------------------------------------------------------
+
+def main_single(args):
+    import jax
+    import jax.numpy as jnp
+    from rag_foundation_tpu.engine.index import StoreIndex
+
+    arch_f, meta_f = cache_paths(args)
+    if not (arch_f and os.path.exists(arch_f) and os.path.exists(meta_f)):
+        phase_ingest(args)
+        if not args.archive_cache:
+            raise SystemExit("single-process mode requires "
+                             "--archive-cache for the hand-off")
+    arch, meta = load_cached_archive(args)
+    queries = np.asarray(meta["queries"])
+    exact_ids = np.asarray(meta["gt_ids"])
+    fill_mvps = float(meta["fill_mvps"])
+    up_bw, down_bw = measure_tunnel()
+    log(f"tunnel bandwidth: up {up_bw:.0f} MB/s, down {down_bw:.0f} MB/s")
+
+    idx = StoreIndex(args.d, mode="ivf_pq", nlist=args.nlist,
+                     nprobe=args.nprobe, pq_m=args.m, pq_packed=True,
+                     pq_refine="host", pq_cap_slack=args.cap_slack,
+                     build_threshold=1)
+    marks = {}
+
+    def progress(done, total):
+        marks.setdefault("first", (time.perf_counter(), done))
+        marks["last"] = (time.perf_counter(), done)
+        if done // args.chunk % 20 == 0:
+            log(f"build {done/1e6:.1f}M/{total/1e6:.0f}M "
+                f"(rss {rss_gb():.1f}G)")
+
+    t0 = time.perf_counter()
+    idx.bulk_load_archive(arch, np.arange(args.n, dtype=np.int64),
+                          progress=progress)
+    t_build = time.perf_counter() - t0
+    (t1, d1), (t2, d2) = marks["first"], marks["last"]
+    steady_mvps = (d2 - d1) / max(1e-9, t2 - t1) / 1e6
+    dropped = int((idx.body_chunk_ids < 0).sum())
+    log(f"build: {t_build:.0f}s total; steady {steady_mvps:.2f}M "
+        f"vec/s; overflow->tail {dropped} ({dropped/args.n*100:.4f}%); "
+        f"tail count {idx.tail.count}")
+
+    def recall_of(ids):
+        approx = np.asarray(ids[: args.gt_sub])
+        return float(np.mean([len(set(a) & set(b)) / args.k
+                              for a, b in zip(approx, exact_ids)]))
+
+    t0 = time.perf_counter()
+    vals, ids = idx.search(queries, args.k)
+    log(f"first search (compile): {time.perf_counter()-t0:.0f}s")
+    t0 = time.perf_counter()
+    for _ in range(args.reps):
+        vals, ids = idx.search(queries, args.k)
+    per = (time.perf_counter() - t0) / args.reps
+    qps_host = args.q / per
+    rec_host = recall_of(ids)
+    log(f"host-refine: {per*1000:.1f} ms/batch -> {qps_host:.0f} QPS, "
+        f"recall@{args.k}={rec_host:.4f}")
+
+    idx.pq_refine = "none"
+    t0 = time.perf_counter()
+    vals, ids = idx.search(queries, args.k)
+    log(f"ADC first (compile): {time.perf_counter()-t0:.0f}s")
+    t0 = time.perf_counter()
+    for _ in range(args.reps):
+        vals, ids = idx.search(queries, args.k)
+    per_adc = (time.perf_counter() - t0) / args.reps
+    qps_adc = args.q / per_adc
+    rec_adc = recall_of(ids)
+    idx.pq_refine = "host"
+    log(f"pure-ADC: {per_adc*1000:.1f} ms/batch -> {qps_adc:.0f} QPS, "
+        f"recall@{args.k}={rec_adc:.4f}")
+
+    print(f"RESULT n={args.n} qps_host_refine={qps_host:.0f} "
+          f"recall_host={rec_host:.4f} qps_adc={qps_adc:.0f} "
+          f"recall_adc={rec_adc:.4f} build_Mvps={steady_mvps:.2f} "
+          f"fill_Mvps={fill_mvps:.2f} overflow_pct={dropped/args.n*100:.4f} "
+          f"tunnel_up_MBs={up_bw:.0f} tunnel_down_MBs={down_bw:.0f}")
+
+
+def main():
+    args = parse_args()
+    if args.phase == "all":
+        run_phases(args)
+    elif args.phase:
+        {"ingest": phase_ingest, "train": phase_train,
+         "encode": phase_encode, "scatter": phase_scatter,
+         "serve": phase_serve}[args.phase](args)
+    else:
+        main_single(args)
 
 
 if __name__ == "__main__":

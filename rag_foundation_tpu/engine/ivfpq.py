@@ -44,6 +44,44 @@ from rag_foundation_tpu.ops.quantize import quantize_int8
 _NO_REFINE = np.zeros((0, 0), np.int8)
 
 
+def pq_cap_len(n: int, nlist: int, cap_slack: float) -> int:
+    """Padded per-list capacity (LBLOCK-aligned) for n rows."""
+    mean_len = max(1.0, n / nlist)
+    return max(LBLOCK, int(-(-(mean_len * cap_slack) // LBLOCK) * LBLOCK))
+
+
+class HostScatter:
+    """Host-side posting-table scatter: rows land in interleaved slots
+    per list, capacity overflow is recorded. Shared by
+    ``build_ivf_pq_streaming`` and phase-split builders
+    (benchmarks/bench_store_pq_100m.py) so the layout is bit-identical
+    no matter which process encoded the chunks."""
+
+    def __init__(self, n: int, nlist: int, cap_len: int, m_bytes: int):
+        self.nlist, self.cap_len = nlist, cap_len
+        self.codes = np.zeros((nlist * cap_len, m_bytes), np.uint8)
+        self.ids = np.full((nlist * cap_len,), -1, np.int32)
+        self.next_slot = np.zeros(nlist, np.int64)
+        self.overflow = np.zeros(n, bool)
+
+    def scatter(self, assign_h: np.ndarray, codes_h: np.ndarray,
+                lo: int, rows: int) -> None:
+        order = np.argsort(assign_h, kind="stable")
+        sa = assign_h[order]
+        counts = np.bincount(assign_h, minlength=self.nlist)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        slots = np.empty(rows, np.int64)
+        slots[order] = (np.arange(rows) - starts[sa]) + self.next_slot[sa]
+        self.next_slot += counts
+        ok = slots < self.cap_len
+        self.overflow[lo: lo + rows] = ~ok
+        dest = (assign_h.astype(np.int64) * self.cap_len
+                + interleave_slots(np.minimum(slots, self.cap_len - 1),
+                                   self.cap_len))[ok]
+        self.codes[dest] = codes_h[ok]
+        self.ids[dest] = (lo + np.arange(rows, dtype=np.int32))[ok]
+
+
 class IVFPQIndex(NamedTuple):
     centroids: jnp.ndarray     # [nlist, d] f32 coarse quantizer
     codebook_centroids: jnp.ndarray  # [m, K, dsub] f32 (residual PQ)
@@ -227,31 +265,9 @@ def build_ivf_pq_streaming(
     del sample, assign_s, residual_s
 
     # -- host-staged scatter ----------------------------------------------
-    mean_len = max(1.0, n / nlist)
-    cap_len = max(LBLOCK,
-                  int(-(-(mean_len * cap_slack) // LBLOCK) * LBLOCK))
+    cap_len = pq_cap_len(n, nlist, cap_slack)
     m_bytes = m // 2 if packed else m
-    host_codes = np.zeros((nlist * cap_len, m_bytes), np.uint8)
-    host_ids = np.full((nlist * cap_len,), -1, np.int32)
-    next_slot = np.zeros(nlist, np.int64)
-    overflow = np.zeros(n, bool)
-
-    def scatter_host(assign_h, codes_h, lo, rows):
-        nonlocal next_slot
-        order = np.argsort(assign_h, kind="stable")
-        sa = assign_h[order]
-        counts = np.bincount(assign_h, minlength=nlist)
-        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
-        slots = np.empty(rows, np.int64)
-        slots[order] = (np.arange(rows) - starts[sa]) + next_slot[sa]
-        next_slot += counts
-        ok = slots < cap_len
-        overflow[lo: lo + rows] = ~ok
-        dest = (assign_h.astype(np.int64) * cap_len
-                + interleave_slots(np.minimum(slots, cap_len - 1),
-                                   cap_len))[ok]
-        host_codes[dest] = codes_h[ok]
-        host_ids[dest] = (lo + np.arange(rows, dtype=np.int32))[ok]
+    hs = HostScatter(n, nlist, cap_len, m_bytes)
 
     def fetch_raw(lo, hi):
         # int8 sources upload RAW and scale on device: 4x fewer staged
@@ -278,8 +294,8 @@ def build_ivf_pq_streaming(
             del v
         if pending is not None:
             a_dev, c_dev, plo, prows = pending
-            scatter_host(np.asarray(a_dev), np.asarray(c_dev),
-                         plo, prows)
+            hs.scatter(np.asarray(a_dev), np.asarray(c_dev),
+                       plo, prows)
             if progress is not None:
                 progress(plo + prows, n)
         pending = nxt
@@ -293,9 +309,10 @@ def build_ivf_pq_streaming(
     r3 = jax.jit(lambda x: x.reshape(nlist, cap_len, m_bytes),
                  donate_argnums=0)
     r2 = jax.jit(lambda x: x.reshape(nlist, cap_len), donate_argnums=0)
-    codes_dev = r3(jnp.asarray(host_codes))
-    ids_dev = r2(jnp.asarray(host_ids))
-    del host_codes, host_ids
+    codes_dev = r3(jnp.asarray(hs.codes))
+    ids_dev = r2(jnp.asarray(hs.ids))
+    overflow = hs.overflow
+    del hs
 
     if refine == "device":
         # the refine table keeps ALL source rows — row ids index it
