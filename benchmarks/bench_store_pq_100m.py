@@ -236,10 +236,20 @@ def phase_train(args):
 
     arch, _ = load_cached_archive(args)
     sample_n = min(args.n, max(args.nlist * 32, 16_384))
-    sample = jnp.asarray(arch.chunk_f32(0, sample_n))
+    # evenly spaced windows + farthest-point seeding (same rationale as
+    # build_ivf_pq_streaming: head-sample + random seeds measured 14.5%
+    # overflow at 100M; farthest matches the true-center floor)
+    windows = 16 if args.n > 2 * sample_n else 1
+    per = -(-sample_n // windows)
+    parts = [arch.chunk_f32(0, min(args.n, per))] if windows == 1 else [
+        arch.chunk_f32(base, min(args.n, base + per))
+        for base in ((args.n - per) * wi // (windows - 1)
+                     for wi in range(windows))]
+    sample = jnp.asarray(np.concatenate(parts)[:sample_n])
+    del parts
     k1, k2 = jax.random.split(jax.random.key(0))
     centroids, _ = kmeans_fit(sample, args.nlist, key=k1, iters=10,
-                              spherical=True)
+                              spherical=True, seed_method="farthest")
     ps = min(sample_n, 65_536)   # >64k trips the remote Mosaic helper
     assign_s, _ = assign_clusters(sample[:ps], centroids)
     residual_s = sample[:ps] - centroids[assign_s]
@@ -465,6 +475,11 @@ def run_phases(args):
                   mode="w+", shape=(args.n,)).flush()
         np.memmap(os.path.join(w, "codes.u8"), dtype=np.uint8,
                   mode="w+", shape=(args.n, m_bytes)).flush()
+        # stale segment timing files would double-count in scatter's
+        # steady-rate sum after a failed/partial earlier attempt
+        for f in os.listdir(w):
+            if f.startswith("seg-") and f.endswith(".json"):
+                os.unlink(os.path.join(w, f))
         run("train")
         n_chunks = -(-args.n // args.chunk)
         for lo in range(0, n_chunks, args.seg_chunks):

@@ -60,3 +60,35 @@ def test_pq_adc_equals_decoded_dot():
     rec = np.asarray(pq_decode(cb, codes))
     expect = q @ rec.T
     np.testing.assert_allclose(adc, expect, rtol=1e-4, atol=1e-4)
+
+
+def test_farthest_seeding_balances_separated_clusters():
+    """Coarse-quantizer regression for the IVF-PQ streaming build:
+    random seeding leaves ~1/e of well-separated clusters unseeded
+    (Poisson), Lloyd cannot split the merged lists, and posting-list
+    capacity overflows en masse (measured 14.5% at 100M). Farthest-
+    point seeding must match the true-center capacity floor."""
+    from rag_foundation_tpu.engine.ivfpq import pq_cap_len
+    rng = np.random.default_rng(7)
+    k, d, per = 64, 32, 64
+    centers = rng.standard_normal((k, d)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    # uneven-but-bounded cluster sizes (Poisson-ish doc counts)
+    sizes = rng.poisson(per, k).clip(min=per // 2)
+    x = np.concatenate([
+        centers[i] + 0.05 * rng.standard_normal((s, d)).astype(np.float32)
+        for i, s in enumerate(sizes)])
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    x = x[rng.permutation(len(x))]
+    cap = pq_cap_len(len(x), k, 1.09)
+
+    def overflow(cents):
+        a, _ = assign_clusters(jnp.asarray(x), cents)
+        counts = np.bincount(np.asarray(a), minlength=k)
+        return np.maximum(0, counts - cap).sum()
+
+    floor = overflow(jnp.asarray(centers))
+    c_far, _ = kmeans_fit(jnp.asarray(x), k, key=jax.random.key(5),
+                          iters=10, spherical=True,
+                          seed_method="farthest")
+    assert overflow(c_far) <= max(floor, len(x) // 200)  # <=0.5% or floor
