@@ -235,28 +235,34 @@ def phase_train(args):
     from rag_foundation_tpu.ops.pq import pq_train
 
     arch, _ = load_cached_archive(args)
-    sample_n = min(args.n, max(args.nlist * 32, 16_384))
+    sample_n = min(args.n, max(args.nlist * 128, 16_384))
     # evenly spaced windows + farthest-point seeding (same rationale as
     # build_ivf_pq_streaming: head-sample + random seeds measured 14.5%
     # overflow at 100M; farthest matches the true-center floor)
+    from rag_foundation_tpu.engine.ivfpq import _SEED_GROUP, _seed_pool
     windows = 16 if args.n > 2 * sample_n else 1
     per = -(-sample_n // windows)
     parts = [arch.chunk_f32(0, min(args.n, per))] if windows == 1 else [
-        arch.chunk_f32(base, min(args.n, base + per))
+        arch.chunk_f32(base - base % _SEED_GROUP,
+                       min(args.n, base - base % _SEED_GROUP + per))
         for base in ((args.n - per) * wi // (windows - 1)
                      for wi in range(windows))]
     sample = jnp.asarray(np.concatenate(parts)[:sample_n])
     del parts
     k1, k2 = jax.random.split(jax.random.key(0))
     centroids, _ = kmeans_fit(sample, args.nlist, key=k1, iters=10,
-                              spherical=True, seed_method="farthest")
+                              spherical=True, seed_method="farthest",
+                              seed_pool=_seed_pool(sample))
     ps = min(sample_n, 65_536)   # >64k trips the remote Mosaic helper
     assign_s, _ = assign_clusters(sample[:ps], centroids)
     residual_s = sample[:ps] - centroids[assign_s]
     codebook = pq_train(residual_s, args.m, key=k2, iters=6, nbits=4)
+    resid_cap = 2.0 * float(jnp.percentile(
+        jnp.linalg.norm(residual_s, axis=1), 95))
     np.savez(os.path.join(work_dir(args), "codebooks.npz"),
              centroids=np.asarray(centroids),
-             cb_centroids=np.asarray(codebook.centroids))
+             cb_centroids=np.asarray(codebook.centroids),
+             resid_cap=np.float32(resid_cap))
     log(f"train: nlist={args.nlist} m={args.m} on {sample_n} rows "
         f"(rss {rss_gb():.1f}G)")
 
@@ -266,7 +272,7 @@ def phase_encode(args):
     assign/codes memmaps. Run per segment in its own process: tunnel
     staging dies with the process."""
     import jax.numpy as jnp
-    from rag_foundation_tpu.engine.ivfpq import _encode_chunk
+    from rag_foundation_tpu.engine.ivfpq import _encode_chunk_top2
 
     arch, _ = load_cached_archive(args)
     w = work_dir(args)
@@ -276,6 +282,8 @@ def phase_encode(args):
     m_bytes = args.m // 2
     assign_mm = np.memmap(os.path.join(w, "assign.i32"), dtype=np.int32,
                           mode="r+", shape=(args.n,))
+    assign2_mm = np.memmap(os.path.join(w, "assign2.i32"),
+                           dtype=np.int32, mode="r+", shape=(args.n,))
     codes_mm = np.memmap(os.path.join(w, "codes.u8"), dtype=np.uint8,
                          mode="r+", shape=(args.n, m_bytes))
     t0 = time.perf_counter()
@@ -288,13 +296,14 @@ def phase_encode(args):
             hi = min(args.n, lo + args.chunk)
             if lo < hi:
                 v = jnp.asarray(arch.chunk_i8(lo, hi))
-                a_dev, c_dev = _encode_chunk(v, centroids, cb_centroids,
-                                             arch.scale, packed=True)
-                nxt = (a_dev, c_dev, lo, hi)
+                a_dev, a2_dev, c_dev = _encode_chunk_top2(
+                    v, centroids, cb_centroids, arch.scale, packed=True)
+                nxt = (a_dev, a2_dev, c_dev, lo, hi)
                 del v
         if pending is not None:
-            a_dev, c_dev, plo, phi = pending
+            a_dev, a2_dev, c_dev, plo, phi = pending
             assign_mm[plo:phi] = np.asarray(a_dev)
+            assign2_mm[plo:phi] = np.asarray(a2_dev)
             codes_mm[plo:phi] = np.asarray(c_dev)
         pending = nxt
         ci += 1
@@ -310,16 +319,22 @@ def phase_encode(args):
 
 
 def phase_scatter(args):
-    """Pure-numpy: scatter encoded rows into the posting-table layout
-    (bit-identical to build_ivf_pq_streaming via HostScatter) and write
-    the --body-cache npz the serve phase consumes."""
-    from rag_foundation_tpu.engine.ivfpq import HostScatter, pq_cap_len
+    """Scatter encoded rows into the posting-table layout (bit-identical
+    to build_ivf_pq_streaming via HostScatter), spill capacity-overflow
+    rows to their second-nearest lists (bounded device re-encode, same
+    _spill_pass as the product build), and write the --body-cache npz
+    the serve phase consumes."""
+    import jax.numpy as jnp
+    from rag_foundation_tpu.engine.ivfpq import (HostScatter, _spill_pass,
+                                                 pq_cap_len)
 
     w = work_dir(args)
     m_bytes = args.m // 2
     cap_len = pq_cap_len(args.n, args.nlist, args.cap_slack)
     assign_mm = np.memmap(os.path.join(w, "assign.i32"), dtype=np.int32,
                           mode="r", shape=(args.n,))
+    assign2_mm = np.memmap(os.path.join(w, "assign2.i32"),
+                           dtype=np.int32, mode="r", shape=(args.n,))
     codes_mm = np.memmap(os.path.join(w, "codes.u8"), dtype=np.uint8,
                          mode="r", shape=(args.n, m_bytes))
     hs = HostScatter(args.n, args.nlist, cap_len, m_bytes)
@@ -332,6 +347,16 @@ def phase_scatter(args):
             log(f"scatter {hi/1e6:.1f}M/{args.n/1e6:.0f}M "
                 f"(rss {rss_gb():.1f}G)")
     log(f"scatter: {time.perf_counter()-t0:.0f}s")
+    pre_spill = int(hs.overflow.sum())
+    if pre_spill:
+        arch, _ = load_cached_archive(args)
+        cb = np.load(os.path.join(w, "codebooks.npz"))
+        _spill_pass(hs, assign2_mm, arch.rows_i8, arch.scale,
+                    jnp.asarray(cb["centroids"]),
+                    jnp.asarray(cb["cb_centroids"]), packed=True,
+                    resid_cap=float(cb["resid_cap"]))
+        log(f"spill: {pre_spill} overflow -> "
+            f"{int(hs.overflow.sum())} after second-choice placement")
     enc_s = 0.0
     for f in os.listdir(w):
         if f.startswith("seg-"):
@@ -473,6 +498,8 @@ def run_phases(args):
         # preallocate the shared encode outputs
         np.memmap(os.path.join(w, "assign.i32"), dtype=np.int32,
                   mode="w+", shape=(args.n,)).flush()
+        np.memmap(os.path.join(w, "assign2.i32"), dtype=np.int32,
+                  mode="w+", shape=(args.n,)).flush()
         np.memmap(os.path.join(w, "codes.u8"), dtype=np.uint8,
                   mode="w+", shape=(args.n, m_bytes)).flush()
         # stale segment timing files would double-count in scatter's
@@ -488,6 +515,7 @@ def run_phases(args):
         run("scatter")
         # the encode outputs are consumed; free the disk
         os.unlink(os.path.join(w, "assign.i32"))
+        os.unlink(os.path.join(w, "assign2.i32"))
         os.unlink(os.path.join(w, "codes.u8"))
     run("serve")
 

@@ -109,6 +109,12 @@ class HostArchive:
         safe = np.clip(idx, 0, max(0, self.n - 1))
         return self._rows[safe].astype(np.float32) * self.scale
 
+    def rows_i8(self, idx: np.ndarray) -> np.ndarray:
+        """Raw int8 rows (scale applies) — the spill re-encode source:
+        4x fewer uploaded bytes than rows_f32."""
+        safe = np.clip(idx, 0, max(0, self.n - 1))
+        return self._rows[safe]
+
     def rescore(self, q32: np.ndarray, rows: np.ndarray) -> np.ndarray:
         """Exact scores for candidate ``rows [Q, C]`` (int; -1 = pad)
         against queries ``q32 [Q, d]``: f32 result with -inf at pads.

@@ -429,7 +429,8 @@ class StoreIndex:
             arch.chunk_i8, n, self.dim, nlist, self.pq_m,
             key=jax.random.key(self.seed), nbits=self.pq_nbits,
             packed=self.pq_packed, cap_slack=self.pq_cap_slack,
-            source_scale=arch.scale, refine=refine, progress=progress)
+            source_scale=arch.scale, refine=refine,
+            source_rows=arch.rows_i8, progress=progress)
         if self.mesh is not None:
             from rag_foundation_tpu.parallel.sharded_ivf import \
                 shard_ivfpq_index

@@ -81,6 +81,28 @@ class HostScatter:
         self.codes[dest] = codes_h[ok]
         self.ids[dest] = (lo + np.arange(rows, dtype=np.int32))[ok]
 
+    def place_at(self, list_ids: np.ndarray, codes_h: np.ndarray,
+                 row_ids: np.ndarray) -> np.ndarray:
+        """Capacity spilling: place rows into the GIVEN lists where
+        space remains. Returns the placed mask; callers route the rest
+        to the exact tail. Clears the rows' overflow flags on success."""
+        order = np.argsort(list_ids, kind="stable")
+        sl = list_ids[order]
+        counts = np.bincount(list_ids, minlength=self.nlist)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        slots = np.empty(len(list_ids), np.int64)
+        slots[order] = (np.arange(len(list_ids)) - starts[sl]) \
+            + self.next_slot[sl]
+        self.next_slot += counts
+        ok = slots < self.cap_len
+        dest = (list_ids.astype(np.int64) * self.cap_len
+                + interleave_slots(np.minimum(slots, self.cap_len - 1),
+                                   self.cap_len))[ok]
+        self.codes[dest] = codes_h[ok]
+        self.ids[dest] = row_ids[ok].astype(np.int32)
+        self.overflow[row_ids[ok]] = False
+        return ok
+
 
 class IVFPQIndex(NamedTuple):
     centroids: jnp.ndarray     # [nlist, d] f32 coarse quantizer
@@ -180,6 +202,43 @@ def build_ivf_pq(vectors: jnp.ndarray, nlist: int, m: int, *,
 
 
 @functools.partial(jax.jit, static_argnames=("packed",))
+def _encode_chunk_top2(v, centroids, cb_centroids, scale=1.0, *,
+                       packed: bool):
+    """Like ``_encode_chunk`` but also returns the SECOND-nearest list
+    per row — the spill target when the first list is at capacity
+    (codes are still residuals vs the first choice; spilled rows are
+    re-encoded vs their landing list by ``_encode_rows_for_lists``)."""
+    from rag_foundation_tpu.ops.kmeans import assign_clusters_top2
+    v32 = (v.astype(jnp.float32) * scale
+           if v.dtype == jnp.int8 else v * scale)
+    a1, a2 = assign_clusters_top2(v32, centroids, block_size=65536)
+    residual = v32 - centroids[a1]
+    codes = pq_encode(PQCodebook(centroids=cb_centroids), residual)
+    if packed:
+        from rag_foundation_tpu.ops.pallas_pq import pack_codes
+        codes = pack_codes(codes)
+    return a1, a2, codes
+
+
+@functools.partial(jax.jit, static_argnames=("packed",))
+def _encode_rows_for_lists(v, list_ids, centroids, cb_centroids,
+                           scale=1.0, *, packed: bool):
+    """PQ codes + residual norms for rows ``v`` as members of the GIVEN
+    lists (residual vs that list's centroid) — the spill re-encode. The
+    norm lets the caller reject spills whose residual exceeds the
+    codebook's training range (quantizing far outside it reconstructs
+    ~the landing centroid, not the row)."""
+    v32 = (v.astype(jnp.float32) * scale
+           if v.dtype == jnp.int8 else v * scale)
+    residual = v32 - centroids[list_ids]
+    codes = pq_encode(PQCodebook(centroids=cb_centroids), residual)
+    if packed:
+        from rag_foundation_tpu.ops.pallas_pq import pack_codes
+        codes = pack_codes(codes)
+    return codes, jnp.linalg.norm(residual, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("packed",))
 def _encode_chunk(v, centroids, cb_centroids, scale=1.0, *, packed: bool):
     """Device encode for one build chunk: coarse assign -> residual ->
     PQ codes (nibble-packed when ``packed``). ``v`` may be int8 scaled
@@ -196,6 +255,58 @@ def _encode_chunk(v, centroids, cb_centroids, scale=1.0, *, packed: bool):
         from rag_foundation_tpu.ops.pallas_pq import pack_codes
         codes = pack_codes(codes)
     return assign, codes
+
+
+_SEED_GROUP = 16
+
+
+def _seed_pool(sample: jnp.ndarray, group: int = _SEED_GROUP):
+    """Means of ``group`` ADJACENT sample rows, l2-normalized — the
+    farthest-seeding pool. Rows arrive document-grouped (chunker
+    ordering), so adjacent means estimate document centers: within-
+    document drift can rival between-cluster separation (docwalk's walk
+    reaches ~0.7 vs ~1.41 topic separation), which blinds farthest
+    seeding over raw rows; group means suppress it by ~sqrt(group).
+    Falls back to None (seed from rows) when the sample is too small
+    to matter."""
+    from rag_foundation_tpu.ops.l2norm import l2_normalize
+    n = (sample.shape[0] // group) * group
+    if n < group * 4:
+        return None
+    means = sample[:n].reshape(n // group, group, -1).mean(axis=1)
+    return l2_normalize(means)
+
+
+def _spill_pass(hs: "HostScatter", a2_host, source_rows, source_scale,
+                centroids, cb_centroids, *, packed: bool,
+                resid_cap: float = np.inf,
+                batch: int = 1 << 20) -> None:
+    """Re-encode capacity-overflow rows against their second-nearest
+    list and place them where space remains (see
+    ``build_ivf_pq_streaming``). Rows whose second-choice residual norm
+    exceeds ``resid_cap`` (the codebook's training range) are NOT
+    spilled — their codes would reconstruct ~the landing centroid —
+    and stay in the overflow mask for the exact tail. Constant-shaped
+    sub-batches (the last one padded) so the remote compile happens
+    once."""
+    spilled = np.nonzero(hs.overflow)[0]
+    for lo_s in range(0, len(spilled), batch):
+        idxs = spilled[lo_s: lo_s + batch]
+        real = len(idxs)
+        if real < batch and lo_s > 0:      # pad to the compiled shape
+            idxs = np.concatenate(
+                [idxs, np.full(batch - real, idxs[-1], idxs.dtype)])
+        v_r = np.asarray(source_rows(idxs))
+        scale = source_scale if v_r.dtype == np.int8 else 1.0
+        lists_r = a2_host[idxs]
+        codes_r, rn2 = _encode_rows_for_lists(
+            jnp.asarray(v_r), jnp.asarray(lists_r), centroids,
+            cb_centroids, scale, packed=packed)
+        codes_r, rn2 = np.asarray(codes_r), np.asarray(rn2)
+        keep = rn2[:real] <= resid_cap
+        if keep.any():
+            hs.place_at(lists_r[:real][keep], codes_r[:real][keep],
+                        idxs[:real][keep])
 
 
 def build_ivf_pq_streaming(
@@ -216,6 +327,7 @@ def build_ivf_pq_streaming(
     pq_sample: int = 65_536,
     source_scale: float = 1.0,
     refine: str = "none",
+    source_rows=None,
     progress=None,
 ) -> tuple[IVFPQIndex, np.ndarray]:
     """Host-staged IVF-PQ build from a chunked source — the production
@@ -238,9 +350,18 @@ def build_ivf_pq_streaming(
     same source (requires it to fit HBM; use "none" + a HostArchive
     rescore beyond ~15M rows).
 
-    Returns ``(index, overflow_mask [n] bool)`` — overflowed rows (list
-    capacity exceeded) are NOT in the index; callers keep them
-    searchable elsewhere (StoreIndex re-routes them to the exact tail).
+    ``source_rows(idx)`` (optional, HostArchive.rows_i8-shaped) enables
+    **capacity spilling**: rows whose first-choice list is full are
+    re-encoded against their SECOND-nearest list's centroid and placed
+    there if it has space (nprobe-scale probing almost surely visits the
+    runner-up list, so recall cost is marginal). On a learned quantizer
+    over clustered corpora this matters enormously — k-means list sizes
+    disperse ~30% at nlist=16k, and at cap_slack 1.09 that measured
+    5.8% of a 100M corpus overflowing; spilling absorbs most of it.
+
+    Returns ``(index, overflow_mask [n] bool)`` — rows still overflowing
+    after spilling are NOT in the index; callers keep them searchable
+    elsewhere (StoreIndex re-routes them to the exact tail).
     """
     if packed and (nbits != 4 or m % 2):
         raise ValueError("packed codes require nbits=4 and even m")
@@ -253,30 +374,49 @@ def build_ivf_pq_streaming(
         return raw.astype(np.float32, copy=False)
 
     # -- train coarse + PQ codebooks ---------------------------------------
-    # Sample from evenly spaced windows, not the leading block: real
-    # ingestion orders are temporally clustered and a head-trained
-    # quantizer misses later topics. Seed farthest-point: random seeding
-    # leaves ~37% of well-separated clusters unseeded (Poisson(1)) and
-    # Lloyd cannot split the resulting merged lists — measured 14.5%
-    # capacity overflow at 100M vs ~0.1% with farthest (the toy repro in
-    # tests/test_ops_kmeans_pq.py shows farthest matching the
-    # true-center floor exactly).
-    sample_n = min(n, kmeans_sample or max(nlist * 32, 16_384))
+    # Posting-list balance needs ALL THREE (measured at 100M/d=768,
+    # cap_slack 1.09: 14.5% capacity overflow with none of them, the
+    # Poisson floor ~0.1% with all; each alone is insufficient):
+    #  * evenly spaced sample windows — real ingestion orders are
+    #    temporally clustered and a head-trained quantizer misses later
+    #    topics;
+    #  * farthest-point seeding over GROUP MEANS (_seed_pool) — random
+    #    seeding leaves ~1/e of separated clusters unseeded and Lloyd
+    #    cannot split the merged lists (11.7% overflow even with a big
+    #    sample); raw-row seeding fails when within-document drift
+    #    rivals cluster separation;
+    #  * >=128 rows/centroid (see sample_n below) so Lloyd's centroid
+    #    noise does not shift Voronoi boundaries.
+    # >=128 rows per centroid: at d=768, Lloyd on 32 rows/centroid has
+    # enough centroid-estimation noise to shift Voronoi boundaries and
+    # disperse list sizes ~30% (14% capacity overflow at 100M even from
+    # PERFECT seeds); 128/centroid restores the Poisson floor exactly
+    # (toy sweep in tests/test_ops_kmeans_pq.py's docstring)
+    sample_n = min(n, kmeans_sample or max(nlist * 128, 16_384))
     windows = 16 if n > 2 * sample_n else 1
     per = -(-sample_n // windows)
+    # bases snap to _SEED_GROUP so seed-pool group means stay aligned
+    # with document-grouped row order (a group straddling two documents
+    # averages two topics into a useless midpoint seed)
     parts = [fetch(0, min(n, per))] if windows == 1 else [
-        fetch(base, min(n, base + per))
+        fetch(base - base % _SEED_GROUP,
+              min(n, base - base % _SEED_GROUP + per))
         for base in ((n - per) * wi // (windows - 1)
                      for wi in range(windows))]
     sample = jnp.asarray(np.concatenate(parts)[:sample_n])
     del parts
     centroids, _ = kmeans_fit(sample, nlist, key=k1, iters=kmeans_iters,
-                              spherical=True, seed_method="farthest")
+                              spherical=True, seed_method="farthest",
+                              seed_pool=_seed_pool(sample))
     ps = min(sample_n, pq_sample)   # >64k trips the remote Mosaic helper
     assign_s, _ = assign_clusters(sample[:ps], centroids)
     residual_s = sample[:ps] - centroids[assign_s]
     codebook = pq_train(residual_s, m, key=k2, iters=pq_iters,
                         nbits=nbits)
+    # the codebook's useful dynamic range: spills beyond it reconstruct
+    # ~the landing centroid instead of the row (see _spill_pass)
+    resid_cap = 2.0 * float(jnp.percentile(
+        jnp.linalg.norm(residual_s, axis=1), 95))
     del sample, assign_s, residual_s
 
     # -- host-staged scatter ----------------------------------------------
@@ -293,7 +433,9 @@ def build_ivf_pq_streaming(
             return raw, source_scale
         return raw.astype(np.float32, copy=False), 1.0
 
-    pending = None   # (assign_dev, codes_dev, lo, rows)
+    spill = source_rows is not None
+    a2_host = np.empty(n, np.int32) if spill else None
+    pending = None   # (assign_dev, a2_dev, codes_dev, lo, rows)
     lo = 0
     while lo < n or pending is not None:
         nxt = None
@@ -302,15 +444,23 @@ def build_ivf_pq_streaming(
             v_raw, vscale = fetch_raw(lo, hi)
             v = jnp.asarray(v_raw)
             del v_raw
-            a_dev, c_dev = _encode_chunk(v, centroids,
-                                         codebook.centroids, vscale,
-                                         packed=packed)
-            nxt = (a_dev, c_dev, lo, hi - lo)
+            if spill:
+                a_dev, a2_dev, c_dev = _encode_chunk_top2(
+                    v, centroids, codebook.centroids, vscale,
+                    packed=packed)
+            else:
+                a_dev, c_dev = _encode_chunk(v, centroids,
+                                             codebook.centroids, vscale,
+                                             packed=packed)
+                a2_dev = None
+            nxt = (a_dev, a2_dev, c_dev, lo, hi - lo)
             del v
         if pending is not None:
-            a_dev, c_dev, plo, prows = pending
+            a_dev, a2_dev, c_dev, plo, prows = pending
             hs.scatter(np.asarray(a_dev), np.asarray(c_dev),
                        plo, prows)
+            if spill:
+                a2_host[plo: plo + prows] = np.asarray(a2_dev)
             if progress is not None:
                 progress(plo + prows, n)
         pending = nxt
@@ -318,6 +468,11 @@ def build_ivf_pq_streaming(
         gc.collect()   # big per-chunk buffers must not wait for gen-2
         if nxt is None:
             break
+
+    if spill and hs.overflow.any():
+        _spill_pass(hs, a2_host, source_rows, source_scale, centroids,
+                    codebook.centroids, packed=packed,
+                    resid_cap=resid_cap)
 
     # -- single upload (donated reshape: a plain device reshape would be
     # a second full-size copy) --------------------------------------------

@@ -58,6 +58,35 @@ def assign_clusters(
     return assign.reshape(-1)[:n], best.reshape(-1)[:n]
 
 
+def assign_clusters_top2(
+    x: jnp.ndarray, centroids: jnp.ndarray, *, block_size: int = 16384
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """First- and second-nearest centroid per row ([N] int32 each).
+
+    The second choice backs capacity spilling in the IVF builders: a
+    row whose first list is full lands in its runner-up list instead of
+    falling out of the index (engine/ivfpq.py)."""
+    n, d = x.shape
+    c_sq = 0.5 * jnp.sum(centroids.astype(jnp.float32) ** 2, axis=1)
+
+    block_size = min(block_size, n)
+    num_blocks = max(1, -(-n // block_size))
+    padded = num_blocks * block_size
+    xp = jnp.pad(x, ((0, padded - n), (0, 0))) if padded != n else x
+    xb = xp.reshape(num_blocks, block_size, d)
+
+    def step(_, block):
+        dots = jnp.dot(block, centroids.T,
+                       preferred_element_type=jnp.float32)
+        score = dots - c_sq[None, :]
+        _, idx2 = jax.lax.top_k(score, 2)
+        return None, idx2.astype(jnp.int32)
+
+    _, idx2 = jax.lax.scan(step, None, xb)
+    idx2 = idx2.reshape(-1, 2)[:n]
+    return idx2[:, 0], idx2[:, 1]
+
+
 def _update_centroids(
     x: jnp.ndarray, assign: jnp.ndarray, k: int
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -83,6 +112,7 @@ def kmeans_fit(
     block_size: int = 16384,
     spherical: bool = False,
     seed_method: str = "auto",
+    seed_pool: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fit ``k`` centroids to ``x [N, d]`` with Lloyd iterations.
 
@@ -95,33 +125,43 @@ def kmeans_fit(
     ``spherical=True`` renormalizes centroids each round (cosine/IP
     coarse quantizers over unit-norm corpora).
 
+    ``seed_pool`` (optional [P>=k, d]) seeds from these points instead
+    of ``x`` rows. The IVF builders pass GROUP MEANS of adjacent rows
+    (rows arrive document-grouped): within-document spread can rival
+    between-cluster separation, making raw rows useless to farthest
+    seeding, while the group means suppress it by ~sqrt(group).
+
     Returns ``(centroids [k, d] f32, assignment [N] int32)``.
     """
     n, d = x.shape
     x32 = x.astype(jnp.float32)
     if seed_method == "auto":
         seed_method = "farthest" if k <= 512 else "random"
+    pool = x32 if seed_pool is None else seed_pool.astype(jnp.float32)
+    if len(pool) < k:
+        pool = x32
+    pn = len(pool)
 
     if seed_method == "random":
-        rows = jax.random.choice(key, n, (k,), replace=False) if n >= k \
-            else jax.random.randint(key, (k,), 0, n)
-        centroids = x32[rows]
+        rows = jax.random.choice(key, pn, (k,), replace=False) \
+            if pn >= k else jax.random.randint(key, (k,), 0, pn)
+        centroids = pool[rows]
     else:
-        first = jax.random.randint(key, (), 0, n)
-        init_c = jnp.zeros((k, d), jnp.float32).at[0].set(x32[first])
+        first = jax.random.randint(key, (), 0, pn)
+        init_c = jnp.zeros((k, d), jnp.float32).at[0].set(pool[first])
 
         def seed_step(i, carry):
             centroids, min_d = carry
             new_c = centroids[i - 1]
-            dist = jnp.sum((x32 - new_c[None, :]) ** 2, axis=1)
+            dist = jnp.sum((pool - new_c[None, :]) ** 2, axis=1)
             min_d = jnp.minimum(min_d, dist)
             nxt = jnp.argmax(min_d)
-            centroids = centroids.at[i].set(x32[nxt])
+            centroids = centroids.at[i].set(pool[nxt])
             return centroids, min_d
 
         centroids, _ = jax.lax.fori_loop(
             1, k, seed_step,
-            (init_c, jnp.full((n,), jnp.inf, jnp.float32)))
+            (init_c, jnp.full((pn,), jnp.inf, jnp.float32)))
     if spherical:
         centroids = l2_normalize(centroids)
 

@@ -215,3 +215,90 @@ def test_archive_compact_state_memmap(tmp_path):
     back = HostArchive.from_state(st)
     np.testing.assert_array_equal(back.chunk_i8(0, 90),
                                   small.chunk_i8(0, 90))
+
+
+def _recon_cos(idx, row_ids, v, rows):
+    """Mean cosine between original rows and (list centroid + decoded
+    residual) — validates the stored codes."""
+    from rag_foundation_tpu.ops.pq import PQCodebook, pq_decode
+    cents = np.asarray(idx.centroids)
+    cb = PQCodebook(centroids=idx.codebook_centroids)
+    cos = []
+    for r in rows:
+        li, slot = np.argwhere(row_ids == r)[0]
+        dec = np.asarray(pq_decode(cb, idx.codes[li, slot][None]))[0]
+        full = cents[li] + dec
+        cos.append(float(full @ v[r] / (np.linalg.norm(full)
+                                        * np.linalg.norm(v[r]))))
+    return np.mean(cos)
+
+
+def test_spill_places_in_range_rows_on_continuum():
+    """Capacity spilling (engine/ivfpq._spill_pass): on a corpus where
+    the second-nearest cell is adjacent (residual within the codebook's
+    range), overflow rows land in their runner-up list with VALID codes
+    — at 100M a learned quantizer's list-size dispersion overflowed
+    5.8% of the corpus at cap_slack 1.09, and spilling absorbs it."""
+    d = 64
+    key = jax.random.key(3)
+    v = np.asarray(l2_normalize(
+        jax.random.normal(key, (2048, d), jnp.float32)))
+    arch = HostArchive(d)
+    arch.append(v)
+    common = dict(key=jax.random.key(0), packed=False, chunk=512,
+                  source_scale=arch.scale, refine="none", cap_slack=0.8)
+    idx_ns, over_ns = build_ivf_pq_streaming(
+        lambda lo, hi: arch.chunk_i8(lo, hi), len(v), d, 4, 16, **common)
+    idx_sp, over_sp = build_ivf_pq_streaming(
+        lambda lo, hi: arch.chunk_i8(lo, hi), len(v), d, 4, 16,
+        source_rows=arch.rows_i8, **common)
+    assert over_ns.sum() > 0           # slack < 1 forces overflow
+    assert over_sp.sum() < over_ns.sum()
+    row_ids = np.asarray(idx_sp.row_ids)
+    placed = row_ids.reshape(-1)
+    placed = placed[placed >= 0]
+    assert len(placed) == len(np.unique(placed)) == len(v) - over_sp.sum()
+    spilled = np.nonzero(over_ns & ~over_sp)[0][:16]
+    regular = np.nonzero(~over_ns & ~over_sp)[0][:16]
+    sp_cos = _recon_cos(idx_sp, row_ids, v, spilled)
+    rg_cos = _recon_cos(idx_sp, row_ids, v, regular)
+    assert sp_cos >= rg_cos - 0.15 and sp_cos >= 0.2
+
+
+def test_spill_rejects_out_of_range_second_choice():
+    """On well-separated clusters the second-nearest centroid is FAR:
+    its residual exceeds the codebook's training range, the codes would
+    reconstruct ~the landing centroid (cos 0.38 measured), so the spill
+    pass must REJECT those rows and leave them to the exact tail."""
+    rng = np.random.default_rng(9)
+    k_lists, d = 8, 32
+    centers = rng.standard_normal((k_lists, d)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    # equal tight clusters + cap_slack < 1: every list overflows, and
+    # every second choice is a FAR cluster
+    # 3000/cluster: big enough that the LBLOCK-aligned capacity floor
+    # does not swallow the sub-1.0 slack
+    v = np.concatenate([
+        centers[i] + 0.05 * rng.standard_normal((3000, d)
+                                                ).astype(np.float32)
+        for i in range(k_lists)])
+    v = np.asarray(l2_normalize(jnp.asarray(v)))[rng.permutation(len(v))]
+    arch = HostArchive(d)
+    arch.append(v)
+    common = dict(key=jax.random.key(0), packed=False, chunk=512,
+                  source_scale=arch.scale, refine="none", cap_slack=0.8)
+    idx_ns, over_ns = build_ivf_pq_streaming(
+        lambda lo, hi: arch.chunk_i8(lo, hi), len(v), d, k_lists, 8,
+        **common)
+    idx_sp, over_sp = build_ivf_pq_streaming(
+        lambda lo, hi: arch.chunk_i8(lo, hi), len(v), d, k_lists, 8,
+        source_rows=arch.rows_i8, **common)
+    assert over_ns.sum() > 0           # slack < 1 forces overflow
+    # cross-cluster second choices are rejected (resid_cap): overflow
+    # stays for the exact tail instead of entering the index as garbage
+    # codes that reconstruct ~the landing centroid (cos 0.38 measured
+    # before the guard)
+    np.testing.assert_array_equal(over_sp, over_ns)
+    row_ids = np.asarray(idx_sp.row_ids)
+    regular = np.nonzero(~over_sp)[0][:16]
+    assert _recon_cos(idx_sp, row_ids, v, regular) >= 0.9
