@@ -62,7 +62,11 @@ def parse_args(argv=None):
     ap.add_argument("--n", type=int, default=100_000_000)
     ap.add_argument("--d", type=int, default=768)
     ap.add_argument("--nlist", type=int, default=16384)
-    ap.add_argument("--m", type=int, default=192)
+    # m=256 -> packed rows are EXACTLY 128 B: the one int8 minor-dim
+    # layout that uploads/donates without a padded relayout copy of the
+    # whole table (m=192's 96 B rows pad 1.33x INSIDE the search jit —
+    # 9.75G + 13G momentarily = device OOM at 100M; CLAUDE.md trap)
+    ap.add_argument("--m", type=int, default=256)
     ap.add_argument("--cap_slack", type=float, default=1.09)
     ap.add_argument("--nprobe", type=int, default=32)
     ap.add_argument("--q", type=int, default=1024)
@@ -400,14 +404,29 @@ def phase_serve(args):
     exact_ids = np.asarray(meta["gt_ids"])
     fill_mvps = float(meta["fill_mvps"])
 
+    import jax
     idx = StoreIndex(args.d, mode="ivf_pq", nlist=args.nlist,
                      nprobe=args.nprobe, pq_m=args.m, pq_packed=True,
                      pq_refine="host", pq_cap_slack=args.cap_slack,
                      build_threshold=1)
     log("loading cached body")
     z = np.load(args.body_cache)
-    fields = {k[2:]: (int(v) if k[2:] == "n" else jnp.asarray(v))
-              for k, v in z.items() if k.startswith("f_")}
+    fields = {}
+    for k, v in z.items():
+        if not k.startswith("f_"):
+            continue
+        name = k[2:]
+        if name in ("codes", "row_ids"):
+            # flat upload + donated reshape: the pattern that ALIASES
+            # for >=128 B minor dims — a direct 3D upload lands in a
+            # layout the search jit relayout-copies (2x table HBM)
+            flat = v.reshape(-1, v.shape[-1]) if v.ndim == 3 \
+                else v.reshape(-1)
+            shaped = jax.jit(lambda x, s=v.shape: x.reshape(s),
+                             donate_argnums=0)(jnp.asarray(flat))
+            fields[name] = shaped
+        else:
+            fields[name] = int(v) if name == "n" else jnp.asarray(v)
     idx.body = IVFPQIndex(**fields)
     idx.body_chunk_ids = np.asarray(z["body_chunk_ids"])
     idx._pq_archive = arch
