@@ -401,6 +401,12 @@ def phase_serve(args):
     log(f"tunnel bandwidth: up {up_bw:.0f} MB/s, down {down_bw:.0f} MB/s")
     arch, meta = load_cached_archive(args)
     queries = np.asarray(meta["queries"])
+    if args.q > len(queries):
+        # the cached query set is fixed at ingest; tile for larger
+        # throughput batches (recall is still scored on the first
+        # gt_sub ORIGINAL queries)
+        queries = np.tile(queries,
+                          (-(-args.q // len(queries)), 1))[: args.q]
     exact_ids = np.asarray(meta["gt_ids"])
     fill_mvps = float(meta["fill_mvps"])
 
