@@ -552,10 +552,13 @@ class StoreIndex:
                 c = min(max(4 * fetch, 32), 256) \
                     if self.pq_refine == "host" \
                     and self._pq_archive is not None else fetch
+                # p=4: the benchmarked per-sub-block capture width
+                # (ENGINE.md PQ configs); p=8 doubled the ADC scan's
+                # VPU cost for no recall gain at these candidate widths
                 b_vals, b_rows = sharded_ivfpq_search(
                     self.body, jnp.asarray(queries), c,
                     mesh=self.mesh, nprobe_local=nprobe_local,
-                    p=min(8, c), interpret=_on_cpu())
+                    p=min(4, c), interpret=_on_cpu())
                 if c != fetch:
                     b_rows = np.asarray(b_rows)
                     scores = self._pq_archive.rescore(
@@ -575,7 +578,7 @@ class StoreIndex:
                     c = min(max(4 * fetch, 32), 256)
                     _, b_rows, _ = ivfpq_search(
                         self.body, jnp.asarray(queries), c,
-                        nprobe=nprobe, p=min(8, c),
+                        nprobe=nprobe, p=min(4, c),
                         interpret=_on_cpu())
                     b_rows = np.asarray(b_rows)
                     scores = self._pq_archive.rescore(
@@ -587,7 +590,7 @@ class StoreIndex:
                 else:
                     b_vals, b_rows, _ = ivfpq_search(
                         self.body, jnp.asarray(queries), fetch,
-                        nprobe=nprobe, p=min(8, fetch),
+                        nprobe=nprobe, p=min(4, fetch),
                         interpret=_on_cpu())
             elif self.mesh is not None:
                 from rag_foundation_tpu.parallel.sharded_ivf import \
