@@ -1,0 +1,201 @@
+"""In-process serving-plane CPU profiler (the round-3 15.6 ms/request
+follow-up tooling, committed this time).
+
+Three measurements on one box, CPU engine, quality-bench corpus +
+questions (the serving-scale request mix):
+
+1. FULL stack: closed-loop single-threaded chat requests through
+   TestClient (routing, middleware, auth, sqlite, SSE assembly)
+   -> ms/request.
+2. ask_stream alone under cProfile (search + reader + refusal gate) —
+   called synchronously so executor-thread work is captured.
+3. HTTP plane alone: ctx.rag stubbed with a constant-answer fake, same
+   TestClient loop -> the non-engine overhead, plus its cProfile
+   (enabled from INSIDE TestClient's loop thread — handlers run there,
+   and a main-thread profiler would capture only the waiting).
+
+Usage:
+    python benchmarks/profile_chat_cpu.py [--requests 240] [--encoder
+        hybrid --ckpt checkpoints/minilm_ict.npz]
+
+Prints a stage budget table + top-25 tottime functions per profile.
+"""
+from __future__ import annotations
+
+import argparse
+import cProfile
+import io
+import json
+import pstats
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+from rag_foundation_tpu.utils.platform import pin_platform  # noqa: E402
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def top_funcs(prof: cProfile.Profile, n: int = 25) -> str:
+    buf = io.StringIO()
+    stats = pstats.Stats(prof, stream=buf)
+    stats.sort_stats("tottime").print_stats(n)
+    return buf.getvalue()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--requests", type=int, default=240)
+    ap.add_argument("--warmup", type=int, default=24)
+    ap.add_argument("--encoder", default="hybrid")
+    ap.add_argument("--ckpt", default="checkpoints/minilm_ict.npz")
+    ap.add_argument("--dim", type=int, default=768)
+    ap.add_argument("--min-coverage", type=float, default=0.35)
+    ap.add_argument("--profile-out", default="",
+                    help="write the three pstats dumps under this dir")
+    args = ap.parse_args()
+
+    pin_platform("cpu")
+    import logging
+    logging.getLogger("ragtpu").setLevel(logging.ERROR)
+
+    from tests.app_helpers import (create_store, drain_worker, make_app,
+                                   signup)
+
+    questions = [json.loads(l)["question"] for l in
+                 open(REPO / "benchmarks/quality/questions.jsonl")]
+    docs = sorted((REPO / "benchmarks/quality/docs").glob("*.md"))
+
+    tmp = tempfile.TemporaryDirectory(prefix="profchat-")
+    client, ctx = make_app(
+        Path(tmp.name),
+        ENGINE_DIM=args.dim,
+        ENGINE_ENCODER=args.encoder,
+        ENGINE_ENCODER_CKPT=args.ckpt,
+        ENGINE_MIN_COVERAGE=args.min_coverage,
+        ENGINE_ANSWER_MODE="span",
+        ENGINE_CHUNK_TOKENS=200,
+        ENGINE_CHUNK_OVERLAP=40,
+    )
+    headers = signup(client)
+    store = create_store(client, headers)
+    # 4 copies of each doc ~= the serving-scale harness's 40-doc seeded
+    # corpus (the reader mines the top-12 chunks either way)
+    t0 = time.perf_counter()
+    n_docs = 0
+    for rep in range(4):
+        for p in docs:
+            client.post("/api/upload", headers=headers,
+                        data={"store_id": str(store["id"])},
+                        files={"file": (f"{rep}-{p.name}", p.read_bytes(),
+                                        "text/markdown")})
+            n_docs += 1
+    drain_worker(ctx)
+    log(f"ingested {n_docs} docs in {time.perf_counter()-t0:.1f}s")
+
+    def chat(q: str) -> None:
+        r = client.post("/api/chat", headers=headers,
+                        json_body={"question": q,
+                                   "storeIds": [store["id"]]})
+        assert r.status_code == 200, r.text
+
+    def run_loop(n: int) -> float:
+        t0 = time.perf_counter()
+        for i in range(n):
+            chat(questions[i % len(questions)])
+        return (time.perf_counter() - t0) / n
+
+    # -- 1. full stack ----------------------------------------------------
+    run_loop(args.warmup)
+    full_ms = run_loop(args.requests) * 1000
+    log(f"FULL stack: {full_ms:.1f} ms/request "
+        f"({1000/full_ms:.1f} req/s single-threaded)")
+
+    # -- 2. ask_stream alone (sync; captures reader/search/encoder) -------
+    rag = ctx.rag
+    keys = [r["engine_key"] for r in ctx.db.query(
+        "SELECT engine_key FROM stores WHERE id=?", (store["id"],))]
+
+    def ask_fn(q):
+        gen, res = rag.ask_stream(q, keys, model="engine")
+        return "".join(gen)
+
+    ask_fn(questions[0])
+
+    for i in range(args.warmup):
+        ask_fn(questions[i % len(questions)])
+    t0 = time.perf_counter()
+    for i in range(args.requests):
+        ask_fn(questions[i % len(questions)])
+    ask_ms = (time.perf_counter() - t0) / args.requests * 1000
+    prof = cProfile.Profile()
+    prof.enable()
+    for i in range(args.requests):
+        ask_fn(questions[i % len(questions)])
+    prof.disable()
+    log(f"ask_stream alone: {ask_ms:.1f} ms/request")
+    log("--- ask_stream cProfile (tottime top 25) ---")
+    log(top_funcs(prof))
+    if args.profile_out:
+        Path(args.profile_out).mkdir(parents=True, exist_ok=True)
+        prof.dump_stats(str(Path(args.profile_out) / "ask_stream.pstats"))
+
+    # -- 3. HTTP plane with a stubbed rag ---------------------------------
+    from rag_foundation_tpu.app.services.rag import StreamResult
+
+    class _StubRag:
+        def __getattr__(self, name):
+            return getattr(rag, name)
+
+        def ask_stream(self, *a, **kw):
+            res = StreamResult(
+                citations=[{"index": 0, "title": "telescope.md",
+                            "snippet": "stub"}],
+                prompt_tokens=64, completion_tokens=16, finished=True)
+
+            def gen():
+                yield "The primary mirror is 8.4 meters in diameter."
+            return gen(), res
+
+    ctx.rag = _StubRag()
+    try:
+        run_loop(args.warmup)
+        http_ms = run_loop(args.requests) * 1000
+        # handlers run on TestClient's private loop THREAD: enable the
+        # profiler from inside that thread or it captures only waiting
+        prof2 = cProfile.Profile()
+
+        async def _enable():
+            prof2.enable()
+
+        async def _disable():
+            prof2.disable()
+
+        client._run(_enable())
+        run_loop(args.requests)
+        client._run(_disable())
+    finally:
+        ctx.rag = rag
+    log(f"HTTP plane (stub rag): {http_ms:.1f} ms/request")
+    log("--- HTTP plane cProfile (tottime top 25) ---")
+    log(top_funcs(prof2))
+    if args.profile_out:
+        prof2.dump_stats(str(Path(args.profile_out) / "http_plane.pstats"))
+
+    print(json.dumps({
+        "full_ms": round(full_ms, 2),
+        "ask_stream_ms": round(ask_ms, 2),
+        "http_plane_ms": round(http_ms, 2),
+        "encoder": args.encoder,
+    }))
+    client.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -581,10 +581,15 @@ class Engine:
         the compiled signatures)."""
         import time as _time
         timings = {}
+        # three probe lengths cover the encoder's seq buckets (16/32/64
+        # after MiniLMEncoder seq bucketing) on top of the Q buckets
+        probes = ("prewarm probe", " ".join(["prewarm"] * 20),
+                  " ".join(["prewarm"] * 40))
         b = 1
         while b <= max_bucket:
             t0 = _time.perf_counter()
-            self._search_group([store_key], ["prewarm probe"] * b, k)
+            for probe in probes:
+                self._search_group([store_key], [probe] * b, k)
             timings[str(b)] = round(_time.perf_counter() - t0, 3)
             b *= 2
         return {"store": store_key, "k": k, "buckets_s": timings}

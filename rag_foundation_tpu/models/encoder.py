@@ -222,6 +222,8 @@ class MiniLMEncoder:
         self.params = params if params is not None else init_params(
             jax.random.key(seed), self.cfg)
 
+    SEQ_BUCKET_FLOOR = 16
+
     def encode(self, texts: list[str]) -> np.ndarray:
         if not texts:
             return np.zeros((0, self.dim), np.float32)
@@ -232,7 +234,19 @@ class MiniLMEncoder:
             bucket *= 2
         if bucket != n:
             ids = np.pad(ids, ((0, bucket - n), (0, 0)))
-        out = encode_tokens_jit(self.params, jnp.asarray(ids), self.cfg)
+        # seq-length bucketing: queries tokenize to ~16 ids, and a
+        # fixed max_len forward spends ~8x the FLOPs on pad columns
+        # (Q=1 CPU encode measured 49 ms at S=128 vs 7 ms at S=16).
+        # Trailing columns are all-PAD (Tokenizer.encode packs
+        # [CLS] ... [SEP] then pads), masked out of attention and
+        # pooling, so trimming them only changes XLA tiling noise.
+        longest = int((ids != PAD_ID).sum(axis=1).max())
+        seq = self.SEQ_BUCKET_FLOOR
+        while seq < longest:
+            seq *= 2
+        seq = min(seq, self.cfg.max_len)
+        out = encode_tokens_jit(self.params, jnp.asarray(ids[:, :seq]),
+                                self.cfg)
         return np.asarray(out[:n], np.float32)
 
 
