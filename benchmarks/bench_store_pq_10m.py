@@ -50,7 +50,9 @@ def main():
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--qs", default="1024,2048",
                     help="comma list of batch sizes to sweep")
-    ap.add_argument("--archive-cache", default="/tmp/ar100m")
+    ap.add_argument("--archive-cache", default="/tmp/ar10m",
+                    help="10M archive + GT cache dir (also accepts a "
+                         "100M archive dir — the prefix is reused)")
     args = ap.parse_args()
 
     import jax
@@ -103,31 +105,51 @@ def main():
         arch = HostArchive(d, scale=1.0 / 127.0)
         arch.reserve(n)
 
-    # queries are regenerated from chunk 0 (deterministic in the key),
-    # and GT is recomputed for the 10M prefix corpus either way
+    # GT + queries cache: both are deterministic in (key, corpus
+    # params), and the device GT recompute costs ~16 min of tunnel
+    # time per run — cache them for optimization reruns
+    gt_cache = os.path.join(args.archive_cache, f"gt10m_{n}.npz")
     queries = None
-    run_vals = jnp.full((args.gt_sub, args.k), -jnp.inf, jnp.float32)
-    run_ids = jnp.full((args.gt_sub, args.k), -1, jnp.int32)
-    q_sub = None
-    row_base = 0
-    t0 = time.perf_counter()
-    n_chunks = -(-n // args.chunk)
-    for ci in range(n_chunks):
-        mrows = min(args.chunk, n - row_base)
-        v, q8 = gen_q8(row_base)
-        if ci == 0:
-            if queries is None:
-                qnp, _src = corpus_mod.make_queries(v, max_q, qnoise=0.2)
-                queries = np.asarray(qnp)
-            q_sub = jnp.asarray(queries[: args.gt_sub])
-        run_vals, run_ids = gt_merge(run_vals, run_ids, q_sub,
-                                     v[:mrows], row_base)
+    if os.path.exists(gt_cache) and cached:
+        z = np.load(gt_cache)
+        queries, exact_ids = z["queries"], z["exact_ids"]
+        log("reusing cached GT + queries")
+    else:
+        run_vals = jnp.full((args.gt_sub, args.k), -jnp.inf, jnp.float32)
+        run_ids = jnp.full((args.gt_sub, args.k), -1, jnp.int32)
+        q_sub = None
+        row_base = 0
+        t0 = time.perf_counter()
+        n_chunks = -(-n // args.chunk)
+        for ci in range(n_chunks):
+            mrows = min(args.chunk, n - row_base)
+            v, q8 = gen_q8(row_base)
+            if ci == 0:
+                if queries is None:
+                    qnp, _src = corpus_mod.make_queries(v, max_q,
+                                                        qnoise=0.2)
+                    queries = np.asarray(qnp)
+                q_sub = jnp.asarray(queries[: args.gt_sub])
+            run_vals, run_ids = gt_merge(run_vals, run_ids, q_sub,
+                                         v[:mrows], row_base)
+            if not cached:
+                arch.append(np.asarray(q8[:mrows]))
+            row_base += mrows
+        exact_ids = np.asarray(run_ids)   # forces the GT chain
+        log(f"GT over {n/1e6:.0f}M recomputed on device in "
+            f"{time.perf_counter()-t0:.0f}s")
+        os.makedirs(args.archive_cache, exist_ok=True)
+        np.savez(gt_cache, queries=queries, exact_ids=exact_ids)
         if not cached:
-            arch.append(np.asarray(q8[:mrows]))
-        row_base += mrows
-    exact_ids = np.asarray(run_ids)   # forces the GT chain
-    log(f"GT over {n/1e6:.0f}M recomputed on device in "
-        f"{time.perf_counter()-t0:.0f}s")
+            # persist the int8 archive for reruns (memmap-compatible)
+            mm = np.memmap(arch_f, dtype=np.int8, mode="w+",
+                           shape=(n, d))
+            step = 1 << 20
+            for lo in range(0, n, step):
+                mm[lo:lo + step] = arch.chunk_i8(lo, min(n, lo + step))
+            mm.flush()
+            np.savez(meta_f, n=n, d=d)
+            log("archive + GT cached")
 
     def recall_of(ids):
         approx = np.asarray(ids[: args.gt_sub])
@@ -170,16 +192,28 @@ def main():
                                      nprobe=args.nprobe, p=8)
             np.asarray(bv), np.asarray(br)
         per_kern = (time.perf_counter() - t0) / args.reps
-        results[q_n] = (per_prod, rec, per_kern)
+        # (c) pipelined product path: the same batch back-to-back via
+        #     search_many (batch i+1's device work overlaps batch i's
+        #     host merge) — the apples-to-apples discipline vs the
+        #     async-pipelined kernel bench (bench_ivfpq_10m.py)
+        idx.search_many([qv] * 2, args.k)
+        t0 = time.perf_counter()
+        outs = idx.search_many([qv] * args.reps, args.k)
+        per_pipe = (time.perf_counter() - t0) / args.reps
+        rec_pipe = recall_of(outs[-1][1])
+        results[q_n] = (per_prod, rec, per_kern, per_pipe, rec_pipe)
         log(f"Q={q_n}: product {per_prod*1000:.1f} ms/batch -> "
             f"{q_n/per_prod:.0f} QPS recall@{args.k}={rec:.4f} | "
+            f"pipelined {per_pipe*1000:.1f} ms -> "
+            f"{q_n/per_pipe:.0f} QPS recall={rec_pipe:.4f} | "
             f"bare kernel {per_kern*1000:.1f} ms -> "
             f"{q_n/per_kern:.0f} QPS | product tax "
             f"{(per_prod-per_kern)*1000:.1f} ms")
 
     parts = " ".join(
-        f"q{q}_qps={q/p:.0f} q{q}_recall={r:.4f} q{q}_kernel_qps={q/pk:.0f}"
-        for q, (p, r, pk) in results.items())
+        f"q{q}_qps={q/p:.0f} q{q}_recall={r:.4f} q{q}_pipe_qps={q/pp:.0f} "
+        f"q{q}_kernel_qps={q/pk:.0f}"
+        for q, (p, r, pk, pp, rp) in results.items())
     print(f"RESULT n={n} {parts} build_Mvps={n/t_build/1e6:.2f}")
 
 

@@ -402,7 +402,11 @@ class Engine:
         # searches funnel here from every API process)
         _metrics.search_batch_size.observe(len(queries))
         with timer.stage("embed"):
-            qv = self.encoder.encode(queries)
+            # query-side encode (stopword-stripped lexical channel)
+            # when the encoder distinguishes it; document-side encode
+            # semantics are untouched so stores stay compatible
+            enc_q = getattr(self.encoder, "encode_queries", None)
+            qv = enc_q(queries) if enc_q else self.encoder.encode(queries)
         filtered = doc_filter is not None or meta_filter is not None
         # padded stores (bench pad_store) drop metadata-less rows in
         # assembly below — over-fetch so k real hits usually survive

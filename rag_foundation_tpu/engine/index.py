@@ -526,16 +526,67 @@ class StoreIndex:
 
     def _search_padded(self, queries: np.ndarray, k: int
                        ) -> tuple[np.ndarray, np.ndarray]:
+        return self._finalize_padded(self._dispatch_padded(queries, k))
+
+    def search_many(self, batches: list[np.ndarray], k: int
+                    ) -> list[tuple[np.ndarray, np.ndarray]]:
+        """Pipelined multi-batch search: batch i+1's device work is
+        dispatched before batch i's host finalize (fetch + rescore +
+        merge) runs, so host CPU overlaps device/tunnel time — the
+        same discipline the kernel benches measure and the engine RPC
+        owner sees under sustained load. Results match ``search``
+        batch-for-batch exactly."""
+        from rag_foundation_tpu.utils.shapes import bucket_pow2
+        out: list = [None] * len(batches)
+        prev = None   # (index, real_q, ctx)
+        for i, q in enumerate(batches):
+            real = q.shape[0]
+            bucket = bucket_pow2(real)
+            if bucket != real:
+                q = np.concatenate(
+                    [q, np.zeros((bucket - real, q.shape[1]),
+                                 np.asarray(q).dtype)])
+            ctx = self._dispatch_padded(q, k)
+            if prev is not None:
+                pi, preal, pctx = prev
+                vals, ids = self._finalize_padded(pctx)
+                out[pi] = (vals[:preal], ids[:preal])
+            prev = (i, real, ctx)
+        if prev is not None:
+            pi, preal, pctx = prev
+            vals, ids = self._finalize_padded(pctx)
+            out[pi] = (vals[:preal], ids[:preal])
+        return out
+
+    def _dispatch_padded(self, queries: np.ndarray, k: int):
+        """Dispatch all device work for one padded batch; the returned
+        context goes to ``_finalize_padded`` (fetch + host merge)."""
         q_n = queries.shape[0]
-        t_vals, t_ids = self.tail.search(queries, k)
+        # snapshot the tail BEFORE dispatching body work: a racing
+        # flush publishes the appended body first and swaps self.tail
+        # second, so (old tail, either body) always covers every row —
+        # the merge dedups rows briefly visible in both tiers. The
+        # tail SCAN itself is dispatched after the body work so the
+        # two device calls share one tunnel roundtrip instead of
+        # serializing (~30 ms/search at 10M product scale).
+        tail = self.tail
+        can_split = hasattr(tail, "search_dispatch")
         if self.body is None:
-            return t_vals, t_ids
+            if can_split:
+                return ("tail", tail, tail.search_dispatch(queries, k))
+            return ("done", tail.search(queries, k))
         # pow2-bucketed: fetch is a jit-STATIC arg of every search
         # path, and tying it directly to len(_dead) forced a fresh
         # multi-minute remote compile after each deletion
         from rag_foundation_tpu.utils.shapes import bucket_pow2
         fetch = min(bucket_pow2(k + len(self._dead)),
                     bucket_pow2(k * 4 + 16))
+        rescore_arch = None   # host-refine: archive to rescore with post-tail
+        # ONE query upload shared by the body scan and the tail scan
+        # (each jnp.asarray(np_array) is a separate ~Q*d*4-byte H2D
+        # transfer — 6.3 MB per call at Q=2048/d=768, which the
+        # tunneled link moves at ~25-45 MB/s)
+        qj = jnp.asarray(queries)
         with self._body_lock:
             # snapshot the row->chunk-id table together with the body it
             # matches: a racing rebuild() swaps in a compacted, reordered,
@@ -556,17 +607,11 @@ class StoreIndex:
                 # (ENGINE.md PQ configs); p=8 doubled the ADC scan's
                 # VPU cost for no recall gain at these candidate widths
                 b_vals, b_rows = sharded_ivfpq_search(
-                    self.body, jnp.asarray(queries), c,
+                    self.body, qj, c,
                     mesh=self.mesh, nprobe_local=nprobe_local,
                     p=min(4, c), interpret=_on_cpu())
                 if c != fetch:
-                    b_rows = np.asarray(b_rows)
-                    scores = self._pq_archive.rescore(
-                        np.asarray(queries, np.float32), b_rows)
-                    order = np.argsort(-scores, axis=1,
-                                       kind="stable")[:, :fetch]
-                    b_vals = np.take_along_axis(scores, order, axis=1)
-                    b_rows = np.take_along_axis(b_rows, order, axis=1)
+                    rescore_arch = self._pq_archive   # deferred below
             elif self.mode == "ivf_pq":
                 from rag_foundation_tpu.engine.ivfpq import ivfpq_search
                 if self.pq_refine == "host" \
@@ -576,20 +621,14 @@ class StoreIndex:
                     # item 3 — the bench-only regenerated-vector rerank
                     # replaced by a shippable host rescore)
                     c = min(max(4 * fetch, 32), 256)
-                    _, b_rows, _ = ivfpq_search(
-                        self.body, jnp.asarray(queries), c,
+                    b_vals, b_rows, _ = ivfpq_search(
+                        self.body, qj, c,
                         nprobe=nprobe, p=min(4, c),
                         interpret=_on_cpu())
-                    b_rows = np.asarray(b_rows)
-                    scores = self._pq_archive.rescore(
-                        np.asarray(queries, np.float32), b_rows)
-                    order = np.argsort(-scores, axis=1,
-                                       kind="stable")[:, :fetch]
-                    b_vals = np.take_along_axis(scores, order, axis=1)
-                    b_rows = np.take_along_axis(b_rows, order, axis=1)
+                    rescore_arch = self._pq_archive   # deferred below
                 else:
                     b_vals, b_rows, _ = ivfpq_search(
-                        self.body, jnp.asarray(queries), fetch,
+                        self.body, qj, fetch,
                         nprobe=nprobe, p=min(4, fetch),
                         interpret=_on_cpu())
             elif self.mesh is not None:
@@ -600,22 +639,51 @@ class StoreIndex:
                 # width clamping + padding live INSIDE sharded_ivf_search
                 # (same contract as ivf_search)
                 b_vals, b_rows = sharded_ivf_search(
-                    self.body, jnp.asarray(queries), fetch,
+                    self.body, qj, fetch,
                     mesh=self.mesh, nprobe_local=nprobe_local,
                     p=min(self.ivf_p, fetch), interpret=_on_cpu())
             elif (q_n * nprobe * 8 <= self.body.nlist):
                 # small batch: gather only the probed lists (order of
                 # magnitude better single-query latency than the sweep)
                 b_vals, b_rows = ivf_search_small(
-                    self.body, jnp.asarray(queries), fetch, nprobe=nprobe)
+                    self.body, qj, fetch, nprobe=nprobe)
             else:
                 b_vals, b_rows, _ = ivf_search(
-                    self.body, jnp.asarray(queries), fetch,
+                    self.body, qj, fetch,
                     nprobe=nprobe, p=min(self.ivf_p, fetch),
                     approx_select=self.approx_routing,
                     interpret=_on_cpu())
+        # tail scan dispatched while the body work is in flight; its
+        # fetch happens in _finalize_padded
+        tail_h = tail.search_dispatch(qj, k) if can_split else None
+        tail_sync = None if can_split else tail.search(queries, k)
+        q32 = np.asarray(queries, np.float32) \
+            if rescore_arch is not None else None
+        return ("body", q_n, k, fetch, rescore_arch, body_chunk_ids,
+                b_vals, b_rows, tail, tail_h, tail_sync, q32)
+
+    def _finalize_padded(self, ctx) -> tuple[np.ndarray, np.ndarray]:
+        if ctx[0] == "done":
+            return ctx[1]
+        if ctx[0] == "tail":
+            _, tail, handle = ctx
+            return tail.search_finalize(handle)
+        (_, q_n, k, fetch, rescore_arch, body_chunk_ids,
+         b_vals, b_rows, tail, tail_h, tail_sync, q32) = ctx
+        t_vals, t_ids = tail.search_finalize(tail_h) \
+            if tail_h is not None else tail_sync
         b_vals = np.asarray(b_vals)
         b_rows = np.asarray(b_rows)
+        if rescore_arch is not None:
+            # beyond-HBM tier: device ADC proposed top-C, the host
+            # int8 archive re-ranks exactly (VERDICT r2 item 3 — the
+            # bench-only regenerated-vector rerank replaced by a
+            # shippable host rescore)
+            scores = rescore_arch.rescore(q32, b_rows)
+            order = np.argsort(-scores, axis=1,
+                               kind="stable")[:, :fetch]
+            b_vals = np.take_along_axis(scores, order, axis=1)
+            b_rows = np.take_along_axis(b_rows, order, axis=1)
         # row -> chunk id, tombstone filter
         b_ids = np.where(b_rows >= 0,
                          body_chunk_ids[np.clip(b_rows, 0, None)], -1)

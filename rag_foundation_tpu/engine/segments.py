@@ -164,15 +164,30 @@ class VectorSegment:
 
         Missing results (store smaller than k) have score=-inf, id=-1.
         """
+        return self.search_finalize(self.search_dispatch(queries, k))
+
+    def search_dispatch(self, queries: jnp.ndarray, k: int):
+        """Dispatch the scan WITHOUT fetching results — the handle goes
+        to ``search_finalize``. Splitting lets StoreIndex overlap the
+        tail scan with the in-flight body scan (one shared device
+        queue flush instead of two serialized tunnel roundtrips) and
+        lets ``search_many`` pipeline host merges under device work."""
+        q_n = int(queries.shape[0])
         with self._lock:
             if self._count == 0:
-                q = int(queries.shape[0])
-                return (np.full((q, k), -np.inf, np.float32),
-                        np.full((q, k), -1, np.int32))
+                return (q_n, k, None)
             vals, idxs = _masked_topk(self._buf, jnp.asarray(queries),
                                       self._live_mask(),
                                       jnp.int32(self._count), k)
             ids_h = np.asarray(self._ids)  # _ids is donated too
+        return (q_n, k, (vals, idxs, ids_h))
+
+    def search_finalize(self, handle) -> tuple[np.ndarray, np.ndarray]:
+        q_n, k, payload = handle
+        if payload is None:
+            return (np.full((q_n, k), -np.inf, np.float32),
+                    np.full((q_n, k), -1, np.int32))
+        vals, idxs, ids_h = payload
         vals_h = np.asarray(vals)
         idx_h = np.asarray(idxs)
         out_ids = np.where(idx_h >= 0, ids_h[np.clip(idx_h, 0, None)], -1)

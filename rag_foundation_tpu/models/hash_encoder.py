@@ -96,3 +96,56 @@ class HashingEncoder:
         if self._lib is not None:
             return self._encode_native(texts)
         return self._encode_python(texts)
+
+    def encode_queries(self, texts: list[str]) -> np.ndarray:
+        """Query-side encode: function words stripped before hashing.
+
+        Feature hashing weighs every word equally, so a verbose question
+        ("Considering all of the projects described in the document,
+        could you please tell me ...") buries its 3 content words under
+        ~20 filler features and the answer chunk falls out of the top-k
+        (measured live: a fact present verbatim in one chunk missed at
+        top-5). Classic lexical retrieval drops stopwords at QUERY time
+        only — document vectors are untouched, so existing stores stay
+        compatible and concise queries are nearly unchanged.
+        """
+        return self.encode([filter_query_terms(t) for t in texts])
+
+
+# Function words + question/politeness boilerplate. Deliberately
+# conservative: no nouns/verbs that could carry meaning in a domain
+# ("document", "name", "list" stay — "which document names X" needs
+# them). Lowercase [a-z0-9]+ tokens only, matching the hasher's
+# tokenization.
+_QUERY_STOPWORDS = frozenset("""
+a an the is are was were be been being am do does did doing have has
+had having what which who whom whose when where why how could would
+should can may might must shall will i you he she it we they me him
+her us them my your his her its our their this that these those of in
+on at by for with about against between into through during before
+after above below to from up down out off over under again further
+then once here there and or but if because as until while not no nor
+only own same such so than too very just also please kindly tell me
+precisely exactly considering regarding concerning many all any both
+each few more most some s t d ll re ve
+""".split())
+
+
+def filter_query_terms(text: str, min_keep: int = 3,
+                       min_words: int = 9) -> str:
+    """Strip stopwords from a VERBOSE query; concise queries pass
+    through unchanged.
+
+    The gate (``min_words``) exists because short questions are already
+    mostly content ("What altitude is the summit at?" has nothing to
+    spare — filtering it measurably shifted one quality-bench answer),
+    while dilution only bites when filler outnumbers content. Falls
+    back to the original text when fewer than ``min_keep`` content
+    words survive."""
+    words = re.findall(r"[a-zA-Z0-9]+", text)
+    if len(words) < min_words:
+        return text
+    kept = [w for w in words if w.lower() not in _QUERY_STOPWORDS]
+    if len(kept) < min_keep:
+        return text
+    return " ".join(kept)

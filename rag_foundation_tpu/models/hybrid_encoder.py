@@ -43,8 +43,16 @@ class HybridEncoder:
         self.dim = hash_dim + mini.dim
 
     def encode(self, texts: list[str]) -> np.ndarray:
-        h = self.hash_enc.encode(texts) * np.float32(
-            np.sqrt(1.0 - self.w_mini))
+        return self._encode(self.hash_enc.encode(texts), texts)
+
+    def encode_queries(self, texts: list[str]) -> np.ndarray:
+        """Query-side: the lexical channel drops stopwords (see
+        HashingEncoder.encode_queries); the MiniLM channel keeps the
+        full sentence (it was trained on natural prose)."""
+        return self._encode(self.hash_enc.encode_queries(texts), texts)
+
+    def _encode(self, h: np.ndarray, texts: list[str]) -> np.ndarray:
+        h = h * np.float32(np.sqrt(1.0 - self.w_mini))
         m = self.mini.encode(texts) * np.float32(np.sqrt(self.w_mini))
         out = np.concatenate([h, m], axis=1)
         # defensive renorm: a text with no [a-z0-9] runs (non-Latin

@@ -199,3 +199,72 @@ def test_hybrid_encoder_blends_cosines(tmp_path):
     m = enc.mini.encode(texts)
     want = 0.6 * (h @ h.T) + 0.4 * (m @ m.T)
     np.testing.assert_allclose(V @ V.T, want, atol=1e-5)
+
+
+def test_query_stopword_filter():
+    """Verbose queries drop function words; concise queries pass
+    through verbatim (the gate protects calibrated short-question
+    behavior — see models/hash_encoder.filter_query_terms)."""
+    from rag_foundation_tpu.models.hash_encoder import filter_query_terms
+
+    verbose = ("Considering all of the many projects that were described "
+               "in the uploaded file, could you please tell me the "
+               "codename assigned to project number 200?")
+    out = filter_query_terms(verbose)
+    assert "codename" in out and "200" in out and "project" in out
+    for w in ("considering", "the", "could", "please", "me"):
+        assert w not in out.lower().split()
+    # short questions are untouched
+    short = "What altitude is the summit at?"
+    assert filter_query_terms(short) == short
+    # all-filler long text falls back to the original
+    filler = "could you please tell me about all of the many things"
+    assert filter_query_terms(filler) == filler
+
+
+def test_encode_queries_defeats_filler_dilution():
+    """A fact buried under ~20 filler words ranks first with the
+    query-side filter and NOT with the plain symmetric encode — the
+    live failure this guards: a verbatim fact missing from top-5 at
+    67 chunks (docs/ENGINE.md 'Encoders')."""
+    import numpy as np
+
+    from rag_foundation_tpu.models.hash_encoder import HashingEncoder
+
+    enc = HashingEncoder(dim=384)
+    docs = [f"Project fact {i}: the codename for project number {i} is "
+            f"ZEBRA{i * 7}. It launched in month {i % 12 + 1}."
+            for i in range(64)]
+    D = enc.encode(docs)
+    verbose = ("Considering all of the many projects that were described "
+               "in the uploaded file with their codenames and launch "
+               "months, could you please tell me precisely what the "
+               "codename assigned to project number 23 is?")
+    plain_rank = int(np.argsort(-(D @ enc.encode([verbose])[0]))
+                     .tolist().index(23))
+    filt_rank = int(np.argsort(-(D @ enc.encode_queries([verbose])[0]))
+                    .tolist().index(23))
+    assert filt_rank == 0
+    assert filt_rank <= plain_rank
+
+
+def test_engine_search_uses_query_encode():
+    """The engine's search path routes through encode_queries when the
+    encoder provides it (document ingestion keeps plain encode)."""
+    from rag_foundation_tpu.engine.api import Engine, EngineConfig
+
+    eng = Engine(EngineConfig(dim=384, encoder="hash",
+                              index_mode="exact"))
+    key = "qenc/s"
+    eng.create_store(key)
+    text = "\n\n".join(
+        f"Project fact {i}: the codename for project number {i} is "
+        f"ZEBRA{i * 7}. It launched in month {i % 12 + 1}."
+        for i in range(64))
+    eng.ingest_document(key, "doc-1", "facts.txt", text)
+    verbose = ("Considering all of the many projects that were described "
+               "in the uploaded file with their codenames and launch "
+               "months, could you please tell me precisely what the "
+               "codename assigned to project number 23 is?")
+    hits = eng.search([key], verbose, k=3)
+    assert hits and "ZEBRA161" in hits[0].text

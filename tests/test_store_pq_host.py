@@ -107,3 +107,22 @@ def test_pq_delete_then_rebuild_compacts_archive(vecs):
     assert idx._pq_archive.n == 1900
     _, ids = idx.search(vecs[150:151], 3)
     assert ids[0, 0] == 150
+
+
+@pytest.mark.parametrize("refine", ["host", "device"])
+def test_search_many_matches_search(vecs, refine):
+    """Pipelined multi-batch search returns exactly what per-batch
+    search returns (dispatch/finalize split + shared query upload must
+    not change results), including the non-pow2 bucketing path and a
+    non-empty tail."""
+    idx = _mk(refine)
+    idx.add(vecs[:4000], np.arange(4000))
+    idx.add(vecs[4000:4100], np.arange(4000, 4100))  # tail rows
+    assert idx.tail.count > 0
+    rng = np.random.default_rng(3)
+    batches = [vecs[rng.integers(0, N, size=s)] for s in (17, 32, 5)]
+    solo = [idx.search(b, 10) for b in batches]
+    many = idx.search_many(batches, 10)
+    for (sv, si), (mv, mi) in zip(solo, many):
+        np.testing.assert_array_equal(si, mi)
+        np.testing.assert_allclose(sv, mv, rtol=1e-6)
