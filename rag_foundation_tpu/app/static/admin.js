@@ -8,23 +8,25 @@ import { applyTheme } from "./theme.js";
 export async function refreshCosts() {
   const c = await api("GET", "/api/costs/summary");
   const mtd = +c.month_to_date_usd;
-  let budgetCard;
+  let budgetHtml;  // *Html = sanitized fragment (xss-lint convention)
   if (c.budget_usd === null) {
-    budgetCard = "<p>no budget set</p>";
+    budgetHtml = "<p>no budget set</p>";
   } else {
     const used = Math.min(100, (mtd / +c.budget_usd) * 100 || 0);
-    budgetCard = `<p>$${c.budget_usd} budget · $${c.remaining_usd}
+    budgetHtml = `<p>$${(+c.budget_usd).toFixed(2)} budget ·
+      $${(+c.remaining_usd).toFixed(2)}
       left</p><div class="meter ${used > 85 ? "hot" : ""}">
       <div style="width:${used.toFixed(1)}%"></div></div>`;
   }
   $("cost-panel").innerHTML = `
     <div class="card"><h4>Month to date</h4>
       <p>$${mtd.toFixed(4)}</p></div>
-    <div class="card"><h4>Queries</h4><p>${c.queries}
-      (${c.prompt_tokens} in / ${c.completion_tokens} out tok)</p></div>
-    <div class="card"><h4>Indexing</h4><p>${c.index_tokens} tokens,
-      $${(+c.index_cost_usd).toFixed(4)}</p></div>
-    <div class="card"><h4>Budget</h4>${budgetCard}</div>`;
+    <div class="card"><h4>Queries</h4><p>${Number(c.queries)}
+      (${Number(c.prompt_tokens)} in /
+       ${Number(c.completion_tokens)} out tok)</p></div>
+    <div class="card"><h4>Indexing</h4><p>${Number(c.index_tokens)}
+      tokens, $${(+c.index_cost_usd).toFixed(4)}</p></div>
+    <div class="card"><h4>Budget</h4>${budgetHtml}</div>`;
 }
 
 export async function refreshAdmin() {
@@ -40,8 +42,8 @@ export async function refreshAdmin() {
                     "<th>active</th><th></th></tr>";
   for (const u of users.users) {
     const tr = document.createElement("tr");
-    tr.innerHTML = `<td>${u.id}</td><td>${esc(u.email)}</td>` +
-                   `<td>${u.role}</td>` +
+    tr.innerHTML = `<td>${Number(u.id)}</td><td>${esc(u.email)}</td>` +
+                   `<td>${esc(u.role)}</td>` +
                    `<td>${u.is_active ? "yes" : "no"}</td>`;
     const td = document.createElement("td");
     const toggle = document.createElement("button");
@@ -86,7 +88,7 @@ export async function refreshAdmin() {
   for (const [label, v] of items) {
     const div = document.createElement("div");
     div.className = "card";
-    div.innerHTML = `<h4>${label}</h4><p>${v}</p>`;
+    div.innerHTML = `<h4>${esc(label)}</h4><p>${esc(v)}</p>`;
     cards.appendChild(div);
   }
   $("admin-system").textContent = JSON.stringify(sys, null, 2);
@@ -105,7 +107,8 @@ export async function refreshAdmin() {
   for (const a of audit.audit.slice(0, 25)) {
     const tr = document.createElement("tr");
     const when = new Date(a.created_at * 1000).toISOString();
-    tr.innerHTML = `<td>${when}</td><td>${a.admin_user_id}</td>` +
+    tr.innerHTML = `<td>${esc(when)}</td>` +
+                   `<td>${Number(a.admin_user_id)}</td>` +
                    `<td>${esc(a.action)}</td><td>${esc(a.target)}</td>`;
     at.appendChild(tr);
   }

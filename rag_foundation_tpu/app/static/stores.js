@@ -75,7 +75,8 @@ export async function renderStoreCards() {
     const created = s.created_at
       ? new Date(s.created_at * 1000).toLocaleDateString() : "";
     card.innerHTML = `<h4>${esc(s.name)}</h4>
-      <p class="doc-row"><span class="status">created ${created}</span></p>`;
+      <p class="doc-row"><span class="status">created
+        ${esc(created)}</span></p>`;
     const del = document.createElement("button");
     del.textContent = "Delete store";
     del.addEventListener("click", async () => {
@@ -127,8 +128,8 @@ export async function renderStoreCards() {
       const li = document.createElement("li");
       li.className = "doc-row";
       li.innerHTML = `<span>${esc(d.filename)}</span>
-        <span class="status ${d.status}">${d.status}` +
-        (d.chunks ? ` · ${d.chunks} chunks` : "") +
+        <span class="status ${esc(d.status)}">${esc(d.status)}` +
+        (d.chunks ? ` · ${Number(d.chunks)} chunks` : "") +
         (d.last_error ? ` — ${esc(d.last_error)}` : "") + `</span>`;
       const rm = document.createElement("button");
       rm.textContent = "✕";

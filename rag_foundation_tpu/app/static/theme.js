@@ -2,7 +2,7 @@
  * CustomizationPanel). */
 "use strict";
 
-import { $, api, state } from "./api.js";
+import { $, api, esc, state } from "./api.js";
 
 export const THEMES = ["system", "light", "dark", "ocean", "forest",
                        "contrast"];
@@ -38,7 +38,7 @@ export function initThemeControls() {
     const card = document.createElement("div");
     card.className = "theme-card";
     card.dataset.theme = t;
-    card.innerHTML = `<b>${t}</b>`;
+    card.innerHTML = `<b>${esc(t)}</b>`;
     const sw = document.createElement("div");
     sw.className = "sw";
     for (const c of THEME_SWATCHES[t]) {

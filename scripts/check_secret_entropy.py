@@ -1,0 +1,141 @@
+"""Entropy-based secret scan over the tracked tree (gitleaks analog).
+
+The reference CI ran Gitleaks with its default ruleset
+(/root/reference/.github/workflows/security.yml); gitleaks combines
+(a) provider-specific token formats and (b) generic high-entropy
+strings near secret-ish keywords. Neither tool exists in this image,
+so both detectors are reimplemented here:
+
+- **format rules**: JWTs, AWS access keys, GitHub/Slack/Google tokens,
+  PEM private-key headers — flagged anywhere, any entropy.
+- **generic rule**: a run of >=28 base64-ish characters is flagged if
+  its Shannon entropy is >=4.5 bits/char (random-key territory), or
+  >=3.6 when the line also mentions a secret-ish keyword.
+
+Scanned: every git-tracked text file. Binary files, benchmark result
+artifacts, and lines annotated `audit-ok` are skipped. Exits non-zero
+listing findings; wired into scripts/run_audit.sh and regression-
+tested by tests/test_audit_gates.py (a seeded token must be caught).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+import subprocess
+import sys
+from collections import Counter
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+
+TEXT_EXT = {".py", ".js", ".sh", ".md", ".yml", ".yaml", ".toml",
+            ".json", ".html", ".css", ".txt", ".cfg", ".ini", ".cpp",
+            ".h", ".jsonl", ".service", ".conf"}
+SKIP_PREFIXES = ("benchmarks/results/", "checkpoints/",
+                 "docs/api_spec.json", "BENCH_", "COPYCHECK",
+                 "MULTICHIP_", "PROGRESS.jsonl")
+
+FORMAT_RULES = [
+    ("jwt", re.compile(r"\beyJ[A-Za-z0-9_-]{8,}\.eyJ[A-Za-z0-9_-]{8,}"
+                       r"\.[A-Za-z0-9_-]{8,}\b")),
+    ("aws-access-key", re.compile(r"\b(AKIA|ASIA)[0-9A-Z]{16}\b")),
+    ("github-token", re.compile(r"\bgh[pousr]_[A-Za-z0-9]{30,}\b")),
+    ("slack-token", re.compile(r"\bxox[baprs]-[A-Za-z0-9-]{10,}\b")),
+    ("google-api-key", re.compile(r"\bAIza[0-9A-Za-z_-]{30,}\b")),
+    ("private-key-block",
+     re.compile(r"-----BEGIN (RSA |EC |DSA |OPENSSH |PGP )?"
+                r"PRIVATE KEY")),
+]
+
+CANDIDATE_RE = re.compile(r"[A-Za-z0-9+/=_-]{28,}")
+KEYWORD_RE = re.compile(
+    r"secret|passw|credential|api[_-]?key|token|private[_-]?key|"
+    r"authorization", re.I)
+# Non-secrets that clear the entropy bar: long identifiers and paths
+# (no digits or no case mix), pure hex digests (git SHAs, sha256 pins
+# — public integrity data, not credentials), data-URI/base64 fixtures
+# in tests (reviewed), python dunder paths.
+HEX_RE = re.compile(r"^[0-9a-fA-F]+$")
+WORDY_RE = re.compile(r"^[A-Za-z_/=+-]+$|^[0-9_/=+-]+$")
+SNAKE_RE = re.compile(r"^[a-z0-9]+(_[a-z0-9]+)+$")  # identifiers
+
+
+def _looks_random(tok: str) -> bool:
+    """Shape filters cheaper than entropy: env assignments
+    (FOO=bar — '=' mid-token never happens in base64), snake_case
+    identifiers, and prose slash-paths without base64 markers."""
+    if "=" in tok.rstrip("="):
+        return False
+    if SNAKE_RE.match(tok):
+        return False
+    if "/" in tok and "+" not in tok and not tok.endswith("="):
+        digits = sum(c.isdigit() for c in tok)
+        if digits / len(tok) < 0.2:
+            return False
+    return True
+
+
+def entropy(s: str) -> float:
+    counts = Counter(s)
+    n = len(s)
+    return -sum(c / n * math.log2(c / n) for c in counts.values())
+
+
+def tracked_files() -> list[Path]:
+    out = subprocess.run(["git", "ls-files"], cwd=ROOT, check=True,
+                         capture_output=True, text=True).stdout
+    files = []
+    for rel in out.splitlines():
+        if any(rel.startswith(p) for p in SKIP_PREFIXES):
+            continue
+        if Path(rel).suffix.lower() not in TEXT_EXT:
+            continue
+        files.append(ROOT / rel)
+    return files
+
+
+def scan_file(path: Path) -> list[str]:
+    try:
+        text = path.read_text(errors="strict")
+    except (UnicodeDecodeError, OSError):
+        return []
+    rel = (path.relative_to(ROOT) if path.is_relative_to(ROOT)
+           else path.name)
+    out = []
+    for ln, line in enumerate(text.splitlines(), 1):
+        if "audit-ok" in line:
+            continue
+        for name, rule in FORMAT_RULES:
+            if rule.search(line):
+                out.append(f"{rel}:{ln}: {name}: {line.strip()[:90]}")
+        has_kw = bool(KEYWORD_RE.search(line))
+        for m in CANDIDATE_RE.finditer(line):
+            tok = m.group(0)
+            if HEX_RE.match(tok) or WORDY_RE.match(tok) \
+                    or not _looks_random(tok):
+                continue
+            e = entropy(tok)
+            if e >= 4.5 or (has_kw and e >= 3.6):
+                out.append(f"{rel}:{ln}: high-entropy string "
+                           f"(H={e:.2f}{', keyword' if has_kw else ''})"
+                           f": {tok[:48]}…")
+    return out
+
+
+def main() -> int:
+    findings = []
+    for f in tracked_files():
+        findings.extend(scan_file(f))
+    for f in findings:
+        print(f)
+    if findings:
+        print(f"{len(findings)} possible secret(s) — annotate a "
+              f"reviewed false positive with 'audit-ok'")
+        return 1
+    print("secret scan clean")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

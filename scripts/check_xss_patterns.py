@@ -1,0 +1,157 @@
+"""DOM-XSS lint for the dependency-free SPA (semgrep analog).
+
+The reference CI ran Semgrep's javascript/typescript taint rules over
+the React frontend (/root/reference/.github/workflows/security.yml);
+React escapes JSX interpolations by construction, so its main XSS
+surface was `dangerouslySetInnerHTML`. This SPA builds DOM with
+template literals assigned to `.innerHTML`, so the equivalent
+invariant is: **every `${...}` interpolation that lands in an
+innerHTML sink must pass through a sanitizer** (`esc()` — the
+textContent round-trip in api.js — or `mdLite()` which escapes first)
+or be provably inert (numeric, `.toFixed()`, `Date#toISOString`,
+string-literal ternary).
+
+Scope: assignments to `.innerHTML` / `.outerHTML` and calls to
+`insertAdjacentHTML` / `document.write` in app/static/*.js. The RHS
+is captured to the end of the statement (template literals span
+lines). Also bans the eval family (`eval`, `new Function`, string
+`setTimeout`/`setInterval`) and `javascript:` URLs outright.
+
+Annotate a reviewed exception with `/* xss-ok */` (or `// xss-ok`)
+on the sink's first line. Exits non-zero listing violations; wired
+into scripts/run_audit.sh and regression-tested by
+tests/test_audit_gates.py (a seeded violation must be caught).
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+STATIC = Path(__file__).resolve().parent.parent / \
+    "rag_foundation_tpu" / "app" / "static"
+
+SINK_RE = re.compile(
+    r"(\.innerHTML\s*[+]?=|\.outerHTML\s*[+]?=|"
+    r"\.insertAdjacentHTML\s*\(|document\.write(?:ln)?\s*\(|"
+    # a *Html fragment is allowed INTO sinks, so its own construction
+    # is a sink too — taint can't hide in the builder
+    r"(?<![.\w$])[A-Za-z_$][\w$]*Html\s*[+]?=)")
+BANNED_RE = re.compile(
+    r"\beval\s*\(|new\s+Function\s*\(|"
+    r"set(?:Timeout|Interval)\s*\(\s*[\"'`]|javascript:")
+
+# Interpolations that cannot introduce markup: sanitizer calls, pure
+# numbers, length/count chains, toFixed/ISO-date formatting, Math.*,
+# and ternaries whose branches are both angle-bracket-free string
+# literals (class toggles like `${used > 85 ? "hot" : ""}`).
+_SAFE_EXPR = [
+    re.compile(r"^esc\s*\(.*\)$", re.S),
+    re.compile(r"^mdLite\s*\(.*\)$", re.S),
+    re.compile(r"^\d+(\.\d+)?$"),
+    re.compile(r"^[\w$.\[\]]+\.(length|size|count)$"),
+    re.compile(r"^[\w$.\[\]()+\-*/% ]+\.toFixed\(\d*\)$"),
+    re.compile(r"^new Date\([^`$]*\)\.to(ISOString|Locale\w*String)"
+               r"\(\)$"),
+    re.compile(r"^Math\.[\w.()+\-*/% ]+$"),
+    re.compile(r"^Number\s*\(.*\)$", re.S),
+    # convention: a local named *Html is a pre-sanitized fragment —
+    # every interpolation inside ITS construction is still linted
+    re.compile(r"^[A-Za-z_$][\w$]*Html$"),
+    re.compile(r'''^[^?]+\?\s*(["'])[^<>&"']*\1\s*:\s*(["'])[^<>&"']*\2$''',
+               re.S),
+]
+
+
+def _safe_interpolation(expr: str) -> bool:
+    expr = expr.strip()
+    return any(p.match(expr) for p in _SAFE_EXPR)
+
+
+def _interpolations(src: str):
+    """Yield the ${...} expressions inside template literals of src,
+    tracking nested braces (handles `${cond ? a : b}` with objects)."""
+    i, n = 0, len(src)
+    in_tpl = False
+    while i < n:
+        c = src[i]
+        if not in_tpl:
+            if c == "`":
+                in_tpl = True
+            i += 1
+            continue
+        if c == "`":
+            in_tpl = False
+            i += 1
+            continue
+        if c == "$" and i + 1 < n and src[i + 1] == "{":
+            depth, j = 1, i + 2
+            while j < n and depth:
+                if src[j] == "{":
+                    depth += 1
+                elif src[j] == "}":
+                    depth -= 1
+                j += 1
+            yield src[i + 2:j - 1]
+            i = j
+            continue
+        i += 1
+
+
+def _statement(lines: list[str], ln: int) -> tuple[str, int]:
+    """The source from line ln to the statement's closing `;` with all
+    template literals closed (template literals may span lines)."""
+    buf = []
+    for j in range(ln, min(ln + 40, len(lines))):
+        buf.append(lines[j])
+        joined = "\n".join(buf)
+        if joined.count("`") % 2 == 0 and joined.rstrip().endswith(";"):
+            return joined, j
+    return "\n".join(buf), min(ln + 40, len(lines)) - 1
+
+
+def lint_file(path: Path) -> list[str]:
+    out = []
+    text = path.read_text()
+    lines = text.split("\n")
+    for m in BANNED_RE.finditer(text):
+        ln = text[: m.start()].count("\n")
+        if "xss-ok" in lines[ln]:
+            continue
+        out.append(f"{path.name}:{ln + 1}: banned dynamic-code/URL "
+                   f"pattern: {m.group(0)!r}")
+    ln = 0
+    while ln < len(lines):
+        if not SINK_RE.search(lines[ln]):
+            ln += 1
+            continue
+        stmt, end = _statement(lines, ln)
+        if "xss-ok" in stmt.split("\n")[0]:
+            ln = end + 1
+            continue
+        for expr in _interpolations(stmt):
+            if not _safe_interpolation(expr):
+                out.append(
+                    f"{path.name}:{ln + 1}: unsanitized interpolation "
+                    f"reaches an HTML sink: ${{{expr.strip()}}} — wrap "
+                    f"in esc()/mdLite() or annotate /* xss-ok */")
+        ln = end + 1
+    return out
+
+
+def main(root: Path = STATIC) -> int:
+    problems = []
+    for path in sorted(root.glob("*.js")):
+        problems.extend(lint_file(path))
+    for p in problems:
+        print(p)
+    if problems:
+        print(f"{len(problems)} XSS-lint violation(s)")
+        return 1
+    print("xss lint clean")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(Path(sys.argv[1]) if len(sys.argv) > 1 else STATIC))

@@ -45,22 +45,11 @@ else
   echo "clean"
 fi
 
-step "secret scan (gitleaks analog)"
-# long hex/base64 literals assigned to secret-ish names, cloud key ids,
-# and PEM private-key blocks anywhere in the tree
-if grep -rnEi '(secret|password|api_key|token)\s*=\s*["'"'"'][A-Za-z0-9+/=_-]{24,}' \
-    rag_foundation_tpu/ scripts/ --include='*.py' \
-    | grep -v '# audit-ok'; then
-  echo "possible hardcoded secret"
-  FAIL=1
-elif grep -rnE 'AKIA[0-9A-Z]{16}|-----BEGIN (RSA |EC |OPENSSH )?PRIVATE KEY' \
-    rag_foundation_tpu/ scripts/ deploy/ docs/ 2>/dev/null \
-    | grep -v '# audit-ok'; then
-  echo "credential material found in the tree"
-  FAIL=1
-else
-  echo "clean"
-fi
+step "secret scan (gitleaks analog: format rules + entropy)"
+python scripts/check_secret_entropy.py || FAIL=1
+
+step "frontend DOM-XSS lint (semgrep analog)"
+python scripts/check_xss_patterns.py || FAIL=1
 
 step "log-scrub self-check"
 python - <<'EOF' || FAIL=1

@@ -11,7 +11,7 @@ import os
 import socket
 
 os.environ.setdefault("RAGTPU_ENV", "test")
-os.environ.setdefault("RAGTPU_JWT_SECRET", "test-secret-key-0123456789abcdef0123456789")
+os.environ.setdefault("RAGTPU_JWT_SECRET", "test-secret-key-0123456789abcdef0123456789")  # audit-ok: fake test fixture
 os.environ.setdefault("RAGTPU_MOCK_MODE", "1")
 os.environ.setdefault("RAGTPU_DEV_LOGIN", "1")
 

@@ -151,7 +151,7 @@ def test_json_body_cap(tmp_path):
 
 def _prod_kwargs(tmp_path, **overrides):
     kw = dict(ENVIRONMENT="production", STRICT_MODE=True,
-              JWT_SECRET="a-very-long-production-secret-0123456789",
+              JWT_SECRET="a-very-long-production-secret-0123456789",  # audit-ok: fake test fixture
               DATABASE_PATH=str(tmp_path / "p.db"),
               DATA_DIR=str(tmp_path / "data"))
     kw.update(overrides)
@@ -207,7 +207,7 @@ def test_security_gate_blocks_bad_production(tmp_path):
 
 def test_settings_env_and_secret_file_loading(tmp_path):
     secret_file = tmp_path / "jwt.secret"
-    secret_file.write_text("from-file-secret-0123456789abcdefgh\n")
+    secret_file.write_text("from-file-secret-0123456789abcdefgh\n")  # audit-ok: fake test fixture
     s = Settings.from_env({
         "RAGTPU_ENVIRONMENT": "staging",
         "RAGTPU_JWT_SECRET_FILE": str(secret_file),
@@ -217,7 +217,7 @@ def test_settings_env_and_secret_file_loading(tmp_path):
             '{"m1": {"input": "1.0", "output": "2.0"}}',
     })
     assert s.ENVIRONMENT == "staging"
-    assert s.JWT_SECRET == "from-file-secret-0123456789abcdefgh"
+    assert s.JWT_SECRET == "from-file-secret-0123456789abcdefgh"  # audit-ok: fake test fixture
     assert s.CORS_ORIGINS == ["http://a.example", "http://b.example"]
     assert s.ENGINE_NPROBE == 32
     assert s.MODEL_PRICING["m1"]["input"] == "1.0"
