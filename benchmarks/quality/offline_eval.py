@@ -49,6 +49,8 @@ def build_settings(args) -> SimpleNamespace:
         ENGINE_MIN_SCORE=0.0,
         ENGINE_MIN_COVERAGE=args.min_coverage,
         ENGINE_ANSWER_MODE=args.answer_mode,
+        ENGINE_LEXICAL_RERANK=args.rerank,
+        ENGINE_RERANK_EPS=args.rerank_eps,
         DATA_DIR=None,
         MOCK_MODE=False,
     )
@@ -65,6 +67,11 @@ def main() -> None:
     ap.add_argument("--min-coverage", type=float, default=0.35)
     ap.add_argument("--answer-mode", default="span",
                     choices=["span", "sentences"])
+    ap.add_argument("--rerank", type=int, default=128,
+                    help="lexical-rerank pool (prod default; 0 = off)")
+    ap.add_argument("--rerank-eps", type=float, default=0.10,
+                    help="dense near-tie band width for the rare-term "
+                         "tie-break")
     ap.add_argument("--questions", default=str(
         Path(__file__).parent / "questions.jsonl"))
     ap.add_argument("--docs", default=str(Path(__file__).parent / "docs"))

@@ -120,6 +120,15 @@ class Settings(BaseModel):
     ENGINE_ANSWER_MODE: str = "span"      # span|sentences extractive head
     ENGINE_READER_K: int = 12             # candidate pool for the reader
     #   (search depth; citations still honor top_k)
+    ENGINE_LEXICAL_RERANK: int = 128      # over-fetch depth for the host
+    #   rare-selector tie-break rerank (0 disables): within dense bands
+    #   (score gap < RERANK_EPS), candidates matching pool-rare ENTITY
+    #   SELECTORS from the question (digit-bearing / proper-noun terms)
+    #   win — restores the document-frequency signal a corpus-free hash
+    #   encoder cannot carry on near-duplicate corpora, without letting
+    #   attribute-word mentions overrule confident dense rankings
+    #   (services/rag.py::_lexical_rerank)
+    ENGINE_RERANK_EPS: float = 0.10
     ENGINE_MIN_SCORE: float = 0.0         # refuse below this top-hit score
     ENGINE_MIN_COVERAGE: float = 0.0      # refuse below this question-term
     #                                       coverage (services/rag.py)

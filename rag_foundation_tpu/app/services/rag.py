@@ -83,6 +83,87 @@ def _passage_coverage(question: str, hits) -> float:
                for toks in ptoks) / tot
 
 
+_SELECTOR_RE = re.compile(r"\b(\w*\d\w*)\b|(?<![.!?]\s)(?<!^)"
+                          r"\b([A-Z][a-z]+[A-Z]?\w*)\b")
+
+
+def _selector_terms(question: str) -> set[str]:
+    """Stems of the question's ENTITY SELECTORS: digit-bearing tokens
+    ("42", "B6", "v2.1") and mid-sentence capitalized words (proper
+    nouns). A selector names WHICH entity the question is about, so
+    the answering text must contain it — unlike an attribute head
+    ("What altitude ...": text says "at 4,150 meters"), whose absence
+    from the best passage is routine."""
+    out = set()
+    for m in _SELECTOR_RE.finditer(question):
+        tok = m.group(1) or m.group(2)
+        s = textnorm.stem(tok.lower())
+        if s:
+            out.add(s)
+    return out
+
+
+def _lexical_rerank(question: str, hits, *, tie_eps: float = 0.10):
+    """Rare-selector tie-breaking over an over-fetched candidate pool.
+
+    A corpus-free hash encoder carries no document-frequency signal:
+    on a near-duplicate corpus the shared boilerplate dominates cosine
+    and the one discriminating question term ("project number 42")
+    moves a hit by less than the noise between duplicates — the true
+    chunk sits at rank ~100, ~0.08 of cosine below distractors. The
+    serving plane DOES see document frequencies (across the fetched
+    candidates), so:
+
+    - the bonus is restricted to POOL-RARE (matched by <= 1/16th of
+      candidates) ENTITY-SELECTOR terms — digit-bearing or
+      proper-noun question tokens that must appear in the answering
+      text. Attribute words ("altitude", "specification") never
+      reorder: text answering them routinely omits them, and boosting
+      a context mention of one is how lexical rerankers break correct
+      dense rankings;
+    - hits are grouped into dense bands (score within ``tie_eps`` of
+      the band's best); within a band, matched rare-selector IDF
+      decides; across bands the dense order always wins.
+
+    Uses the same memoized stem machinery as the refusal gates; cost
+    is one dict-lookup pass over the pool. (Reference analog: Gemini
+    re-reads the retrieved text before composing,
+    gemini_rag.py:517-551 — this is the extractive system's second
+    look.)"""
+    q_tokens = textnorm.StemSet.from_text(question)
+    n_c = len(hits)
+    if not q_tokens or n_c < 2 or tie_eps <= 0:
+        return hits
+    selectors = _selector_terms(question) & set(q_tokens)
+    if not selectors:
+        return hits
+    matched_per = [q_tokens.matched_in(_content_tokens(h.text))
+                   for h in hits]
+    df_q = {t: sum(1 for m in matched_per if t in m)
+            for t in selectors}
+    rare_df = max(1, n_c // 16)
+    rare = {t for t in selectors if 0 < df_q[t] <= rare_df}
+    if not rare:
+        return hits
+    import math
+    covs = [sum(math.log(1 + n_c / df_q[t]) for t in m & rare)
+            for m in matched_per]
+    out = []
+    band: list[int] = []
+    band_top = None
+    for i in sorted(range(n_c), key=lambda i: -hits[i].score):
+        if band_top is not None and hits[i].score < band_top - tie_eps:
+            band.sort(key=lambda j: -covs[j])   # stable: dense order
+            out.extend(band)                    # survives equal covs
+            band, band_top = [], None
+        if band_top is None:
+            band_top = hits[i].score
+        band.append(i)
+    band.sort(key=lambda j: -covs[j])
+    out.extend(band)
+    return [hits[i] for i in out]
+
+
 # Stems that carry no answerability signal when unmatched: question
 # function words ("how many", "how often"), light verbs, and
 # bound/requirement qualifiers. A question is only unanswerable-looking
@@ -295,6 +376,8 @@ class EngineRag:
         # from a wider pool (right doc, wrong chunk window is the common
         # retrieval miss), while citations honor the requested top_k
         k_search = max(k, getattr(self.settings, "ENGINE_READER_K", 12))
+        rerank_n = getattr(self.settings, "ENGINE_LEXICAL_RERANK", 0)
+        k_search = max(k_search, rerank_n)
         t0 = time.perf_counter()
         try:
             hits = self.engine.search(engine_keys, question, k=k_search,
@@ -316,7 +399,10 @@ class EngineRag:
         # actually separates unanswerable questions — see
         # _passage_coverage)
         min_score = getattr(self.settings, "ENGINE_MIN_SCORE", 0.0)
-        if hits and min_score > 0 and hits[0].score < min_score:
+        if hits and min_score > 0 \
+                and max(h.score for h in hits) < min_score:
+            # max, not hits[0]: the lexical rerank may demote the
+            # densest hit, and this gate is about retrieval strength
             hits = []
         min_cov = getattr(self.settings, "ENGINE_MIN_COVERAGE", 0.0)
         if hits and min_cov > 0 \
@@ -331,6 +417,20 @@ class EngineRag:
         if hits and min_cov > 0 and max_unm > 0 \
                 and _informative_unmatched(question, hits) >= max_unm:
             hits = []
+        # lexical rerank AFTER the refusal gates (which are tuned on
+        # the dense top-5 and regress if lexically-matching chunks are
+        # pulled under them): re-order the deep pool by dense score +
+        # IDF-weighted question-term coverage, then trim back to the
+        # reader depth — the point is to PULL a rare-term match (the
+        # one signal a corpus-free hash encoder can't carry) into the
+        # reader's pool, not to widen that pool
+        if rerank_n > 0 and hits:
+            reader_k = max(k, getattr(self.settings,
+                                      "ENGINE_READER_K", 12))
+            hits = _lexical_rerank(
+                question, hits,
+                tie_eps=getattr(self.settings,
+                                "ENGINE_RERANK_EPS", 0.10))[:reader_k]
         metrics.engine_latency_seconds.labels("search").observe(
             time.perf_counter() - t0)
         metrics.engine_calls_total.labels("search", "ok").inc()
