@@ -110,4 +110,9 @@ MIGRATIONS: list[str] = [
     """
     ALTER TABLE query_log ADD COLUMN tags TEXT;
     """,
+    # 003: free-form admin notes on users (reference models.py:36 +
+    # routes/admin.py:78 — editable from the admin user modal)
+    """
+    ALTER TABLE users ADD COLUMN admin_notes TEXT;
+    """,
 ]

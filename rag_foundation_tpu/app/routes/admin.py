@@ -33,9 +33,14 @@ def register(app, ctx):
     @app.get("/api/admin/users")
     async def list_users(req):
         _admin(req)
+        # budget joined in so the manage-user modal can prefill it
+        # (reference admin.py:51-52 returns admin_notes +
+        # monthly_limit_usd with each user row)
         rows = db.query(
-            "SELECT id, email, role, is_active, created_at FROM users"
-            " ORDER BY id LIMIT 500")
+            "SELECT u.id, u.email, u.role, u.is_active, u.created_at,"
+            " u.admin_notes, b.monthly_usd"
+            " FROM users u LEFT JOIN budgets b ON b.user_id = u.id"
+            " ORDER BY u.id LIMIT 500")
         return Response({"users": [dict(r) for r in rows]})
 
     @app.patch("/api/admin/users/{user_id}")
@@ -64,6 +69,17 @@ def register(app, ctx):
             sets.append("is_active=?")
             params.append(active)
             changes.append(f"is_active={active}")
+        if "admin_notes" in body:
+            # free-form operator notes (reference admin.py:78); null or
+            # empty clears; capped so the audit detail stays bounded
+            notes = body["admin_notes"]
+            if notes is not None and not isinstance(notes, str):
+                raise HTTPError(422, "admin_notes must be a string")
+            if notes is not None and len(notes) > 2000:
+                raise HTTPError(422, "admin_notes too long (max 2000)")
+            sets.append("admin_notes=?")
+            params.append(notes or None)
+            changes.append("admin_notes")
         if not sets:
             raise HTTPError(422, "Nothing to update")
         params.append(uid)

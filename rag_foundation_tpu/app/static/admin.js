@@ -39,42 +39,22 @@ export async function refreshAdmin() {
   }
   const table = $("admin-users");
   table.innerHTML = "<tr><th>id</th><th>email</th><th>role</th>" +
-                    "<th>active</th><th></th></tr>";
+                    "<th>active</th><th>budget</th><th>notes</th>" +
+                    "<th></th></tr>";
   for (const u of users.users) {
     const tr = document.createElement("tr");
+    const budget = u.monthly_usd == null
+      ? "—" : `$${(+u.monthly_usd).toFixed(2)}`;
+    const notes = (u.admin_notes || "").slice(0, 40);
     tr.innerHTML = `<td>${Number(u.id)}</td><td>${esc(u.email)}</td>` +
                    `<td>${esc(u.role)}</td>` +
-                   `<td>${u.is_active ? "yes" : "no"}</td>`;
+                   `<td>${u.is_active ? "yes" : "no"}</td>` +
+                   `<td>${esc(budget)}</td><td>${esc(notes)}</td>`;
     const td = document.createElement("td");
-    const toggle = document.createElement("button");
-    toggle.textContent = u.role === "admin" ? "demote" : "promote";
-    toggle.addEventListener("click", async () => {
-      await api("PATCH", `/api/admin/users/${u.id}`,
-                { role: u.role === "admin" ? "user" : "admin" });
-      refreshAdmin();
-    });
-    const act = document.createElement("button");
-    act.textContent = u.is_active ? "deactivate" : "activate";
-    act.addEventListener("click", async () => {
-      await api("PATCH", `/api/admin/users/${u.id}`,
-                { is_active: !u.is_active });
-      refreshAdmin();
-    });
-    const bud = document.createElement("input");
-    bud.type = "number";
-    bud.step = "0.01";
-    bud.placeholder = "budget $";
-    bud.style.width = "90px";
-    const setBud = document.createElement("button");
-    setBud.textContent = "set";
-    setBud.addEventListener("click", async () => {
-      if (bud.value === "") return;
-      await api("PUT", `/api/admin/budgets/${u.id}`,
-                { monthly_usd: parseFloat(bud.value) });
-      setBud.textContent = "✓";
-      setTimeout(() => { setBud.textContent = "set"; }, 1200);
-    });
-    td.append(toggle, " ", act, " ", bud, setBud);
+    const manage = document.createElement("button");
+    manage.textContent = "Manage";
+    manage.addEventListener("click", () => openUserModal(u));
+    td.appendChild(manage);
     tr.appendChild(td);
     table.appendChild(tr);
   }
@@ -111,6 +91,59 @@ export async function refreshAdmin() {
                    `<td>${Number(a.admin_user_id)}</td>` +
                    `<td>${esc(a.action)}</td><td>${esc(a.target)}</td>`;
     at.appendChild(tr);
+  }
+}
+
+/* manage-user modal (reference admin/AdminUserModal.tsx: role toggle
+ * with self-demotion guard, operator notes, budget prefill+update) */
+let modalUser = null;
+
+function openUserModal(u) {
+  modalUser = u;
+  $("um-email").textContent = `#${u.id} · ${u.email}`;
+  $("um-admin").checked = u.role === "admin";
+  $("um-active").checked = !!u.is_active;
+  $("um-notes").value = u.admin_notes || "";
+  $("um-budget").value = u.monthly_usd == null ? "" : u.monthly_usd;
+  // self-guard mirrors the server's 409 (admin.py self-demotion ban):
+  // the reference disables the checkbox for the signed-in admin
+  const isSelf = u.email === localStorage.getItem("ragtpu-email");
+  $("um-admin").disabled = isSelf;
+  $("um-active").disabled = isSelf;
+  $("um-self-hint").hidden = !isSelf;
+  $("um-status").textContent = "";
+  $("user-modal").hidden = false;
+}
+
+function closeUserModal() {
+  $("user-modal").hidden = true;
+  modalUser = null;
+}
+
+async function saveUserModal() {
+  if (!modalUser) return;
+  const u = modalUser;
+  const patch = {};
+  const role = $("um-admin").checked ? "admin" : "user";
+  if (role !== u.role) patch.role = role;
+  const active = $("um-active").checked;
+  if (active !== !!u.is_active) patch.is_active = active;
+  const notes = $("um-notes").value;
+  if (notes !== (u.admin_notes || "")) patch.admin_notes = notes;
+  $("um-status").textContent = "saving…";
+  try {
+    if (Object.keys(patch).length) {
+      await api("PATCH", `/api/admin/users/${u.id}`, patch);
+    }
+    const bud = $("um-budget").value;
+    if (bud !== "" && +bud !== +(u.monthly_usd ?? NaN)) {
+      await api("PUT", `/api/admin/budgets/${u.id}`,
+                { monthly_usd: parseFloat(bud) });
+    }
+    closeUserModal();
+    refreshAdmin();
+  } catch (e) {
+    $("um-status").textContent = e.message;
   }
 }
 
@@ -197,6 +230,14 @@ function renderWelcomePrompts(prompts) {
 }
 
 export function initAdmin() {
+  $("um-close").addEventListener("click", closeUserModal);
+  $("um-save").addEventListener("click", saveUserModal);
+  $("user-modal").addEventListener("click", (e) => {
+    if (e.target === $("user-modal")) closeUserModal();
+  });
+  document.addEventListener("keydown", (e) => {
+    if (e.key === "Escape" && !$("user-modal").hidden) closeUserModal();
+  });
   $("watchdog-btn").addEventListener("click", async () => {
     try {
       const out = await api("POST", "/api/admin/watchdog/reset-stuck");

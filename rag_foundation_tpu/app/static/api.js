@@ -38,6 +38,7 @@ export function banner(msg) {
 export function logout() {
   state.token = null;
   localStorage.removeItem("ragtpu-token");
+  localStorage.removeItem("ragtpu-email");
   location.reload();
 }
 

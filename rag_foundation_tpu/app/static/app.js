@@ -45,6 +45,9 @@ function setLoggedIn(token) {
   localStorage.setItem("ragtpu-token", token);
   $("view-login").hidden = true;
   $("logout").hidden = false;
+  // signed-in identity in the header (reference ChatLayout keeps
+  // lastLoginEmail in sessionStorage and shows it in the sidebar)
+  $("whoami").textContent = localStorage.getItem("ragtpu-email") || "";
   showView("chat");
   refreshStores();
   refreshSessions().then(restoreSession);
@@ -57,6 +60,7 @@ $("login-form").addEventListener("submit", async (e) => {
     const out = await api("POST", "/api/auth/login", {
       email: $("login-email").value, password: $("login-password").value,
     });
+    localStorage.setItem("ragtpu-email", $("login-email").value);
     setLoggedIn(out.access_token);
   } catch (err) { $("login-error").textContent = err.message; }
 });
@@ -93,6 +97,7 @@ $("register-btn").addEventListener("click", async () => {
     await api("POST", "/api/auth/register", {
       email: $("login-email").value, password: $("login-password").value,
     });
+    localStorage.setItem("ragtpu-email", $("login-email").value);
     $("login-form").dispatchEvent(new Event("submit"));
   } catch (err) { $("login-error").textContent = err.message; }
 });

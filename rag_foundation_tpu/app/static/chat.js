@@ -116,6 +116,41 @@ function addCitation(panel, frame) {
     `Sources (${ol.children.length})`;
 }
 
+/* numbered [1]..[n] chips under the finished assistant message; a
+ * click opens the source panel and highlights + scrolls that entry
+ * (reference AssistantMessageContent.tsx chips + CitationPanel
+ * highlightIndex scrollIntoView) */
+function addCitationChips(target, panel) {
+  const items = panel.querySelectorAll("ol > li");
+  if (!items.length) return;
+  const row = document.createElement("div");
+  row.className = "cite-chips";
+  items.forEach((li, idx) => {
+    const chip = document.createElement("button");
+    chip.type = "button";
+    chip.className = "cite-chip";
+    chip.textContent = `[${idx + 1}]`;
+    chip.title = "View source document chunk";
+    chip.addEventListener("click", () => {
+      panel.open = true;
+      items.forEach((x) => x.classList.remove("hl"));
+      li.classList.add("hl");
+      li.scrollIntoView({ behavior: "smooth", block: "center" });
+    });
+    row.appendChild(chip);
+  });
+  target.appendChild(row);
+}
+
+/* toolbar status dot (reference ChatToolbar.tsx "Generating…"/"Ready") */
+function setStreamingUi(on) {
+  $("chat-status").textContent = on ? "Generating…" : "Ready";
+  $("chat-dot").classList.toggle("live", on);
+  $("send").disabled = on;
+  $("stop").hidden = !on;
+  $("edit-last").hidden = on || !state.lastQuestion;
+}
+
 function setChatError(msg, canRetry = false) {
   $("chat-error-text").textContent = msg;
   $("retry").hidden = !(canRetry && state.lastQuestion);
@@ -182,8 +217,7 @@ async function submitQuestion() {
   const panel = citationPanel();
   state.streaming = true;
   state.abort = new AbortController();
-  $("send").disabled = true;
-  $("stop").hidden = false;
+  setStreamingUi(true);
   try {
     const headers = { "Content-Type": "application/json",
                       "X-Requested-With": "XMLHttpRequest",
@@ -222,6 +256,7 @@ async function submitQuestion() {
     await consumeSseResponse(resp, (f) => handleFrame(f, target, panel));
     if (panel.querySelector("ol").children.length) {
       target.after(panel);
+      addCitationChips(target, panel);
     }
     refreshSessions();
   } catch (err) {
@@ -231,11 +266,12 @@ async function submitQuestion() {
   } finally {
     // stopped/failed streams keep their partial text, lose the dot
     target.querySelector(".stream-dot")?.remove();
-    if (target._raw) target.innerHTML = mdLite(target._raw);
+    if (target._raw && !target.querySelector(".cite-chips")) {
+      target.innerHTML = mdLite(target._raw);
+    }
     state.streaming = false;
     state.abort = null;
-    $("send").disabled = false;
-    $("stop").hidden = true;
+    setStreamingUi(false);
   }
 }
 
@@ -277,7 +313,29 @@ export function initChat() {
     $("question").value = state.lastQuestion;
     $("chat-form").dispatchEvent(new Event("submit"));
   });
+  // "Edit last" loads the previous question into the composer for
+  // tweaking without sending (reference ChatToolbar onEditLast ->
+  // handleLoadLastIntoComposer)
+  $("edit-last").addEventListener("click", () => {
+    if (!state.lastQuestion || state.streaming) return;
+    $("question").value = state.lastQuestion;
+    $("question").focus();
+  });
   $("stop").addEventListener("click", () => state.abort?.abort());
+  // keyboard: Escape cancels a running stream, Ctrl/Cmd+Enter sends
+  // (reference ChatLayout composer onKeyDown)
+  document.addEventListener("keydown", (e) => {
+    if (e.key === "Escape" && state.streaming) {
+      e.preventDefault();
+      state.abort?.abort();
+    }
+  });
+  $("question").addEventListener("keydown", (e) => {
+    if ((e.metaKey || e.ctrlKey) && e.key === "Enter") {
+      e.preventDefault();
+      $("chat-form").dispatchEvent(new Event("submit"));
+    }
+  });
   $("chat-form").addEventListener("submit", (e) => {
     e.preventDefault();
     submitQuestion();

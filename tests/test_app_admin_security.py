@@ -64,6 +64,42 @@ def test_admin_user_management_and_audit(tmp_path):
     assert r.status_code == 401
 
 
+def test_admin_notes_and_budget_in_user_list(tmp_path):
+    """admin_notes persist via PATCH and the users list joins budgets
+    (reference admin.py:51-52,78 — the manage-user modal prefills
+    both)."""
+    client, ctx = make_app(tmp_path)
+    h_admin = signup(client, "admin@example.com")
+    make_admin(ctx, "admin@example.com")
+    h_user = signup(client, "u@example.com")
+    users = client.get("/api/admin/users", headers=h_admin).json()["users"]
+    uid = next(u["id"] for u in users if u["email"] == "u@example.com")
+    # fresh user: no notes, no budget
+    u = next(x for x in users if x["id"] == uid)
+    assert u["admin_notes"] is None and u["monthly_usd"] is None
+    r = client.patch(f"/api/admin/users/{uid}", headers=h_admin,
+                     json_body={"admin_notes": "pilot cohort"})
+    assert r.status_code == 200
+    client.put(f"/api/admin/budgets/{uid}", headers=h_admin,
+               json_body={"monthly_usd": "7.25"})
+    users = client.get("/api/admin/users", headers=h_admin).json()["users"]
+    u = next(x for x in users if x["id"] == uid)
+    assert u["admin_notes"] == "pilot cohort"
+    assert float(u["monthly_usd"]) == 7.25
+    # clearing + validation
+    r = client.patch(f"/api/admin/users/{uid}", headers=h_admin,
+                     json_body={"admin_notes": ""})
+    assert r.status_code == 200
+    users = client.get("/api/admin/users", headers=h_admin).json()["users"]
+    assert next(x for x in users if x["id"] == uid)["admin_notes"] is None
+    r = client.patch(f"/api/admin/users/{uid}", headers=h_admin,
+                     json_body={"admin_notes": "x" * 2001})
+    assert r.status_code == 422
+    r = client.patch(f"/api/admin/users/{uid}", headers=h_admin,
+                     json_body={"admin_notes": 42})
+    assert r.status_code == 422
+
+
 def test_admin_system_counts(tmp_path):
     client, ctx = make_app(tmp_path)
     headers = signup(client)
