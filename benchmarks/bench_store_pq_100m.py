@@ -390,6 +390,52 @@ def phase_scatter(args):
         f"({os.path.getsize(args.body_cache)/2**30:.1f} GiB)")
 
 
+def measure_serving(idx, queries, args, recall_of) -> dict:
+    """Shared serve measurement: sequential ``search``, pipelined
+    ``search_many`` (the engine-RPC sustained-load discipline: batch
+    i+1's device work dispatched before batch i's host finalize), and
+    the pure-ADC tier."""
+    # (a) host-refine product config, sequential
+    t0 = time.perf_counter()
+    vals, ids = idx.search(queries, args.k)
+    log(f"first search (compile): {time.perf_counter()-t0:.0f}s")
+    t0 = time.perf_counter()
+    for _ in range(args.reps):
+        vals, ids = idx.search(queries, args.k)
+    per = (time.perf_counter() - t0) / args.reps
+    qps_host = args.q / per
+    rec_host = recall_of(ids)
+    log(f"host-refine: {per*1000:.1f} ms/batch -> {qps_host:.0f} QPS, "
+        f"recall@{args.k}={rec_host:.4f}")
+
+    # (a2) host-refine, pipelined across batches (search_many)
+    n_pipe = max(4, args.reps)
+    t0 = time.perf_counter()
+    outs = idx.search_many([queries] * n_pipe, args.k)
+    per_pipe = (time.perf_counter() - t0) / n_pipe
+    qps_pipe = args.q / per_pipe
+    rec_pipe = recall_of(outs[-1][1])
+    log(f"host-refine pipelined x{n_pipe}: {per_pipe*1000:.1f} ms/batch"
+        f" -> {qps_pipe:.0f} QPS, recall@{args.k}={rec_pipe:.4f}")
+
+    # (b) pure ADC (pq_refine='none' serving tier)
+    idx.pq_refine = "none"
+    t0 = time.perf_counter()
+    vals, ids = idx.search(queries, args.k)
+    log(f"ADC first (compile): {time.perf_counter()-t0:.0f}s")
+    t0 = time.perf_counter()
+    for _ in range(args.reps):
+        vals, ids = idx.search(queries, args.k)
+    per_adc = (time.perf_counter() - t0) / args.reps
+    qps_adc = args.q / per_adc
+    rec_adc = recall_of(ids)
+    idx.pq_refine = "host"
+    log(f"pure-ADC: {per_adc*1000:.1f} ms/batch -> {qps_adc:.0f} QPS, "
+        f"recall@{args.k}={rec_adc:.4f}")
+    return dict(qps_host=qps_host, rec_host=rec_host, qps_pipe=qps_pipe,
+                qps_adc=qps_adc, rec_adc=rec_adc)
+
+
 def phase_serve(args):
     """Restore the body into a StoreIndex (codes upload only) and
     measure the shipped search path."""
@@ -454,37 +500,12 @@ def phase_serve(args):
         return float(np.mean([len(set(a) & set(b)) / args.k
                               for a, b in zip(approx, exact_ids)]))
 
-    # (a) host-refine product config
-    t0 = time.perf_counter()
-    vals, ids = idx.search(queries, args.k)
-    log(f"first search (compile): {time.perf_counter()-t0:.0f}s")
-    t0 = time.perf_counter()
-    for _ in range(args.reps):
-        vals, ids = idx.search(queries, args.k)
-    per = (time.perf_counter() - t0) / args.reps
-    qps_host = args.q / per
-    rec_host = recall_of(ids)
-    log(f"host-refine: {per*1000:.1f} ms/batch -> {qps_host:.0f} QPS, "
-        f"recall@{args.k}={rec_host:.4f}")
-
-    # (b) pure ADC (pq_refine='none' serving tier)
-    idx.pq_refine = "none"
-    t0 = time.perf_counter()
-    vals, ids = idx.search(queries, args.k)
-    log(f"ADC first (compile): {time.perf_counter()-t0:.0f}s")
-    t0 = time.perf_counter()
-    for _ in range(args.reps):
-        vals, ids = idx.search(queries, args.k)
-    per_adc = (time.perf_counter() - t0) / args.reps
-    qps_adc = args.q / per_adc
-    rec_adc = recall_of(ids)
-    idx.pq_refine = "host"
-    log(f"pure-ADC: {per_adc*1000:.1f} ms/batch -> {qps_adc:.0f} QPS, "
-        f"recall@{args.k}={rec_adc:.4f}")
-
-    print(f"RESULT n={args.n} qps_host_refine={qps_host:.0f} "
-          f"recall_host={rec_host:.4f} qps_adc={qps_adc:.0f} "
-          f"recall_adc={rec_adc:.4f} build_Mvps={steady_mvps:.2f} "
+    res = measure_serving(idx, queries, args, recall_of)
+    print(f"RESULT n={args.n} qps_host_refine={res['qps_host']:.0f} "
+          f"recall_host={res['rec_host']:.4f} "
+          f"qps_host_pipe={res['qps_pipe']:.0f} "
+          f"qps_adc={res['qps_adc']:.0f} "
+          f"recall_adc={res['rec_adc']:.4f} build_Mvps={steady_mvps:.2f} "
           f"fill_Mvps={fill_mvps:.2f} overflow_pct={dropped/args.n*100:.4f} "
           f"tunnel_up_MBs={up_bw:.0f} tunnel_down_MBs={down_bw:.0f}")
 
@@ -596,35 +617,12 @@ def main_single(args):
         return float(np.mean([len(set(a) & set(b)) / args.k
                               for a, b in zip(approx, exact_ids)]))
 
-    t0 = time.perf_counter()
-    vals, ids = idx.search(queries, args.k)
-    log(f"first search (compile): {time.perf_counter()-t0:.0f}s")
-    t0 = time.perf_counter()
-    for _ in range(args.reps):
-        vals, ids = idx.search(queries, args.k)
-    per = (time.perf_counter() - t0) / args.reps
-    qps_host = args.q / per
-    rec_host = recall_of(ids)
-    log(f"host-refine: {per*1000:.1f} ms/batch -> {qps_host:.0f} QPS, "
-        f"recall@{args.k}={rec_host:.4f}")
-
-    idx.pq_refine = "none"
-    t0 = time.perf_counter()
-    vals, ids = idx.search(queries, args.k)
-    log(f"ADC first (compile): {time.perf_counter()-t0:.0f}s")
-    t0 = time.perf_counter()
-    for _ in range(args.reps):
-        vals, ids = idx.search(queries, args.k)
-    per_adc = (time.perf_counter() - t0) / args.reps
-    qps_adc = args.q / per_adc
-    rec_adc = recall_of(ids)
-    idx.pq_refine = "host"
-    log(f"pure-ADC: {per_adc*1000:.1f} ms/batch -> {qps_adc:.0f} QPS, "
-        f"recall@{args.k}={rec_adc:.4f}")
-
-    print(f"RESULT n={args.n} qps_host_refine={qps_host:.0f} "
-          f"recall_host={rec_host:.4f} qps_adc={qps_adc:.0f} "
-          f"recall_adc={rec_adc:.4f} build_Mvps={steady_mvps:.2f} "
+    res = measure_serving(idx, queries, args, recall_of)
+    print(f"RESULT n={args.n} qps_host_refine={res['qps_host']:.0f} "
+          f"recall_host={res['rec_host']:.4f} "
+          f"qps_host_pipe={res['qps_pipe']:.0f} "
+          f"qps_adc={res['qps_adc']:.0f} "
+          f"recall_adc={res['rec_adc']:.4f} build_Mvps={steady_mvps:.2f} "
           f"fill_Mvps={fill_mvps:.2f} overflow_pct={dropped/args.n*100:.4f} "
           f"tunnel_up_MBs={up_bw:.0f} tunnel_down_MBs={down_bw:.0f}")
 

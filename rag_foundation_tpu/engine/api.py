@@ -430,10 +430,17 @@ class Engine:
             return True
         per_store: list[tuple] = []
         with maybe_trace("engine_search"), timer.stage("scan"):
-            for key in store_keys:
-                store = self._store(key)
+            # dispatch every store's device work before any host
+            # finalize (fetch + rescore + merge) runs: multi-store
+            # queries overlap host CPU with device/tunnel time via the
+            # StoreIndex dispatch/finalize split
+            handles = [(key, self._store(key)) for key in store_keys]
+            handles = [(key, store,
+                        store.segment.search_dispatch(qv, fetch))
+                       for key, store in handles]
+            for key, store, h in handles:
                 per_store.append(
-                    (key, store, store.segment.search(qv, fetch)))
+                    (key, store, store.segment.search_finalize(h)))
         results: list[list[SearchHit]] = []
         with timer.stage("merge"):
             for qi in range(len(queries)):
