@@ -1,0 +1,111 @@
+"""Rare-selector lexical rerank semantics (services/rag.py).
+
+The rerank restores the document-frequency signal a corpus-free hash
+encoder cannot carry on near-duplicate corpora; these tests pin the
+rules that keep it from breaking correct dense rankings (e2e evidence:
+1400-fact near-duplicate corpus, exact answers 2/20 -> 11/20 — see
+CHANGELOG 0.3.0).
+"""
+
+from types import SimpleNamespace
+
+from rag_foundation_tpu.app.services.rag import (_lexical_rerank,
+                                                 _selector_terms)
+
+
+def hit(score, text):
+    return SimpleNamespace(score=score, text=text)
+
+
+BOILER = ("Internal engineering memorandum regarding infrastructure "
+          "planning with the usual approvals. ")
+
+
+# -- _selector_terms ---------------------------------------------------------
+
+def test_selector_terms_digit_bearing():
+    sels = _selector_terms("What is the codename for project 42?")
+    assert "42" in sels
+
+
+def test_selector_terms_mid_sentence_proper_noun():
+    sels = _selector_terms("What altitude does Quito sit at?")
+    assert any(s.startswith("quito") for s in sels)
+
+
+def test_selector_terms_sentence_start_capital_excluded():
+    # "What" is capitalized only because it starts the sentence — not
+    # an entity selector
+    sels = _selector_terms("What is the standard review process?")
+    assert not any(s.startswith("what") for s in sels)
+
+
+def test_selector_terms_versions_and_codes():
+    sels = _selector_terms("Does v2.1 of B6 support streaming?")
+    assert {"v2", "1", "b6"} & sels or {"v2.1", "b6"} & sels
+
+
+# -- _lexical_rerank ---------------------------------------------------------
+
+def test_rare_selector_wins_within_band():
+    q = "What is the codename for project 42?"
+    hits = [hit(0.90, BOILER + f"The codename for project {i} is "
+                f"ZEBRA{i}.") for i in (7, 9, 11)]
+    hits.append(hit(0.85, BOILER + "The codename for project 42 is "
+                "ZEBRA42."))
+    out = _lexical_rerank(q, hits, tie_eps=0.10)
+    assert "project 42" in out[0].text
+
+
+def test_dense_order_wins_across_bands():
+    # the matching hit sits a full band below (gap > tie_eps): the
+    # confident dense ranking stands
+    q = "What is the codename for project 42?"
+    hits = [hit(0.90, BOILER + "The codename for project 7 is Z7."),
+            hit(0.60, BOILER + "The codename for project 42 is Z42.")]
+    out = _lexical_rerank(q, hits, tie_eps=0.10)
+    assert out[0].score == 0.90
+
+
+def test_common_selector_never_reorders():
+    # selector matched by more than 1/16th of the pool is not rare —
+    # no document-frequency signal, no reordering
+    q = "What is the plan for Atlas?"
+    hits = [hit(0.90 - 0.001 * i, BOILER + "Atlas milestone details.")
+            for i in range(16)]
+    hits.append(hit(0.8855, BOILER + "Atlas budget."))
+    hits.sort(key=lambda h: -h.score)   # callers pass engine-sorted hits
+    out = _lexical_rerank(q, hits, tie_eps=0.10)
+    assert out == hits
+
+
+def test_attribute_words_are_not_selectors():
+    # "altitude" is an attribute head, not an entity selector: a
+    # context mention of it must not overrule the dense ranking
+    q = "What altitude does the observatory sit at?"
+    hits = [hit(0.90, BOILER + "The observatory sits at 4,150 meters."),
+            hit(0.89, BOILER + "Altitude is recorded in the manual.")]
+    out = _lexical_rerank(q, hits, tie_eps=0.10)
+    assert out[0].score == 0.90
+
+
+def test_no_selectors_is_identity():
+    q = "what is the standard review process"
+    hits = [hit(0.9, "a"), hit(0.8, "b"), hit(0.7, "c")]
+    assert _lexical_rerank(q, hits, tie_eps=0.10) == hits
+
+
+def test_zero_eps_is_identity():
+    q = "What is the codename for project 42?"
+    hits = [hit(0.9, "project 7"), hit(0.89, "project 42")]
+    assert _lexical_rerank(q, hits, tie_eps=0.0) == hits
+
+
+def test_stable_order_for_equal_coverage():
+    # within a band, hits with equal selector coverage keep dense order
+    q = "Where is project 42 documented?"
+    hits = [hit(0.90, BOILER + "project 42 appendix"),
+            hit(0.89, BOILER + "project 42 overview"),
+            hit(0.88, BOILER + "project 9 overview")]
+    out = _lexical_rerank(q, hits, tie_eps=0.10)
+    assert [h.score for h in out[:2]] == [0.90, 0.89]
