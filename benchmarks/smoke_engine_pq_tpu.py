@@ -3,7 +3,7 @@
 The 10M/100M numbers come from the bench scripts, which drive
 ``ivfpq_search`` directly; this exercises the path the APP serves —
 ``StoreIndex(mode='ivf_pq')`` build → ``ivfpq_search`` via
-``_search_padded`` → tail merge — on the real chip at 1M scale, with
+``search_dispatch/search_finalize`` → tail merge — on the real chip at 1M scale, with
 and without packed codes, asserting recall against the store's own
 exact reference (``exact_reference_search``).
 

@@ -134,7 +134,14 @@ def _lexical_rerank(question: str, hits, *, tie_eps: float = 0.10):
     n_c = len(hits)
     if not q_tokens or n_c < 2 or tie_eps <= 0:
         return hits
-    selectors = _selector_terms(question) & set(q_tokens)
+    # selectors live in q_token space (matched_per below yields
+    # q_tokens members): fuzzy-match the regex hits against the stems
+    # so hyphenated entities ("B-52" tokenizes to parts in the regex
+    # but stays whole in content_stems) still select
+    raw_sel = _selector_terms(question)
+    selectors = {t for t in set(q_tokens)
+                 if t in raw_sel or any(textnorm.stems_match(t, s)
+                                        for s in raw_sel)}
     if not selectors:
         return hits
     matched_per = [q_tokens.matched_in(_content_tokens(h.text))
@@ -399,10 +406,11 @@ class EngineRag:
         # actually separates unanswerable questions — see
         # _passage_coverage)
         min_score = getattr(self.settings, "ENGINE_MIN_SCORE", 0.0)
-        if hits and min_score > 0 \
-                and max(h.score for h in hits) < min_score:
-            # max, not hits[0]: the lexical rerank may demote the
-            # densest hit, and this gate is about retrieval strength
+        # hits are engine-sorted here — ALL refusal gates run before
+        # the lexical rerank below on purpose (they are tuned on the
+        # dense top-5 and regress if lexically-matching chunks are
+        # pulled under them)
+        if hits and min_score > 0 and hits[0].score < min_score:
             hits = []
         min_cov = getattr(self.settings, "ENGINE_MIN_COVERAGE", 0.0)
         if hits and min_cov > 0 \

@@ -537,10 +537,6 @@ class StoreIndex:
         vals, ids = self._finalize_padded(ctx)
         return vals[:real_q], ids[:real_q]
 
-    def _search_padded(self, queries: np.ndarray, k: int
-                       ) -> tuple[np.ndarray, np.ndarray]:
-        return self._finalize_padded(self._dispatch_padded(queries, k))
-
     def search_many(self, batches: list[np.ndarray], k: int
                     ) -> list[tuple[np.ndarray, np.ndarray]]:
         """Pipelined multi-batch search: batch i+1's device work is
@@ -596,6 +592,11 @@ class StoreIndex:
         # measured 10M/Q=2048 host-refine 413.8 ms/batch vs 406.6 for
         # pure-ADC that still pays the f32 upload — end recall
         # unchanged at 0.9922 because the f32 rescore re-ranks anyway).
+        # Known precision mix: the TAIL scan shares this bf16 upload
+        # while body scores are f32 rescores, so a tail/body near-tie
+        # within ~2^-9 relative can order either way at the merge —
+        # accepted: a second f32 upload for the (tiny) tail would cost
+        # more than the tier it protects.
         host_refine = self.mode == "ivf_pq" \
             and self.pq_refine == "host" and self._pq_archive is not None
         if host_refine and np.asarray(queries).dtype == np.float32:

@@ -29,9 +29,12 @@ from pathlib import Path
 
 ROOT = Path(__file__).resolve().parent.parent
 
-TEXT_EXT = {".py", ".js", ".sh", ".md", ".yml", ".yaml", ".toml",
-            ".json", ".html", ".css", ".txt", ".cfg", ".ini", ".cpp",
-            ".h", ".jsonl", ".service", ".conf"}
+# Binary blocklist (everything else tracked is scanned — Dockerfiles,
+# Makefiles, .pem/.env and extension-less files included; a strict
+# UTF-8 decode in scan_file() drops anything actually binary)
+BINARY_EXT = {".npz", ".npy", ".png", ".jpg", ".jpeg", ".gif", ".ico",
+              ".woff", ".woff2", ".pdf", ".bin", ".pt", ".gz", ".zip",
+              ".sqlite", ".db"}
 SKIP_PREFIXES = ("benchmarks/results/", "checkpoints/",
                  "docs/api_spec.json", "BENCH_", "COPYCHECK",
                  "MULTICHIP_", "PROGRESS.jsonl")
@@ -89,7 +92,7 @@ def tracked_files() -> list[Path]:
     for rel in out.splitlines():
         if any(rel.startswith(p) for p in SKIP_PREFIXES):
             continue
-        if Path(rel).suffix.lower() not in TEXT_EXT:
+        if Path(rel).suffix.lower() in BINARY_EXT:
             continue
         files.append(ROOT / rel)
     return files
@@ -112,8 +115,17 @@ def scan_file(path: Path) -> list[str]:
         has_kw = bool(KEYWORD_RE.search(line))
         for m in CANDIDATE_RE.finditer(line):
             tok = m.group(0)
-            if HEX_RE.match(tok) or WORDY_RE.match(tok) \
-                    or not _looks_random(tok):
+            if HEX_RE.match(tok):
+                # pure hex is usually public integrity data (git SHAs,
+                # sha256 pins) — but a >=32-hex run on a line naming a
+                # secret IS the hex-encoded-credential case
+                # (secrets.token_hex), which the grep rule this scanner
+                # replaced used to catch
+                if has_kw and len(tok) >= 32:
+                    out.append(f"{rel}:{ln}: hex secret near keyword: "
+                               f"{tok[:48]}…")
+                continue
+            if WORDY_RE.match(tok) or not _looks_random(tok):
                 continue
             e = entropy(tok)
             if e >= 4.5 or (has_kw and e >= 3.6):

@@ -69,6 +69,80 @@ def _safe_interpolation(expr: str) -> bool:
     return any(p.match(expr) for p in _SAFE_EXPR)
 
 
+def _split_top(s: str, sep: str) -> list[str]:
+    """Split on ``sep`` at paren/bracket/template depth 0."""
+    parts, cur, depth, tpl = [], [], 0, False
+    for c in s:
+        if c == "`":
+            tpl = not tpl
+        if not tpl:
+            if c in "([{":
+                depth += 1
+            elif c in ")]}":
+                depth -= 1
+            elif c == sep and depth == 0:
+                parts.append("".join(cur))
+                cur = []
+                continue
+        cur.append(c)
+    parts.append("".join(cur))
+    return parts
+
+
+def _operand_safe(op: str) -> bool:
+    """One ``+``-chain operand of a sink RHS: string/template literal,
+    sanitizer call, *Html fragment (its builder is itself linted), an
+    inert expression, or a ternary of safe operands."""
+    op = op.strip()
+    if op.startswith("(") and op.endswith(")"):
+        inner = op[1:-1]
+        if _balanced(inner):
+            op = inner.strip()
+    if op.startswith("`") and op.endswith("`"):
+        return True   # its ${...} interpolations are linted separately
+    if re.match(r'^(["\']).*\1$', op, re.S):
+        return True
+    if re.match(r"^(esc|mdLite|Number)\s*\(", op):
+        return True
+    if _safe_interpolation(op):
+        return True
+    q = _split_top(op, "?")
+    if len(q) == 2:
+        branches = _split_top(q[1], ":")
+        if len(branches) == 2:
+            return all(_operand_safe(b) for b in branches)
+    return False
+
+
+def _balanced(s: str) -> bool:
+    depth, tpl = 0, False
+    for c in s:
+        if c == "`":
+            tpl = not tpl
+        if tpl:
+            continue
+        if c in "([{":
+            depth += 1
+        elif c in ")]}":
+            depth -= 1
+            if depth < 0:
+                return False
+    return depth == 0 and not tpl
+
+
+def _rhs_safe(rhs: str) -> bool:
+    """Whole-RHS check: catches DIRECT assignment of tainted values to
+    a sink (``el.innerHTML = userInput``) and taint laundered into a
+    *Html builder through a plain assignment — cases with no ${...}
+    for the interpolation pass to see."""
+    rhs = rhs.strip()
+    if rhs.endswith(";"):
+        rhs = rhs[:-1].rstrip()
+    if not rhs:
+        return True
+    return all(_operand_safe(p) for p in _split_top(rhs, "+"))
+
+
 def _interpolations(src: str):
     """Yield the ${...} expressions inside template literals of src,
     tracking nested braces (handles `${cond ? a : b}` with objects)."""
@@ -136,6 +210,16 @@ def lint_file(path: Path) -> list[str]:
                     f"{path.name}:{ln + 1}: unsanitized interpolation "
                     f"reaches an HTML sink: ${{{expr.strip()}}} — wrap "
                     f"in esc()/mdLite() or annotate /* xss-ok */")
+        sink_m = SINK_RE.search(stmt)
+        rhs = stmt[sink_m.end():]
+        if sink_m.group(0).rstrip().endswith("("):
+            # call-style sink: lint the argument list up to its close
+            rhs = rhs.rsplit(")", 1)[0]
+        if not _rhs_safe(rhs):
+            out.append(
+                f"{path.name}:{ln + 1}: non-literal value reaches an "
+                f"HTML sink: {rhs.strip()[:70]!r} — build via template "
+                f"literal + esc()/mdLite() or annotate /* xss-ok */")
         ln = end + 1
     return out
 

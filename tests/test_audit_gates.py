@@ -65,6 +65,30 @@ def test_xss_lint_multiline_template(tmp_path):
     assert xss_scan.main(tmp_path) == 1
 
 
+def test_xss_lint_flags_direct_nonliteral_assignment(tmp_path):
+    # no ${...} for the interpolation pass to see — the whole-RHS rule
+    # must catch a tainted value assigned straight to the sink
+    (tmp_path / "bad.js").write_text("el.innerHTML = userInput;\n")
+    assert xss_scan.main(tmp_path) == 1
+
+
+def test_xss_lint_flags_plain_assignment_laundering(tmp_path):
+    # taint hidden in a *Html builder WITHOUT a template literal
+    (tmp_path / "bad.js").write_text(
+        "const rowHtml = apiResponse.note;\n"
+        "el.innerHTML = `<tr>${rowHtml}</tr>`;\n")
+    assert xss_scan.main(tmp_path) == 1
+
+
+def test_xss_lint_accepts_safe_rhs_forms(tmp_path):
+    (tmp_path / "ok.js").write_text(
+        'el.innerHTML = "";\n'
+        "el.innerHTML = `<b>static</b>` + (flag ? `<i>x</i>` : \"\");\n"
+        "el.innerHTML = esc(user.name);\n"
+        "el.innerHTML = budgetHtml;\n")
+    assert xss_scan.main(tmp_path) == 0
+
+
 # ------------------------------------------------------------ secrets
 def test_secret_scan_clean_on_tree():
     assert secrets_scan.main() == 0
@@ -102,3 +126,25 @@ def test_secret_scan_skips_identifiers_env_and_hex(tmp_path):
 def test_secret_scan_entropy_matches_definition():
     assert secrets_scan.entropy("aaaa") == 0.0
     assert abs(secrets_scan.entropy("abcd") - 2.0) < 1e-9
+
+
+def test_secret_scan_flags_hex_near_keyword(tmp_path):
+    # hex-encoded credentials (secrets.token_hex) must not hide behind
+    # the public-integrity-data hex skip when the line names a secret
+    f = tmp_path / "leak.py"
+    f.write_text('JWT_SECRET = "9f8a7b6c5d4e3f2a1b0c9d8e7f6a5b4c'  # audit-ok: seeded fixture
+                 '9f8a7b6c5d4e3f2a"\n')
+    hits = secrets_scan.scan_file(f.resolve())
+    assert any("hex secret" in h for h in hits)
+    # ...while a bare sha pin with no keyword stays clean
+    ok = tmp_path / "pin.py"
+    ok.write_text("sha = 'e3b0c44298fc1c149afbf4c8996fb92427ae41e464"
+                  "9b934ca495991b7852b855'\n")
+    assert secrets_scan.scan_file(ok.resolve()) == []
+
+
+def test_secret_scan_covers_extensionless_files():
+    # Dockerfile/Makefile-style tracked files must be in scope (the
+    # grep this scanner replaced scanned them)
+    names = {p.name for p in secrets_scan.tracked_files()}
+    assert "Makefile" in names
