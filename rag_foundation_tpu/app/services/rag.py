@@ -144,8 +144,11 @@ def _lexical_rerank(question: str, hits, *, tie_eps: float = 0.10):
                                         for s in raw_sel)}
     if not selectors:
         return hits
-    matched_per = [q_tokens.matched_in(_content_tokens(h.text))
-                   for h in hits]
+    # EXACT stem membership, not the fuzzy stems_match the refusal
+    # gates use: selectors are identifiers, and the fuzzy matcher's
+    # hyphen-part rule makes "b-52" match every "b-<n>" candidate,
+    # flattening the document-frequency signal this rerank exists for
+    matched_per = [selectors & _content_tokens(h.text) for h in hits]
     df_q = {t: sum(1 for m in matched_per if t in m)
             for t in selectors}
     rare_df = max(1, n_c // 16)

@@ -101,6 +101,19 @@ def test_zero_eps_is_identity():
     assert _lexical_rerank(q, hits, tie_eps=0.0) == hits
 
 
+def test_hyphenated_selector_still_selects():
+    # "B-52" tokenizes to parts under the selector regex but stays
+    # whole in content_stems — the fuzzy stems_match intersection must
+    # bridge the two (review finding: exact-set intersection no-opped)
+    q = "What is the payload of the B-52 variant?"
+    hits = [hit(0.90, BOILER + f"The B-{i} variant payload differs.")
+            for i in (7, 9)]
+    hits.append(hit(0.86, BOILER + "The B-52 variant payload is "
+                "31,500 kg."))
+    out = _lexical_rerank(q, hits, tie_eps=0.10)
+    assert "B-52" in out[0].text
+
+
 def test_stable_order_for_equal_coverage():
     # within a band, hits with equal selector coverage keep dense order
     q = "Where is project 42 documented?"
