@@ -387,6 +387,11 @@ class EngineRag:
         # retrieval miss), while citations honor the requested top_k
         k_search = max(k, getattr(self.settings, "ENGINE_READER_K", 12))
         rerank_n = getattr(self.settings, "ENGINE_LEXICAL_RERANK", 0)
+        if rerank_n > 0 and not _selector_terms(question):
+            # no entity selectors in the question -> the rerank can
+            # never fire; skip the deep over-fetch (device top-128 +
+            # 128-hit host assembly) most natural questions would pay
+            rerank_n = 0
         k_search = max(k_search, rerank_n)
         t0 = time.perf_counter()
         try:
