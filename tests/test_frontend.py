@@ -118,6 +118,28 @@ def test_spa_branding_and_composer_depth(tmp_path):
         assert f'id="{el}"' in html, el
 
 
+def test_spa_user_modal_toolbar_and_chips(tmp_path):
+    """Second late-round-3 depth additions (reference AdminUserModal,
+    ChatToolbar, AssistantMessageContent citation chips, ChatLayout
+    keyboard handling)."""
+    client, _ = make_app(tmp_path)
+    js = _js(client)
+    # manage-user modal: role/active/notes/budget with self-guard
+    assert "openUserModal" in js["admin.js"]
+    assert "admin_notes" in js["admin.js"]
+    assert "ragtpu-email" in js["admin.js"]      # self-guard key
+    # chat toolbar + citation chips + keyboard shortcuts
+    assert "addCitationChips" in js["chat.js"]
+    assert "setStreamingUi" in js["chat.js"]
+    assert "Escape" in js["chat.js"]
+    assert "metaKey" in js["chat.js"]            # Ctrl/Cmd+Enter send
+    html = client.get("/").text
+    for el in ("user-modal", "um-admin", "um-notes", "um-budget",
+               "um-self-hint", "chat-toolbar", "chat-status",
+               "edit-last", "whoami"):
+        assert f'id="{el}"' in html, el
+
+
 def test_settings_branding_keys_and_upload_limits(tmp_path):
     """GET /api/settings carries upload limits for the composer UI;
     PUT accepts the full reference branding key universe."""
