@@ -118,6 +118,9 @@ class Settings(BaseModel):
     ENGINE_CHUNK_OVERLAP: int = 40
     ENGINE_TOP_K: int = 5
     ENGINE_ANSWER_MODE: str = "span"      # span|sentences extractive head
+    ENGINE_GENERATOR: str = "span_reader"  # answer-composition slot:
+    #   span_reader (extractive default) | mock_generative (streaming
+    #   LLM-shaped mock proving the pluggable slot; services/generator.py)
     ENGINE_READER_K: int = 12             # candidate pool for the reader
     #   (search depth; citations still honor top_k)
     ENGINE_LEXICAL_RERANK: int = 128      # over-fetch depth for the host
@@ -226,6 +229,9 @@ class Settings(BaseModel):
         if self.ENGINE_ANSWER_MODE not in {"span", "sentences"}:
             raise ValueError(f"invalid ENGINE_ANSWER_MODE "
                              f"{self.ENGINE_ANSWER_MODE!r}")
+        if self.ENGINE_GENERATOR not in {"span_reader", "mock_generative"}:
+            raise ValueError(f"invalid ENGINE_GENERATOR "
+                             f"{self.ENGINE_GENERATOR!r}")
         if self.ENGINE_PQ_REFINE not in {"device", "host", "none"}:
             raise ValueError(f"invalid ENGINE_PQ_REFINE "
                              f"{self.ENGINE_PQ_REFINE!r}")

@@ -1,0 +1,133 @@
+"""Pluggable answer generators — the composition slot of ``ask_stream``.
+
+The reference streams an LLM-composed answer over the retrieved context
+(/root/reference/backend/app/services/gemini_rag.py:517-551). This repo
+owns retrieval end-to-end, so answer composition is a first-class,
+swappable stage: ``AnswerGenerator.stream(question, hits)`` yields text
+deltas that ride the exact same SSE pump/backpressure/budget machinery
+regardless of implementation (SURVEY.md §3.2 "pluggable generator").
+
+Implementations:
+
+- ``SpanReaderGenerator`` (default, ``ENGINE_GENERATOR=span_reader``):
+  the extractive head — span-reader answer composed eagerly, streamed as
+  word deltas. Behavior-identical to the pre-protocol hard-wired path.
+- ``MockGenerativeGenerator`` (``ENGINE_GENERATOR=mock_generative``):
+  a lazily-streamed "LLM-shaped" generator that narrates the retrieved
+  evidence turn by turn. It exists to prove the slot: deltas are
+  produced incrementally (never precomputed into one string), so a real
+  token-streaming LLM backend drops in with the same contract — and the
+  full chat SSE suite passes over it unchanged.
+
+A future real generative backend implements the same two-method surface
+and registers in ``GENERATORS``; nothing in ``rag.py`` or the chat route
+needs to change.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+from typing import Protocol, runtime_checkable
+
+
+@runtime_checkable
+class AnswerGenerator(Protocol):
+    """Composes the streamed answer text from retrieval hits.
+
+    ``stream`` yields text deltas (concatenation = the full answer).
+    Implementations must handle ``hits == []`` (the refusal case) and
+    must be safe to call from a worker thread (the chat route pumps the
+    iterator from a daemon thread, reference chat.py:486-520).
+    """
+
+    name: str
+
+    def stream(self, question: str, hits: Sequence,
+               *, history: list[dict] | None = None) -> Iterator[str]:
+        ...
+
+
+def _word_deltas(text: str, words_per_delta: int = 6) -> Iterator[str]:
+    words = text.split(" ")
+    for i in range(0, len(words), words_per_delta):
+        chunk = " ".join(words[i: i + words_per_delta])
+        if i:
+            chunk = " " + chunk
+        yield chunk
+
+
+REFUSAL_TEXT = ("I could not find relevant information in the selected "
+                "stores to answer this question.")
+
+
+class SpanReaderGenerator:
+    """Default extractive generator: span reader over ranked sentences,
+    sentence fallback, top-passage quote fallback (ENGINE_ANSWER_MODE
+    span|sentences), streamed as word deltas."""
+
+    name = "span_reader"
+
+    def __init__(self, settings):
+        self.settings = settings
+
+    def stream(self, question: str, hits: Sequence,
+               *, history: list[dict] | None = None) -> Iterator[str]:
+        # deferred import: rag.py owns the composition helpers and
+        # imports this module for make_generator
+        from rag_foundation_tpu.app.services import rag
+        yield from _word_deltas(
+            rag.compose_answer(self.settings, question, hits))
+
+
+class MockGenerativeGenerator:
+    """Streaming mock of a generative backend.
+
+    Unlike the extractive path, nothing is precomputed: each delta is
+    generated as the iterator advances, the way an LLM token stream
+    arrives. The narration is deterministic (same question + hits =>
+    same text) so tests can assert on it, and it grounds itself in the
+    retrieved text so citations stay meaningful.
+    """
+
+    name = "mock_generative"
+
+    def __init__(self, settings):
+        self.settings = settings
+
+    def stream(self, question: str, hits: Sequence,
+               *, history: list[dict] | None = None) -> Iterator[str]:
+        if not hits:
+            yield from _word_deltas(REFUSAL_TEXT)
+            return
+        from rag_foundation_tpu.app.services import rag
+        docs: list[str] = []
+        for h in hits:
+            if h.doc_name not in docs:
+                docs.append(h.doc_name)
+        n_src = min(len(hits), 3)
+        yield f"[generated] Drawing on {n_src} retrieved "
+        yield "passage" + ("s" if n_src != 1 else "")
+        yield f" from {docs[0]}"
+        if len(docs) > 1:
+            yield f" and {len(docs) - 1} other document"
+            yield "s" if len(docs) > 2 else ""
+        yield ": "
+        core = rag.compose_answer(self.settings, question, hits)
+        yield from _word_deltas(core)
+
+
+GENERATORS: dict[str, type] = {
+    "span_reader": SpanReaderGenerator,
+    "mock_generative": MockGenerativeGenerator,
+}
+
+
+def make_generator(settings) -> AnswerGenerator:
+    """Resolve ENGINE_GENERATOR to an implementation (default
+    span_reader — config validates membership at startup)."""
+    name = getattr(settings, "ENGINE_GENERATOR", "span_reader")
+    cls = GENERATORS.get(name)
+    if cls is None:
+        raise ValueError(f"unknown ENGINE_GENERATOR {name!r} "
+                         f"(have: {sorted(GENERATORS)})")
+    return cls(settings)

@@ -25,6 +25,7 @@ from dataclasses import dataclass, field
 from rag_foundation_tpu.app import metrics
 from rag_foundation_tpu.app.costs import estimate_tokens_from_text
 from rag_foundation_tpu.app.services import reader, textnorm
+from rag_foundation_tpu.app.services.generator import make_generator
 from rag_foundation_tpu.engine import Engine, EngineConfig
 
 
@@ -296,6 +297,38 @@ def _extract_sentences(question: str, hits, *, max_sentences: int = 2,
     return " ".join(out)
 
 
+def compose_answer(settings, question: str, hits) -> str:
+    """Extractive answer text. The reference outsources composition to a
+    generative model (gemini_rag.py:463-551); owning retrieval
+    end-to-end means the extractive head is ours. Two modes
+    (ENGINE_ANSWER_MODE): "span" (default) runs the span-extraction
+    reader over the best-matching sentences and answers with the
+    short span — the span is the exact-match unit on the quality
+    benchmark; "sentences" streams the top sentences verbatim.
+
+    This is the composition core behind ``SpanReaderGenerator`` (and the
+    grounding text of the mock generative impl); swap the whole stage
+    via ENGINE_GENERATOR (services/generator.py)."""
+    from rag_foundation_tpu.app.services.generator import REFUSAL_TEXT
+    if not hits:
+        return REFUSAL_TEXT
+    mode = getattr(settings, "ENGINE_ANSWER_MODE", "span")
+    ranked = _ranked_sentences(question, hits, limit=8)
+    if mode == "span" and ranked:
+        res = reader.extract_answer_span(question, ranked)
+        if res is not None and res.score > 0.0:
+            return res.span
+    lead = _extract_sentences(question, hits, max_sentences=2)
+    if lead:
+        return lead
+    # no sentence matched the question tokens: quote the top passage
+    # (supporting evidence still arrives as source-document frames)
+    snippet = hits[0].text.strip()
+    if len(snippet) > 300:
+        snippet = snippet[:300].rsplit(" ", 1)[0] + "…"
+    return f"From {hits[0].doc_name}: {snippet}"
+
+
 def engine_config_from_settings(settings) -> EngineConfig:
     """The one settings -> EngineConfig mapping (shared by the
     in-process path and the dedicated engine_main process)."""
@@ -332,6 +365,9 @@ class EngineRag:
 
     def __init__(self, settings, engine=None):
         self.settings = settings
+        # pluggable composition slot (SURVEY §3.2): the span reader is
+        # the default AnswerGenerator; swap via ENGINE_GENERATOR
+        self.generator = make_generator(settings)
         if engine is not None:
             self.engine = engine
         elif getattr(settings, "ENGINE_RPC_MODE", "") == "connect":
@@ -455,8 +491,12 @@ class EngineRag:
                                 for m in (history or []))
         result.prompt_tokens = estimate_tokens_from_text(
             question + " " + history_text)
+        # the AnswerGenerator composes lazily (a generative impl streams
+        # tokens as they arrive); time-to-first-delta is the compose
+        # metric — for the extractive default that IS the compose cost
         t0 = time.perf_counter()
-        answer = self._compose_answer(question, hits)
+        deltas = self.generator.stream(question, hits, history=history)
+        first = next(deltas, None)
         metrics.engine_latency_seconds.labels("compose").observe(
             time.perf_counter() - t0)
         result.citations = [{
@@ -468,39 +508,18 @@ class EngineRag:
         } for i, h in enumerate(hits[:k])]
 
         def gen() -> Iterator[str]:
-            for delta in _word_stream(answer):
-                result.completion_tokens += max(1, len(delta) // 4)
-                yield delta
+            if first is not None:
+                result.completion_tokens += max(1, len(first) // 4)
+                yield first
+                for delta in deltas:
+                    result.completion_tokens += max(1, len(delta) // 4)
+                    yield delta
             result.finished = True
 
         return gen(), result
 
     def _compose_answer(self, question: str, hits) -> str:
-        """Extractive answer. The reference outsources composition to a
-        generative model (gemini_rag.py:463-551); owning retrieval
-        end-to-end means the extractive head is ours. Two modes
-        (ENGINE_ANSWER_MODE): "span" (default) runs the span-extraction
-        reader over the best-matching sentences and answers with the
-        short span — the span is the exact-match unit on the quality
-        benchmark; "sentences" streams the top sentences verbatim."""
-        if not hits:
-            return ("I could not find relevant information in the selected "
-                    "stores to answer this question.")
-        mode = getattr(self.settings, "ENGINE_ANSWER_MODE", "span")
-        ranked = _ranked_sentences(question, hits, limit=8)
-        if mode == "span" and ranked:
-            res = reader.extract_answer_span(question, ranked)
-            if res is not None and res.score > 0.0:
-                return res.span
-        lead = _extract_sentences(question, hits, max_sentences=2)
-        if lead:
-            return lead
-        # no sentence matched the question tokens: quote the top passage
-        # (supporting evidence still arrives as source-document frames)
-        snippet = hits[0].text.strip()
-        if len(snippet) > 300:
-            snippet = snippet[:300].rsplit(" ", 1)[0] + "…"
-        return f"From {hits[0].doc_name}: {snippet}"
+        return compose_answer(self.settings, question, hits)
 
 
 class MockRag:
