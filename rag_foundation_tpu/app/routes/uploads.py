@@ -87,7 +87,9 @@ def register(app, ctx):
                  f.size, dbschema.DOC_PENDING, time.time(), est_tokens,
                  time.time()))
             path = upload_path(settings, doc_id)
-            os.replace(f.path, path)  # same-fs atomic move, no copy
+            # same-fs atomic move, no copy; f.path is the parser's own
+            # spool tempfile name, not client data
+            os.replace(f.path, path)  # taint-ok
         except BaseException:
             for part in files.values():
                 part.cleanup()

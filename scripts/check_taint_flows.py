@@ -1,0 +1,227 @@
+"""AST taint walk: request-derived values must not reach exec sinks.
+
+Dataflow-level SAST for the audit runner (VERDICT r3 item 9 — the
+reference CI runs Semgrep/CodeQL taint queries,
+/root/reference/.github/workflows/security.yml; this image carries
+neither, so the highest-value query — request data flowing into
+SQL/exec/subprocess/path sinks — is implemented as a first-party
+intraprocedural dataflow pass, one tier above the pattern lints
+(check_sql_patterns flags HOW a query string is built; this flags WHERE
+the interpolated value came from).
+
+Model (per function, flow-insensitive fixpoint):
+
+- Sources: parameters named ``req``/``request`` and anything derived
+  from them (``json_object(req)``, ``req.query``, pydantic bodies built
+  from the parsed request, …).
+- Propagation: assignments; attribute/subscript access on tainted
+  values; method calls on tainted receivers (``q.strip()``); calls with
+  tainted arguments (conservative — ``str(x)``, helpers); f-strings /
+  concatenation / %-format; containers; loop targets over tainted
+  iterables; conditional expressions.
+- Sanitizers: numeric/boolean coercions (``int``, ``float``, ``bool``,
+  ``len``, …), ``int_param``, comparisons, and the DB layer itself
+  (reads return stored data — second-order flows are out of scope).
+- Sinks: the SQL *string* argument of db ``execute/executemany/query/
+  one/scalar`` (taint in the params tuple is the sanctioned binding
+  path and is fine); ``eval``/``exec``/``compile``; ``subprocess.*`` /
+  ``os.system`` / ``os.popen`` / ``os.exec*``; filesystem paths
+  (``open``, ``os.remove/unlink/rename``, ``shutil.rmtree``,
+  ``Path(...)``).
+
+Annotate a reviewed exception with ``# taint-ok`` on the sink line.
+"""
+
+from __future__ import annotations
+
+import ast
+import sys
+from pathlib import Path
+
+DB_METHODS = {"execute", "executemany", "query", "one", "scalar"}
+SOURCE_PARAMS = {"req", "request"}
+SANITIZER_FUNCS = {"int", "float", "bool", "len", "round", "abs", "min",
+                   "max", "hash", "id", "isinstance", "int_param",
+                   "ord", "hex"}
+SUBPROCESS_ATTRS = {"run", "Popen", "call", "check_call", "check_output"}
+OS_EXEC_ATTRS = {"system", "popen", "execv", "execve", "execvp", "spawnl",
+                 "spawnv"}
+PATH_SINK_ATTRS = {"remove", "unlink", "rename", "rmtree", "makedirs",
+                   "mkdir", "replace"}
+
+
+class _FnTaint:
+    """One function's flow-insensitive taint fixpoint."""
+
+    def __init__(self, fn: ast.AST):
+        self.tainted: set[str] = set()
+        args = fn.args
+        for a in (args.posonlyargs + args.args + args.kwonlyargs
+                  + ([args.vararg] if args.vararg else [])
+                  + ([args.kwarg] if args.kwarg else [])):
+            if a.arg in SOURCE_PARAMS:
+                self.tainted.add(a.arg)
+        self.fn = fn
+
+    def is_tainted(self, node: ast.AST) -> bool:
+        t = self.is_tainted
+        if isinstance(node, ast.Name):
+            return node.id in self.tainted
+        if isinstance(node, ast.Attribute):
+            return t(node.value)
+        if isinstance(node, ast.Subscript):
+            return t(node.value)
+        if isinstance(node, ast.Call):
+            f = node.func
+            if isinstance(f, ast.Name) and f.id in SANITIZER_FUNCS:
+                return False
+            if isinstance(f, ast.Attribute):
+                # the DB layer returns stored data, not request data
+                if f.attr in DB_METHODS:
+                    return False
+                if t(f.value):          # method on tainted receiver
+                    return True
+            return any(t(a) for a in node.args) or \
+                any(t(kw.value) for kw in node.keywords)
+        if isinstance(node, ast.JoinedStr):
+            return any(t(v.value) for v in node.values
+                       if isinstance(v, ast.FormattedValue))
+        if isinstance(node, ast.BinOp):
+            return t(node.left) or t(node.right)
+        if isinstance(node, ast.BoolOp):
+            return any(t(v) for v in node.values)
+        if isinstance(node, ast.IfExp):
+            return t(node.body) or t(node.orelse)
+        if isinstance(node, (ast.Tuple, ast.List, ast.Set)):
+            return any(t(e) for e in node.elts)
+        if isinstance(node, ast.Dict):
+            return any(t(v) for v in node.values if v is not None) or \
+                any(t(k) for k in node.keys if k is not None)
+        if isinstance(node, ast.Starred):
+            return t(node.value)
+        if isinstance(node, ast.NamedExpr):
+            return t(node.value)
+        if isinstance(node, (ast.Await, ast.FormattedValue)):
+            return t(node.value)
+        if isinstance(node, ast.Compare):
+            return False                # booleans sanitize
+        return False
+
+    def _mark(self, target: ast.AST) -> None:
+        if isinstance(target, ast.Name):
+            self.tainted.add(target.id)
+        elif isinstance(target, (ast.Tuple, ast.List)):
+            for e in target.elts:
+                self._mark(e)
+        elif isinstance(target, ast.Starred):
+            self._mark(target.value)
+
+    def fixpoint(self) -> None:
+        for _ in range(12):             # depth bound; converges fast
+            before = len(self.tainted)
+            for node in ast.walk(self.fn):
+                if isinstance(node, ast.Assign):
+                    if self.is_tainted(node.value):
+                        for tgt in node.targets:
+                            self._mark(tgt)
+                elif isinstance(node, (ast.AnnAssign, ast.AugAssign)):
+                    if node.value is not None \
+                            and self.is_tainted(node.value):
+                        self._mark(node.target)
+                elif isinstance(node, ast.NamedExpr):
+                    if self.is_tainted(node.value):
+                        self._mark(node.target)
+                elif isinstance(node, (ast.For, ast.AsyncFor)):
+                    if self.is_tainted(node.iter):
+                        self._mark(node.target)
+                elif isinstance(node, (ast.With, ast.AsyncWith)):
+                    for item in node.items:
+                        if item.optional_vars is not None and \
+                                self.is_tainted(item.context_expr):
+                            self._mark(item.optional_vars)
+                elif isinstance(node, ast.comprehension):
+                    if self.is_tainted(node.iter):
+                        self._mark(node.target)
+            if len(self.tainted) == before:
+                return
+
+
+def _sink_findings(fn: ast.AST, taint: _FnTaint, path: Path,
+                   lines: list[str]) -> list[str]:
+    t = taint.is_tainted
+    out = []
+
+    def flag(node, what):
+        line = lines[node.lineno - 1] if node.lineno <= len(lines) else ""
+        if "# taint-ok" in line:
+            return
+        out.append(f"{path}:{node.lineno}: request data reaches {what}")
+
+    for node in ast.walk(fn):
+        if not isinstance(node, ast.Call):
+            continue
+        f = node.func
+        if isinstance(f, ast.Attribute):
+            if f.attr in DB_METHODS and node.args and t(node.args[0]):
+                flag(node, f"SQL string of .{f.attr}() — use parameter "
+                           "binding")
+            elif isinstance(f.value, ast.Name) \
+                    and f.value.id == "subprocess" \
+                    and f.attr in SUBPROCESS_ATTRS \
+                    and (any(t(a) for a in node.args)
+                         or any(t(k.value) for k in node.keywords)):
+                flag(node, f"subprocess.{f.attr}()")
+            elif isinstance(f.value, ast.Name) and f.value.id == "os" \
+                    and f.attr in OS_EXEC_ATTRS \
+                    and any(t(a) for a in node.args):
+                flag(node, f"os.{f.attr}()")
+            elif f.attr in PATH_SINK_ATTRS \
+                    and any(t(a) for a in node.args):
+                flag(node, f".{f.attr}() filesystem path")
+        elif isinstance(f, ast.Name):
+            if f.id in ("eval", "exec", "compile") \
+                    and any(t(a) for a in node.args):
+                flag(node, f"{f.id}()")
+            elif f.id == "open" and node.args and t(node.args[0]):
+                flag(node, "open() path")
+            elif f.id == "Path" and any(t(a) for a in node.args):
+                flag(node, "Path() construction")
+    return out
+
+
+def scan(path: Path) -> list[str]:
+    src = path.read_text()
+    lines = src.splitlines()
+    try:
+        tree = ast.parse(src)
+    except SyntaxError as e:
+        return [f"{path}:{e.lineno}: unparseable ({e.msg})"]
+    findings = []
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            taint = _FnTaint(node)
+            if not taint.tainted:
+                continue                # no request source in scope
+            taint.fixpoint()
+            findings.extend(_sink_findings(node, taint, path, lines))
+    return findings
+
+
+def main(roots: list[str]) -> int:
+    findings: list[str] = []
+    for root in roots:
+        for p in sorted(Path(root).rglob("*.py")):
+            findings.extend(scan(p))
+    if findings:
+        print("\n".join(findings))
+        print(f"{len(findings)} taint flow(s) — bind parameters or "
+              "annotate '# taint-ok' after review")
+        return 1
+    print("taint flows clean")
+    return 0
+
+
+if __name__ == "__main__":
+    roots = sys.argv[1:] or ["rag_foundation_tpu/app",
+                             "rag_foundation_tpu/runtime"]
+    sys.exit(main(roots))

@@ -33,6 +33,9 @@ fi
 step "SQL construction lint (CodeQL analog, AST-based)"
 python scripts/check_sql_patterns.py || FAIL=1
 
+step "request-taint dataflow walk (Semgrep/CodeQL taint analog)"
+python scripts/check_taint_flows.py || FAIL=1
+
 step "egress-surface scan (supply-chain analog)"
 # the product tree is zero-egress by design: no HTTP client libraries
 # may appear outside the benchmark/ clients

@@ -148,3 +148,77 @@ def test_secret_scan_covers_extensionless_files():
     # grep this scanner replaced scanned them)
     names = {p.name for p in secrets_scan.tracked_files()}
     assert "Makefile" in names
+
+
+# ---------------------------------------------------- taint dataflow
+import check_taint_flows as taint_scan  # noqa: E402
+
+
+def test_taint_scan_clean_on_tree():
+    assert taint_scan.main(["rag_foundation_tpu/app",
+                            "rag_foundation_tpu/runtime"]) == 0
+
+
+def test_taint_flags_sql_built_from_request(tmp_path):
+    # the canonical injection: request value interpolated into SQL
+    (tmp_path / "bad.py").write_text(
+        "def route(req, db):\n"
+        "    name = req.query.get('name')\n"
+        "    db.execute(f\"SELECT * FROM users WHERE name='{name}'\")\n")
+    assert taint_scan.main([str(tmp_path)]) == 1
+
+
+def test_taint_flags_laundering_through_assignments(tmp_path):
+    # taint survives multi-hop assignment, .strip(), and concat
+    (tmp_path / "bad.py").write_text(
+        "def route(req, db):\n"
+        "    raw = json_object(req)\n"
+        "    v = raw['q']\n"
+        "    cleaned = v.strip()\n"
+        "    sql = 'SELECT x FROM t WHERE q = ' + cleaned\n"
+        "    db.query(sql)\n")
+    assert taint_scan.main([str(tmp_path)]) == 1
+
+
+def test_taint_flags_subprocess_and_eval_and_path(tmp_path):
+    (tmp_path / "bad.py").write_text(
+        "import subprocess, os\n"
+        "def route(req):\n"
+        "    cmd = req.form['cmd']\n"
+        "    subprocess.run(cmd, shell=True)\n"
+        "    eval(req.query['expr'])\n"
+        "    os.remove('/data/' + req.query['f'])\n"
+        "    open(req.path_params['name'])\n")
+    out = taint_scan.scan(tmp_path / "bad.py")
+    assert len(out) == 4, out
+
+
+def test_taint_accepts_bound_params_and_sanitized(tmp_path):
+    # parameter binding, int() coercion, int_param, and constants pass
+    (tmp_path / "ok.py").write_text(
+        "def route(req, db):\n"
+        "    name = req.query.get('name')\n"
+        "    db.execute('SELECT * FROM users WHERE name=?', (name,))\n"
+        "    n = int(req.query.get('n'))\n"
+        "    db.query(f'SELECT * FROM t LIMIT {n}')\n"
+        "    sid = int_param(req, 'sid')\n"
+        "    db.one(f'SELECT {sid}')\n"
+        "    db.execute('DELETE FROM t')\n")
+    assert taint_scan.main([str(tmp_path)]) == 0
+
+
+def test_taint_honors_annotation(tmp_path):
+    (tmp_path / "ok.py").write_text(
+        "def route(req, db):\n"
+        "    q = req.query['q']\n"
+        "    db.execute('SELECT ' + q)  # taint-ok reviewed\n")
+    assert taint_scan.main([str(tmp_path)]) == 0
+
+
+def test_taint_no_source_no_findings(tmp_path):
+    # functions without a request in scope never flag (bench scripts
+    # build shell commands from their own args all the time)
+    (tmp_path / "ok.py").write_text(
+        "def helper(db, name):\n"
+        "    db.execute(f'SELECT {name}')\n")
+    assert taint_scan.main([str(tmp_path)]) == 0
