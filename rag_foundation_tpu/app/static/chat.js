@@ -1,6 +1,11 @@
 /* Chat view: sessions, SSE streaming via the shared parser, citations,
  * retry/stop (reference contexts/ChatContext.tsx + useSseRuntime.ts +
- * CitationPanel.tsx). */
+ * CitationPanel.tsx).
+ *
+ * BEHAVIORAL TWIN: utils/chatview.py executes this view's logic under
+ * test (handleFrame/mdLite/submit lifecycle/sessions/chips — same
+ * pairing as sse.js ↔ utils/sse.py). Any behavior change here MUST
+ * land there too (tests/test_frontend_behavior.py). */
 "use strict";
 
 import { $, api, banner, esc, state } from "./api.js";

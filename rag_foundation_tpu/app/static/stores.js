@@ -1,5 +1,10 @@
 /* Store cards, document lists, drag-drop uploads with op-status polling
- * (reference StoreContext.tsx + hooks/useUploads.ts). */
+ * (reference StoreContext.tsx + hooks/useUploads.ts).
+ *
+ * BEHAVIORAL TWIN: utils/uploadview.py executes uploadFileInto's poll
+ * state machine under test (same pairing as sse.js ↔ utils/sse.py).
+ * Any transition change here MUST land there too
+ * (tests/test_frontend_behavior.py). */
 "use strict";
 
 import { $, api, banner, esc, state } from "./api.js";

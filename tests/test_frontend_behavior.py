@@ -1,0 +1,226 @@
+"""Frontend behavior executed under test: the reference's Playwright
+scenarios replayed against executable Python twins + the live app.
+
+The reference runs vitest + Playwright with route mocks
+(/root/reference/frontend/tests/e2e/chat.spec.ts:1-76, mocks.ts:1-112).
+This image has no node, so the view logic lives as transliteration
+twins (utils/chatview.py ↔ static/chat.js, utils/uploadview.py ↔
+static/stores.js, utils/sse.py ↔ static/sse.js) and every chat.spec.ts
+scenario — send, stream, citations (+ chips/panel), error, session
+switch, upload-and-poll — executes here against the twin fed by the
+LIVE app's actual HTTP/SSE responses (in-process TestClient over the
+real engine). These are behavior tests, not source greps.
+"""
+
+from __future__ import annotations
+
+from rag_foundation_tpu.utils.chatview import ChatView, md_lite
+from rag_foundation_tpu.utils.sse import SseParser
+from rag_foundation_tpu.utils.uploadview import UploadTracker
+from tests.app_helpers import (create_store, drain_worker, make_app, signup,
+                               upload_text)
+
+DOC = ("The quarterly revenue grew twelve percent driven by cloud "
+       "subscriptions. Operating margin expanded to thirty percent "
+       "while churn declined. " * 6)
+
+
+def _stream_into(view: ChatView, resp) -> list[dict]:
+    """Drive the twin exactly as chat.js does: session header, then the
+    raw SSE byte stream through the shared parser into handleFrame."""
+    assert resp.status_code == 200, resp.text
+    view.accept_session_header(resp.headers.get("x-session-id"))
+    parser = SseParser()
+    frames = parser.push(resp.text)
+    for f in frames:
+        view.handle_frame(f)
+    assert parser.done, "stream must terminate with [DONE]"
+    view.finish_stream()
+    return frames
+
+
+def _ask(client, headers, view, question, store_id):
+    target = view.begin_question(question)
+    body = {"question": question, "store_ids": [store_id]}
+    if view.session_id is not None:
+        body["session_id"] = view.session_id
+    resp = client.post("/api/chat", headers=headers, json_body=body)
+    _stream_into(view, resp)
+    return target
+
+
+# ------------------------------------------------- the chat.spec.ts flow
+
+def test_upload_chat_citations_scenario(tmp_path):
+    """chat.spec.ts main scenario: login → create store → upload (poll
+    to Indexed) → send → streamed answer renders → citation chips →
+    panel opens with the snippet."""
+    client, ctx = make_app(tmp_path)
+    headers = signup(client)
+    store = create_store(client, headers, "E2E Store")
+
+    # upload + poll through the uploadview twin, real op-status rows
+    tracker = UploadTracker()
+    item = tracker.start("finance.txt")
+    r = upload_text(client, headers, store["id"], DOC, "finance.txt")
+    assert r.status_code == 201, r.text
+    op = r.json()["op_id"]
+
+    st = client.get(f"/api/upload/op-status/{op}", headers=headers).json()
+    assert not tracker.poll(item, st, secs=1)       # still queued
+    assert item.phase == "pending… 1s"
+    drain_worker(ctx)                               # worker indexes it
+    st = client.get(f"/api/upload/op-status/{op}", headers=headers).json()
+    assert tracker.poll(item, st, secs=3)
+    assert item.phase.startswith("done (") and "chunks, 3s)" in item.phase
+    assert not item.error and item.removed
+    assert tracker.active == 0 and tracker.refreshes == 1
+
+    # send a question; stream renders into the view
+    view = ChatView()
+    target = _ask(client, headers, view,
+                  "How did revenue grow?", store["id"])
+    assert view.status == "Ready" and not view.streaming
+    assert "revenue" in target.raw.lower()
+    assert target.html == md_lite(target.raw)       # text-end rendered
+    assert not target.streaming_dot
+
+    # citations: chips numbered, panel opens + highlights on click
+    assert target.citations and target.chips == len(target.citations)
+    assert target.panel_summary == f"Sources ({target.chips})"
+    assert target.citations[0]["title"] == "finance.txt"
+    assert target.citations[0]["snippet"]           # "Example snippet" analog
+    view.click_chip(len(view.messages) - 1, 0)
+    assert target.panel_open and target.highlighted == 0
+
+
+def test_streaming_shows_dot_then_renders_markdown():
+    """Mid-stream the view shows raw text + in-progress dot; text-end
+    swaps in the markdown-lite rendering (XSS-escaped)."""
+    view = ChatView()
+    target = view.begin_question("q?")
+    view.handle_frame({"type": "start"})
+    view.handle_frame({"type": "text-start", "id": "t"})
+    view.handle_frame({"type": "text-delta", "id": "t",
+                       "delta": "**bold** <script>"})
+    assert target.streaming_dot
+    assert target.html == "**bold** <script>"      # textContent, verbatim
+    view.handle_frame({"type": "text-end", "id": "t"})
+    assert target.html == "<b>bold</b> &lt;script&gt;"
+    view.finish_stream()
+    assert not target.streaming_dot and view.status == "Ready"
+
+
+def test_stream_error_enables_retry_then_succeeds(tmp_path):
+    """chat.spec.ts error scenario: a failed stream surfaces the error
+    frame and the retry affordance; retry resubmits the same question
+    and succeeds."""
+    client, ctx = make_app(tmp_path, MOCK_MODE=True,
+                           STREAM_RETRY_ATTEMPTS=1)
+    headers = signup(client)
+    store = create_store(client, headers)
+    ctx.rag.stream_should_fail = True
+    view = ChatView()
+    view.begin_question("What failed?")
+    resp = client.post("/api/chat", headers=headers,
+                       json_body={"question": "What failed?",
+                                  "store_ids": [store["id"]]})
+    _stream_into(view, resp)
+    assert view.error_text and view.retry_visible
+
+    ctx.rag.stream_should_fail = False
+    q = view.retry_question()
+    assert q == "What failed?"
+    target = _ask(client, headers, view, q, store["id"])
+    assert target.raw.startswith("[mock-mode]")
+    assert not view.retry_visible and view.error_text == ""
+
+
+def test_session_switch_and_delete(tmp_path):
+    """Session switching: two sessions persist independently; loading
+    one replaces the transcript; deleting the active one resets to a
+    fresh session (chat.js session-list handlers)."""
+    client, ctx = make_app(tmp_path, MOCK_MODE=True)
+    headers = signup(client)
+    store = create_store(client, headers)
+    view = ChatView()
+    _ask(client, headers, view, "first question", store["id"])
+    sid1 = view.session_id
+    view.new_session()
+    assert view.session_id is None and view.messages == []
+    _ask(client, headers, view, "second question", store["id"])
+    sid2 = view.session_id
+    assert sid2 != sid1
+
+    sessions = client.get("/api/chat/sessions",
+                          headers=headers).json()["sessions"]
+    assert {s["id"] for s in sessions} >= {sid1, sid2}
+    # newest-first ordering, titled by the first question
+    by_id = {s["id"]: s for s in sessions}
+    assert by_id[sid1]["title"] == "first question"
+
+    # switch back: the transcript reloads from the server
+    msgs = client.get(f"/api/chat/sessions/{sid1}/messages",
+                      headers=headers).json()["messages"]
+    view.load_session(sid1, msgs)
+    assert view.session_id == sid1
+    assert [m.role for m in view.messages] == ["user", "assistant"]
+    assert view.messages[0].raw == "first question"
+    assert view.messages[1].raw.startswith("[mock-mode]")
+
+    # delete the active session -> view resets (chat.js del handler)
+    r = client.delete(f"/api/chat/sessions/{sid1}", headers=headers)
+    assert r.status_code == 200
+    view.on_session_deleted(sid1)
+    assert view.session_id is None and view.messages == []
+    left = client.get("/api/chat/sessions",
+                      headers=headers).json()["sessions"]
+    assert sid1 not in {s["id"] for s in left}
+
+
+def test_upload_rejection_and_ingest_error_paths(tmp_path):
+    """Upload twin error transitions driven by real responses: a 415 on
+    POST marks the item failed immediately; an ingestion failure
+    surfaces through op-status done+ERROR."""
+    client, ctx = make_app(tmp_path, MOCK_MODE=True)
+    headers = signup(client)
+    store = create_store(client, headers)
+    tracker = UploadTracker()
+
+    # POST rejected (disallowed type)
+    bad = tracker.start("evil.exe")
+    r = client.post("/api/upload", headers=headers,
+                    data={"store_id": str(store["id"])},
+                    files={"file": ("evil.exe", b"MZ\x90\x00",
+                                    "application/x-msdownload")})
+    assert r.status_code == 415
+    tracker.upload_failed(bad, r.json()["detail"])
+    assert bad.error and bad.phase.startswith("error: ")
+    assert tracker.active == 0 and tracker.refreshes == 1
+
+    # ingestion fails -> op-status done with ERROR status
+    ctx.rag.ingest_should_fail = True
+    item = tracker.start("doc.txt")
+    r = upload_text(client, headers, store["id"], DOC)
+    assert r.status_code == 201
+    op = r.json()["op_id"]
+    drain_worker(ctx)
+    st = client.get(f"/api/upload/op-status/{op}", headers=headers).json()
+    assert tracker.poll(item, st, secs=2)
+    assert item.error and item.phase.startswith("error: ")
+    assert not item.removed                     # failed rows stay visible
+    assert tracker.active == 0 and tracker.refreshes == 2
+
+
+def test_md_lite_twin_semantics():
+    """mdLite parity: escape-first, bold/italic/code, bullet lines to
+    <li>, newlines to <br>, and no raw HTML survives."""
+    assert md_lite("a **b** c") == "a <b>b</b> c"
+    assert md_lite("x *it* y") == "x <i>it</i> y"
+    assert md_lite("use `code` here") == "use <code>code</code> here"
+    assert md_lite("- one\n- two") == "<li>one</li><li>two</li>"
+    assert md_lite("l1\nl2") == "l1<br>l2"
+    assert md_lite('<img src=x onerror=alert(1)>') == \
+        "&lt;img src=x onerror=alert(1)&gt;"
+    # ** must not be eaten by the single-* rule
+    assert md_lite("**a** and *b*") == "<b>a</b> and <i>b</i>"
