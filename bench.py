@@ -33,15 +33,18 @@ def log(msg: str) -> None:
 
 
 def run_ivf_10m() -> dict | None:
-    # 8k-query batches: BASELINE pins batch size only for the IVF-PQ
-    # config (1k); the flat headline is throughput-oriented and large
-    # batches fill the MXU M-dimension (per-list matmul cost is
-    # constant for qcap <= 128). Measured 174.7k QPS @ recall 0.9992
-    # vs 72.7k at 1k batches, identical recall (2026-08-18).
+    # Honest-headline config (VERDICT r3 items 3+10): the docwalk corpus
+    # (realistic doc-walk neighbor structure — the builder's own
+    # argument for why centroid+noise recall flatters), BOTH recalls
+    # (recall_sp vs the stored int8 corpus's exact scan = search-path
+    # loss; recall_e2e vs the f32 corpus = end-to-end incl. quantization
+    # and capacity drops), and BOTH batch sizes (8k fills the MXU
+    # M-dimension; the 1k row keeps round-over-round comparability).
     cmd = [sys.executable, "-u",
            os.path.join(REPO, "benchmarks", "bench_ivf_10m.py"),
-           "--q", "8192", "--qcap", "128",
-           "--nprobe", "32", "--p", "3", "--approx"]
+           "--q", "8192", "--qcap", "128", "--corpus", "docwalk",
+           "--nprobe", "32", "--p", "3", "--approx",
+           "--both-batches", "--e2e-gt"]
     m = None
     for attempt in range(2):  # TPU-pool claims are occasionally flaky
         log(f"primary (attempt {attempt + 1}): {' '.join(cmd)}")
@@ -53,7 +56,8 @@ def run_ivf_10m() -> dict | None:
             return None
         log(proc.stderr[-2000:])
         m = re.search(
-            r"RESULT qps=(\d+) recall=([\d.]+) build_Mvps=([\d.]+)",
+            r"RESULT qps=(\d+) qps_1k=(-?\d+) recall_sp=([\d.]+) "
+            r"recall_e2e=(-?[\d.]+) build_Mvps=([\d.]+)",
             proc.stdout)
         if proc.returncode == 0 and m:
             break
@@ -62,12 +66,16 @@ def run_ivf_10m() -> dict | None:
         time.sleep(20)
     if not m:
         return None
-    qps, recall, build = float(m[1]), float(m[2]), float(m[3])
+    qps, qps_1k = float(m[1]), float(m[2])
+    recall_sp, recall_e2e, build = float(m[3]), float(m[4]), float(m[5])
     p50 = re.search(r"ivf_search: ([\d.]+) ms/batch", proc.stderr)
     p50_ms = float(p50[1]) if p50 else 8192.0 / qps * 1000
     return {
-        "metric": (f"10Mx768 int8 IVF-Flat batched top-10 QPS, 1 v5e chip,"
-                   f" recall@10={recall:.4f}, p50={p50_ms:.1f}ms/8k-batch,"
+        "metric": (f"10Mx768 int8 IVF-Flat top-10 QPS (docwalk corpus),"
+                   f" 1 v5e chip, recall@10 e2e={recall_e2e:.4f} vs f32"
+                   f" GT (search-path recall_sp={recall_sp:.4f}),"
+                   f" p50={p50_ms:.1f}ms/8k-batch,"
+                   f" 1k-batch={qps_1k:.0f} qps,"
                    f" build={build:.2f}M vec/s"),
         "value": round(qps),
         "unit": "qps",

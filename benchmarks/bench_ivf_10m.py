@@ -50,6 +50,17 @@ def main():
                          "round-1 comparability")
     ap.add_argument("--qnoise", type=float, default=0.2,
                     help="query perturbation norm ratio")
+    ap.add_argument("--both-batches", action="store_true",
+                    help="also measure a 1k-query batch (qcap=16) so "
+                         "round-over-round numbers stay comparable "
+                         "(VERDICT r3 item 10)")
+    ap.add_argument("--interpret", action="store_true",
+                    help="Pallas interpret mode (CPU smoke runs only)")
+    ap.add_argument("--e2e-gt", action="store_true",
+                    help="also compute recall vs the f32 corpus "
+                         "(regenerated chunk-by-chunk on device) — the "
+                         "end-to-end number next to the search-path "
+                         "recall_sp (VERDICT r3 item 3)")
     args = ap.parse_args()
 
     import jax
@@ -78,22 +89,26 @@ def main():
 
     from benchmarks import corpus as corpus_mod
 
+    def _gen_f32(key, base):
+        # the pre-quantization chunk — shared by the build and the f32
+        # ground-truth pass (which must regenerate IDENTICAL rows)
+        if args.corpus == "docwalk":
+            return corpus_mod.gen_docwalk_chunk(
+                k_noise, centers, jnp.asarray(base, jnp.int32),
+                chunk=args.chunk)
+        k1, k2 = jax.random.split(key)
+        cid = jax.random.randint(k1, (args.chunk,), 0, nlist)
+        # noise scaled so ||noise|| / ||center|| == args.noise
+        sigma = args.noise / np.sqrt(d)
+        v = centers[cid] + sigma * jax.random.normal(
+            k2, (args.chunk, d), jnp.float32)
+        return l2_normalize(v)
+
     @jax.jit
     def gen_chunk(key, centers, base=0):
         # base is TRACED: a static base would recompile every chunk
         # (measured: 3.3 s/chunk vs 0.4 s — an 8x build regression)
-        if args.corpus == "docwalk":
-            v = corpus_mod.gen_docwalk_chunk(
-                k_noise, centers, jnp.asarray(base, jnp.int32),
-                chunk=args.chunk)
-        else:
-            k1, k2 = jax.random.split(key)
-            cid = jax.random.randint(k1, (args.chunk,), 0, nlist)
-            # noise scaled so ||noise|| / ||center|| == args.noise
-            sigma = args.noise / np.sqrt(d)
-            v = centers[cid] + sigma * jax.random.normal(
-                k2, (args.chunk, d), jnp.float32)
-            v = l2_normalize(v)
+        v = _gen_f32(key, base)
         q = jnp.clip(jnp.round(v / scale), -127, 127).astype(jnp.int8)
         assign, _ = assign_clusters(v, centers, block_size=args.chunk)
         return q, assign
@@ -206,7 +221,8 @@ def main():
     log(f"RTT {rtt*1000:.1f} ms")
 
     def measure(nprobe, qcap, p, q_batch, approx=False):
-        kw = dict(nprobe=nprobe, p=p, qcap=qcap, approx_select=approx)
+        kw = dict(nprobe=nprobe, p=p, qcap=qcap, approx_select=approx,
+                  interpret=args.interpret)
         vv, ii, dd = ivf_search(index, q_batch, args.k, **kw)
         _ = np.asarray(vv)
         reps = 10
@@ -255,7 +271,7 @@ def main():
                 f" {per*1000:.2f} ms")
 
     kw = dict(nprobe=args.nprobe, p=args.p, qcap=args.qcap,
-              approx_select=args.approx)
+              approx_select=args.approx, interpret=args.interpret)
     vals, ids, dropped = ivf_search(index, q_dev, args.k, **kw)
     _ = np.asarray(vals)
     log(f"probe drops: {int(dropped)}")
@@ -263,6 +279,12 @@ def main():
                        approx=args.approx)
     qps = args.q / per
     log(f"ivf_search: {per*1000:.2f} ms/batch -> {qps:.0f} QPS")
+
+    qps_1k = -1.0
+    if args.both_batches and args.q >= 2048:
+        per1k, _ = measure(args.nprobe, 16, args.p, q_dev[:1024],
+                           approx=args.approx)
+        qps_1k = 1024 / per1k
 
     # recall vs exact scan: reshape happens INSIDE the jit (a bitcast on
     # the contiguous [nlist, cap, d] buffer — no 8.6 GiB copy)
@@ -281,10 +303,49 @@ def main():
     ev, exact_rows = exact_gt(q_dev[:sub], index.lists, index.row_ids)
     exact_ids = np.asarray(exact_rows)
     approx_ids = np.asarray(ids[:sub])
-    rec = np.mean([len(set(a) & set(b)) / args.k
-                   for a, b in zip(approx_ids, exact_ids)])
-    log(f"recall@{args.k} vs exact(int8 corpus): {rec:.4f}")
-    print(f"RESULT qps={qps:.0f} recall={rec:.4f} "
+    rec_sp = np.mean([len(set(a) & set(b)) / args.k
+                      for a, b in zip(approx_ids, exact_ids)])
+    log(f"recall_sp@{args.k} vs exact(int8 corpus): {rec_sp:.4f}")
+
+    # end-to-end recall vs the f32 corpus (VERDICT r3 item 3): the
+    # corpus was never materialized in f32 (30 GB), so regenerate each
+    # chunk on device — gen is deterministic in (key, base) — and merge
+    # a running top-k on host. Includes overflow-dropped rows, so this
+    # number also charges the index for capacity drops.
+    rec_e2e = -1.0
+    if args.e2e_gt:
+        qsub = q_dev[:sub]
+
+        @jax.jit
+        def gt_chunk(key, base, qs):
+            v = _gen_f32(key, base)
+            scores = jnp.dot(qs, v.T,
+                             preferred_element_type=jnp.float32)
+            vv, pos = jax.lax.top_k(scores, args.k)
+            return vv, pos + base
+        best_v = np.full((sub, args.k), -np.inf, np.float32)
+        best_i = np.full((sub, args.k), -1, np.int64)
+        t0 = time.perf_counter()
+        for ci, ck in enumerate(keys):
+            base = ci * args.chunk
+            vv_, ii_ = gt_chunk(ck, base, qsub)
+            vv_, ii_ = np.asarray(vv_), np.asarray(ii_, np.int64)
+            m = min(args.chunk, n - base)
+            live = ii_ < base + m          # drop generator padding rows
+            vv_ = np.where(live, vv_, -np.inf)
+            ii_ = np.where(live, ii_, -1)
+            cat_v = np.concatenate([best_v, vv_], axis=1)
+            cat_i = np.concatenate([best_i, ii_], axis=1)
+            order = np.argsort(-cat_v, kind="stable", axis=1)[:, :args.k]
+            best_v = np.take_along_axis(cat_v, order, 1)
+            best_i = np.take_along_axis(cat_i, order, 1)
+        log(f"f32 GT pass: {time.perf_counter() - t0:.1f}s")
+        rec_e2e = np.mean([len(set(a) & set(b)) / args.k
+                           for a, b in zip(approx_ids, best_i)])
+        log(f"recall_e2e@{args.k} vs f32 corpus: {rec_e2e:.4f}")
+
+    print(f"RESULT qps={qps:.0f} qps_1k={qps_1k:.0f} "
+          f"recall_sp={rec_sp:.4f} recall_e2e={rec_e2e:.4f} "
           f"build_Mvps={mvps:.2f}")
 
 

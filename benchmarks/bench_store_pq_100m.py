@@ -69,6 +69,9 @@ def parse_args(argv=None):
     ap.add_argument("--m", type=int, default=256)
     ap.add_argument("--cap_slack", type=float, default=1.09)
     ap.add_argument("--nprobe", type=int, default=32)
+    ap.add_argument("--refine-c", type=int, default=0,
+                    help="host re-rank fan-out (ADC top-C); 0 = the "
+                         "4*fetch heuristic (64 at k=10)")
     ap.add_argument("--q", type=int, default=1024)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--gt_sub", type=int, default=128)
@@ -395,10 +398,12 @@ def measure_serving(idx, queries, args, recall_of) -> dict:
     ``search_many`` (the engine-RPC sustained-load discipline: batch
     i+1's device work dispatched before batch i's host finalize), and
     the pure-ADC tier."""
+    from rag_foundation_tpu.engine.profile import search_profile
     # (a) host-refine product config, sequential
     t0 = time.perf_counter()
     vals, ids = idx.search(queries, args.k)
     log(f"first search (compile): {time.perf_counter()-t0:.0f}s")
+    search_profile.reset()
     t0 = time.perf_counter()
     for _ in range(args.reps):
         vals, ids = idx.search(queries, args.k)
@@ -407,6 +412,8 @@ def measure_serving(idx, queries, args, recall_of) -> dict:
     rec_host = recall_of(ids)
     log(f"host-refine: {per*1000:.1f} ms/batch -> {qps_host:.0f} QPS, "
         f"recall@{args.k}={rec_host:.4f}")
+    log("stage profile (sequential; fetch rows include device+tunnel "
+        "wait):\n" + search_profile.table(batches=args.reps))
 
     # (a2) host-refine, pipelined across batches (search_many)
     n_pipe = max(4, args.reps)
@@ -460,6 +467,7 @@ def phase_serve(args):
     idx = StoreIndex(args.d, mode="ivf_pq", nlist=args.nlist,
                      nprobe=args.nprobe, pq_m=args.m, pq_packed=True,
                      pq_refine="host", pq_cap_slack=args.cap_slack,
+                     pq_refine_c=args.refine_c or None,
                      build_threshold=1)
     log("loading cached body")
     z = np.load(args.body_cache)
@@ -591,6 +599,7 @@ def main_single(args):
     idx = StoreIndex(args.d, mode="ivf_pq", nlist=args.nlist,
                      nprobe=args.nprobe, pq_m=args.m, pq_packed=True,
                      pq_refine="host", pq_cap_slack=args.cap_slack,
+                     pq_refine_c=args.refine_c or None,
                      build_threshold=1)
     marks = {}
 

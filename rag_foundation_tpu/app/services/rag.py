@@ -47,12 +47,13 @@ def _slug(name: str) -> str:
     return s[:32] or "store"
 
 
-# sentence split that doesn't break on honorific abbreviations
-# ("chaired by Dr. Amara Chen" is one sentence)
-_SENT_SPLIT = re.compile(
-    r"(?<=[.!?])(?<!\bDr\.)(?<!\bMr\.)(?<!\bMs\.)(?<!\bSt\.)"
-    r"(?<!\bNo\.)(?<!Mrs\.)(?<!rof\.)\s+")
+# sentence split shared with ingest-time stem pinning (textnorm)
+_SENT_SPLIT = textnorm.SENT_SPLIT
 _content_tokens = textnorm.content_stems
+# corpus-derived texts (hit chunks + their sentences) pin permanently:
+# they recur for every question that retrieves them and are
+# precomputed at ingest (textnorm.pin_chunk)
+_hit_tokens = textnorm.pin_stems
 
 
 def _passage_coverage(question: str, hits) -> float:
@@ -66,7 +67,7 @@ def _passage_coverage(question: str, hits) -> float:
     q_tokens = textnorm.StemSet.from_text(question)
     if not q_tokens or not hits:
         return 0.0
-    ptoks = [_content_tokens(h.text) for h in hits[:5]]
+    ptoks = [_hit_tokens(h.text) for h in hits[:5]]
     import math
     df: dict[str, int] = {}
     for toks in ptoks:
@@ -149,7 +150,7 @@ def _lexical_rerank(question: str, hits, *, tie_eps: float = 0.10):
     # gates use: selectors are identifiers, and the fuzzy matcher's
     # hyphen-part rule makes "b-52" match every "b-<n>" candidate,
     # flattening the document-frequency signal this rerank exists for
-    matched_per = [selectors & _content_tokens(h.text) for h in hits]
+    matched_per = [selectors & _hit_tokens(h.text) for h in hits]
     df_q = {t: sum(1 for m in matched_per if t in m)
             for t in selectors}
     rare_df = max(1, n_c // 16)
@@ -220,7 +221,7 @@ def _informative_unmatched(question: str, hits) -> int:
             head.add(textnorm.stem(second))
     matched: set[str] = set()
     for h in hits[:5]:
-        matched |= q_tokens.matched_in(_content_tokens(h.text))
+        matched |= q_tokens.matched_in(_hit_tokens(h.text))
     return sum(1 for t in set(q_tokens) - matched
                if t not in matched and t not in head
                and t not in _GENERIC_STEMS)
@@ -248,7 +249,7 @@ def _ranked_sentences(question: str, hits, *, limit: int = 8
             if not 12 <= len(s) <= 600 or s in seen:
                 continue
             seen.add(s)
-            toks = _content_tokens(s)
+            toks = _hit_tokens(s)
             if toks:
                 cands.append((hi, pos, s, toks))
     if not cands:

@@ -316,10 +316,15 @@ class Engine:
                 ids = np.arange(store.next_chunk_id,
                                 store.next_chunk_id + len(chunks), dtype=np.int64)
                 store.next_chunk_id += len(chunks)
+                from rag_foundation_tpu.app.services import textnorm
                 for cid, c in zip(ids, chunks):
                     store.chunks[int(cid)] = _ChunkMeta(
                         doc_id=doc_id, doc_name=doc_name, text=c.text,
                         start=c.start, end=c.end, ordinal=c.ordinal)
+                    # precompute the reader's stem sets at ingest (off
+                    # the query path; VERDICT r3 item 6) — in-process
+                    # topologies serve the first query warm
+                    textnorm.pin_chunk(c.text)
                 # double-buffered encode->insert (PP analog; large docs
                 # overlap host featurization with device appends)
                 from rag_foundation_tpu.engine.pipeline import \
@@ -739,6 +744,12 @@ class Engine:
                        disk_mtime=mtime)
         store.chunks = {int(cid): _ChunkMeta(**m)
                         for cid, m in meta["chunks"].items()}
+        # re-pin reader stem sets at restore (startup cost, not
+        # first-query cost; stems are derivable so the checkpoint
+        # stays lean — VERDICT r3 item 6)
+        from rag_foundation_tpu.app.services import textnorm
+        for m in store.chunks.values():
+            textnorm.pin_chunk(m.text)
         return store
 
     def _load_all(self) -> None:

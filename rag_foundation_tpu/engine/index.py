@@ -32,6 +32,11 @@ def _on_cpu() -> bool:
     return jax.default_backend() == "cpu"
 
 
+# dispatch-context marker: the tail was empty at snapshot time, so no
+# tail scan was dispatched and the finalize merge is body-only
+_EMPTY_TAIL = object()
+
+
 # -- device-side audit helpers (recall probe; VERDICT r1 weak #4) ----------
 # All sampled fetches use dynamic slices: a fancy-index gather would
 # relayout the multi-GB operand (see ivf_search_small's docstring).
@@ -118,6 +123,7 @@ class StoreIndex:
                  nprobe: int = 32, build_threshold: int = 100_000,
                  pq_m: int = 48, pq_nbits: int = 4,
                  pq_refine: bool | str = True,
+                 pq_refine_c: int | None = None,
                  pq_packed: bool = False,
                  pq_cap_slack: float = 1.5,
                  ivf_p: int = 4, approx_routing: bool = False,
@@ -144,6 +150,12 @@ class StoreIndex:
             raise ValueError("mesh ivf_pq requires pq_refine='host' "
                              "or 'none'")
         self.pq_refine = pq_refine
+        # host/device re-rank fan-out (ADC top-C candidates re-ranked);
+        # None = the legacy 4*fetch heuristic. C is the host tier's
+        # main cost knob: candidate fetch is Q*C*4 B over the tunnel and
+        # the archive rescore gathers Q*C rows — the 100M bench measured
+        # recall 0.996 re-ranking only the ADC top-32 (ENGINE.md)
+        self.pq_refine_c = pq_refine_c
         # list-capacity headroom over the mean fill; 1.5 is generous for
         # small stores, the 100M tier runs ~1.1 to keep the padded code
         # table inside HBM (overflow rows re-route to the tail)
@@ -599,12 +611,16 @@ class StoreIndex:
         # more than the tier it protects.
         host_refine = self.mode == "ivf_pq" \
             and self.pq_refine == "host" and self._pq_archive is not None
-        if host_refine and np.asarray(queries).dtype == np.float32:
-            import ml_dtypes
-            qj = jnp.asarray(np.asarray(queries).astype(
-                ml_dtypes.bfloat16))
-        else:
-            qj = jnp.asarray(queries)
+        from rag_foundation_tpu.engine.profile import search_profile
+        with search_profile.stage("q_upload"):
+            if host_refine and np.asarray(queries).dtype == np.float32:
+                import ml_dtypes
+                qj = jnp.asarray(np.asarray(queries).astype(
+                    ml_dtypes.bfloat16))
+            else:
+                qj = jnp.asarray(queries)
+        t_disp = search_profile.stage("body_dispatch")
+        t_disp.__enter__()
         with self._body_lock:
             # snapshot the row->chunk-id table together with the body it
             # matches: a racing rebuild() swaps in a compacted, reordered,
@@ -618,7 +634,8 @@ class StoreIndex:
                     sharded_ivfpq_search
                 shards = self.mesh.shape["shard"]
                 nprobe_local = max(1, -(-nprobe // shards))
-                c = min(max(4 * fetch, 32), 256) \
+                c = (self.pq_refine_c
+                     or min(max(4 * fetch, 32), 256)) \
                     if self.pq_refine == "host" \
                     and self._pq_archive is not None else fetch
                 # p=4: the benchmarked per-sub-block capture width
@@ -638,7 +655,8 @@ class StoreIndex:
                     # host int8 archive re-ranks exactly (VERDICT r2
                     # item 3 — the bench-only regenerated-vector rerank
                     # replaced by a shippable host rescore)
-                    c = min(max(4 * fetch, 32), 256)
+                    c = self.pq_refine_c \
+                        or min(max(4 * fetch, 32), 256)
                     b_vals, b_rows, _ = ivfpq_search(
                         self.body, qj, c,
                         nprobe=nprobe, p=min(4, c),
@@ -671,10 +689,19 @@ class StoreIndex:
                     nprobe=nprobe, p=min(self.ivf_p, fetch),
                     approx_select=self.approx_routing,
                     interpret=_on_cpu())
+        t_disp.__exit__(None, None, None)
         # tail scan dispatched while the body work is in flight; its
-        # fetch happens in _finalize_padded
-        tail_h = tail.search_dispatch(qj, k) if can_split else None
-        tail_sync = None if can_split else tail.search(queries, k)
+        # fetch happens in _finalize_padded. Empty tails (no streaming
+        # appends since the last rebuild) skip the scan AND its [Q, k]
+        # result fetch entirely (VERDICT r3 item 1: ~Q*k*12 B +
+        # a tunnel roundtrip per batch for rows that cannot exist)
+        with search_profile.stage("tail_dispatch"):
+            if tail.count == 0:
+                tail_h, tail_sync = None, _EMPTY_TAIL
+            elif can_split:
+                tail_h, tail_sync = tail.search_dispatch(qj, k), None
+            else:
+                tail_h, tail_sync = None, tail.search(queries, k)
         q32 = np.asarray(queries, np.float32) \
             if rescore_arch is not None else None
         return ("body", q_n, k, fetch, rescore_arch, body_chunk_ids,
@@ -686,11 +713,18 @@ class StoreIndex:
         if ctx[0] == "tail":
             _, tail, handle = ctx
             return tail.search_finalize(handle)
+        from rag_foundation_tpu.engine.profile import search_profile
         (_, q_n, k, fetch, rescore_arch, body_chunk_ids,
          b_vals, b_rows, tail, tail_h, tail_sync, q32) = ctx
-        t_vals, t_ids = tail.search_finalize(tail_h) \
-            if tail_h is not None else tail_sync
-        b_rows = np.asarray(b_rows)
+        with search_profile.stage("tail_fetch"):
+            if tail_sync is _EMPTY_TAIL:
+                t_vals, t_ids = None, None
+            elif tail_h is not None:
+                t_vals, t_ids = tail.search_finalize(tail_h)
+            else:
+                t_vals, t_ids = tail_sync
+        with search_profile.stage("rows_fetch"):
+            b_rows = np.asarray(b_rows)
         if rescore_arch is not None:
             # beyond-HBM tier: device ADC proposed top-C, the host
             # int8 archive re-ranks exactly (VERDICT r2 item 3 — the
@@ -698,13 +732,17 @@ class StoreIndex:
             # shippable host rescore). The ADC values are REPLACED by
             # the rescore, so they never cross the link (b_vals stays
             # device-resident and unfetched — Q*C*4 B/batch saved)
-            scores = rescore_arch.rescore(q32, b_rows)
-            order = np.argsort(-scores, axis=1,
-                               kind="stable")[:, :fetch]
-            b_vals = np.take_along_axis(scores, order, axis=1)
-            b_rows = np.take_along_axis(b_rows, order, axis=1)
+            with search_profile.stage("rescore"):
+                scores = rescore_arch.rescore(q32, b_rows)
+                order = np.argsort(-scores, axis=1,
+                                   kind="stable")[:, :fetch]
+                b_vals = np.take_along_axis(scores, order, axis=1)
+                b_rows = np.take_along_axis(b_rows, order, axis=1)
         else:
-            b_vals = np.asarray(b_vals)
+            with search_profile.stage("rows_fetch"):
+                b_vals = np.asarray(b_vals)
+        t_merge = search_profile.stage("idmap_merge")
+        t_merge.__enter__()
         # row -> chunk id, tombstone filter
         b_ids = np.where(b_rows >= 0,
                          body_chunk_ids[np.clip(b_rows, 0, None)], -1)
@@ -716,6 +754,20 @@ class StoreIndex:
         order = np.argsort(-b_vals, axis=1, kind="stable")
         b_vals = np.take_along_axis(b_vals, order, axis=1)[:, :k]
         b_ids = np.take_along_axis(b_ids, order, axis=1)[:, :k]
+        if t_vals is None:
+            # empty tail: the body top-k IS the answer (ids within one
+            # body are unique; the dedup below only guards body/tail
+            # overlap during a racing rebuild)
+            pad = b_vals.shape[1] < k
+            if pad:
+                w = b_vals.shape[1]
+                b_vals = np.pad(b_vals, ((0, 0), (0, k - w)),
+                                constant_values=-np.inf)
+                b_ids = np.pad(b_ids, ((0, 0), (0, k - w)),
+                               constant_values=-1)
+            t_merge.__exit__(None, None, None)
+            return b_vals.astype(np.float32, copy=False), \
+                b_ids.astype(np.int64, copy=False)
         # merge tail + body (host: tiny); dedup chunk ids (a rebuild
         # racing this search can surface a row in both tiers)
         vals = np.concatenate([b_vals, t_vals], axis=1)
@@ -739,6 +791,7 @@ class StoreIndex:
         rr, cc = np.nonzero(take)
         out_v[rr, rank[rr, cc]] = vals[rr, cc]
         out_i[rr, rank[rr, cc]] = ids[rr, cc]
+        t_merge.__exit__(None, None, None)
         return out_v, out_i
 
     # -- recall audit (device-side; VERDICT r1 weak #4) ---------------------

@@ -1,0 +1,61 @@
+"""Per-stage wall-clock accumulators for the product serving path.
+
+The ENGINE.md stage-profile methodology applied to ``StoreIndex.search``
+(VERDICT r3 item 1): each dispatch/finalize stage records wall seconds
+into a module singleton, cheap enough to stay always-on (two
+perf_counter calls + dict adds per stage — nanoseconds against a
+multi-ms search). Benches reset before the timed reps and print the
+table after.
+
+Caveat (the async split): device calls are dispatched asynchronously,
+so *dispatch* stages measure trace+enqueue cost only; the device time
+plus download surfaces in whichever *fetch* stage first blocks on the
+result (``np.asarray``). Upload stages (``jnp.asarray``) block for the
+host→device copy on the tunneled transport, so they are real.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from collections import defaultdict
+
+
+class StageProfile:
+    def __init__(self) -> None:
+        self.seconds: dict[str, float] = defaultdict(float)
+        self.calls: dict[str, int] = defaultdict(int)
+
+    @contextlib.contextmanager
+    def stage(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.seconds[name] += time.perf_counter() - t0
+            self.calls[name] += 1
+
+    def reset(self) -> None:
+        self.seconds.clear()
+        self.calls.clear()
+
+    def snapshot(self) -> dict[str, dict]:
+        return {k: {"s": round(self.seconds[k], 4), "n": self.calls[k]}
+                for k in self.seconds}
+
+    def table(self, batches: int = 1) -> str:
+        """Human table: per-batch ms, descending."""
+        rows = sorted(self.seconds.items(), key=lambda kv: -kv[1])
+        total = sum(self.seconds.values())
+        out = [f"{'stage':<18}{'ms/batch':>10}{'calls':>8}{'share':>8}"]
+        for name, s in rows:
+            out.append(f"{name:<18}{s / max(1, batches) * 1000:>10.2f}"
+                       f"{self.calls[name]:>8}"
+                       f"{s / total * 100 if total else 0:>7.1f}%")
+        out.append(f"{'TOTAL(sum)':<18}"
+                   f"{total / max(1, batches) * 1000:>10.2f}")
+        return "\n".join(out)
+
+
+# the serving path's singleton (StoreIndex dispatch/finalize stages)
+search_profile = StageProfile()

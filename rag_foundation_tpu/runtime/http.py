@@ -450,14 +450,24 @@ class Response:
 
 
 class StreamingResponse(Response):
-    """Response whose body is an async byte iterator (used for SSE)."""
+    """Response whose body is an async byte iterator (used for SSE).
+
+    ``stats_hook``: optional callable receiving, after the stream ends,
+    ``{"gen_wait_s", "client_write_s", "chunks", "bytes"}`` — the
+    server-side decomposition of a stream's wall time into waiting on
+    the generator (engine/pump) vs writing+draining to the client
+    socket (flow control). The runtime stays app-agnostic; the chat
+    route plugs its metrics in here.
+    """
 
     def __init__(self, iterator: AsyncIterator[bytes], status: int = 200,
                  headers: dict[str, str] | None = None,
-                 content_type: str = "text/event-stream"):
+                 content_type: str = "text/event-stream",
+                 stats_hook=None):
         super().__init__(b"", status=status, headers=headers,
                          content_type=content_type)
         self.iterator = iterator
+        self.stats_hook = stats_hook
         self.headers.setdefault("cache-control", "no-cache")
 
 
@@ -652,15 +662,37 @@ async def _connection(app: App, reader: asyncio.StreamReader,
             if isinstance(resp, StreamingResponse):
                 writer.write(_response_head(resp, chunked=True))
                 await writer.drain()
+                t_gen = t_write = 0.0
+                n_chunks = n_bytes = 0
                 try:
-                    async for chunk in resp.iterator:
+                    ait = resp.iterator.__aiter__()
+                    while True:
+                        t0 = time.perf_counter()
+                        try:
+                            chunk = await ait.__anext__()
+                        except StopAsyncIteration:
+                            t_gen += time.perf_counter() - t0
+                            break
+                        t_gen += time.perf_counter() - t0
                         if not chunk:
                             continue
+                        t0 = time.perf_counter()
                         writer.write(f"{len(chunk):x}\r\n".encode()
                                      + chunk + b"\r\n")
                         await writer.drain()
+                        t_write += time.perf_counter() - t0
+                        n_chunks += 1
+                        n_bytes += len(chunk)
                     writer.write(b"0\r\n\r\n")
                     await writer.drain()
+                    if resp.stats_hook is not None:
+                        try:
+                            resp.stats_hook({
+                                "gen_wait_s": t_gen,
+                                "client_write_s": t_write,
+                                "chunks": n_chunks, "bytes": n_bytes})
+                        except Exception:  # noqa: BLE001 — observability
+                            pass
                 except (ConnectionResetError, BrokenPipeError):
                     # client went away mid-stream: close the generator so
                     # its finally-block finalizers run (cost ledger,
