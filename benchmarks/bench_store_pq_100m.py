@@ -526,6 +526,7 @@ def run_phases(args):
             "--nlist", str(args.nlist), "--m", str(args.m),
             "--cap_slack", str(args.cap_slack),
             "--nprobe", str(args.nprobe), "--q", str(args.q),
+            "--refine-c", str(args.refine_c),
             "--k", str(args.k), "--gt_sub", str(args.gt_sub),
             "--chunk", str(args.chunk), "--reps", str(args.reps),
             "--archive-cache", args.archive_cache,

@@ -1,0 +1,214 @@
+"""Mine distributional synonym pairs from the offline text corpus.
+
+VERDICT r3 item 2: the zero-egress image carries no semantic
+supervision (no pretrained weights, wordnet, or paraphrase pairs), so
+the only way to teach the encoder that "summit" ≈ "mountaintop" is to
+MINE the signal from corpus co-occurrence. Classic recipe, first-party
+implementation:
+
+  1. windowed co-occurrence counts over the prose corpus
+     (scripts/build_text_corpus.py output), ±W window, 1/dist weights;
+  2. PPMI with context-distribution smoothing (0.75 — Levy & Goldberg's
+     correction for rare-context overweighting);
+  3. rank-R randomized SVD → word vectors;
+  4. top-k cosine neighbors per word, filtered to DIFFERENT-stem pairs
+     (same-stem inflections are already conflated by the tokenizer's
+     suffix splitting) with a frequency-ratio gate (a rare typo
+     "neighboring" a common word is noise, not synonymy).
+
+Output json: {"word": [["neighbor", sim], ...], ...} — consumed by
+train_encoder.py --synonyms for substitution-augmented ICT.
+
+Usage:
+  python scripts/mine_synonyms.py --corpus /tmp/corpus.jsonl \
+      --out /tmp/synonyms.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+
+_WORDS = re.compile(r"[a-z][a-z0-9'-]{2,}")
+_STOP = frozenset(
+    "a an the is are was were be been being do does did to of in on at "
+    "by for with from as and or but not no this that these those it its "
+    "if then than there here can could should would may might will "
+    "shall has have had also very into onto upon you your they their "
+    "them we our i he she his her was when which who what how where why "
+    "all any each such same other more most some only own so too just "
+    "because while during before after above below between against "
+    "through about once again further out off over under both few "
+    "nor don't not".split())
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def tokenize_corpus(path: str, max_passages: int) -> list[list[str]]:
+    out = []
+    with open(path) as f:
+        for line in f:
+            text = json.loads(line)["text"].lower()
+            toks = [t for t in _WORDS.findall(text) if t not in _STOP]
+            if len(toks) >= 8:
+                out.append(toks)
+            if len(out) >= max_passages:
+                break
+    return out
+
+
+def cooccurrence(passages, vocab: dict[str, int], window: int
+                 ) -> np.ndarray:
+    """Dense [V, V] windowed co-occurrence with 1/dist weights,
+    vectorized over one concatenated id stream (passage boundaries
+    break windows via a sentinel id)."""
+    v_n = len(vocab)
+    sent = v_n                       # boundary sentinel
+    ids = np.fromiter(
+        (x for p in passages
+         for x in ([vocab.get(t, sent) for t in p] + [sent] * window)),
+        dtype=np.int32)
+    counts = np.zeros((v_n, v_n), np.float32)
+    for dist in range(1, window + 1):
+        a, b = ids[:-dist], ids[dist:]
+        live = (a < sent) & (b < sent)
+        w = np.float32(1.0 / dist)
+        aa, bb = a[live], b[live]
+        np.add.at(counts, (aa, bb), w)
+        np.add.at(counts, (bb, aa), w)
+    return counts
+
+
+def ppmi(counts: np.ndarray, alpha: float = 0.75) -> np.ndarray:
+    total = counts.sum()
+    pw = counts.sum(axis=1) / total
+    ctx = counts.sum(axis=0) ** alpha
+    pc = ctx / ctx.sum()
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pmi = np.log((counts / total)
+                     / np.outer(pw, pc))
+    pmi[~np.isfinite(pmi)] = 0.0
+    np.maximum(pmi, 0.0, out=pmi)
+    return pmi
+
+
+def randomized_svd(m: np.ndarray, rank: int, seed: int = 0,
+                   iters: int = 3) -> np.ndarray:
+    """Word vectors U * sqrt(S) via randomized range finding."""
+    rng = np.random.default_rng(seed)
+    g = rng.standard_normal((m.shape[1], rank + 16), np.float32)
+    y = m @ g
+    for _ in range(iters):
+        y = m @ (m.T @ y)
+        y, _ = np.linalg.qr(y)
+    q, _ = np.linalg.qr(y)
+    b = q.T @ m
+    ub, s, _ = np.linalg.svd(b, full_matrices=False)
+    u = (q @ ub)[:, :rank]
+    return (u * np.sqrt(s[:rank])).astype(np.float32)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--corpus", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--vocab", type=int, default=20000)
+    ap.add_argument("--min-count", type=int, default=10)
+    ap.add_argument("--window", type=int, default=5)
+    ap.add_argument("--rank", type=int, default=256)
+    ap.add_argument("--topk", type=int, default=6)
+    ap.add_argument("--min-sim", type=float, default=0.50)
+    ap.add_argument("--max-freq-ratio", type=float, default=50.0,
+                    help="drop neighbor pairs whose corpus frequencies "
+                         "differ by more than this factor")
+    ap.add_argument("--max-passages", type=int, default=200_000)
+    args = ap.parse_args()
+
+    from rag_foundation_tpu.app.services import textnorm
+
+    t0 = time.perf_counter()
+    passages = tokenize_corpus(args.corpus, args.max_passages)
+    log(f"{len(passages)} passages tokenized "
+        f"({time.perf_counter()-t0:.0f}s)")
+
+    freq: dict[str, int] = {}
+    for p in passages:
+        for t in p:
+            freq[t] = freq.get(t, 0) + 1
+    keep = sorted((t for t, c in freq.items() if c >= args.min_count),
+                  key=lambda t: -freq[t])[: args.vocab]
+    vocab = {t: i for i, t in enumerate(keep)}
+    log(f"vocab {len(vocab)} (min_count={args.min_count})")
+
+    t0 = time.perf_counter()
+    counts = cooccurrence(passages, vocab, args.window)
+    log(f"cooccurrence ({time.perf_counter()-t0:.0f}s, "
+        f"{counts.nbytes/2**30:.1f} GiB dense)")
+    t0 = time.perf_counter()
+    m = ppmi(counts)
+    del counts
+    vecs = randomized_svd(m, args.rank)
+    del m
+    log(f"PPMI+SVD rank {args.rank} ({time.perf_counter()-t0:.0f}s)")
+
+    vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-9)
+    words = keep
+    stems = [textnorm.stem(w) for w in words]
+    out: dict[str, list] = {}
+    t0 = time.perf_counter()
+    block = 2048
+    n_pairs = 0
+    for lo in range(0, len(words), block):
+        sims = vecs[lo: lo + block] @ vecs.T
+        for r in range(sims.shape[0]):
+            i = lo + r
+            row = sims[r]
+            row[i] = -1.0
+            cand = np.argpartition(-row, 32)[:32]
+            cand = cand[np.argsort(-row[cand])]
+            nbrs = []
+            for j in cand:
+                if row[j] < args.min_sim:
+                    break
+                # inflections of the same stem are not synonymy signal
+                if stems[i] == stems[j] or \
+                        textnorm.stems_match(stems[i], stems[j]):
+                    continue
+                ratio = freq[words[i]] / freq[words[j]]
+                if not (1 / args.max_freq_ratio <= ratio
+                        <= args.max_freq_ratio):
+                    continue
+                nbrs.append([words[j], round(float(row[j]), 4)])
+                if len(nbrs) >= args.topk:
+                    break
+            if nbrs:
+                out[words[i]] = nbrs
+                n_pairs += len(nbrs)
+    log(f"neighbors for {len(out)} words, {n_pairs} pairs "
+        f"({time.perf_counter()-t0:.0f}s)")
+    with open(args.out, "w") as f:
+        json.dump(out, f)
+    # eyeball sample for the log
+    import itertools
+    for w in itertools.islice(
+            (w for w in ("file", "directory", "error", "remove", "fast",
+                         "large", "begin", "method", "modify", "speed")
+             if w in out), 10):
+        log(f"  {w}: {out[w]}")
+    print(json.dumps({"vocab": len(vocab), "words_with_nbrs": len(out),
+                      "pairs": n_pairs, "out": args.out}))
+
+
+if __name__ == "__main__":
+    main()

@@ -116,7 +116,26 @@ def load_chunks(path: str, *, max_words: int = 100,
     return chunks
 
 
-def keyword_query(rng: np.random.Generator, chunk: str) -> str:
+def _substitute(rng: np.random.Generator, tokens: list[str],
+                syn: dict | None, p: float) -> list[str]:
+    """Swap content words for mined distributional neighbors with
+    probability ``p`` — the paraphrase signal ICT alone cannot teach
+    (VERDICT r3 item 2): the pseudo-QUERY says "summit", the chunk
+    says "mountaintop", and InfoNCE pulls them together."""
+    if not syn or p <= 0:
+        return tokens
+    out = []
+    for w in tokens:
+        nbrs = syn.get(w)
+        if nbrs and rng.random() < p:
+            out.append(nbrs[int(rng.integers(len(nbrs)))][0])
+        else:
+            out.append(w)
+    return out
+
+
+def keyword_query(rng: np.random.Generator, chunk: str,
+                  syn: dict | None = None, sub_p: float = 0.0) -> str:
     content = [w for w in _WORDS.findall(chunk.lower())
                if w not in _STOP and len(w) > 2]
     if not content:
@@ -124,29 +143,39 @@ def keyword_query(rng: np.random.Generator, chunk: str) -> str:
     k = int(rng.integers(3, 9))
     take = rng.choice(len(content), size=min(k, len(content)),
                       replace=False)
-    return " ".join(content[i] for i in take)
+    return " ".join(_substitute(rng, [content[i] for i in take],
+                                syn, sub_p))
 
 
-def sentence_query(rng: np.random.Generator, chunk: str) -> str:
+def sentence_query(rng: np.random.Generator, chunk: str,
+                   syn: dict | None = None, sub_p: float = 0.0) -> str:
     sents = [s for s in _SENT.split(chunk) if len(s.split()) >= 4]
     if not sents:
         return chunk[:80]
-    return sents[int(rng.integers(len(sents)))]
+    s = sents[int(rng.integers(len(sents)))]
+    if not syn or sub_p <= 0:
+        return s
+    return " ".join(_substitute(rng, s.lower().split(), syn, sub_p))
 
 
 def build_ict_arrays(enc, chunks: list[str], *, q_len: int, d_len: int,
-                     seed: int, log=print):
+                     seed: int, syn: dict | None = None,
+                     sub_p: float = 0.0, log=print):
     """Pre-tokenized (q_ids [2n, q_len], d_ids [2n, d_len]) — row i and
-    row n+i are the keyword / sentence views of chunk i."""
+    row n+i are the keyword / sentence views of chunk i. With mined
+    ``syn`` neighbors, query tokens substitute with prob ``sub_p``
+    (paraphrased pseudo-queries; the chunk side stays verbatim)."""
     rng = np.random.default_rng(seed)
     t0 = time.perf_counter()
     d_ids = enc.tokenizer.encode_batch(chunks, d_len)
-    kq = [keyword_query(rng, c) for c in chunks]
-    sq = [sentence_query(rng, c) for c in chunks]
+    kq = [keyword_query(rng, c, syn, sub_p) for c in chunks]
+    sq = [sentence_query(rng, c, syn, sub_p) for c in chunks]
     q_ids = enc.tokenizer.encode_batch(kq + sq, q_len)
     d_ids = np.concatenate([d_ids, d_ids])
     log(f"tokenized {len(chunks)} chunks x2 views in "
-        f"{time.perf_counter()-t0:.0f}s")
+        f"{time.perf_counter()-t0:.0f}s"
+        + (f" (substitution p={sub_p}, {len(syn)} syn words)"
+           if syn and sub_p > 0 else ""))
     return q_ids, d_ids
 
 
@@ -187,11 +216,17 @@ def train_ict(args) -> None:
     eval_chunks = [chunks[i] for i in order[:eval_n]]
     train_chunks = [chunks[i] for i in order[eval_n:]]
 
+    syn = None
+    if args.synonyms:
+        with open(args.synonyms) as f:
+            syn = json.load(f)
+        log(f"loaded {len(syn)} synonym entries from {args.synonyms}")
+
     enc = MiniLMEncoder(dim=args.dim, seed=args.seed, max_len=args.d_len)
     cfg = enc.cfg
     q_ids, d_ids = build_ict_arrays(enc, train_chunks, q_len=args.q_len,
                                     d_len=args.d_len, seed=args.seed,
-                                    log=log)
+                                    syn=syn, sub_p=args.sub_p, log=log)
     n_pairs = len(q_ids)
     q_dev = jnp.asarray(q_ids)
     d_dev = jnp.asarray(d_ids)
@@ -348,6 +383,12 @@ def main() -> None:
     ap.add_argument("--hard-neg", action="store_true",
                     help="batch adjacent same-source chunks as hard "
                          "in-batch negatives")
+    ap.add_argument("--synonyms", default=None,
+                    help="mined neighbor json (scripts/mine_synonyms.py)"
+                         " for substitution-augmented ICT")
+    ap.add_argument("--sub-p", type=float, default=0.3,
+                    help="per-token substitution probability in "
+                         "pseudo-queries (with --synonyms)")
     ap.add_argument("--max-len", type=int, dest="q_len_legacy",
                     default=None, help="(legacy alias of --q-len)")
     ap.add_argument("--out", default="/tmp/minilm_finetuned.npz")
