@@ -33,10 +33,10 @@ def parse_prom(text: str) -> dict[str, float]:
 def stage_table(metrics: dict[str, float], family: str) -> dict:
     stages = {}
     for key, val in metrics.items():
-        m = re.match(rf'{family}_sum{{stage="([a-z]+)"}}', key)
+        m = re.match(rf'{family}_sum{{stage="([a-z_]+)"}}', key)
         if m:
             stages.setdefault(m.group(1), {})["sum"] = val
-        m = re.match(rf'{family}_count{{stage="([a-z]+)"}}', key)
+        m = re.match(rf'{family}_count{{stage="([a-z_]+)"}}', key)
         if m:
             stages.setdefault(m.group(1), {})["count"] = val
     return {s: {"count": int(v.get("count", 0)),

@@ -37,6 +37,11 @@ def _on_cpu() -> bool:
 _EMPTY_TAIL = object()
 
 
+@jax.jit
+def _dequant_q(q8, scale):
+    return q8.astype(jnp.float32) * scale
+
+
 # -- device-side audit helpers (recall probe; VERDICT r1 weak #4) ----------
 # All sampled fetches use dynamic slices: a fancy-index gather would
 # relayout the multi-GB operand (see ivf_search_small's docstring).
@@ -612,8 +617,22 @@ class StoreIndex:
         host_refine = self.mode == "ivf_pq" \
             and self.pq_refine == "host" and self._pq_archive is not None
         from rag_foundation_tpu.engine.profile import search_profile
+        q_scale = None
         with search_profile.stage("q_upload"):
-            if host_refine and np.asarray(queries).dtype == np.float32:
+            if host_refine and np.asarray(queries).dtype == np.float32 \
+                    and self.mesh is None:
+                # host-refine upgrade of the bf16 trick: the device only
+                # PROPOSES candidates (the host f32 rescore re-ranks),
+                # so queries cross the tunnel as int8 + one scale —
+                # half the bf16 bytes, quarter of f32. Batch-absmax
+                # scale keeps quantization noise ~0.4% of range, far
+                # below the 4-bit ADC's own resolution.
+                qn = np.asarray(queries)
+                s = float(np.abs(qn).max()) / 127.0 or 1.0
+                qj = jnp.asarray(np.clip(np.round(qn / s), -127, 127
+                                         ).astype(np.int8))
+                q_scale = jnp.float32(s)
+            elif host_refine and np.asarray(queries).dtype == np.float32:
                 import ml_dtypes
                 qj = jnp.asarray(np.asarray(queries).astype(
                     ml_dtypes.bfloat16))
@@ -660,7 +679,7 @@ class StoreIndex:
                     b_vals, b_rows, _ = ivfpq_search(
                         self.body, qj, c,
                         nprobe=nprobe, p=min(4, c),
-                        interpret=_on_cpu())
+                        interpret=_on_cpu(), q_scale=q_scale)
                     rescore_arch = self._pq_archive   # deferred below
                 else:
                     b_vals, b_rows, _ = ivfpq_search(
@@ -698,10 +717,17 @@ class StoreIndex:
         with search_profile.stage("tail_dispatch"):
             if tail.count == 0:
                 tail_h, tail_sync = None, _EMPTY_TAIL
-            elif can_split:
-                tail_h, tail_sync = tail.search_dispatch(qj, k), None
             else:
-                tail_h, tail_sync = None, tail.search(queries, k)
+                # int8-uploaded queries dequantize on device for the
+                # exact tail scan (tiny op; the tail tier ranks with
+                # real dot products, not ADC proposals)
+                qj_t = _dequant_q(qj, q_scale) if q_scale is not None \
+                    else qj
+                if can_split:
+                    tail_h, tail_sync = tail.search_dispatch(qj_t, k), \
+                        None
+                else:
+                    tail_h, tail_sync = None, tail.search(queries, k)
         q32 = np.asarray(queries, np.float32) \
             if rescore_arch is not None else None
         return ("body", q_n, k, fetch, rescore_arch, body_chunk_ids,

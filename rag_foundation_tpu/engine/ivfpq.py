@@ -807,6 +807,7 @@ def ivfpq_search(
     lut_dtype: str = "int8",
     cap_block: int | None = None,
     interpret: bool | None = None,
+    q_scale=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """IVF-PQ top-k: (values [Q,k], row_ids [Q,k], dropped_probes).
 
@@ -815,6 +816,11 @@ def ivfpq_search(
     top-``refine_c`` (default ``max(4k, 32)``) candidates are re-ranked
     against int8 originals and values are exact int8 dot products;
     otherwise values are (coarse + ADC) approximations.
+
+    ``q_scale``: queries arrived quantized (int8 xQ/s over the tunnel —
+    the host-refine tier only PROPOSES candidates, so the query
+    transport precision is a transfer-cost knob, not a recall one);
+    dequantize on device before routing/LUT build.
     """
     q_n, d = queries.shape
     nlist, cap_len, m = index.codes.shape
@@ -823,6 +829,8 @@ def ivfpq_search(
         qcap = max(8, int(-(-(q_n * nprobe * 2) // nlist // 8) * 8))
 
     q32 = queries.astype(jnp.float32)
+    if q_scale is not None:
+        q32 = q32 * q_scale
     coarse = jnp.dot(q32, index.centroids.T,
                      preferred_element_type=jnp.float32)   # [Q, nlist]
     probe_lists, dispatch, slot, dropped = build_dispatch(
