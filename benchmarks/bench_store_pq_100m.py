@@ -34,6 +34,7 @@ The legacy single-process mode (no --phase) remains for <=10M runs.
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import os
 import subprocess
@@ -97,7 +98,26 @@ def parse_args(argv=None):
                          "per-process tunnel staging to ~20 GB)")
     ap.add_argument("--seg-lo", type=int, default=0)
     ap.add_argument("--seg-hi", type=int, default=0)
+    ap.add_argument("--packed", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="nibble-pack the 4-bit codes (2/byte). Packing "
+                         "is what fits 100M in HBM (m=256 -> 128 B "
+                         "rows); at <=10M --no-packed scores ~2x faster "
+                         "(the packed kernel pays per-block unpack ops)")
+    ap.add_argument("--platform", default="",
+                    help="pin the jax backend in every phase (cpu for "
+                         "hermetic smokes; Pallas runs interpret there)")
+    ap.add_argument("--host-gen", action="store_true",
+                    help="ingest generates the archive ON HOST (CPU "
+                         "jax, no tunnel) and defers ground truth to "
+                         "the encode phase, which rides its existing "
+                         "row uploads: cuts the 100M tunnel bill from "
+                         "~170 GB (77 down + 77 up + codes) to ~90 GB")
     return ap.parse_args(argv)
+
+
+def m_bytes_of(args) -> int:
+    return args.m // 2 if args.packed else args.m
 
 
 # ---------------------------------------------------------------------------
@@ -233,6 +253,67 @@ def phase_ingest(args):
                  fill_mvps=fill_mvps)
 
 
+def phase_ingest_host(args):
+    """--host-gen ingest: generate the archive on HOST (CPU jax — the
+    docwalk corpus is a pure function of (key, topics, row), see
+    corpus.gen_docwalk_chunk) and write it straight to the memmap.
+    Zero tunnel traffic; ~77 min of one-core CPU at 100M. Ground truth
+    is deferred to the encode phase (gt_pending flag), which computes
+    it on device riding the row uploads it performs anyway."""
+    from rag_foundation_tpu.utils.platform import pin_platform
+    pin_platform("cpu")
+    import jax
+    import jax.numpy as jnp
+    from benchmarks import corpus as corpus_mod
+    from rag_foundation_tpu.engine.archive import HostArchive
+    from rag_foundation_tpu.ops.l2norm import l2_normalize
+
+    n, d = args.n, args.d
+    arch_f, meta_f = cache_paths(args)
+    if arch_f and os.path.exists(arch_f) and os.path.exists(meta_f):
+        log("archive cache present; ingest skipped")
+        return
+    key = jax.random.key(0)
+    k_centers, k_noise, _ = jax.random.split(key, 3)
+    centers = l2_normalize(
+        jax.random.normal(k_centers, (args.nlist, d), jnp.float32))
+
+    @jax.jit
+    def gen_q8(base):
+        v = corpus_mod.gen_docwalk_chunk(k_noise, centers,
+                                         jnp.int32(base),
+                                         chunk=args.chunk)
+        q8 = jnp.clip(jnp.round(v * 127.0), -127, 127).astype(jnp.int8)
+        return v, q8
+
+    arch = HostArchive(d, path=arch_f or None, scale=1.0 / 127.0)
+    arch.reserve(n)
+    queries = None
+    row_base = 0
+    t_fill = time.perf_counter()
+    n_chunks = -(-n // args.chunk)
+    for ci in range(n_chunks):
+        mrows = min(args.chunk, n - row_base)
+        v, q8 = gen_q8(row_base)
+        if ci == 0:
+            qnp, _src = corpus_mod.make_queries(v, args.q, qnoise=0.2)
+            queries = np.asarray(qnp)
+        arch.append(np.asarray(q8[:mrows]))
+        row_base += mrows
+        if ci % 20 == 0 or ci == n_chunks - 1:
+            log(f"host ingest {ci+1}/{n_chunks} ({row_base/1e6:.1f}M, "
+                f"{time.perf_counter()-t_fill:.0f}s, "
+                f"rss {rss_gb():.1f}G)")
+        del v, q8
+    t_fill = time.perf_counter() - t_fill
+    fill_mvps = n / t_fill / 1e6
+    log(f"host ingest fill: {fill_mvps:.2f}M vec/s (no tunnel)")
+    os.makedirs(args.archive_cache, exist_ok=True)
+    np.savez(meta_f, queries=queries,
+             gt_ids=np.full((args.gt_sub, args.k), -1, np.int32),
+             gt_pending=np.bool_(True), fill_mvps=fill_mvps)
+
+
 def phase_train(args):
     """Coarse + PQ codebooks on a leading archive sample ->
     work/codebooks.npz (same params as build_ivf_pq_streaming)."""
@@ -278,15 +359,75 @@ def phase_encode(args):
     """Encode archive chunks [seg-lo, seg-hi) on device into the shared
     assign/codes memmaps. Run per segment in its own process: tunnel
     staging dies with the process."""
+    import jax
     import jax.numpy as jnp
     from rag_foundation_tpu.engine.ivfpq import _encode_chunk_top2
 
-    arch, _ = load_cached_archive(args)
+    arch, meta = load_cached_archive(args)
     w = work_dir(args)
     cb = np.load(os.path.join(w, "codebooks.npz"))
     centroids = jnp.asarray(cb["centroids"])
     cb_centroids = jnp.asarray(cb["cb_centroids"])
-    m_bytes = args.m // 2
+    m_bytes = m_bytes_of(args)
+
+    # --host-gen hand-off: ground truth rides this phase's row uploads.
+    # Two references per chunk: the STORED corpus (the uploaded int8
+    # rows the product re-ranks against) and the f32 corpus REGENERATED
+    # on device (docwalk rows are a pure function of (key, topics, row)
+    # — corpus.gen_docwalk_chunk's contract), so the serve phase can
+    # report recall_sp and recall_e2e like the 10M headline does. A
+    # device-vs-host quantization drift counter (int8 of regen-f32 vs
+    # uploaded rows) validates that the host-generated archive IS the
+    # device corpus up to backend float determinism.
+    gt_pending = bool(meta["gt_pending"]) \
+        if "gt_pending" in getattr(meta, "files", ()) else False
+    if gt_pending:
+        from benchmarks import corpus as corpus_mod
+        from rag_foundation_tpu.ops.l2norm import l2_normalize
+        key = jax.random.key(0)
+        k_centers, k_noise, _ = jax.random.split(key, 3)
+        topics = l2_normalize(jax.random.normal(
+            k_centers, (args.nlist, args.d), jnp.float32))
+        q_sub = jnp.asarray(
+            np.asarray(meta["queries"])[: args.gt_sub], jnp.float32)
+        def neg():
+            return jnp.full((args.gt_sub, args.k), -jnp.inf,
+                            jnp.float32)
+
+        def none_i():
+            return jnp.full((args.gt_sub, args.k), -1, jnp.int32)
+
+        # distinct buffers: the jit donates the state tuple, and jax
+        # rejects donating one buffer twice
+        gt_state = (neg(), none_i(), neg(), none_i(), jnp.int64(0))
+        scale = float(arch.scale)
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def gt_step(state, v8, row_base, mrows):
+            rv32, ri32, rv8, ri8, mism = state
+            valid = jnp.arange(args.chunk) < mrows
+            ids = row_base + jnp.arange(args.chunk, dtype=jnp.int32)
+            v32 = corpus_mod.gen_docwalk_chunk(
+                k_noise, topics, row_base, chunk=args.chunk)
+            q32 = jnp.clip(jnp.round(v32 * 127.0), -127,
+                           127).astype(jnp.int8)
+            mism = mism + jnp.sum(jnp.where(
+                valid[:, None], (q32 != v8).astype(jnp.int64), 0))
+
+            def merge(rv, ri, x):
+                s = jnp.dot(q_sub, x.T,
+                            preferred_element_type=jnp.float32)
+                s = jnp.where(valid[None, :], s, -jnp.inf)
+                v, i = jax.lax.top_k(s, args.k)
+                nv, pos = jax.lax.top_k(
+                    jnp.concatenate([rv, v], axis=1), args.k)
+                alli = jnp.concatenate([ri, ids[i]], axis=1)
+                return nv, jnp.take_along_axis(alli, pos, axis=1)
+
+            rv32, ri32 = merge(rv32, ri32, v32)
+            rv8, ri8 = merge(rv8, ri8,
+                             v8.astype(jnp.float32) * scale)
+            return rv32, ri32, rv8, ri8, mism
     assign_mm = np.memmap(os.path.join(w, "assign.i32"), dtype=np.int32,
                           mode="r+", shape=(args.n,))
     assign2_mm = np.memmap(os.path.join(w, "assign2.i32"),
@@ -304,7 +445,15 @@ def phase_encode(args):
             if lo < hi:
                 v = jnp.asarray(arch.chunk_i8(lo, hi))
                 a_dev, a2_dev, c_dev = _encode_chunk_top2(
-                    v, centroids, cb_centroids, arch.scale, packed=True)
+                    v, centroids, cb_centroids, arch.scale,
+                    packed=args.packed)
+                if gt_pending:
+                    v8f = v if hi - lo == args.chunk else jnp.pad(
+                        v, ((0, args.chunk - (hi - lo)), (0, 0)))
+                    gt_state = gt_step(gt_state, v8f,
+                                       jnp.int32(lo),
+                                       jnp.int32(hi - lo))
+                    del v8f
                 nxt = (a_dev, a2_dev, c_dev, lo, hi)
                 del v
         if pending is not None:
@@ -318,6 +467,14 @@ def phase_encode(args):
             log(f"encode chunk {ci}/{args.seg_hi} "
                 f"(rss {rss_gb():.1f}G)")
     dur = time.perf_counter() - t0
+    if gt_pending:
+        rv32, ri32, rv8, ri8, mism = gt_state
+        np.savez(os.path.join(w, f"gt-{args.seg_lo}.npz"),
+                 v32=np.asarray(rv32), i32=np.asarray(ri32),
+                 v8=np.asarray(rv8), i8=np.asarray(ri8),
+                 mism=np.int64(mism))
+        log(f"gt partial [{args.seg_lo},{args.seg_hi}): quantization "
+            f"drift device-regen vs host archive = {int(mism)} bytes")
     with open(os.path.join(w, f"seg-{args.seg_lo}.json"), "w") as f:
         json.dump({"lo": args.seg_lo, "hi": args.seg_hi, "s": dur}, f)
     rows = min(args.n, args.seg_hi * args.chunk) - args.seg_lo * args.chunk
@@ -336,7 +493,7 @@ def phase_scatter(args):
                                                  pq_cap_len)
 
     w = work_dir(args)
-    m_bytes = args.m // 2
+    m_bytes = m_bytes_of(args)
     cap_len = pq_cap_len(args.n, args.nlist, args.cap_slack)
     assign_mm = np.memmap(os.path.join(w, "assign.i32"), dtype=np.int32,
                           mode="r", shape=(args.n,))
@@ -360,10 +517,46 @@ def phase_scatter(args):
         cb = np.load(os.path.join(w, "codebooks.npz"))
         _spill_pass(hs, assign2_mm, arch.rows_i8, arch.scale,
                     jnp.asarray(cb["centroids"]),
-                    jnp.asarray(cb["cb_centroids"]), packed=True,
+                    jnp.asarray(cb["cb_centroids"]),
+                    packed=args.packed,
                     resid_cap=float(cb["resid_cap"]))
         log(f"spill: {pre_spill} overflow -> "
             f"{int(hs.overflow.sum())} after second-choice placement")
+    # the encode outputs are fully consumed (scatter holds them in RAM);
+    # free the disk BEFORE writing the body npz so peak usage is
+    # archive + codes, not archive + codes + body (100M: 90 vs 104 GB)
+    del assign_mm, assign2_mm, codes_mm
+    for f in ("assign.i32", "assign2.i32", "codes.u8"):
+        p = os.path.join(w, f)
+        if os.path.exists(p):
+            os.unlink(p)
+    # --host-gen hand-off: merge the encode segments' GT partials and
+    # finalize the meta npz (both the f32-regen and stored-int8 refs)
+    gt_parts = sorted(f for f in os.listdir(w) if f.startswith("gt-"))
+    if gt_parts:
+        _, meta_f = cache_paths(args)
+        meta = dict(np.load(meta_f))
+
+        def merged(vk, ik):
+            vs = np.concatenate(
+                [np.load(os.path.join(w, f))[vk] for f in gt_parts],
+                axis=1)
+            is_ = np.concatenate(
+                [np.load(os.path.join(w, f))[ik] for f in gt_parts],
+                axis=1)
+            pos = np.argsort(-vs, axis=1)[:, : args.k]
+            return np.take_along_axis(is_, pos, axis=1)
+
+        mism = sum(int(np.load(os.path.join(w, f))["mism"])
+                   for f in gt_parts)
+        meta["gt_ids"] = merged("v32", "i32")
+        meta["gt_ids_sp"] = merged("v8", "i8")
+        meta["gt_pending"] = np.bool_(False)
+        meta["gt_mism_bytes"] = np.int64(mism)
+        np.savez(meta_f, **meta)
+        log(f"gt merged from {len(gt_parts)} segments; total "
+            f"quantization drift {mism} bytes "
+            f"({mism / (args.n * args.d) * 100:.6f}% of the archive)")
     enc_s = 0.0
     for f in os.listdir(w):
         if f.startswith("seg-"):
@@ -453,6 +646,10 @@ def phase_serve(args):
     up_bw, down_bw = measure_tunnel()
     log(f"tunnel bandwidth: up {up_bw:.0f} MB/s, down {down_bw:.0f} MB/s")
     arch, meta = load_cached_archive(args)
+    if "gt_pending" in getattr(meta, "files", ()) \
+            and bool(meta["gt_pending"]):
+        raise SystemExit("meta still has gt_pending=True — run the "
+                         "encode+scatter phases before serve")
     queries = np.asarray(meta["queries"])
     if args.q > len(queries):
         # the cached query set is fixed at ingest; tile for larger
@@ -461,11 +658,14 @@ def phase_serve(args):
         queries = np.tile(queries,
                           (-(-args.q // len(queries)), 1))[: args.q]
     exact_ids = np.asarray(meta["gt_ids"])
+    exact_ids_sp = np.asarray(meta["gt_ids_sp"]) \
+        if "gt_ids_sp" in getattr(meta, "files", ()) else None
     fill_mvps = float(meta["fill_mvps"])
 
     import jax
     idx = StoreIndex(args.d, mode="ivf_pq", nlist=args.nlist,
-                     nprobe=args.nprobe, pq_m=args.m, pq_packed=True,
+                     nprobe=args.nprobe, pq_m=args.m,
+                     pq_packed=args.packed,
                      pq_refine="host", pq_cap_slack=args.cap_slack,
                      pq_refine_c=args.refine_c or None,
                      build_threshold=1)
@@ -498,24 +698,32 @@ def phase_serve(args):
     log(f"body restored: overflow tail {dropped} (rss {rss_gb():.1f}G)")
 
     # roofline context: the staged build moves int8 rows up (768 B) and
-    # packed codes down (m/2 B) per vector
-    per_vec = 768 / up_bw + (args.m / 2) / down_bw
+    # codes down (m_bytes) per vector
+    per_vec = 768 / up_bw + m_bytes_of(args) / down_bw
     log(f"tunnel roofline: {1.0/per_vec:.2f}M vec/s for 768 B up + "
-        f"{args.m//2} B down per vector at measured bandwidth")
+        f"{m_bytes_of(args)} B down per vector at measured bandwidth")
+
+    sp_hist = []
 
     def recall_of(ids):
         approx = np.asarray(ids[: args.gt_sub])
+        if exact_ids_sp is not None:
+            sp_hist.append(float(np.mean(
+                [len(set(a) & set(b)) / args.k
+                 for a, b in zip(approx, exact_ids_sp)])))
         return float(np.mean([len(set(a) & set(b)) / args.k
                               for a, b in zip(approx, exact_ids)]))
 
     res = measure_serving(idx, queries, args, recall_of)
+    sp_field = f" recall_host_sp={sp_hist[0]:.4f}" if sp_hist else ""
     print(f"RESULT n={args.n} qps_host_refine={res['qps_host']:.0f} "
           f"recall_host={res['rec_host']:.4f} "
           f"qps_host_pipe={res['qps_pipe']:.0f} "
           f"qps_adc={res['qps_adc']:.0f} "
           f"recall_adc={res['rec_adc']:.4f} build_Mvps={steady_mvps:.2f} "
           f"fill_Mvps={fill_mvps:.2f} overflow_pct={dropped/args.n*100:.4f} "
-          f"tunnel_up_MBs={up_bw:.0f} tunnel_down_MBs={down_bw:.0f}")
+          f"tunnel_up_MBs={up_bw:.0f} tunnel_down_MBs={down_bw:.0f}"
+          f"{sp_field}")
 
 
 def run_phases(args):
@@ -531,7 +739,10 @@ def run_phases(args):
             "--chunk", str(args.chunk), "--reps", str(args.reps),
             "--archive-cache", args.archive_cache,
             "--body-cache", args.body_cache,
-            "--work", work_dir(args)]
+            "--work", work_dir(args),
+            "--packed" if args.packed else "--no-packed"] \
+        + (["--host-gen"] if args.host_gen else []) \
+        + (["--platform", args.platform] if args.platform else [])
 
     def run(phase, *extra):
         log(f"== phase {phase} {' '.join(extra)}")
@@ -549,7 +760,7 @@ def run_phases(args):
         run("ingest")
     if not os.path.exists(args.body_cache):
         w = work_dir(args)
-        m_bytes = args.m // 2
+        m_bytes = m_bytes_of(args)
         # preallocate the shared encode outputs
         np.memmap(os.path.join(w, "assign.i32"), dtype=np.int32,
                   mode="w+", shape=(args.n,)).flush()
@@ -560,18 +771,16 @@ def run_phases(args):
         # stale segment timing files would double-count in scatter's
         # steady-rate sum after a failed/partial earlier attempt
         for f in os.listdir(w):
-            if f.startswith("seg-") and f.endswith(".json"):
+            if (f.startswith("seg-") and f.endswith(".json")) \
+                    or (f.startswith("gt-") and f.endswith(".npz")):
                 os.unlink(os.path.join(w, f))
         run("train")
         n_chunks = -(-args.n // args.chunk)
         for lo in range(0, n_chunks, args.seg_chunks):
             hi = min(n_chunks, lo + args.seg_chunks)
             run("encode", "--seg-lo", str(lo), "--seg-hi", str(hi))
-        run("scatter")
-        # the encode outputs are consumed; free the disk
-        os.unlink(os.path.join(w, "assign.i32"))
-        os.unlink(os.path.join(w, "assign2.i32"))
-        os.unlink(os.path.join(w, "codes.u8"))
+        run("scatter")   # (scatter unlinks the consumed encode outputs
+        #  itself, before writing the body npz — lower disk peak)
     run("serve")
 
 
@@ -598,7 +807,8 @@ def main_single(args):
     log(f"tunnel bandwidth: up {up_bw:.0f} MB/s, down {down_bw:.0f} MB/s")
 
     idx = StoreIndex(args.d, mode="ivf_pq", nlist=args.nlist,
-                     nprobe=args.nprobe, pq_m=args.m, pq_packed=True,
+                     nprobe=args.nprobe, pq_m=args.m,
+                     pq_packed=args.packed,
                      pq_refine="host", pq_cap_slack=args.cap_slack,
                      pq_refine_c=args.refine_c or None,
                      build_threshold=1)
@@ -639,10 +849,15 @@ def main_single(args):
 
 def main():
     args = parse_args()
+    if args.platform:
+        from rag_foundation_tpu.utils.platform import pin_platform
+        pin_platform(args.platform)
     if args.phase == "all":
         run_phases(args)
     elif args.phase:
-        {"ingest": phase_ingest, "train": phase_train,
+        {"ingest": (phase_ingest_host if args.host_gen
+                    else phase_ingest),
+         "train": phase_train,
          "encode": phase_encode, "scatter": phase_scatter,
          "serve": phase_serve}[args.phase](args)
     else:
