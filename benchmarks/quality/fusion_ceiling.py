@@ -1,0 +1,129 @@
+"""Rank-fusion ceiling probe: is score blending leaving paraphrase
+recall on the table, or are the missed questions unretrievable by
+EITHER channel?
+
+Exact-cosine doc-level hit@5 over prod chunking, computed per channel
+and under every standard fusion — the convex blend HybridEncoder ships,
+reciprocal-rank fusion (RRF, Cormack et al.'s k=60 and a sharper k=10),
+and max-of-min-max-normalized scores. If no fusion beats the blend, the
+gap to the lexical hash is a vocabulary problem (the semantic channel
+never ranks the right doc high), not a composition problem.
+
+Measured 2026-08-19 with the substitution-augmented ICT checkpoint
+(checkpoints/minilm_ict_syn.npz) — results inline below and in
+docs/ENGINE.md "Why the production default is lexical":
+
+  paraphrase  hash .600  minilm_syn .575  blend_w.35 .650
+              rrf_k10 .650  rrf_k60 .650  maxnorm .575
+  indomain    hash .950  minilm_syn .830  blend_w.25 .980
+              rrf_k10 .960  rrf_k60 .970  maxnorm .960
+
+Every fusion caps at the blend's 0.650 on the paraphrase probe: the
+missed questions ("Which utility feeds electricity to the site?" →
+power.md) are ranked low by BOTH channels, so no composition of the
+two rankings can recover them. See mine_synonyms.py for why the
+semantic channel cannot learn this vocabulary zero-egress.
+
+  python benchmarks/quality/fusion_ceiling.py \
+      --ckpt checkpoints/minilm_ict_syn.npz
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[2]
+sys.path.insert(0, str(REPO))
+
+from rag_foundation_tpu.utils.platform import pin_platform  # noqa: E402
+
+pin_platform("cpu")
+
+import numpy as np  # noqa: E402
+
+from rag_foundation_tpu.engine.api import (  # noqa: E402
+    EngineConfig, _make_minilm)
+from rag_foundation_tpu.engine.chunker import chunk_text  # noqa: E402
+from rag_foundation_tpu.models.hash_encoder import (  # noqa: E402
+    HashingEncoder)
+
+
+def l2(x: np.ndarray) -> np.ndarray:
+    return x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-9)
+
+
+def hit_at(ranking, srcs, want, k=5) -> float:
+    top_docs: list[str] = []
+    for i in ranking:
+        if srcs[i] not in top_docs:
+            top_docs.append(srcs[i])
+        if len(top_docs) >= k:
+            break
+    return float(any(d in want for d in top_docs))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", default="checkpoints/minilm_ict_syn.npz")
+    ap.add_argument("--docs", default=str(Path(__file__).parent / "docs"))
+    ap.add_argument("--k", type=int, default=5)
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+
+    chunks, srcs = [], []
+    for p in sorted(Path(args.docs).glob("*.md")):
+        for c in chunk_text(p.read_text(), max_tokens=200,
+                            overlap_tokens=40):
+            chunks.append(c.text)
+            srcs.append(p.name)
+
+    hash_enc = HashingEncoder(dim=384)
+    mini = _make_minilm(
+        EngineConfig(encoder="minilm", encoder_ckpt=args.ckpt), 384)
+    H = l2(hash_enc.encode(chunks))
+    M = l2(mini.encode(chunks))
+
+    def evaluate(questions: str) -> dict:
+        rows = [json.loads(l) for l in open(questions) if l.strip()]
+        rows = [r for r in rows if r.get("answerable", True)]
+        qs = [r["question"] for r in rows]
+        sh = l2(hash_enc.encode_queries(qs)) @ H.T
+        sm = l2(mini.encode(qs)) @ M.T
+        scored = {"hash": sh, "minilm": sm}
+        for w in (0.25, 0.35, 0.45):
+            scored[f"blend_w{w}"] = (1 - w) * sh + w * sm
+        rh = np.argsort(np.argsort(-sh, axis=1), axis=1)
+        rm = np.argsort(np.argsort(-sm, axis=1), axis=1)
+        for kk in (10, 60):
+            scored[f"rrf_k{kk}"] = (1.0 / (kk + 1 + rh)
+                                    + 1.0 / (kk + 1 + rm))
+
+        def minmax(s):
+            lo = s.min(axis=1, keepdims=True)
+            hi = s.max(axis=1, keepdims=True)
+            return (s - lo) / np.maximum(hi - lo, 1e-9)
+
+        scored["maxnorm"] = np.maximum(minmax(sh), minmax(sm))
+        return {
+            name: round(float(np.mean(
+                [hit_at(np.argsort(-s[i]), srcs,
+                        rows[i]["expected_sources"], args.k)
+                 for i in range(len(rows))])), 4)
+            for name, s in scored.items()
+        }
+
+    qdir = Path(__file__).parent
+    res = {
+        "ckpt": args.ckpt,
+        "paraphrase": evaluate(str(qdir / "questions_paraphrase.jsonl")),
+        "indomain": evaluate(str(qdir / "questions.jsonl")),
+    }
+    print(json.dumps(res, indent=2))
+    if args.out:
+        Path(args.out).write_text(json.dumps(res, indent=2))
+
+
+if __name__ == "__main__":
+    main()
