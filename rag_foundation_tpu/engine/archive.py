@@ -119,11 +119,36 @@ class HostArchive:
         """Exact scores for candidate ``rows [Q, C]`` (int; -1 = pad)
         against queries ``q32 [Q, d]``: f32 result with -inf at pads.
 
-        Chunked over Q so the f32 copy of the gathered rows stays
-        cache-sized (a single [Q, C, d] f32 temp is ~200 MB at
-        Q=1024, C=64), and batched-GEMV via ``np.matmul`` instead of
+        Native path: the C++ kernel (native/hasher.cpp ragtpu_rescore)
+        reads the int8 rows directly — the int8→f32 widening happens in
+        registers inside an AVX dot, so per-candidate memory traffic is
+        d bytes instead of the numpy path's gather-copy + f32
+        materialization (5 bytes/byte). Scores differ from the numpy
+        fallback only by float-reduction order (rtol-tested).
+
+        Numpy fallback: chunked over Q so the f32 copy of the gathered
+        rows stays cache-sized (a single [Q, C, d] f32 temp is ~200 MB
+        at Q=1024, C=64), and batched-GEMV via ``np.matmul`` instead of
         einsum (BLAS path — measured ~1.7x on the serve profile)."""
-        q = np.asarray(q32, np.float32)
+        q = np.ascontiguousarray(q32, np.float32)
+        rows = np.asarray(rows)
+        if self.n and rows.size:
+            from rag_foundation_tpu.native import load_hasher
+            lib = load_hasher()
+            if lib is not None:
+                import ctypes
+                cand = np.ascontiguousarray(rows, np.int64)
+                out = np.empty(rows.shape, np.float32)
+                lib.ragtpu_rescore(
+                    self._rows.ctypes.data_as(
+                        ctypes.POINTER(ctypes.c_int8)),
+                    self.n, self.dim,
+                    cand.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                    q.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    cand.shape[0], cand.shape[1],
+                    ctypes.c_float(self.scale),
+                    out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+                return out
         safe = np.clip(rows, 0, max(0, self.n - 1))
         out = np.empty(rows.shape, np.float32)
         step = max(1, _RESCORE_CHUNK_ELEMS

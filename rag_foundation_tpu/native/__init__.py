@@ -33,9 +33,13 @@ def _build() -> Path | None:
     if lib_path.exists() and lib_path.stat().st_mtime >= _SRC.stat().st_mtime:
         return lib_path
     try:
+        # -march=native: the lib is built on THIS machine on demand
+        # (never shipped), so targeting its ISA is free — the rescore
+        # dot vectorizes to AVX-512 here. -fopenmp-simd honors the
+        # reduction pragma without pulling in the OpenMP runtime.
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-             str(_SRC), "-o", str(lib_path)],
+            ["g++", "-O3", "-march=native", "-fopenmp-simd", "-shared",
+             "-fPIC", "-std=c++17", str(_SRC), "-o", str(lib_path)],
             check=True, capture_output=True, timeout=120)
         return lib_path
     except (OSError, subprocess.SubprocessError):
@@ -61,5 +65,11 @@ def load_hasher() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
             ctypes.c_uint64]
         lib.ragtpu_hash_encode.restype = None
+        lib.ragtpu_rescore.argtypes = [
+            ctypes.POINTER(ctypes.c_int8), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_float)]
+        lib.ragtpu_rescore.restype = None
         _LIB = lib
         return _LIB

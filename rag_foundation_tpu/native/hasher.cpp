@@ -100,4 +100,61 @@ void ragtpu_hash_encode(const char* blob, const long* lens, int count,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Exact host rescore — the host-refine PQ tier's second hot stage.
+//
+// scores[i, j] = scale * dot(q[i, :], archive[cand[i, j], :])
+//
+// The numpy path (engine/archive.py HostArchive.rescore) gathers the
+// int8 candidate rows and materializes an f32 copy before a batched
+// GEMV — 5 bytes of memory traffic per archive byte. Here the int8->f32
+// widening happens in registers inside the dot, so traffic is just the
+// gathered rows themselves. The f32 reduction is reassociated (omp simd
+// pragma), so sums differ from numpy's BLAS order by normal float
+// noise — callers rank with argsort, and the equivalence test uses
+// rtol (tests/test_native_hasher.py).
+//
+// Semantics match the numpy fallback exactly: ids < 0 are pads
+// (-inf); ids >= n clip to the last row (defensive, cannot happen).
+void ragtpu_rescore(const int8_t* rows, int64_t n, int64_t d,
+                    const int64_t* cand, const float* q, int64_t q_n,
+                    int64_t c, float scale, float* out) {
+  const int64_t last = n > 0 ? n - 1 : 0;
+  constexpr int64_t kPrefetch = 8;  // candidate rows of DRAM latency to hide
+  for (int64_t i = 0; i < q_n; ++i) {
+    const float* qv = q + i * d;
+    const int64_t* ci = cand + i * c;
+    for (int64_t j = 0; j < c; ++j) {
+      // software-prefetch a future candidate's whole row: the gather is
+      // DRAM-latency-bound (each candidate is a random ~768 B row; the
+      // hardware prefetcher only helps WITHIN a row), so overlapping
+      // the next rows' fetches with this row's dot is the actual win —
+      // numpy's fancy-index gather pays the full latency serially.
+      if (j + kPrefetch < c) {
+        int64_t pid = ci[j + kPrefetch];
+        if (pid >= 0) {
+          if (pid > last) pid = last;
+          const char* p = reinterpret_cast<const char*>(rows + pid * d);
+          for (int64_t off = 0; off < d; off += 64) {
+            __builtin_prefetch(p + off, 0, 0);
+          }
+        }
+      }
+      int64_t id = ci[j];
+      if (id < 0) {
+        out[i * c + j] = -__builtin_inff();
+        continue;
+      }
+      if (id > last) id = last;
+      const int8_t* rv = rows + id * d;
+      float acc = 0.0f;
+#pragma omp simd reduction(+ : acc)
+      for (int64_t kk = 0; kk < d; ++kk) {
+        acc += qv[kk] * static_cast<float>(rv[kk]);
+      }
+      out[i * c + j] = acc * scale;
+    }
+  }
+}
+
 }  // extern "C"

@@ -48,3 +48,52 @@ def test_native_is_fast_enough():
     dt = time.perf_counter() - t0
     # 200 chunks x ~1.3KB in well under a second
     assert dt < 1.0, dt
+
+
+# -- native rescore (host-refine PQ tier) -----------------------------------
+
+
+def _archive(n=4096, d=256, seed=0):
+    from rag_foundation_tpu.engine.archive import HostArchive
+    rng = np.random.default_rng(seed)
+    arch = HostArchive(d)
+    arch.append(rng.integers(-127, 128, size=(n, d), dtype=np.int8))
+    return arch, rng
+
+
+def _numpy_rescore(arch, q32, rows):
+    q = np.asarray(q32, np.float32)
+    safe = np.clip(rows, 0, max(0, arch.n - 1))
+    gathered = arch._rows[safe].astype(np.float32)
+    out = np.matmul(gathered, q[:, :, None])[:, :, 0] * arch.scale
+    return np.where(rows >= 0, out, -np.inf)
+
+
+def test_native_rescore_matches_numpy():
+    if load_hasher() is None:
+        pytest.skip("no g++ toolchain")
+    arch, rng = _archive()
+    q = rng.standard_normal((8, arch.dim)).astype(np.float32)
+    rows = rng.integers(0, arch.n, size=(8, 33)).astype(np.int64)
+    rows[0, 0] = -1          # pad -> -inf
+    rows[3, 5] = arch.n + 7  # out of range -> clip (defensive)
+    got = arch.rescore(q, rows)
+    want = _numpy_rescore(arch, q, rows)
+    assert got.dtype == np.float32
+    assert np.all(np.isneginf(got[rows < 0]))
+    mask = rows >= 0
+    np.testing.assert_allclose(got[mask], want[mask], rtol=2e-5, atol=1e-4)
+
+
+def test_native_rescore_ranking_agrees_with_numpy():
+    if load_hasher() is None:
+        pytest.skip("no g++ toolchain")
+    arch, rng = _archive(n=2048, d=128, seed=1)
+    q = rng.standard_normal((16, arch.dim)).astype(np.float32)
+    rows = rng.integers(0, arch.n, size=(16, 64)).astype(np.int64)
+    got = np.argsort(-arch.rescore(q, rows), axis=1, kind="stable")[:, :10]
+    want = np.argsort(-_numpy_rescore(arch, q, rows), axis=1,
+                      kind="stable")[:, :10]
+    # float-reduction-order ties could in principle swap equal scores;
+    # with random int8 rows exact score ties are vanishingly unlikely
+    np.testing.assert_array_equal(got, want)
