@@ -399,20 +399,30 @@ def phase_encode(args):
 
         # distinct buffers: the jit donates the state tuple, and jax
         # rejects donating one buffer twice
-        gt_state = (neg(), none_i(), neg(), none_i(), jnp.int64(0))
+        # drift counter carried as TWO int32 lanes (hi = count // 2**16,
+        # lo = count % 2**16): with x64 disabled jnp.int64 silently
+        # becomes int32, and a 100M-row segment can overflow int32
+        # exactly when drift is large — the condition the counter
+        # exists to detect (ADVICE r4). Per-chunk counts are < 2**31
+        # (chunk*d <= 512k*768 ≈ 4e8), so the in-chunk int32 sum is
+        # safe; the lanes bound the cross-chunk accumulation.
+        gt_state = (neg(), none_i(), neg(), none_i(),
+                    jnp.int32(0), jnp.int32(0))
         scale = float(arch.scale)
 
         @functools.partial(jax.jit, donate_argnums=0)
         def gt_step(state, v8, row_base, mrows):
-            rv32, ri32, rv8, ri8, mism = state
+            rv32, ri32, rv8, ri8, mism_hi, mism_lo = state
             valid = jnp.arange(args.chunk) < mrows
             ids = row_base + jnp.arange(args.chunk, dtype=jnp.int32)
             v32 = corpus_mod.gen_docwalk_chunk(
                 k_noise, topics, row_base, chunk=args.chunk)
             q32 = jnp.clip(jnp.round(v32 * 127.0), -127,
                            127).astype(jnp.int8)
-            mism = mism + jnp.sum(jnp.where(
-                valid[:, None], (q32 != v8).astype(jnp.int64), 0))
+            c = jnp.sum(jnp.where(
+                valid[:, None], (q32 != v8).astype(jnp.int32), 0))
+            mism_hi = mism_hi + c // 65536
+            mism_lo = mism_lo + c % 65536
 
             def merge(rv, ri, x):
                 s = jnp.dot(q_sub, x.T,
@@ -427,7 +437,7 @@ def phase_encode(args):
             rv32, ri32 = merge(rv32, ri32, v32)
             rv8, ri8 = merge(rv8, ri8,
                              v8.astype(jnp.float32) * scale)
-            return rv32, ri32, rv8, ri8, mism
+            return rv32, ri32, rv8, ri8, mism_hi, mism_lo
     assign_mm = np.memmap(os.path.join(w, "assign.i32"), dtype=np.int32,
                           mode="r+", shape=(args.n,))
     assign2_mm = np.memmap(os.path.join(w, "assign2.i32"),
@@ -468,7 +478,9 @@ def phase_encode(args):
                 f"(rss {rss_gb():.1f}G)")
     dur = time.perf_counter() - t0
     if gt_pending:
-        rv32, ri32, rv8, ri8, mism = gt_state
+        rv32, ri32, rv8, ri8, mism_hi, mism_lo = gt_state
+        # recombine the int32 lanes on host at int64 width (ADVICE r4)
+        mism = np.int64(int(mism_hi)) * 65536 + np.int64(int(mism_lo))
         np.savez(os.path.join(w, f"gt-{args.seg_lo}.npz"),
                  v32=np.asarray(rv32), i32=np.asarray(ri32),
                  v8=np.asarray(rv8), i8=np.asarray(ri8),
@@ -522,14 +534,20 @@ def phase_scatter(args):
                     resid_cap=float(cb["resid_cap"]))
         log(f"spill: {pre_spill} overflow -> "
             f"{int(hs.overflow.sum())} after second-choice placement")
-    # the encode outputs are fully consumed (scatter holds them in RAM);
-    # free the disk BEFORE writing the body npz so peak usage is
-    # archive + codes, not archive + codes + body (100M: 90 vs 104 GB)
+    # The encode outputs are fully consumed (scatter holds them in
+    # RAM). They are deleted only AFTER the body npz lands via
+    # tmp-write + os.replace below (ADVICE r4: a crash or disk-full
+    # during the 13 GiB savez — exactly the pressure early unlink
+    # targeted — must not destroy the multi-hour encode outputs;
+    # with them intact, scatter alone is retryable). Disk peak is
+    # archive + codes + body (100M: ~104 GB).
     del assign_mm, assign2_mm, codes_mm
-    for f in ("assign.i32", "assign2.i32", "codes.u8"):
-        p = os.path.join(w, f)
-        if os.path.exists(p):
-            os.unlink(p)
+
+    def _drop_encode_outputs() -> None:
+        for f in ("assign.i32", "assign2.i32", "codes.u8"):
+            p = os.path.join(w, f)
+            if os.path.exists(p):
+                os.unlink(p)
     # --host-gen hand-off: merge the encode segments' GT partials and
     # finalize the meta npz (both the f32-regen and stored-int8 refs)
     gt_parts = sorted(f for f in os.listdir(w) if f.startswith("gt-"))
@@ -581,7 +599,16 @@ def phase_scatter(args):
         "f_refine": np.zeros((0, 0), np.int8),
         "f_refine_scale": np.float32(1.0),
     }
-    np.savez(args.body_cache, **out)
+    # .npz suffix so np.savez doesn't append one to the temp name
+    tmp = args.body_cache + ".tmp.npz"
+    try:
+        np.savez(tmp, **out)
+        os.replace(tmp, args.body_cache)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+    _drop_encode_outputs()
     log(f"body cache written: {args.body_cache} "
         f"({os.path.getsize(args.body_cache)/2**30:.1f} GiB)")
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import functools
 import re
+import threading
 
 _WORD_RE = re.compile(r"[a-z0-9]+(?:[-'][a-z0-9]+)*")
 
@@ -75,10 +76,18 @@ def words(text: str) -> list[str]:
 # ~5 sentences they overflow an LRU and thrash (VERDICT r3 item 6:
 # "precompute chunk sentence stems at ingest time instead of memoizing
 # at first query"). They are pinned here — computed once at ingest /
-# store-restore / first hit assembly, never evicted; query-derived
-# texts stay in the bounded LRU. Memory: one frozenset of short strings
-# per distinct chunk sentence.
+# store-restore / first hit assembly; query-derived texts stay in the
+# bounded LRU. Memory: one frozenset of short strings per distinct
+# chunk sentence. Pins from ingest are REFCOUNTED (the same sentence
+# can live in several chunks/stores) and evicted by unpin_chunk on the
+# document/store delete paths, so upload/delete churn does not leak
+# (ADVICE r4). Pins taken at hit assembly (pin_stems, the RPC-app
+# process which never ingests) carry no refcount; they are bounded by
+# a soft cap that evicts the oldest zero-ref entries.
 _PINNED: dict[str, frozenset] = {}
+_PIN_REFS: dict[str, int] = {}
+_ZERO_REF_CAP = 200_000
+_PIN_LOCK = threading.Lock()
 
 # sentence split shared by the reader path and ingest-time pinning (the
 # keys must match exactly); doesn't break on honorific abbreviations
@@ -102,23 +111,60 @@ def content_stems(text: str) -> frozenset[str]:
 
 
 def pin_stems(text: str) -> frozenset[str]:
-    """content_stems with permanent residency (corpus-derived texts)."""
+    """content_stems with pinned residency (corpus-derived texts).
+
+    Zero-ref pins (taken at hit assembly rather than ingest) are
+    bounded: past _ZERO_REF_CAP entries the oldest unreferenced pins
+    are evicted, so a long-lived RPC-app process cannot grow without
+    bound."""
     hit = _PINNED.get(text)
-    if hit is None:
-        hit = _PINNED[text] = _content_stems_lru(text)
-    return hit
+    if hit is not None:
+        return hit
+    stems = _content_stems_lru(text)
+    with _PIN_LOCK:
+        if len(_PINNED) >= _ZERO_REF_CAP:
+            # evict oldest zero-ref pins (insertion-ordered dict scan)
+            dead = [k for k in _PINNED
+                    if _PIN_REFS.get(k, 0) <= 0][: _ZERO_REF_CAP // 4]
+            for k in dead:
+                _PINNED.pop(k, None)
+        _PINNED[text] = stems
+    return stems
+
+
+def _chunk_keys(text: str):
+    yield text
+    for s in SENT_SPLIT.split(text.strip()):
+        s = s.strip()
+        if s:
+            yield s
 
 
 def pin_chunk(text: str) -> None:
     """Precompute the stem sets the reader will ask for when a hit
     carries this chunk: the full text (coverage gates) and each split
     sentence (sentence ranking). Called at ingest and store restore so
-    the first query pays nothing."""
-    pin_stems(text)
-    for s in SENT_SPLIT.split(text.strip()):
-        s = s.strip()
-        if s:
-            pin_stems(s)
+    the first query pays nothing. Refcounted: pair with unpin_chunk on
+    the delete path."""
+    with _PIN_LOCK:
+        for key in _chunk_keys(text):
+            _PIN_REFS[key] = _PIN_REFS.get(key, 0) + 1
+            if key not in _PINNED:
+                _PINNED[key] = _content_stems_lru(key)
+
+
+def unpin_chunk(text: str) -> None:
+    """Release one pin_chunk reference; evicts stem sets whose last
+    referencing chunk was deleted (document delete / store delete), so
+    upload/delete churn does not leak pinned memory (ADVICE r4)."""
+    with _PIN_LOCK:
+        for key in _chunk_keys(text):
+            refs = _PIN_REFS.get(key, 0) - 1
+            if refs <= 0:
+                _PIN_REFS.pop(key, None)
+                _PINNED.pop(key, None)
+            else:
+                _PIN_REFS[key] = refs
 
 
 class StemSet:

@@ -188,7 +188,12 @@ class Engine:
 
     def delete_store(self, key: str) -> None:
         with self._registry_lock:
-            self._stores.pop(key, None)
+            store = self._stores.pop(key, None)
+        if store is not None:
+            from rag_foundation_tpu.app.services import textnorm
+            with store.lock:
+                for m in store.chunks.values():
+                    textnorm.unpin_chunk(m.text)
         if self.config.data_dir:
             p = self._store_dir(key)
             for f in ("vectors.npz", "meta.json", "body.npz"):
@@ -340,8 +345,12 @@ class Engine:
     def _delete_doc_locked(self, store: _Store, doc_id: str) -> None:
         dead = {cid for cid, m in store.chunks.items() if m.doc_id == doc_id}
         if dead:
+            from rag_foundation_tpu.app.services import textnorm
             store.segment.delete_ids(dead)
             for cid in dead:
+                # release the reader stem-set pins taken at ingest so
+                # upload/delete churn doesn't leak memory (ADVICE r4)
+                textnorm.unpin_chunk(store.chunks[cid].text)
                 del store.chunks[cid]
 
     def delete_document(self, store_key: str, doc_id: str) -> None:

@@ -17,6 +17,7 @@ host→device copy on the tunneled transport, so they are real.
 from __future__ import annotations
 
 import contextlib
+import threading
 import time
 from collections import defaultdict
 
@@ -25,6 +26,13 @@ class StageProfile:
     def __init__(self) -> None:
         self.seconds: dict[str, float] = defaultdict(float)
         self.calls: dict[str, int] = defaultdict(int)
+        # concurrent app searches accumulate into the same singleton;
+        # '+=' on a dict value is a read-modify-write that loses
+        # updates without this (ADVICE r4). Stage *interleaving* across
+        # threads still mixes wall-clock — per-stage shares are only
+        # meaningful under single-threaded bench drivers; the totals
+        # stay exact either way.
+        self._lock = threading.Lock()
 
     @contextlib.contextmanager
     def stage(self, name: str):
@@ -32,12 +40,15 @@ class StageProfile:
         try:
             yield
         finally:
-            self.seconds[name] += time.perf_counter() - t0
-            self.calls[name] += 1
+            dt = time.perf_counter() - t0
+            with self._lock:
+                self.seconds[name] += dt
+                self.calls[name] += 1
 
     def reset(self) -> None:
-        self.seconds.clear()
-        self.calls.clear()
+        with self._lock:
+            self.seconds.clear()
+            self.calls.clear()
 
     def snapshot(self) -> dict[str, dict]:
         return {k: {"s": round(self.seconds[k], 4), "n": self.calls[k]}

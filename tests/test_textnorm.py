@@ -54,3 +54,35 @@ def test_matched_in_equals_naive_definition():
         assert q.matched_in(others) == _naive_matched_in(set(q), others)
         assert q.matched_in(list(others)) == \
             _naive_matched_in(set(q), others)
+
+
+def test_pin_chunk_refcounted_unpin_evicts():
+    # ADVICE r4: delete-path eviction — pins taken at ingest must be
+    # released when the owning chunk is removed, refcounted across
+    # chunks sharing a sentence
+    chunk = "The flywheel spins at 9000 rpm. It is sealed in argon."
+    sent = "The flywheel spins at 9000 rpm."
+    textnorm.pin_chunk(chunk)
+    textnorm.pin_chunk(chunk)          # second chunk with same text
+    assert chunk in textnorm._PINNED
+    assert sent in textnorm._PINNED
+    textnorm.unpin_chunk(chunk)
+    assert chunk in textnorm._PINNED   # one reference still held
+    textnorm.unpin_chunk(chunk)
+    assert chunk not in textnorm._PINNED
+    assert sent not in textnorm._PINNED
+    assert chunk not in textnorm._PIN_REFS
+
+
+def test_engine_delete_document_releases_pins():
+    from rag_foundation_tpu.engine.api import Engine, EngineConfig
+    eng = Engine(EngineConfig(dim=32, encoder="hash"))
+    key = "stores/t-pins"
+    eng.create_store(key)
+    text = ("The auxiliary pump pressurizes the coolant loop to "
+            "41 bar. A relief valve opens at 44 bar.")
+    eng.ingest_document(key, "d1", "pump.md", text)
+    # ingest pinned the chunk text (single chunk at this size)
+    assert text in textnorm._PINNED
+    eng.delete_document(key, "d1")
+    assert text not in textnorm._PINNED
