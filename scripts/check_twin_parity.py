@@ -1,0 +1,370 @@
+#!/usr/bin/env python
+"""Twin↔JS anti-drift gate (VERDICT r4 item 5).
+
+The frontend ships as dependency-free ES modules and this image has no
+JS runtime, so its *behavior* is tested through executable Python twins
+(utils/sse.py, utils/chatview.py, utils/uploadview.py — see
+tests/test_frontend_behavior.py). Before this gate, the only thing
+tying a twin to its JS was a docstring instruction ("any behavior
+change MUST land in both"). This script makes the pairing mechanical:
+it PARSES the shipped JS (regex/brace-matching — no JS runtime needed)
+and the Python twins (ast), extracts the structural facts both sides
+must agree on, and fails on any asymmetry:
+
+  - chat.js handleFrame's frame-type branch set
+      == ChatView.handle_frame's ``kind`` comparison set
+  - chat.js mdLite's regex rules == chatview's compiled patterns
+  - chat.js error-frame field preference (message || errorText)
+      == chatview's frame.get(...) or frame.get(...) order
+  - sse.js wire literals (event separator, line split, "data: "
+      prefix + slice offset, "[DONE]" sentinel, malformed-frame
+      message prefix) == utils/sse.py's
+  - stores.js uploadFileInto's phase-string templates
+      == uploadview's f-string templates (``${x}``/{x} normalized)
+
+Mutating a frame branch / wire literal / phase string on ONE side now
+fails the suite (tests/test_twin_parity.py wires this in like the
+scripts/export_api_spec.py --check API drift gate).
+
+Reference analog: the reference needs no such gate — its Playwright
+e2e suite executes the real frontend
+(/root/reference/frontend/tests/e2e/chat.spec.ts:1-76); this gate buys
+the anti-drift half of that in a runtime-less image.
+"""
+
+from __future__ import annotations
+
+import ast
+import re
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+PKG = REPO / "rag_foundation_tpu"
+STATIC = PKG / "app" / "static"
+UTILS = PKG / "utils"
+
+
+# -- JS-side extraction (regex + brace matching; no JS runtime) -----------
+
+def js_function_body(source: str, name: str) -> str:
+    """Body of ``function <name>(...) { ... }`` (brace-matched; quotes,
+    template literals and // comments respected enough for this
+    codebase's style)."""
+    m = re.search(rf"function\s+{re.escape(name)}\s*\(", source)
+    if not m:
+        raise ValueError(f"function {name} not found")
+    i = source.index("{", m.end())
+    depth = 0
+    in_str: str | None = None
+    prev_code = ""          # last non-space code char (regex heuristic)
+    j = i
+    while j < len(source):
+        c = source[j]
+        if in_str:
+            if c == "\\":
+                j += 2
+                continue
+            if c == in_str:
+                in_str = None
+        elif c in "\"'`":
+            in_str = c
+        elif c == "/" and source[j : j + 2] == "//":
+            j = source.index("\n", j)
+            continue
+        elif c == "/" and prev_code in "(,=:[!&|?{};\n":
+            # regex literal (a `/` after an operator/opener can't be
+            # division); backticks/quotes/braces inside must not
+            # desynchronize the scan — skip to the unescaped closing
+            # `/`, honoring character classes
+            j += 1
+            in_class = False
+            while j < len(source):
+                rc = source[j]
+                if rc == "\\":
+                    j += 2
+                    continue
+                if rc == "[":
+                    in_class = True
+                elif rc == "]":
+                    in_class = False
+                elif rc == "/" and not in_class:
+                    break
+                j += 1
+        elif c == "{":
+            depth += 1
+        elif c == "}":
+            depth -= 1
+            if depth == 0:
+                return source[i + 1 : j]
+        if not c.isspace():
+            prev_code = c
+        j += 1
+    raise ValueError(f"unterminated body for {name}")
+
+
+def js_switch_cases(body: str) -> set[str]:
+    """String labels of every ``case "x":`` (fallthrough included)."""
+    return set(re.findall(r"case\s+\"([^\"]+)\"\s*:", body))
+
+
+_JS_REGEX = re.compile(r"/((?:\\.|\[[^\]]*\]|[^/\\\n ])+)/([a-z]*)")
+_JS_BLOCK_COMMENT = re.compile(r"/\*.*?\*/", re.S)
+_JS_LINE_COMMENT = re.compile(r"(?<![:\"])//[^\n]*")
+
+
+def strip_js_comments(source: str) -> str:
+    """Drop /* */ and // comments (keeps ``://`` in string URLs);
+    comment prose like "start / text-start / finish" must never read
+    as a regex literal."""
+    return _JS_LINE_COMMENT.sub("", _JS_BLOCK_COMMENT.sub("", source))
+
+
+def js_regex_literals(body: str) -> set[str]:
+    """Regex literal sources in a JS snippet (flags dropped; comments
+    stripped; no spaces inside — the twins' patterns use \\s). Division
+    is not used in the snippets this gate scans."""
+    return {m.group(1)
+            for m in _JS_REGEX.finditer(strip_js_comments(body))}
+
+
+def js_or_chain_fields(body: str, obj: str) -> list[str]:
+    """Ordered fields of the first ``obj.a || obj.b`` chain."""
+    m = re.search(
+        rf"{obj}\.(\w+)\s*\|\|\s*{obj}\.(\w+)", body)
+    return list(m.groups()) if m else []
+
+
+_TPL = re.compile(r"\$\{[^}]*\}")
+
+
+def js_phase_templates(source: str) -> set[str]:
+    """Normalized phase strings assigned in uploadFileInto:
+    ``phase.textContent = `...${x}...``` with ``${..}`` -> ``{}`` plus
+    the initial literal inside ``<span class="phase">``."""
+    body = js_function_body(source, "uploadFileInto")
+    out: set[str] = set()
+    for m in re.finditer(r"phase\.textContent\s*=\s*`([^`]*)`", body):
+        out.add(_TPL.sub("{}", m.group(1)))
+    m = re.search(r"class=\"phase\">([^<$`]+)<", body)
+    if m:
+        out.add(m.group(1))
+    return out
+
+
+# -- Python-side extraction (ast over the twins) ---------------------------
+
+def _method(tree: ast.Module, cls: str, name: str) -> ast.FunctionDef:
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ClassDef) and node.name == cls:
+            for item in node.body:
+                if isinstance(item, ast.FunctionDef) and item.name == name:
+                    return item
+    raise ValueError(f"{cls}.{name} not found")
+
+
+def py_kind_branches(tree: ast.Module) -> set[str]:
+    """String constants compared against ``kind`` in
+    ChatView.handle_frame (== and ``in (tuple)``)."""
+    fn = _method(tree, "ChatView", "handle_frame")
+    out: set[str] = set()
+    for node in ast.walk(fn):
+        if not isinstance(node, ast.Compare):
+            continue
+        names = [n.id for n in ast.walk(node.left)
+                 if isinstance(n, ast.Name)]
+        if "kind" not in names:
+            continue
+        for comp in node.comparators:
+            for c in ast.walk(comp):
+                if isinstance(c, ast.Constant) and isinstance(c.value, str):
+                    out.add(c.value)
+    return out
+
+
+def py_compiled_patterns(tree: ast.Module) -> set[str]:
+    """Pattern strings of module-level re.compile(...) calls."""
+    out: set[str] = set()
+    for node in ast.walk(tree):
+        if (isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "compile"
+                and isinstance(node.func.value, ast.Name)
+                and node.func.value.id == "re"
+                and node.args
+                and isinstance(node.args[0], ast.Constant)):
+            out.add(node.args[0].value)
+    return out
+
+
+def py_replace_literals(tree: ast.Module, func: str) -> set[str]:
+    """First args of ``.replace("lit", ...)`` calls in function
+    ``func`` (module-level def)."""
+    out: set[str] = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.FunctionDef) and node.name == func:
+            for call in ast.walk(node):
+                if (isinstance(call, ast.Call)
+                        and isinstance(call.func, ast.Attribute)
+                        and call.func.attr == "replace"
+                        and call.args
+                        and isinstance(call.args[0], ast.Constant)
+                        and isinstance(call.args[0].value, str)):
+                    out.add(call.args[0].value)
+    return out
+
+
+def py_get_or_chain(tree: ast.Module, method: tuple[str, str],
+                    obj: str) -> list[str]:
+    """Ordered keys of the first ``obj.get("a") or obj.get("b")``."""
+    fn = _method(tree, *method)
+    for node in ast.walk(fn):
+        if isinstance(node, ast.BoolOp) and isinstance(node.op, ast.Or):
+            keys = []
+            for v in node.values:
+                if (isinstance(v, ast.Call)
+                        and isinstance(v.func, ast.Attribute)
+                        and v.func.attr == "get"
+                        and isinstance(v.func.value, ast.Name)
+                        and v.func.value.id == obj
+                        and v.args
+                        and isinstance(v.args[0], ast.Constant)):
+                    keys.append(v.args[0].value)
+            if len(keys) >= 2:
+                return keys
+    return []
+
+
+_PY_TPL = re.compile(r"\{[^}]*\}")
+
+
+def py_fstring_templates(tree: ast.Module) -> set[str]:
+    """Normalized f-string templates (``{expr}`` -> ``{}``) plus plain
+    phase-string defaults in uploadview."""
+    out: set[str] = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.JoinedStr):
+            parts = []
+            for v in node.values:
+                if isinstance(v, ast.Constant):
+                    parts.append(str(v.value))
+                else:
+                    parts.append("{}")
+            out.add("".join(parts))
+    # the initial phase default ("uploading…") is a plain str field
+    for node in ast.walk(tree):
+        if (isinstance(node, ast.AnnAssign)
+                and isinstance(node.target, ast.Name)
+                and node.target.id == "phase"
+                and isinstance(node.value, ast.Constant)):
+            out.add(node.value.value)
+    return out
+
+
+def py_sse_literals(tree: ast.Module, source: str) -> dict:
+    pats = py_compiled_patterns(tree)
+    sep = next((p for p in pats if "\\n\\n" in p or r"\n\r?\n" in p), None)
+    line = next((p for p in pats if p != sep), None)
+    m = re.search(r"startswith\(\"([^\"]+)\"\)", source)
+    prefix = m.group(1) if m else None
+    m = re.search(r"line\[(\d+):\]", source)
+    offset = int(m.group(1)) if m else None
+    m = re.search(r"==\s*\"(\[DONE\])\"", source)
+    done = m.group(1) if m else None
+    m = re.search(r"malformed frame: ", source)
+    malformed = m.group(0) if m else None
+    return {"sep": sep, "line": line, "prefix": prefix,
+            "offset": offset, "done": done, "malformed": malformed}
+
+
+def js_sse_literals(source: str) -> dict:
+    pats = js_regex_literals(source)
+    # anchored copy of the separator used for slice-length match
+    pats = {p.lstrip("^") for p in pats}
+    sep = next((p for p in pats if r"\n\r?\n" in p), None)
+    line = next((p for p in pats if p != sep), None)
+    m = re.search(r"startsWith\(\"([^\"]+)\"\)", source)
+    prefix = m.group(1) if m else None
+    m = re.search(r"line\.slice\((\d+)\)", source)
+    offset = int(m.group(1)) if m else None
+    m = re.search(r"===\s*\"(\[DONE\])\"", source)
+    done = m.group(1) if m else None
+    m = re.search(r"malformed frame: ", source)
+    malformed = m.group(0) if m else None
+    return {"sep": sep, "line": line, "prefix": prefix,
+            "offset": offset, "done": done, "malformed": malformed}
+
+
+# -- the gate ---------------------------------------------------------------
+
+def check_parity(static: Path = STATIC, utils: Path = UTILS) -> list[str]:
+    """All twin↔JS asymmetries (empty = in lockstep)."""
+    errors: list[str] = []
+
+    chat_js = (static / "chat.js").read_text()
+    chat_py_src = (utils / "chatview.py").read_text()
+    chat_py = ast.parse(chat_py_src)
+
+    js_branches = js_switch_cases(js_function_body(chat_js, "handleFrame"))
+    py_branches = py_kind_branches(chat_py)
+    if js_branches != py_branches:
+        errors.append(
+            f"handleFrame frame-type branches drifted: chat.js "
+            f"{sorted(js_branches)} != chatview.py {sorted(py_branches)}")
+
+    js_md = {p.replace(r"\/", "/")      # JS-only escape
+             for p in js_regex_literals(js_function_body(chat_js,
+                                                         "mdLite"))}
+    py_md = py_compiled_patterns(chat_py)
+    # a JS regex with no metacharacters may be mirrored as a literal
+    # str.replace in the twin (same behavior, cheaper mechanism)
+    py_md |= {lit for lit in py_replace_literals(chat_py, "md_lite")
+              if not re.search(r"[\\^$.|?*+()\[\]{}]", lit)}
+    if js_md != py_md:
+        errors.append(
+            f"mdLite regex rules drifted: chat.js {sorted(js_md)} != "
+            f"chatview.py {sorted(py_md)}")
+
+    js_err = js_or_chain_fields(
+        js_function_body(chat_js, "handleFrame"), "frame")
+    py_err = py_get_or_chain(chat_py, ("ChatView", "handle_frame"), "frame")
+    if js_err != py_err:
+        errors.append(
+            f"error-frame field preference drifted: chat.js {js_err} != "
+            f"chatview.py {py_err}")
+
+    sse_js = (static / "sse.js").read_text()
+    sse_py_src = (utils / "sse.py").read_text()
+    j = js_sse_literals(sse_js)
+    p = py_sse_literals(ast.parse(sse_py_src), sse_py_src)
+    for key in sorted(j):
+        if j[key] is None or p[key] is None or j[key] != p[key]:
+            errors.append(
+                f"sse wire literal {key!r} drifted: sse.js {j[key]!r} "
+                f"!= sse.py {p[key]!r}")
+
+    stores_js = (static / "stores.js").read_text()
+    upload_py = ast.parse((utils / "uploadview.py").read_text())
+    js_phases = js_phase_templates(stores_js)
+    py_phases = py_fstring_templates(upload_py)
+    if js_phases != py_phases:
+        errors.append(
+            f"upload phase templates drifted: stores.js "
+            f"{sorted(js_phases)} != uploadview.py {sorted(py_phases)}")
+
+    return errors
+
+
+def main() -> int:
+    errors = check_parity()
+    if errors:
+        for e in errors:
+            print(f"TWIN-DRIFT: {e}", file=sys.stderr)
+        return 1
+    print("twin parity OK (chat frames, mdLite rules, error fields, "
+          "sse wire literals, upload phases)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

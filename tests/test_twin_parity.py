@@ -1,0 +1,104 @@
+"""Twin↔JS anti-drift gate tests (VERDICT r4 item 5).
+
+The executable twins (utils/sse.py, utils/chatview.py,
+utils/uploadview.py) carry the frontend's behavior under test; the
+shipped JS must stay structurally in lockstep. scripts/
+check_twin_parity.py extracts frame branches / regex rules / wire
+literals / phase templates from BOTH sides and reports asymmetries;
+these tests wire it into the suite (like the export_api_spec --check
+gate) and prove the gate actually fires: mutating a frame branch in
+chat.js ALONE fails, as does mutating the twin alone.
+
+Reference analog: /root/reference/frontend/tests/e2e/chat.spec.ts:1-76
+tests the real frontend; this is the anti-drift half of that in a
+JS-runtime-less image.
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+
+import check_twin_parity as gate  # noqa: E402
+
+
+def test_shipped_js_and_twins_in_lockstep():
+    assert gate.check_parity() == []
+
+
+def _mutated_tree(tmp_path, rel: str, old: str, new: str):
+    """Copy the JS + twin files into tmp, apply one substitution."""
+    static = tmp_path / "static"
+    utils = tmp_path / "utils"
+    static.mkdir()
+    utils.mkdir()
+    for f in ("chat.js", "sse.js", "stores.js"):
+        shutil.copy(gate.STATIC / f, static / f)
+    for f in ("chatview.py", "sse.py", "uploadview.py"):
+        shutil.copy(gate.UTILS / f, utils / f)
+    target = tmp_path / rel
+    src = target.read_text()
+    assert old in src, f"mutation anchor {old!r} missing from {rel}"
+    target.write_text(src.replace(old, new))
+    return static, utils
+
+
+def test_mutating_chat_js_frame_branch_alone_fails(tmp_path):
+    static, utils = _mutated_tree(
+        tmp_path, "static/chat.js",
+        'case "source-document":', 'case "source-doc":')
+    errors = gate.check_parity(static, utils)
+    assert any("frame-type branches" in e for e in errors)
+
+
+def test_adding_twin_frame_branch_alone_fails(tmp_path):
+    static, utils = _mutated_tree(
+        tmp_path, "utils/chatview.py",
+        'elif kind in ("error", "budget_exceeded"):',
+        'elif kind in ("error", "budget_exceeded", "rate_limited"):')
+    errors = gate.check_parity(static, utils)
+    assert any("frame-type branches" in e for e in errors)
+
+
+def test_mutating_sse_js_done_sentinel_fails(tmp_path):
+    static, utils = _mutated_tree(
+        tmp_path, "static/sse.js", '"[DONE]"', '"[END]"')
+    errors = gate.check_parity(static, utils)
+    assert any("sse wire literal" in e for e in errors)
+
+
+def test_mutating_sse_py_prefix_fails(tmp_path):
+    static, utils = _mutated_tree(
+        tmp_path, "utils/sse.py",
+        'line.startswith("data: ")', 'line.startswith("data:")')
+    errors = gate.check_parity(static, utils)
+    assert any("sse wire literal 'prefix'" in e for e in errors)
+
+
+def test_mutating_mdlite_rule_fails(tmp_path):
+    static, utils = _mutated_tree(
+        tmp_path, "static/chat.js",
+        r"/\*\*([^*\n]+)\*\*/g", r"/__([^_\n]+)__/g")
+    errors = gate.check_parity(static, utils)
+    assert any("mdLite regex rules" in e for e in errors)
+
+
+def test_mutating_upload_phase_template_fails(tmp_path):
+    static, utils = _mutated_tree(
+        tmp_path, "static/stores.js",
+        "`done (${st.chunks} chunks, ${secs}s)`",
+        "`finished (${st.chunks} chunks)`")
+    errors = gate.check_parity(static, utils)
+    assert any("upload phase templates" in e for e in errors)
+
+
+def test_mutating_error_field_preference_fails(tmp_path):
+    static, utils = _mutated_tree(
+        tmp_path, "static/chat.js",
+        "frame.message || frame.errorText",
+        "frame.errorText || frame.message")
+    errors = gate.check_parity(static, utils)
+    assert any("error-frame field preference" in e for e in errors)
