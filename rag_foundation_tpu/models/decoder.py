@@ -1,0 +1,411 @@
+"""Evidence-conditioned generative decoder — the TPU answer composer.
+
+A decoder-only prefix-LM (GPT-style causal transformer, pre-LN, tied
+input/output embeddings) that turns ``[BOS] question [SEP] evidence…
+[SEP]`` into a grounded answer, token by token. This is the real model
+behind ``ENGINE_GENERATOR=generative`` (app/services/generator.py),
+standing where the reference streams Gemini-composed prose over its
+retrieved context (reference gemini_rag.py:463-551, streaming at
+:517-551).
+
+TPU-first choices (mirrors models/encoder.py):
+- bf16 params/activations, f32 layernorm stats and attention softmax;
+  every matmul rides the MXU (``preferred_element_type=f32``);
+- static shapes end to end: training runs full-sequence causal
+  forward; serving runs ONE jitted prefill (fixed prefix bucket) plus
+  a jitted ``decode_block`` that advances K greedy steps per dispatch
+  inside ``lax.scan`` over a static-shape KV cache — through the axon
+  tunnel (~27 ms RTT per dispatch) per-token host loops would spend
+  10x longer in RTT than in compute;
+- greedy argmax decoding: deterministic (same question + evidence =>
+  same answer), which is what the SSE contract tests and the quality
+  benchmark require.
+
+Token space is the invertible WordPiece tokenizer
+(models/gen_tokenizer.py); checkpoints embed config + vocab so loaders
+rebuild the exact model (scripts/train_decoder.py writes them).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rag_foundation_tpu.models.gen_tokenizer import (EOS_ID, PAD_ID,
+                                                     GenTokenizer)
+
+
+class DecoderConfig(NamedTuple):
+    vocab_size: int = 8192
+    hidden: int = 384
+    layers: int = 6
+    heads: int = 6
+    ffn: int = 1536
+    max_len: int = 512        # prefix + answer budget (KV cache size)
+    ans_len: int = 96         # serve-time answer budget
+    dtype: str = "bfloat16"
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden // self.heads
+
+    @property
+    def prefix_len(self) -> int:
+        return self.max_len - self.ans_len
+
+    @property
+    def jdtype(self):
+        return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+
+
+_CFG_FIELDS = ("vocab_size", "hidden", "layers", "heads", "ffn",
+               "max_len", "ans_len")
+
+
+def init_params(key: jax.Array, cfg: DecoderConfig) -> dict:
+    keys = iter(jax.random.split(key, 3 + cfg.layers * 8))
+    dt = cfg.jdtype
+
+    def dense(k, fan_in, shape):
+        return (jax.random.truncated_normal(k, -2, 2, shape, jnp.float32)
+                * (fan_in ** -0.5)).astype(dt)
+
+    params = {
+        # tied: tok_emb doubles as the LM head (small-model quality +
+        # 3M fewer params to move through the tunnel)
+        "tok_emb": dense(next(keys), cfg.hidden,
+                         (cfg.vocab_size, cfg.hidden)),
+        "pos_emb": dense(next(keys), cfg.hidden,
+                         (cfg.max_len, cfg.hidden)),
+        "ln_f": {"g": jnp.ones((cfg.hidden,), jnp.float32),
+                 "b": jnp.zeros((cfg.hidden,), jnp.float32)},
+        "blocks": [],
+    }
+    for _ in range(cfg.layers):
+        params["blocks"].append({
+            "qkv": dense(next(keys), cfg.hidden,
+                         (cfg.hidden, 3 * cfg.hidden)),
+            "qkv_b": jnp.zeros((3 * cfg.hidden,), dt),
+            "proj": dense(next(keys), cfg.hidden,
+                          (cfg.hidden, cfg.hidden)),
+            "proj_b": jnp.zeros((cfg.hidden,), dt),
+            "ln1": {"g": jnp.ones((cfg.hidden,), jnp.float32),
+                    "b": jnp.zeros((cfg.hidden,), jnp.float32)},
+            "fc1": dense(next(keys), cfg.hidden, (cfg.hidden, cfg.ffn)),
+            "fc1_b": jnp.zeros((cfg.ffn,), dt),
+            "fc2": dense(next(keys), cfg.ffn, (cfg.ffn, cfg.hidden)),
+            "fc2_b": jnp.zeros((cfg.hidden,), dt),
+            "ln2": {"g": jnp.ones((cfg.hidden,), jnp.float32),
+                    "b": jnp.zeros((cfg.hidden,), jnp.float32)},
+        })
+    return params
+
+
+def _layernorm(x, g, b):
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mu) * jax.lax.rsqrt(var + 1e-6) * g + b
+    return y.astype(x.dtype)
+
+
+def _split_heads(t, b, s, cfg):
+    return t.reshape(b, s, cfg.heads, cfg.head_dim).transpose(0, 2, 1, 3)
+
+
+def _qkv(x, blk):
+    qkv = jnp.dot(x, blk["qkv"], preferred_element_type=jnp.float32)
+    qkv = (qkv + blk["qkv_b"].astype(jnp.float32)).astype(x.dtype)
+    return jnp.split(qkv, 3, axis=-1)
+
+
+def _sdpa(q, k, v, mask, cfg):
+    """f32-softmax attention; mask True = attend."""
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores * (cfg.head_dim ** -0.5)
+    scores = jnp.where(mask, scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(v.dtype)
+
+
+def _ffn(x, blk):
+    h = jnp.dot(x, blk["fc1"], preferred_element_type=jnp.float32)
+    h = jax.nn.gelu((h + blk["fc1_b"].astype(jnp.float32)))
+    h = h.astype(x.dtype)
+    out = jnp.dot(h, blk["fc2"], preferred_element_type=jnp.float32)
+    return (out + blk["fc2_b"].astype(jnp.float32)).astype(x.dtype)
+
+
+def forward(params: dict, ids: jnp.ndarray, cfg: DecoderConfig
+            ) -> jnp.ndarray:
+    """Full-sequence causal forward for training: ``[b, s] -> [b, s, V]``
+    f32 logits. PAD positions are masked out as attention keys."""
+    b, s = ids.shape
+    x = params["tok_emb"][ids] + params["pos_emb"][:s]
+    causal = jnp.tril(jnp.ones((s, s), bool))
+    keep = (ids != PAD_ID)[:, None, None, :]          # [b,1,1,s]
+    mask = causal[None, None] & keep
+    for blk in params["blocks"]:
+        h = _layernorm(x, blk["ln1"]["g"], blk["ln1"]["b"])
+        q, k, v = _qkv(h, blk)
+        q, k, v = (_split_heads(t, b, s, cfg) for t in (q, k, v))
+        a = _sdpa(q, k, v, mask, cfg)
+        a = a.transpose(0, 2, 1, 3).reshape(b, s, cfg.hidden)
+        a = jnp.dot(a, blk["proj"], preferred_element_type=jnp.float32)
+        x = x + (a + blk["proj_b"].astype(jnp.float32)).astype(x.dtype)
+        h = _layernorm(x, blk["ln2"]["g"], blk["ln2"]["b"])
+        x = x + _ffn(h, blk)
+    x = _layernorm(x, params["ln_f"]["g"], params["ln_f"]["b"])
+    return jnp.dot(x, params["tok_emb"].T,
+                   preferred_element_type=jnp.float32)
+
+
+def lm_loss(params: dict, tokens: jnp.ndarray, loss_mask: jnp.ndarray,
+            cfg: DecoderConfig, *, z_reg: float = 1e-4) -> jnp.ndarray:
+    """Next-token cross-entropy over masked (answer) positions.
+    ``tokens [b, s]``; ``loss_mask [b, s]`` marks positions whose TOKEN
+    is a prediction target (the answer span incl. EOS). Small z-loss
+    keeps bf16 logits from drifting."""
+    logits = forward(params, tokens[:, :-1], cfg)      # predict t+1
+    targets = tokens[:, 1:]
+    mask = loss_mask[:, 1:].astype(jnp.float32)
+    logz = jax.nn.logsumexp(logits, axis=-1)
+    ll = jnp.take_along_axis(logits, targets[..., None],
+                             axis=-1)[..., 0] - logz
+    n = jnp.maximum(mask.sum(), 1.0)
+    ce = -(ll * mask).sum() / n
+    zl = ((logz ** 2) * mask).sum() / n
+    return ce + z_reg * zl
+
+
+# ---------------------------------------------------------------------------
+# KV-cache inference
+
+def init_cache(cfg: DecoderConfig, batch: int = 1) -> dict:
+    shape = (cfg.layers, batch, cfg.heads, cfg.max_len, cfg.head_dim)
+    return {"k": jnp.zeros(shape, cfg.jdtype),
+            "v": jnp.zeros(shape, cfg.jdtype)}
+
+
+def prefill(params: dict, ids: jnp.ndarray, length: jnp.ndarray,
+            cfg: DecoderConfig) -> tuple[dict, jnp.ndarray]:
+    """Run the (right-padded) prefix ``[b, P]`` through the stack,
+    recording K/V for every position. Returns (cache, f32 logits at the
+    LAST REAL position ``length-1``, shape [b, V])."""
+    b, s = ids.shape
+    x = params["tok_emb"][ids] + params["pos_emb"][:s]
+    causal = jnp.tril(jnp.ones((s, s), bool))
+    keep = (ids != PAD_ID)[:, None, None, :]
+    mask = causal[None, None] & keep
+    cache = init_cache(cfg, b)
+    for li, blk in enumerate(params["blocks"]):
+        h = _layernorm(x, blk["ln1"]["g"], blk["ln1"]["b"])
+        q, k, v = _qkv(h, blk)
+        q, k, v = (_split_heads(t, b, s, cfg) for t in (q, k, v))
+        cache["k"] = cache["k"].at[li, :, :, :s].set(k)
+        cache["v"] = cache["v"].at[li, :, :, :s].set(v)
+        a = _sdpa(q, k, v, mask, cfg)
+        a = a.transpose(0, 2, 1, 3).reshape(b, s, cfg.hidden)
+        a = jnp.dot(a, blk["proj"], preferred_element_type=jnp.float32)
+        x = x + (a + blk["proj_b"].astype(jnp.float32)).astype(x.dtype)
+        h = _layernorm(x, blk["ln2"]["g"], blk["ln2"]["b"])
+        x = x + _ffn(h, blk)
+    x = _layernorm(x, params["ln_f"]["g"], params["ln_f"]["b"])
+    last = jnp.take_along_axis(
+        x, (length - 1)[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+    logits = jnp.dot(last, params["tok_emb"].T,
+                     preferred_element_type=jnp.float32)
+    return cache, logits
+
+
+def _decode_one(params: dict, cache: dict, tok: jnp.ndarray,
+                pos: jnp.ndarray, cfg: DecoderConfig
+                ) -> tuple[jnp.ndarray, dict]:
+    """One token ``tok [b]`` at position ``pos`` against the cache.
+    Positions > pos hold stale (pad or previous-generation) entries and
+    are masked; sequential overwrite keeps ``j <= pos`` always valid."""
+    b = tok.shape[0]
+    x = params["tok_emb"][tok][:, None] \
+        + jax.lax.dynamic_slice_in_dim(params["pos_emb"], pos, 1, 0)
+    mask = (jnp.arange(cfg.max_len) <= pos)[None, None, None, :]
+    for li, blk in enumerate(params["blocks"]):
+        h = _layernorm(x, blk["ln1"]["g"], blk["ln1"]["b"])
+        q, k, v = _qkv(h, blk)
+        q, k, v = (_split_heads(t, b, 1, cfg) for t in (q, k, v))
+        cache["k"] = jax.lax.dynamic_update_slice(
+            cache["k"], k[None], (li, 0, 0, pos, 0))
+        cache["v"] = jax.lax.dynamic_update_slice(
+            cache["v"], v[None], (li, 0, 0, pos, 0))
+        a = _sdpa(q, cache["k"][li], cache["v"][li], mask, cfg)
+        a = a.transpose(0, 2, 1, 3).reshape(b, 1, cfg.hidden)
+        a = jnp.dot(a, blk["proj"], preferred_element_type=jnp.float32)
+        x = x + (a + blk["proj_b"].astype(jnp.float32)).astype(x.dtype)
+        h = _layernorm(x, blk["ln2"]["g"], blk["ln2"]["b"])
+        x = x + _ffn(h, blk)
+    x = _layernorm(x, params["ln_f"]["g"], params["ln_f"]["b"])
+    logits = jnp.dot(x[:, 0], params["tok_emb"].T,
+                     preferred_element_type=jnp.float32)
+    return logits, cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "k_steps"))
+def decode_block(params: dict, cache: dict, last_tok: jnp.ndarray,
+                 pos: jnp.ndarray, *, cfg: DecoderConfig,
+                 k_steps: int = 16):
+    """Advance ``k_steps`` greedy tokens in ONE dispatch (lax.scan).
+    ``last_tok [b]`` is the most recent token (prefix tail or previous
+    block's last emission); ``pos`` is the position the NEXT token will
+    occupy... i.e. the current sequence length. After EOS the output is
+    pinned to EOS (host trims). Returns (ids [b, k_steps], cache, pos)."""
+
+    def step(carry, _):
+        cache, tok, pos, done = carry
+        logits, cache = _decode_one(params, cache, tok, pos, cfg)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(done, jnp.int32(EOS_ID), nxt)
+        done = done | (nxt == EOS_ID)
+        return (cache, nxt, pos + 1, done), nxt
+
+    done0 = last_tok == EOS_ID
+    (cache, _, pos, _), ids = jax.lax.scan(
+        step, (cache, last_tok, pos, done0), None, length=k_steps)
+    return ids.T, cache, pos
+
+
+# ---------------------------------------------------------------------------
+# checkpoints (encoder save_params shape: flat keystr -> array + meta)
+
+def save_decoder(params: dict, path: str, cfg: DecoderConfig,
+                 tokenizer: GenTokenizer) -> None:
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    arrays = {}
+    for k, v in flat:
+        arr = np.asarray(v)
+        if arr.dtype.kind not in "fiub":    # bf16 -> f32 for np.load
+            arr = arr.astype(np.float32)
+        arrays[jax.tree_util.keystr(k)] = arr
+    for f in _CFG_FIELDS:
+        arrays[f"__cfg_{f}"] = np.int64(getattr(cfg, f))
+    arrays["__vocab_json"] = np.frombuffer(
+        tokenizer.to_json().encode(), dtype=np.uint8)
+    np.savez_compressed(path, **arrays)
+
+
+def load_decoder(path: str) -> tuple[dict, DecoderConfig, GenTokenizer]:
+    with np.load(path) as z:
+        if "__vocab_json" not in z:
+            raise ValueError(f"{path} is not a decoder checkpoint "
+                             f"(no embedded vocab)")
+        fields = {f: int(z[f"__cfg_{f}"]) for f in _CFG_FIELDS}
+        cfg = DecoderConfig(**fields)
+        tok = GenTokenizer.from_json(bytes(z["__vocab_json"]).decode())
+        template = jax.eval_shape(lambda k: init_params(k, cfg),
+                                  jax.random.key(0))
+        flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+        leaves = []
+        for k, v in flat:
+            key = jax.tree_util.keystr(k)
+            if key not in z:
+                raise ValueError(f"checkpoint {path} missing {key}")
+            arr = z[key]
+            if arr.shape != v.shape:
+                raise ValueError(
+                    f"checkpoint {path}: {key} has shape {arr.shape}, "
+                    f"model wants {v.shape}")
+            leaves.append(jnp.asarray(arr, dtype=v.dtype))
+    params = jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(template), leaves)
+    return params, cfg, tok
+
+
+# ---------------------------------------------------------------------------
+# serving wrapper
+
+class TextGenerator:
+    """Greedy streaming generation over a loaded checkpoint.
+
+    One instance per engine process; ``stream()`` is called from RPC
+    handler threads — jax dispatches serialize on the device, and the
+    per-call state (cache, pos) is local, so no lock is needed.
+    """
+
+    def __init__(self, ckpt_path: str, *, block: int = 16):
+        self.params, self.cfg, self.tokenizer = load_decoder(ckpt_path)
+        self.block = int(block)
+        self._prefill = jax.jit(functools.partial(prefill, cfg=self.cfg))
+
+    def prewarm(self) -> None:
+        """Compile prefill + decode_block (remote compiles are slow —
+        do it at engine startup, not on the first live question)."""
+        ids = jnp.zeros((1, self.cfg.prefix_len), jnp.int32)
+        cache, logits = self._prefill(self.params, ids,
+                                      jnp.array([1], jnp.int32))
+        decode_block(self.params, cache,
+                     jnp.argmax(logits, -1).astype(jnp.int32),
+                     jnp.int32(1), cfg=self.cfg, k_steps=self.block)
+
+    def stream(self, question: str, evidences: list[str],
+               *, max_tokens: int | None = None):
+        """Yield detokenized text pieces, one per decode block."""
+        cfg = self.cfg
+        ids = self.tokenizer.encode_prompt(question, evidences,
+                                           cfg.prefix_len)
+        length = len(ids)
+        padded = np.full((1, cfg.prefix_len), PAD_ID, np.int32)
+        padded[0, :length] = ids
+        cache, logits = self._prefill(
+            self.params, jnp.asarray(padded),
+            jnp.array([length], jnp.int32))
+        first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        budget = min(max_tokens or cfg.ans_len,
+                     cfg.max_len - length - 1)
+        # the prefill already produced token 0; stream it with block 1
+        out_ids: list[int] = [int(first[0])]
+        if out_ids[0] == EOS_ID:
+            return
+        emitted = ""
+        text = self.tokenizer.decode(out_ids)
+        if text:
+            yield text
+            emitted = text
+        pos = jnp.int32(length)
+        tok = first
+        produced = 1
+        # fixed k_steps: a variable block length would compile a fresh
+        # program per distinct tail size (minutes each over the tunnel)
+        while produced < budget \
+                and length + produced + self.block <= cfg.max_len:
+            ids_blk, cache, pos = decode_block(
+                self.params, cache, tok, pos, cfg=cfg,
+                k_steps=self.block)
+            blk = np.asarray(ids_blk)[0][: budget - produced]
+            produced += len(blk)
+            tok = jnp.asarray(blk[-1:].astype(np.int32))
+            done = EOS_ID in blk
+            out_ids.extend(int(t) for t in blk)
+            # re-decode the full id list (## merges can join across
+            # block boundaries) and emit the suffix
+            text = self.tokenizer.decode(out_ids)
+            if len(text) > len(emitted):
+                yield text[len(emitted):]
+                emitted = text
+            if done:
+                return
+
+
+def checkpoint_meta(path: str) -> dict:
+    """Config summary without loading params (admin/status surface)."""
+    with np.load(path) as z:
+        meta = {f: int(z[f"__cfg_{f}"]) for f in _CFG_FIELDS
+                if f"__cfg_{f}" in z}
+        if "__vocab_json" in z:
+            meta["vocab_entries"] = len(json.loads(
+                bytes(z["__vocab_json"]).decode()))
+    return meta

@@ -1,0 +1,375 @@
+"""Train the evidence-conditioned generative decoder and save an npz
+checkpoint loadable via ``RAGTPU_ENGINE_GENERATOR_CKPT``.
+
+The task is answer composition over retrieved evidence — the slot the
+reference fills with Gemini (reference gemini_rag.py:463-551). No
+teacher LLM exists in this zero-egress image, so supervision is
+SELF-DISTILLATION of the product's extractive pipeline: for a corpus
+chunk we synthesize a pseudo-query (the ICT machinery from
+scripts/train_encoder.py), surround the gold chunk with distractor
+chunks, and label with ``rag.compose_answer`` — the exact span-reader
+cascade the ``span_reader`` generator serves. The decoder therefore
+learns the *skill* the product needs (find the answering span in the
+evidence and emit it), not corpus facts — which is why it transfers to
+unseen serve-time corpora. ~10% of examples have NO gold chunk and are
+labeled with the refusal text, teaching the refusal behavior.
+
+Training runs ON DEVICE like train_encoder.py: the tokenized dataset
+lives in HBM and ``--steps-per-call`` AdamW steps execute inside one
+jitted ``lax.scan`` per host round-trip (axon tunnel ~27 ms/dispatch).
+
+Recipe (documented in docs/ENGINE.md "Generative tier"):
+  python scripts/build_text_corpus.py --out /tmp/corpus.jsonl
+  python scripts/train_decoder.py --corpus /tmp/corpus.jsonl \
+      --steps 4000 --batch 64 --out checkpoints/decoder_distill.npz
+  RAGTPU_ENGINE_GENERATOR=generative \
+      RAGTPU_ENGINE_GENERATOR_CKPT=checkpoints/decoder_distill.npz ...
+
+``--smoke`` trains the tiny CI checkpoint (checkpoints/decoder_smoke
+.npz) on a synthetic corpus in ~a minute on CPU — tests use it to
+exercise the full generative serving path hermetically.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import re
+import sys
+import time
+from types import SimpleNamespace
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+# ---------------------------------------------------------------------------
+# triples: (query, evidences[3], answer) via extractive self-distillation
+
+def build_triples(chunks: list[str], n: int, *, seed: int,
+                  refusal_frac: float = 0.10,
+                  max_ans_words: int = 60) -> list[dict]:
+    from rag_foundation_tpu.app.services.generator import REFUSAL_TEXT
+    from rag_foundation_tpu.app.services.rag import compose_answer
+    from scripts.train_encoder import keyword_query, sentence_query
+
+    settings = SimpleNamespace(ENGINE_ANSWER_MODE="span")
+    rng = np.random.default_rng(seed)
+    out: list[dict] = []
+    n_chunks = len(chunks)
+    attempts = 0
+    while len(out) < n and attempts < n * 4:
+        attempts += 1
+        gi = int(rng.integers(n_chunks))
+        gold = chunks[gi]
+        q = (keyword_query(rng, gold) if rng.random() < 0.5
+             else sentence_query(rng, gold))
+        if not q.strip():
+            continue
+        d1, d2 = (chunks[int(rng.integers(n_chunks))] for _ in range(2))
+        refusal = rng.random() < refusal_frac
+        evs = [d1, d2, chunks[int(rng.integers(n_chunks))]] if refusal \
+            else [gold, d1, d2]
+        rng.shuffle(evs)
+        if refusal:
+            ans = REFUSAL_TEXT
+        else:
+            hits = [SimpleNamespace(text=ev, doc_name=f"doc{j}.txt")
+                    for j, ev in enumerate(evs)]
+            ans = compose_answer(settings, q, hits)
+            # quote-fallback answers embed synthetic doc names the
+            # serve-time corpus won't have; span/sentence answers only
+            if ans.startswith("From ") or ans == REFUSAL_TEXT:
+                continue
+            if len(ans.split()) > max_ans_words:
+                continue
+        out.append({"q": q, "evs": evs, "ans": ans,
+                    "refusal": bool(refusal)})
+    return out
+
+
+def tokenize_triples(tokenizer, triples: list[dict], *, max_len: int,
+                     prefix_len: int) -> tuple[np.ndarray, np.ndarray]:
+    """``(tokens [n, max_len], loss_mask [n, max_len])`` — prompt ids
+    packed left, answer + EOS contiguous after (matching serving, where
+    decode starts at position len(prompt)); PAD tail."""
+    from rag_foundation_tpu.models.gen_tokenizer import EOS_ID, PAD_ID
+    rows, masks = [], []
+    dropped = 0
+    for t in triples:
+        prompt = tokenizer.encode_prompt(t["q"], t["evs"], prefix_len)
+        ans = tokenizer.encode_text(t["ans"]) + [EOS_ID]
+        if len(prompt) + len(ans) > max_len:
+            dropped += 1
+            continue
+        row = np.full((max_len,), PAD_ID, np.int32)
+        mask = np.zeros((max_len,), np.int8)
+        row[: len(prompt)] = prompt
+        row[len(prompt): len(prompt) + len(ans)] = ans
+        mask[len(prompt): len(prompt) + len(ans)] = 1
+        rows.append(row)
+        masks.append(mask)
+    if dropped:
+        log(f"dropped {dropped} over-length triples")
+    return np.stack(rows), np.stack(masks)
+
+
+# ---------------------------------------------------------------------------
+# eval: serve-style greedy generation vs the distillation target
+
+_NORM_RE = re.compile(r"[^a-z0-9 ]")
+
+
+def _norm_tokens(s: str) -> list[str]:
+    return _NORM_RE.sub(" ", s.lower()).split()
+
+
+def token_f1(pred: str, gold: str) -> float:
+    p, g = _norm_tokens(pred), _norm_tokens(gold)
+    if not p or not g:
+        return float(p == g)
+    common: dict[str, int] = {}
+    for t in p:
+        common[t] = common.get(t, 0) + 1
+    overlap = 0
+    for t in g:
+        if common.get(t, 0) > 0:
+            common[t] -= 1
+            overlap += 1
+    if overlap == 0:
+        return 0.0
+    prec, rec = overlap / len(p), overlap / len(g)
+    return 2 * prec * rec / (prec + rec)
+
+
+def grounded(pred: str, evs: list[str], q: str) -> bool:
+    from rag_foundation_tpu.app.services import textnorm
+    allowed = set()
+    for src in evs + [q]:
+        allowed |= set(textnorm.content_stems(src))
+    missing = [t for t in textnorm.content_stems(pred)
+               if not any(textnorm.stems_match(t, a) for a in allowed)]
+    return len(missing) <= 1
+
+
+def run_eval(gen, eval_triples: list[dict], *, log=log) -> dict:
+    from rag_foundation_tpu.app.services.generator import REFUSAL_TEXT
+    refusal_head = " ".join(REFUSAL_TEXT.lower().split()[:4])
+    f1s, ground, n_ref, ref_ok = [], 0, 0, 0
+    t0 = time.perf_counter()
+    for t in eval_triples:
+        pred = "".join(gen.stream(t["q"], t["evs"]))
+        if t["refusal"]:
+            n_ref += 1
+            ref_ok += int(pred.lower().startswith(refusal_head))
+            continue
+        f1s.append(token_f1(pred, t["ans"]))
+        ground += int(grounded(pred, t["evs"], t["q"]))
+    n_ans = max(1, len(f1s))
+    res = {
+        "answerable_f1": round(float(np.mean(f1s)) if f1s else 0.0, 4),
+        "grounded_rate": round(ground / n_ans, 4),
+        "refusal_acc": round(ref_ok / n_ref, 4) if n_ref else None,
+        "n_answerable": len(f1s), "n_refusal": n_ref,
+        "eval_s": round(time.perf_counter() - t0, 1),
+    }
+    log(f"eval: {res}")
+    return res
+
+
+# ---------------------------------------------------------------------------
+
+SMOKE_SENTENCES = [
+    "The {a} subsystem reports {n} {u} under nominal load.",
+    "Operators must check the {a} panel every {n} {u}.",
+    "A {a} fault raises an alert within {n} {u}.",
+    "The {a} budget is capped at {n} {u} per quarter.",
+    "Maintenance of the {a} unit takes {n} {u} on average.",
+]
+SMOKE_NOUNS = ["cooling", "power", "telemetry", "storage", "network",
+               "backup", "sensor", "optics", "vacuum", "guidance"]
+SMOKE_UNITS = ["seconds", "minutes", "hours", "watts", "liters",
+               "degrees", "percent", "meters"]
+
+
+def smoke_corpus(seed: int, n_chunks: int = 400) -> list[str]:
+    rng = np.random.default_rng(seed)
+    chunks = []
+    for _ in range(n_chunks):
+        sents = []
+        for _ in range(4):
+            t = SMOKE_SENTENCES[int(rng.integers(len(SMOKE_SENTENCES)))]
+            sents.append(t.format(
+                a=SMOKE_NOUNS[int(rng.integers(len(SMOKE_NOUNS)))],
+                n=int(rng.integers(2, 90)),
+                u=SMOKE_UNITS[int(rng.integers(len(SMOKE_UNITS)))]))
+        chunks.append(" ".join(sents))
+    return chunks
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--corpus", default=None,
+                    help="corpus.jsonl from build_text_corpus.py")
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny model + synthetic corpus (CI checkpoint)")
+    ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--lr", type=float, default=4e-4)
+    ap.add_argument("--n-examples", type=int, default=60_000)
+    ap.add_argument("--max-chunks", type=int, default=120_000)
+    ap.add_argument("--vocab-size", type=int, default=8192)
+    ap.add_argument("--vocab-sample", type=int, default=12_000,
+                    help="chunks sampled for BPE vocab training")
+    ap.add_argument("--hidden", type=int, default=384)
+    ap.add_argument("--layers", type=int, default=6)
+    ap.add_argument("--heads", type=int, default=6)
+    ap.add_argument("--ffn", type=int, default=1536)
+    ap.add_argument("--max-len", type=int, default=512)
+    ap.add_argument("--ans-len", type=int, default=96)
+    ap.add_argument("--steps-per-call", type=int, default=50)
+    ap.add_argument("--eval-n", type=int, default=128)
+    ap.add_argument("--out", default="/tmp/decoder.npz")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    if args.smoke:
+        args.vocab_size = min(args.vocab_size, 2048)
+        args.hidden, args.layers, args.heads = 96, 2, 2
+        args.ffn, args.max_len, args.ans_len = 192, 192, 48
+        args.steps = min(args.steps, 300)
+        args.batch = min(args.batch, 32)
+        args.n_examples = min(args.n_examples, 2000)
+        args.eval_n = min(args.eval_n, 24)
+
+    if args.smoke and not os.environ.get("RAGTPU_ENGINE_PLATFORM"):
+        # the CI checkpoint trains on CPU — don't grab the TPU lease
+        os.environ["RAGTPU_ENGINE_PLATFORM"] = "cpu"
+    from rag_foundation_tpu.utils.platform import pin_platform
+    pin_platform()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from rag_foundation_tpu.models.decoder import (DecoderConfig,
+                                                   TextGenerator,
+                                                   init_params, lm_loss,
+                                                   save_decoder)
+    from rag_foundation_tpu.models.gen_tokenizer import (GenTokenizer,
+                                                         train_gen_vocab)
+
+    if args.smoke:
+        chunks = smoke_corpus(args.seed)
+    else:
+        from scripts.train_encoder import load_chunks
+        chunks = load_chunks(args.corpus, max_chunks=args.max_chunks)
+    log(f"{len(chunks)} chunks (backend: {jax.default_backend()})")
+
+    # vocab over a corpus sample + the refusal text (its words must be
+    # single-piece-ish so the refusal behavior is easy to emit)
+    from rag_foundation_tpu.app.services.generator import REFUSAL_TEXT
+    rng = np.random.default_rng(args.seed)
+    sample_idx = rng.permutation(len(chunks))[: args.vocab_sample]
+    t0 = time.perf_counter()
+    vocab = train_gen_vocab([chunks[i] for i in sample_idx]
+                            + [REFUSAL_TEXT] * 50, args.vocab_size)
+    tokenizer = GenTokenizer(vocab)
+    log(f"vocab {tokenizer.vocab_size} pieces in "
+        f"{time.perf_counter()-t0:.0f}s")
+
+    cfg = DecoderConfig(vocab_size=max(tokenizer.vocab_size, 8),
+                        hidden=args.hidden, layers=args.layers,
+                        heads=args.heads, ffn=args.ffn,
+                        max_len=args.max_len, ans_len=args.ans_len)
+
+    t0 = time.perf_counter()
+    triples = build_triples(chunks, args.n_examples, seed=args.seed)
+    log(f"{len(triples)} triples in {time.perf_counter()-t0:.0f}s")
+    n_eval = min(args.eval_n * 2, len(triples) // 10)
+    eval_triples = triples[:n_eval][: args.eval_n]
+    train_triples = triples[n_eval:]
+    t0 = time.perf_counter()
+    tokens, loss_mask = tokenize_triples(
+        tokenizer, train_triples, max_len=cfg.max_len,
+        prefix_len=cfg.prefix_len)
+    log(f"tokenized {len(tokens)} rows in {time.perf_counter()-t0:.0f}s")
+
+    tok_dev = jnp.asarray(tokens)
+    mask_dev = jnp.asarray(loss_mask)
+    n_rows = len(tokens)
+
+    params = init_params(jax.random.key(args.seed), cfg)
+    n_params = sum(int(np.prod(p.shape))
+                   for p in jax.tree_util.tree_leaves(params))
+    log(f"model: {n_params/1e6:.1f}M params, cfg={cfg._asdict()}")
+
+    warmup = min(200, args.steps // 10)
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, args.lr, warmup, args.steps, end_value=args.lr * 0.05)
+    optimizer = optax.chain(optax.clip_by_global_norm(1.0),
+                            optax.adamw(sched, weight_decay=0.01))
+    opt_state = optimizer.init(params)
+
+    def one_step(carry, step_i):
+        params, opt_state, key = carry
+        k = jax.random.fold_in(key, step_i)
+        idx = jax.random.randint(k, (args.batch,), 0, n_rows)
+        tb = jnp.take(tok_dev, idx, axis=0)
+        mb = jnp.take(mask_dev, idx, axis=0)
+        loss, grads = jax.value_and_grad(lm_loss)(params, tb, mb, cfg)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(
+            lambda p, u: p + u.astype(p.dtype), params, updates)
+        return (params, opt_state, key), loss
+
+    spc = min(args.steps_per_call, args.steps)
+
+    @functools.partial(jax.jit, static_argnames=("count",))
+    def run_block(params, opt_state, key, base, count):
+        (params, opt_state, key), losses = jax.lax.scan(
+            one_step, (params, opt_state, key), base + jnp.arange(count))
+        return params, opt_state, key, losses.mean()
+
+    key = jax.random.key(args.seed + 1)
+    t0 = time.perf_counter()
+    done = 0
+    while done < args.steps:
+        count = min(spc, args.steps - done)
+        params, opt_state, key, mloss = run_block(
+            params, opt_state, key, jnp.int32(done), count)
+        done += count
+        log(f"step {done}/{args.steps}: loss {float(mloss):.4f} "
+            f"({(time.perf_counter()-t0)/done*1000:.0f} ms/step)")
+    dur = time.perf_counter() - t0
+    log(f"trained {args.steps} steps in {dur:.0f}s")
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    # checkpoint BEFORE eval (an eval crash must not discard the run)
+    save_decoder(params, args.out, cfg, tokenizer)
+    log(f"saved {args.out}")
+
+    gen = TextGenerator(args.out, block=16)
+    res = run_eval(gen, eval_triples)
+    for t in eval_triples[:3]:
+        log(f"  Q: {t['q'][:90]}")
+        log(f"  gold: {t['ans'][:90]}")
+        log(f"  pred: {''.join(gen.stream(t['q'], t['evs']))[:90]}")
+    print(json.dumps({
+        "mode": "smoke" if args.smoke else "distill",
+        "steps": args.steps, "batch": args.batch,
+        "params_m": round(n_params / 1e6, 2),
+        "triples": len(triples), "ckpt": args.out,
+        "train_s": round(dur, 1), **res,
+    }))
+
+
+if __name__ == "__main__":
+    main()
