@@ -120,7 +120,12 @@ class Settings(BaseModel):
     ENGINE_ANSWER_MODE: str = "span"      # span|sentences extractive head
     ENGINE_GENERATOR: str = "span_reader"  # answer-composition slot:
     #   span_reader (extractive default) | mock_generative (streaming
-    #   LLM-shaped mock proving the pluggable slot; services/generator.py)
+    #   LLM-shaped mock proving the pluggable slot) | generative (the
+    #   TPU decoder, needs ENGINE_GENERATOR_CKPT; services/generator.py)
+    ENGINE_GENERATOR_CKPT: str = ""       # decoder npz
+    #   (scripts/train_decoder.py); required for generative
+    ENGINE_GEN_BLOCK: int = 16            # greedy tokens per decode
+    #   dispatch (amortizes the ~27ms tunnel RTT per device call)
     ENGINE_READER_K: int = 12             # candidate pool for the reader
     #   (search depth; citations still honor top_k)
     ENGINE_LEXICAL_RERANK: int = 128      # over-fetch depth for the host
@@ -229,9 +234,15 @@ class Settings(BaseModel):
         if self.ENGINE_ANSWER_MODE not in {"span", "sentences"}:
             raise ValueError(f"invalid ENGINE_ANSWER_MODE "
                              f"{self.ENGINE_ANSWER_MODE!r}")
-        if self.ENGINE_GENERATOR not in {"span_reader", "mock_generative"}:
+        if self.ENGINE_GENERATOR not in {"span_reader", "mock_generative",
+                                         "generative"}:
             raise ValueError(f"invalid ENGINE_GENERATOR "
                              f"{self.ENGINE_GENERATOR!r}")
+        if self.ENGINE_GENERATOR == "generative" \
+                and not self.ENGINE_GENERATOR_CKPT:
+            raise ValueError("ENGINE_GENERATOR=generative requires "
+                             "ENGINE_GENERATOR_CKPT (train one with "
+                             "scripts/train_decoder.py)")
         if self.ENGINE_PQ_REFINE not in {"device", "host", "none"}:
             raise ValueError(f"invalid ENGINE_PQ_REFINE "
                              f"{self.ENGINE_PQ_REFINE!r}")

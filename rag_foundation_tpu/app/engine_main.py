@@ -47,6 +47,12 @@ def main() -> None:  # pragma: no cover — production entrypoint
              stores=len(engine.list_stores()),
              batch_window_ms=settings.ENGINE_BATCH_WINDOW_MS)
 
+    if settings.ENGINE_GENERATOR_CKPT:
+        # compile the decoder's prefill + decode_block now — remote
+        # compiles cost minutes and must not land on the first live chat
+        info = engine.prewarm_generator()
+        log_json(logging.INFO, "generator_prewarmed", **info)
+
     stop = threading.Event()
 
     def _stop(signum, frame):

@@ -354,6 +354,9 @@ def engine_config_from_settings(settings) -> EngineConfig:
         mesh_shards=settings.ENGINE_MESH_SHARDS,
         data_dir=(str(settings.DATA_DIR) + "/engine"
                   if settings.DATA_DIR else None),
+        generator_ckpt=getattr(settings, "ENGINE_GENERATOR_CKPT", "")
+        or None,
+        gen_block=getattr(settings, "ENGINE_GEN_BLOCK", 16),
     )
 
 
@@ -366,9 +369,6 @@ class EngineRag:
 
     def __init__(self, settings, engine=None):
         self.settings = settings
-        # pluggable composition slot (SURVEY §3.2): the span reader is
-        # the default AnswerGenerator; swap via ENGINE_GENERATOR
-        self.generator = make_generator(settings)
         if engine is not None:
             self.engine = engine
         elif getattr(settings, "ENGINE_RPC_MODE", "") == "connect":
@@ -376,6 +376,10 @@ class EngineRag:
             self.engine = RemoteEngine(settings.engine_rpc_socket)
         else:
             self.engine = Engine(engine_config_from_settings(settings))
+        # pluggable composition slot (SURVEY §3.2): the span reader is
+        # the default AnswerGenerator; swap via ENGINE_GENERATOR. The
+        # generative tier runs device-side, hence the engine handle.
+        self.generator = make_generator(settings, engine=self.engine)
 
     # -- store lifecycle (reference: gemini_rag.py:271-304,354-424) --------
     def create_store(self, name: str, user_id: int) -> str:

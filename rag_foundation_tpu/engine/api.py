@@ -63,6 +63,8 @@ class EngineConfig:
     batch_window_s: float = 0.0     # >0: micro-batch concurrent searches
     mesh_shards: int = 1            # corpus shards across chips (ICI merge)
     data_dir: str | None = None    # checkpoint root; None = memory-only
+    generator_ckpt: str | None = None  # decoder npz (train_decoder.py)
+    gen_block: int = 16            # greedy tokens per decode dispatch
 
     def __post_init__(self):
         # fail fast at startup, not inside a worker job at first index
@@ -618,6 +620,42 @@ class Engine:
             timings[str(b)] = round(_time.perf_counter() - t0, 3)
             b *= 2
         return {"store": store_key, "k": k, "buckets_s": timings}
+
+    # -- generative answer composition ----------------------------------------
+    # The decoder lives HERE because this process owns the device — the
+    # same single-owner constraint that motivates the RPC topology
+    # (engine/rpc.py). Reference analog: answer composition streamed
+    # from the provider (reference gemini_rag.py:517-551).
+    def _text_generator(self):
+        gen = getattr(self, "_genserve", None)
+        if gen is None:
+            if not self.config.generator_ckpt:
+                raise ValueError(
+                    "no generative decoder configured "
+                    "(ENGINE_GENERATOR_CKPT) — train one with "
+                    "scripts/train_decoder.py")
+            from rag_foundation_tpu.models.decoder import TextGenerator
+            gen = TextGenerator(self.config.generator_ckpt,
+                                block=self.config.gen_block)
+            self._genserve = gen
+        return gen
+
+    def generate_stream(self, question: str, evidences: list[str],
+                        *, max_tokens: int | None = None):
+        """Greedy evidence-conditioned generation; yields text deltas
+        (one per decode block — each block is one device dispatch)."""
+        yield from self._text_generator().stream(
+            question, list(evidences), max_tokens=max_tokens)
+
+    def prewarm_generator(self) -> dict:
+        """Compile prefill + decode_block at startup (remote compiles
+        cost minutes; the first live chat must not pay them)."""
+        import time as _time
+        t0 = _time.perf_counter()
+        gen = self._text_generator()
+        gen.prewarm()
+        return {"ckpt": self.config.generator_ckpt,
+                "compile_s": round(_time.perf_counter() - t0, 2)}
 
     def recall_probe(self, store_key: str, *, sample: int = 32,
                      k: int = 10, seed: int = 0) -> dict:

@@ -75,7 +75,9 @@ def _recv_exact(sock: socket.socket, n: int) -> bytes | None:
 _OPS = ("ping", "list_stores", "create_store", "delete_store",
         "has_store", "store_stats", "ingest_document", "delete_document",
         "search", "recall_probe", "metrics_text", "pad_store",
-        "prewarm")
+        "prewarm", "prewarm_generator")
+# "generate" is NOT in _OPS: it is the one streaming op and is
+# special-cased in the connection loop (multi-frame response).
 
 
 class EngineRpcServer:
@@ -99,6 +101,16 @@ class EngineRpcServer:
                         return
                     if req is None:
                         return
+                    if req.get("op") == "generate":
+                        # STREAMING op: many delta frames then a done
+                        # frame (SSE-shaped; reference analog is the
+                        # provider's streaming generate_content,
+                        # gemini_rag.py:517-551)
+                        try:
+                            outer._stream_generate(self.request, req)
+                        except (ConnectionError, OSError):
+                            return   # client went away mid-stream
+                        continue
                     _send(self.request, outer._dispatch(req))
 
         class Server(socketserver.ThreadingUnixStreamServer):
@@ -192,6 +204,24 @@ class EngineRpcServer:
         return self.engine.prewarm(req["key"], k=int(req.get("k", 5)),
                                    max_bucket=int(req.get(
                                        "max_bucket", 64)))
+
+    def _stream_generate(self, sock: socket.socket, req: dict) -> None:
+        """Serve one generate stream: delta frames, then ``done`` (or a
+        single error frame — the connection stays usable either way)."""
+        try:
+            for delta in self.engine.generate_stream(
+                    req["question"], req.get("evidences") or [],
+                    max_tokens=req.get("max_tokens")):
+                _send(sock, {"ok": True, "delta": delta})
+            _send(sock, {"ok": True, "done": True})
+        except (ConnectionError, OSError):
+            raise
+        except Exception as e:  # noqa: BLE001 — protocol boundary
+            _send(sock, {"ok": False, "kind": type(e).__name__,
+                         "error": str(e)})
+
+    def _op_prewarm_generator(self, req):
+        return self.engine.prewarm_generator()
 
     def _op_metrics_text(self, req):
         """Engine-process Prometheus exposition (batch-size histogram,
@@ -303,6 +333,55 @@ class RemoteEngine:
 
     def metrics_text(self) -> str:
         return self._call("metrics_text")
+
+    def generate_stream(self, question: str, evidences: list[str],
+                        *, max_tokens: int | None = None):
+        """Client half of the streaming generate op. The socket carries
+        in-flight frames, so it only returns to the pool after the done
+        frame; an abandoned or errored stream closes it instead."""
+        with self._lock:
+            sock = self._pool.pop() if self._pool else None
+        if sock is None:
+            sock = self._connect()
+        req = {"op": "generate", "question": question,
+               "evidences": list(evidences), "max_tokens": max_tokens}
+        try:
+            try:
+                _send(sock, req)
+                first = _recv(sock)
+            except (ConnectionError, OSError):
+                sock.close()
+                sock = self._connect()   # one reconnect (server restart)
+                _send(sock, req)
+                first = _recv(sock)
+            resp = first
+            while True:
+                if resp is None:
+                    raise EngineRpcError("engine rpc connection closed "
+                                         "mid-generation")
+                if not resp.get("ok"):
+                    # single error frame; connection stays usable
+                    kind = resp.get("kind", "")
+                    err = resp.get("error", "")
+                    with self._lock:
+                        if len(self._pool) < self._pool_size:
+                            self._pool.append(sock)
+                            sock = None
+                    raise EngineRpcError(f"{kind}: {err}")
+                if resp.get("done"):
+                    with self._lock:
+                        if len(self._pool) < self._pool_size:
+                            self._pool.append(sock)
+                            sock = None
+                    return
+                yield resp["delta"]
+                resp = _recv(sock)
+        finally:
+            if sock is not None:
+                sock.close()
+
+    def prewarm_generator(self) -> dict:
+        return self._call("prewarm_generator")
 
     def pad_store(self, key: str, n: int, *, seed: int = 0) -> dict:
         return self._call("pad_store", key=key, n=n, seed=seed)

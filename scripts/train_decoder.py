@@ -52,38 +52,92 @@ def log(msg):
 
 
 # ---------------------------------------------------------------------------
-# triples: (query, evidences[3], answer) via extractive self-distillation
+# triples: (query, evidence segments, answer) via extractive
+# self-distillation. Evidence segments are built through the SAME
+# generator.prep_evidence the serving path uses (ranked sentences), so
+# train-time prompts match serve-time prompts exactly.
+
+_SENT_RE = re.compile(r"(?<=[.!?])\s+")
+_NUM_SPAN_RE = re.compile(r"\b\d[\w.,%-]*\b")
+_CAP_SPAN_RE = re.compile(r"(?<!^)(?<![.!?] )\b[A-Z][a-zA-Z0-9-]{2,}\b")
+_Q_STOP = frozenset(
+    "a an the is are was were be been do does did to of in on at by for "
+    "with from as and or but not no this that these those it its".split())
+
+
+def cloze_question(rng: np.random.Generator, chunk: str
+                   ) -> tuple[str, str] | None:
+    """(question, answer_span): remove a number(+context) or proper-noun
+    span from a sentence and interrogate the rest — the question SHAPE
+    the quality benchmark and real users send, which the ICT pseudo-
+    queries (keyword bags) do not cover."""
+    sents = [s.strip() for s in _SENT_RE.split(chunk)
+             if 6 <= len(s.split()) <= 40]
+    if not sents:
+        return None
+    for _ in range(4):
+        s = sents[int(rng.integers(len(sents)))]
+        nums = _NUM_SPAN_RE.findall(s)
+        caps = _CAP_SPAN_RE.findall(s)
+        numeric = bool(nums) and (not caps or rng.random() < 0.6)
+        spans = nums if numeric else caps
+        if not spans:
+            continue
+        span = spans[int(rng.integers(len(spans)))]
+        rest = [w for w in s.replace(span, " ").split()
+                if w.lower().strip(".,;:!?()'\"") not in _Q_STOP
+                and w.lower() != span.lower()]
+        if len(rest) < 3:
+            continue
+        head = "How many" if numeric and rng.random() < 0.4 else \
+            ("What is the" if rng.random() < 0.6 else "What")
+        q = f"{head} {' '.join(rest[:12])}?"
+        return q, span
+    return None
+
 
 def build_triples(chunks: list[str], n: int, *, seed: int,
-                  refusal_frac: float = 0.10,
+                  refusal_frac: float = 0.10, cloze_frac: float = 0.45,
                   max_ans_words: int = 60) -> list[dict]:
-    from rag_foundation_tpu.app.services.generator import REFUSAL_TEXT
+    from rag_foundation_tpu.app.services.generator import (REFUSAL_TEXT,
+                                                           prep_evidence)
     from rag_foundation_tpu.app.services.rag import compose_answer
     from scripts.train_encoder import keyword_query, sentence_query
+    # token_f1 is defined below in this module; resolved at call time
 
     settings = SimpleNamespace(ENGINE_ANSWER_MODE="span")
     rng = np.random.default_rng(seed)
     out: list[dict] = []
     n_chunks = len(chunks)
     attempts = 0
-    while len(out) < n and attempts < n * 4:
+    while len(out) < n and attempts < n * 6:
         attempts += 1
         gi = int(rng.integers(n_chunks))
         gold = chunks[gi]
-        q = (keyword_query(rng, gold) if rng.random() < 0.5
-             else sentence_query(rng, gold))
+        refusal = rng.random() < refusal_frac
+        cloze_span = None
+        r = rng.random()
+        if r < cloze_frac:
+            got = cloze_question(rng, gold)
+            if got is None:
+                continue
+            q, cloze_span = got
+        elif r < cloze_frac + 0.35:
+            q = keyword_query(rng, gold)
+        else:
+            q = sentence_query(rng, gold)
         if not q.strip():
             continue
         d1, d2 = (chunks[int(rng.integers(n_chunks))] for _ in range(2))
-        refusal = rng.random() < refusal_frac
-        evs = [d1, d2, chunks[int(rng.integers(n_chunks))]] if refusal \
+        pool = [d1, d2, chunks[int(rng.integers(n_chunks))]] if refusal \
             else [gold, d1, d2]
-        rng.shuffle(evs)
+        rng.shuffle(pool)
+        hits = [SimpleNamespace(text=ev, doc_name=f"doc{j}.txt")
+                for j, ev in enumerate(pool)]
+        evs = prep_evidence(q, hits)
         if refusal:
             ans = REFUSAL_TEXT
         else:
-            hits = [SimpleNamespace(text=ev, doc_name=f"doc{j}.txt")
-                    for j, ev in enumerate(evs)]
             ans = compose_answer(settings, q, hits)
             # quote-fallback answers embed synthetic doc names the
             # serve-time corpus won't have; span/sentence answers only
@@ -91,8 +145,22 @@ def build_triples(chunks: list[str], n: int, *, seed: int,
                 continue
             if len(ans.split()) > max_ans_words:
                 continue
+            # cloze supervision: when the extractive cascade recovers
+            # the removed span, distill its output (keeps the reader's
+            # span formatting); when it misses, supervise with the
+            # span itself — but ONLY if the span is present in the
+            # prompt evidence (training a target absent from the
+            # prompt would teach hallucination)
+            if cloze_span is not None \
+                    and token_f1(ans, cloze_span) < 0.5:
+                ev_norm = set(_norm_tokens(" ".join(evs)))
+                if set(_norm_tokens(cloze_span)) <= ev_norm:
+                    ans = cloze_span
+                else:
+                    continue
         out.append({"q": q, "evs": evs, "ans": ans,
-                    "refusal": bool(refusal)})
+                    "refusal": bool(refusal),
+                    "cloze": cloze_span is not None})
     return out
 
 

@@ -1,0 +1,351 @@
+"""Generative decoder: tokenizer, KV-cache parity, checkpointing,
+streaming wrapper, RPC streaming op, and the grounding-gated
+GenerativeGenerator (VERDICT r4 item 1 — the real generative tier).
+
+Reference analog: the reference's answer composition is Gemini
+streaming (reference gemini_rag.py:463-551); its wire behavior is
+covered by the chat SSE suite, these tests cover the model/serving
+mechanics the reference outsourced.
+"""
+
+import threading
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+from rag_foundation_tpu.models.gen_tokenizer import (BOS_ID, EOS_ID, PAD_ID,
+                                                     SEP_ID, UNK_ID,
+                                                     GenTokenizer,
+                                                     train_gen_vocab)
+
+TEXTS = [
+    "The mount slews at 4.5 degrees per second, under nominal load.",
+    "Quarterly revenue grew 12% driven by cloud subscriptions.",
+    "Operators check the cooling panel every 30 minutes.",
+    "A telemetry fault raises an alert within 5 seconds.",
+] * 3
+
+
+@pytest.fixture(scope="module")
+def tokenizer():
+    return GenTokenizer(train_gen_vocab(TEXTS, 400))
+
+
+# ------------------------------------------------------------- tokenizer --
+
+def test_roundtrip_exact(tokenizer):
+    s = "The mount slews at 4.5 degrees per second, every 30 minutes."
+    ids = tokenizer.encode_text(s)
+    assert tokenizer.decode(ids) == s.replace("The", "The", 1)
+
+
+def test_numbers_and_compounds_stay_words(tokenizer):
+    # "4.5" must decode as one word, not "4 . 5"
+    assert "4.5" in tokenizer.decode(tokenizer.encode_text("4.5 seconds"))
+
+
+def test_decode_stops_at_eos_and_skips_specials(tokenizer):
+    ids = tokenizer.encode_text("revenue grew")
+    out = tokenizer.decode([BOS_ID] + ids + [SEP_ID, EOS_ID] + ids)
+    assert out.lower() == "revenue grew"
+
+
+def test_unknown_char_maps_to_unk(tokenizer):
+    ids = tokenizer.encode_text("revenue é")
+    assert UNK_ID in ids
+    assert "revenue" in tokenizer.decode(ids).lower()
+
+
+def test_prompt_layout(tokenizer):
+    ids = tokenizer.encode_prompt("how fast?", ["ev one", "ev two"], 64)
+    assert ids[0] == BOS_ID
+    assert ids.count(SEP_ID) >= 2
+    assert len(ids) <= 64
+
+
+def test_prompt_truncates_but_keeps_question(tokenizer):
+    long_ev = " ".join(TEXTS)
+    ids = tokenizer.encode_prompt("how fast does the mount slew?",
+                                  [long_ev, long_ev, long_ev], 48)
+    assert len(ids) == 48
+    q_ids = tokenizer.encode_text("how fast does the mount slew?")
+    assert ids[1: 1 + len(q_ids)] == q_ids
+
+
+def test_vocab_json_roundtrip(tokenizer):
+    t2 = GenTokenizer.from_json(tokenizer.to_json())
+    s = "cooling panel"
+    assert t2.encode_text(s) == tokenizer.encode_text(s)
+
+
+# ------------------------------------------------------ model mechanics --
+
+@pytest.fixture(scope="module")
+def tiny_model(tokenizer):
+    import jax
+    from rag_foundation_tpu.models.decoder import DecoderConfig, init_params
+    cfg = DecoderConfig(vocab_size=tokenizer.vocab_size, hidden=32,
+                        layers=2, heads=2, ffn=64, max_len=64, ans_len=16)
+    return init_params(jax.random.key(0), cfg), cfg
+
+
+def test_kv_cache_matches_full_forward(tokenizer, tiny_model):
+    """prefill + decode_block greedy == step-by-step full-forward greedy
+    — the determinism sanitizer for the serving decode path."""
+    import jax
+    import jax.numpy as jnp
+    from rag_foundation_tpu.models.decoder import (decode_block, forward,
+                                                   prefill)
+    params, cfg = tiny_model
+    ids = [BOS_ID] + tokenizer.encode_text("how fast")[:10] + [SEP_ID]
+    L = len(ids)
+    padded = np.full((1, cfg.prefix_len), PAD_ID, np.int32)
+    padded[0, :L] = ids
+    cache, plog = prefill(params, jnp.asarray(padded),
+                          jnp.array([L], np.int32), cfg)
+    full = forward(params, jnp.asarray([ids], np.int32), cfg)
+    np.testing.assert_allclose(np.asarray(plog), np.asarray(full[:, -1]),
+                               atol=3e-2, rtol=3e-2)
+    blk, _, _ = decode_block(params, cache,
+                             jnp.argmax(plog, -1).astype(jnp.int32),
+                             jnp.int32(L), cfg=cfg, k_steps=5)
+    cur = list(ids) + [int(jnp.argmax(plog, -1)[0])]
+    for want in np.asarray(blk)[0]:
+        lg = forward(params, jnp.asarray([cur], np.int32), cfg)
+        nxt = int(jnp.argmax(lg[0, -1]))
+        assert nxt == int(want)
+        cur.append(nxt)
+
+
+def test_decode_pins_eos(tokenizer, tiny_model):
+    import jax.numpy as jnp
+    from rag_foundation_tpu.models.decoder import decode_block, init_cache
+    params, cfg = tiny_model
+    blk, _, _ = decode_block(params, init_cache(cfg),
+                             jnp.array([EOS_ID], jnp.int32),
+                             jnp.int32(3), cfg=cfg, k_steps=4)
+    assert np.asarray(blk)[0].tolist() == [EOS_ID] * 4
+
+
+def test_checkpoint_roundtrip(tmp_path, tokenizer, tiny_model):
+    import jax
+    from rag_foundation_tpu.models.decoder import (checkpoint_meta,
+                                                   load_decoder,
+                                                   save_decoder)
+    params, cfg = tiny_model
+    p = str(tmp_path / "dec.npz")
+    save_decoder(params, p, cfg, tokenizer)
+    params2, cfg2, tok2 = load_decoder(p)
+    assert cfg2 == cfg
+    assert tok2.vocab == tokenizer.vocab
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(params2)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32))
+    meta = checkpoint_meta(p)
+    assert meta["hidden"] == cfg.hidden
+    assert meta["vocab_entries"] == len(tokenizer.vocab)
+
+
+def test_load_rejects_non_decoder_npz(tmp_path):
+    from rag_foundation_tpu.models.decoder import load_decoder
+    p = str(tmp_path / "junk.npz")
+    np.savez(p, a=np.zeros(3))
+    with pytest.raises(ValueError, match="not a decoder checkpoint"):
+        load_decoder(p)
+
+
+def test_text_generator_deterministic(tmp_path, tokenizer, tiny_model):
+    from rag_foundation_tpu.models.decoder import TextGenerator, save_decoder
+    params, cfg = tiny_model
+    p = str(tmp_path / "dec.npz")
+    save_decoder(params, p, cfg, tokenizer)
+    gen = TextGenerator(p, block=4)
+    out1 = "".join(gen.stream("how fast?", ["the mount slews at 4.5"]))
+    out2 = "".join(gen.stream("how fast?", ["the mount slews at 4.5"]))
+    assert out1 == out2
+
+
+# ------------------------------------------------- grounding-gated tier --
+
+def _hit(text, doc_name="doc.txt"):
+    return SimpleNamespace(text=text, doc_name=doc_name, doc_id="d1",
+                           store_key="stores/x", ordinal=0, score=0.9)
+
+
+HITS = [_hit("The mount slews at 4.5 degrees per second. "
+             "It is painted white.")]
+SETTINGS = SimpleNamespace(ENGINE_ANSWER_MODE="span")
+
+
+class ScriptedEngine:
+    """Engine stub: generate_stream yields a script or raises."""
+
+    def __init__(self, deltas=None, error=None):
+        self.deltas = deltas or []
+        self.error = error
+        self.calls = 0
+
+    def generate_stream(self, question, evidences, *, max_tokens=None):
+        self.calls += 1
+        if self.error:
+            raise self.error
+        yield from self.deltas
+
+
+def _gen(engine):
+    from rag_foundation_tpu.app.services.generator import \
+        GenerativeGenerator
+    return GenerativeGenerator(SETTINGS, engine)
+
+
+def test_generative_passes_grounded_stream_through():
+    eng = ScriptedEngine(["4.5 degrees ", "per second."])
+    out = "".join(_gen(eng).stream("How fast does the mount slew?", HITS))
+    assert out == "4.5 degrees per second."
+
+
+def test_generative_requires_engine():
+    from rag_foundation_tpu.app.services.generator import \
+        GenerativeGenerator
+    with pytest.raises(ValueError, match="live engine"):
+        GenerativeGenerator(SETTINGS, None)
+
+
+def test_generative_refuses_on_empty_hits():
+    from rag_foundation_tpu.app.services.generator import REFUSAL_TEXT
+    eng = ScriptedEngine(["should never run"])
+    out = "".join(_gen(eng).stream("q?", []))
+    assert out == REFUSAL_TEXT
+    assert eng.calls == 0
+
+
+def test_generative_falls_back_on_ungrounded_output():
+    """>=2 content stems absent from evidence+question => the span
+    reader answers instead (no citation-free claims)."""
+    from rag_foundation_tpu.app.services.rag import compose_answer
+    eng = ScriptedEngine(["the reactor exploded yesterday morning "])
+    q = "How fast does the mount slew?"
+    out = "".join(_gen(eng).stream(q, HITS))
+    assert out == compose_answer(SETTINGS, q, HITS)
+
+
+def test_generative_falls_back_on_self_refusal():
+    from rag_foundation_tpu.app.services.generator import REFUSAL_TEXT
+    from rag_foundation_tpu.app.services.rag import compose_answer
+    eng = ScriptedEngine([REFUSAL_TEXT[:20], REFUSAL_TEXT[20:]])
+    q = "How fast does the mount slew?"
+    out = "".join(_gen(eng).stream(q, HITS))
+    assert out == compose_answer(SETTINGS, q, HITS)
+
+
+def test_generative_falls_back_on_engine_error():
+    from rag_foundation_tpu.app.services.rag import compose_answer
+    eng = ScriptedEngine(error=RuntimeError("device wedged"))
+    q = "How fast does the mount slew?"
+    out = "".join(_gen(eng).stream(q, HITS))
+    assert out == compose_answer(SETTINGS, q, HITS)
+
+
+def test_generative_truncates_after_partial_emission():
+    """A violation after grounded text was already streamed stops the
+    stream cleanly (no extractive text appended to generated text)."""
+    eng = ScriptedEngine(["4.5 degrees per second ",
+                          "zebra quasar nonsense words "])
+    out = "".join(_gen(eng).stream("How fast does the mount slew?", HITS))
+    assert out.startswith("4.5 degrees")
+    assert "zebra" not in out and "could not find" not in out
+
+
+def test_generative_holds_word_fragments_at_block_boundaries():
+    """Partial words at block edges must not leak (or trip the gate)."""
+    eng = ScriptedEngine(["4.5 degr", "ees per second."])
+    out = "".join(_gen(eng).stream("How fast does the mount slew?", HITS))
+    assert "degrees" in out and "degr " not in out
+
+
+# ---------------------------------------------------------- RPC stream --
+
+def test_rpc_generate_stream_roundtrip(tmp_path):
+    from rag_foundation_tpu.engine.rpc import EngineRpcServer, RemoteEngine
+    eng = ScriptedEngine(["alpha ", "beta ", "gamma"])
+    path = str(tmp_path / "rpc.sock")
+    server = EngineRpcServer(eng, path).start()
+    try:
+        remote = RemoteEngine(path, timeout=5.0)
+        got = list(remote.generate_stream("q", ["ev"]))
+        assert got == ["alpha ", "beta ", "gamma"]
+        # connection is reusable for normal ops and another stream
+        assert remote.ping()
+        assert list(remote.generate_stream("q", ["ev"])) == got
+    finally:
+        server.shutdown()
+
+
+def test_rpc_generate_stream_propagates_errors(tmp_path):
+    from rag_foundation_tpu.engine.rpc import (EngineRpcError,
+                                               EngineRpcServer,
+                                               RemoteEngine)
+    eng = ScriptedEngine(error=ValueError("no decoder configured"))
+    eng.ping = lambda: "pong"
+    path = str(tmp_path / "rpc.sock")
+    server = EngineRpcServer(eng, path).start()
+    try:
+        remote = RemoteEngine(path, timeout=5.0)
+        with pytest.raises(EngineRpcError, match="no decoder"):
+            list(remote.generate_stream("q", ["ev"]))
+        assert remote.ping()   # error frame didn't poison the socket
+    finally:
+        server.shutdown()
+
+
+def test_rpc_abandoned_stream_does_not_poison_pool(tmp_path):
+    from rag_foundation_tpu.engine.rpc import EngineRpcServer, RemoteEngine
+    eng = ScriptedEngine(["one ", "two ", "three ", "four "])
+    path = str(tmp_path / "rpc.sock")
+    server = EngineRpcServer(eng, path).start()
+    try:
+        remote = RemoteEngine(path, timeout=5.0)
+        it = remote.generate_stream("q", ["ev"])
+        assert next(it) == "one "
+        it.close()   # abandon mid-stream: socket must be discarded
+        assert remote.ping()
+        assert list(remote.generate_stream("q", ["ev"]))[0] == "one "
+    finally:
+        server.shutdown()
+
+
+def test_rpc_concurrent_streams(tmp_path):
+    from rag_foundation_tpu.engine.rpc import EngineRpcServer, RemoteEngine
+    eng = ScriptedEngine(["x"] * 5)
+    path = str(tmp_path / "rpc.sock")
+    server = EngineRpcServer(eng, path).start()
+    try:
+        remote = RemoteEngine(path, timeout=5.0)
+        results = [None, None]
+
+        def run(i):
+            results[i] = "".join(remote.generate_stream("q", []))
+
+        ts = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+        [t.start() for t in ts]
+        [t.join(timeout=10) for t in ts]
+        assert results == ["xxxxx", "xxxxx"]
+    finally:
+        server.shutdown()
+
+
+# ----------------------------------------------------- config + engine --
+
+def test_config_generative_requires_ckpt(tmp_path):
+    from tests.app_helpers import make_settings
+    with pytest.raises(ValueError, match="ENGINE_GENERATOR_CKPT"):
+        make_settings(tmp_path, ENGINE_GENERATOR="generative")
+
+
+def test_engine_without_ckpt_raises_clear_error():
+    from rag_foundation_tpu.engine import Engine, EngineConfig
+    eng = Engine(EngineConfig(dim=32))
+    with pytest.raises(ValueError, match="no generative decoder"):
+        list(eng.generate_stream("q", ["ev"]))

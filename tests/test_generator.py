@@ -41,16 +41,21 @@ SETTINGS = SimpleNamespace(ENGINE_ANSWER_MODE="span")
 # ---------------------------------------------------------------- unit --
 
 def test_registry_and_factory():
-    assert set(GENERATORS) == {"span_reader", "mock_generative"}
+    assert set(GENERATORS) == {"span_reader", "mock_generative",
+                               "generative"}
     gen = make_generator(SimpleNamespace())
     assert isinstance(gen, SpanReaderGenerator)  # default
     gen = make_generator(SimpleNamespace(ENGINE_GENERATOR="mock_generative"))
     assert isinstance(gen, MockGenerativeGenerator)
     with pytest.raises(ValueError, match="unknown ENGINE_GENERATOR"):
         make_generator(SimpleNamespace(ENGINE_GENERATOR="nope"))
-    # both satisfy the runtime-checkable protocol surface
-    for cls in GENERATORS.values():
-        assert isinstance(cls(SETTINGS), AnswerGenerator)
+    # all satisfy the runtime-checkable protocol surface
+    from rag_foundation_tpu.app.services.generator import \
+        GenerativeGenerator
+    for name, cls in GENERATORS.items():
+        inst = cls(SETTINGS, object()) if cls is GenerativeGenerator \
+            else cls(SETTINGS)
+        assert isinstance(inst, AnswerGenerator), name
 
 
 def test_span_reader_matches_compose_answer():
@@ -62,9 +67,13 @@ def test_span_reader_matches_compose_answer():
     assert streamed == compose_answer(SETTINGS, q, hits)
 
 
-def test_both_generators_refuse_on_empty_hits():
+def test_all_generators_refuse_on_empty_hits():
+    from rag_foundation_tpu.app.services.generator import \
+        GenerativeGenerator
     for cls in GENERATORS.values():
-        assert "".join(cls(SETTINGS).stream("q?", [])) == REFUSAL_TEXT
+        inst = cls(SETTINGS, object()) if cls is GenerativeGenerator \
+            else cls(SETTINGS)
+        assert "".join(inst.stream("q?", [])) == REFUSAL_TEXT
 
 
 def test_mock_generative_grounds_and_narrates():
@@ -100,7 +109,8 @@ def test_mock_generative_streams_lazily():
 
 # ------------------------------------------------- SSE contract (live) --
 
-@pytest.mark.parametrize("generator", ["span_reader", "mock_generative"])
+@pytest.mark.parametrize("generator",
+                         ["span_reader", "mock_generative", "generative"])
 def test_chat_sse_contract_under_each_generator(tmp_path, generator):
     client, ctx, headers, store = _chat_app(tmp_path, generator)
     r = client.post("/api/chat", headers=headers,
@@ -117,11 +127,26 @@ def test_chat_sse_contract_under_each_generator(tmp_path, generator):
     assert finish["promptTokens"] > 0 and finish["completionTokens"] > 0
     text = "".join(e.get("delta", "") for e in events
                    if e["type"] == "text-delta")
-    assert "revenue" in text.lower()
     if generator == "mock_generative":
+        assert "revenue" in text.lower()
         assert text.startswith("[generated]")
         assert "finance.txt" in text
+    elif generator == "generative":
+        # the REAL decoder (CI smoke checkpoint): whatever it streams
+        # passed the grounding gate, so every content stem comes from
+        # the retrieved evidence or the question — or the gate fell
+        # back to the extractive answer. Either way the text is
+        # grounded and non-empty.
+        from rag_foundation_tpu.app.services import textnorm
+        assert text.strip()
+        allowed = set(textnorm.content_stems(DOC)) \
+            | set(textnorm.content_stems("How did revenue grow?"))
+        missing = [t for t in textnorm.content_stems(text)
+                   if not any(textnorm.stems_match(t, a)
+                              for a in allowed)]
+        assert len(missing) <= 1, (text, missing)
     else:
+        assert "revenue" in text.lower()
         assert not text.startswith("[generated]")
     cits = [e for e in events if e["type"] == "source-document"]
     assert cits and cits[0]["title"] == "finance.txt"
@@ -141,7 +166,10 @@ def test_generator_answers_persist_to_session(tmp_path):
 
 
 def _chat_app(tmp_path, generator):
-    client, ctx = make_app(tmp_path, ENGINE_GENERATOR=generator)
+    extra = {}
+    if generator == "generative":
+        extra["ENGINE_GENERATOR_CKPT"] = "checkpoints/decoder_smoke.npz"
+    client, ctx = make_app(tmp_path, ENGINE_GENERATOR=generator, **extra)
     headers = signup(client)
     store = create_store(client, headers)
     upload_text(client, headers, store["id"], DOC, "finance.txt")
