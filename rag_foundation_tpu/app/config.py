@@ -126,6 +126,10 @@ class Settings(BaseModel):
     #   (scripts/train_decoder.py); required for generative
     ENGINE_GEN_BLOCK: int = 16            # greedy tokens per decode
     #   dispatch (amortizes the ~27ms tunnel RTT per device call)
+    ENGINE_HISTORY_REWRITE: bool = True   # anaphoric follow-ups retrieve
+    #   with prior-turn entity terms appended (services/rag.py::
+    #   reformulate_query); single-turn queries are untouched. Off =
+    #   the history-blind baseline for the multi-turn quality bench.
     ENGINE_READER_K: int = 12             # candidate pool for the reader
     #   (search depth; citations still honor top_k)
     ENGINE_LEXICAL_RERANK: int = 128      # over-fetch depth for the host

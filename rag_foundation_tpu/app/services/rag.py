@@ -227,6 +227,84 @@ def _informative_unmatched(question: str, hits) -> int:
                and t not in _GENERIC_STEMS)
 
 
+_ANAPHOR_RE = re.compile(
+    r"\b(it|its|they|their|them|theirs|this|that|these|those|he|she|"
+    r"his|hers|him|her|such|same|one|ones)\b", re.I)
+
+_QWORDS = frozenset("what which who whom whose when where why how is are "
+                    "was were does do did can could about and the a an of "
+                    "for in on at to".split())
+
+
+def _history_salient_terms(question: str, history, *, limit: int = 6
+                           ) -> list[str]:
+    """Entity/topic carryover TOKENS from recent turns, newest first:
+    (1) entity selectors (digit-bearing / proper-noun, _selector_terms'
+    regex) from user turns, (2) selectors from assistant turns (the
+    referent may have been introduced by the answer), (3) content words
+    of the newest user turn. Terms already covered by the question are
+    skipped — the reformulated query stays a superset of the original."""
+    q_stems = textnorm.StemSet.from_text(question)
+
+    def covered(tok: str) -> bool:
+        s = textnorm.stem(tok.lower())
+        return (not s or s in _GENERIC_STEMS or tok.lower() in _QWORDS
+                or any(textnorm.stems_match(s, q) for q in set(q_stems)))
+
+    terms: list[str] = []
+    seen: set[str] = set()
+
+    def add(tok: str) -> None:
+        s = textnorm.stem(tok.lower())
+        if s in seen or covered(tok):
+            return
+        seen.add(s)
+        terms.append(tok)
+
+    for role in ("user", "assistant"):
+        for m in reversed(history or []):
+            if m.get("role") != role:
+                continue
+            for mt in _SELECTOR_RE.finditer(m.get("content", "")):
+                add(mt.group(1) or mt.group(2))
+            if len(terms) >= limit:
+                return terms[:limit]
+    if not terms:
+        for m in reversed(history or []):
+            if m.get("role") != "user":
+                continue
+            text = m.get("content", "")
+            content = textnorm.content_stems(text)
+            for tok in re.findall(r"[A-Za-z0-9][\w.-]*", text):
+                if textnorm.stem(tok.lower()) in content:
+                    add(tok)
+            break
+    return terms[:limit]
+
+
+def reformulate_query(question: str, history) -> str:
+    """History-aware retrieval query (VERDICT r4 item 2).
+
+    The reference resolves follow-up anaphora implicitly by sending the
+    full trimmed history to the model (reference chat.py:182-223). An
+    extractive engine retrieves on the question text alone, so
+    "what about its altitude?" would search on "altitude" and pull the
+    wrong entity. When the question is ANAPHORIC (pronoun-bearing, or
+    too few content terms to stand alone), append salient entity terms
+    carried over from recent turns. Non-anaphoric questions — including
+    every single-turn request — pass through verbatim."""
+    if not history:
+        return question
+    q_stems = set(textnorm.StemSet.from_text(question))
+    anaphoric = bool(_ANAPHOR_RE.search(question)) or len(q_stems) <= 1
+    if not anaphoric:
+        return question
+    terms = _history_salient_terms(question, history)
+    if not terms:
+        return question
+    return f"{question} {' '.join(terms)}"
+
+
 def _ranked_sentences(question: str, hits, *, limit: int = 8
                       ) -> list[tuple[str, float]]:
     """Sentences across the top hits ranked by IDF-weighted
@@ -423,10 +501,18 @@ class EngineRag:
                    ) -> tuple[Iterator[str], StreamResult]:
         result = StreamResult()
         k = top_k or self.settings.ENGINE_TOP_K
+        # history-aware retrieval: anaphoric follow-ups get prior-turn
+        # entity terms appended for SEARCH, sentence ranking, refusal
+        # gating, and composition; the original question is preserved
+        # for token accounting. Single-turn questions pass through
+        # verbatim (reference analog: chat.py:182-223 history contents)
+        orig_question = question
+        if getattr(self.settings, "ENGINE_HISTORY_REWRITE", True):
+            question = reformulate_query(question, history)
+        k_search = max(k, getattr(self.settings, "ENGINE_READER_K", 12))
         # retrieve deeper than we cite: the span reader mines sentences
         # from a wider pool (right doc, wrong chunk window is the common
         # retrieval miss), while citations honor the requested top_k
-        k_search = max(k, getattr(self.settings, "ENGINE_READER_K", 12))
         rerank_n = getattr(self.settings, "ENGINE_LEXICAL_RERANK", 0)
         if rerank_n > 0 and not _selector_terms(question):
             # no entity selectors in the question -> the rerank can
@@ -495,7 +581,7 @@ class EngineRag:
         history_text = " ".join(m.get("content", "")
                                 for m in (history or []))
         result.prompt_tokens = estimate_tokens_from_text(
-            question + " " + history_text)
+            orig_question + " " + history_text)
         # the AnswerGenerator composes lazily (a generative impl streams
         # tokens as they arrive); time-to-first-delta is the compose
         # metric — for the extractive default that IS the compose cost

@@ -134,10 +134,19 @@ class ApiClient:
         raise TimeoutError(f"ingestion timeout for {path.name}")
 
     def ask(self, question: str, store_ids: list[int],
-            timeout_s: float = 120.0, top_k: int | None = None) -> dict:
-        """POST /api/chat and consume the SSE stream to [DONE]."""
+            timeout_s: float = 120.0, top_k: int | None = None,
+            history: list[dict] | None = None) -> dict:
+        """POST /api/chat and consume the SSE stream to [DONE].
+
+        ``history`` (multi-turn questions): prior turns sent as the
+        AssistantUI ``messages`` array, current question last — the
+        same wire shape the frontend sends (static/chat.js)."""
         t0 = time.perf_counter()
         body = {"question": question, "store_ids": store_ids}
+        if history:
+            body = {"messages": list(history)
+                    + [{"role": "user", "content": question}],
+                    "store_ids": store_ids}
         if top_k is not None:
             body["top_k"] = top_k
         resp = self._request("POST", "/api/chat", json_body=body,
@@ -182,7 +191,8 @@ def run_benchmark(client: ApiClient, store_id: int, questions: list[dict],
 
     def _one(q: dict) -> dict:
         try:
-            out = client.ask(q["question"], [store_id], top_k=top_k)
+            out = client.ask(q["question"], [store_id], top_k=top_k,
+                             history=q.get("history"))
         except Exception as e:  # noqa: BLE001 — record, don't abort run
             return {"question": q["question"], "error": str(e)}
         answers = q.get("answers", [])

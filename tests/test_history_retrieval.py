@@ -1,0 +1,139 @@
+"""History-aware retrieval (VERDICT r4 item 2): anaphoric follow-ups
+("what about its power draw?") retrieve with prior-turn entity terms
+appended, so the engine finds the entity the pronoun refers to.
+
+Reference analog: the reference sends the full trimmed history to the
+generative model (reference chat.py:182-223), which resolves anaphora
+implicitly; an extractive engine must resolve it before retrieval.
+"""
+
+import json
+
+from rag_foundation_tpu.app.services.rag import (_history_salient_terms,
+                                                 reformulate_query)
+from tests.app_helpers import (create_store, drain_worker, make_app, signup,
+                               upload_text)
+
+HIST = [
+    {"role": "user",
+     "content": "How fast does the Meridian Ridge mount slew?"},
+    {"role": "assistant",
+     "content": "The mount slews at 4 degrees per second."},
+]
+
+
+# ------------------------------------------------------------------ unit --
+
+def test_no_history_is_identity():
+    q = "What about its altitude?"
+    assert reformulate_query(q, []) == q
+    assert reformulate_query(q, None) == q
+
+
+def test_non_anaphoric_question_is_untouched():
+    q = "What is the diameter of the primary mirror?"
+    assert reformulate_query(q, HIST) == q
+
+
+def test_pronoun_followup_carries_prior_entity():
+    q = "What about its power draw?"
+    out = reformulate_query(q, HIST)
+    assert out.startswith(q)
+    assert "Meridian" in out and "Ridge" in out
+
+
+def test_terms_already_in_question_are_not_duplicated():
+    q = "What about the Meridian power draw?"
+    out = reformulate_query(q, HIST)
+    assert out.count("Meridian") == 1
+
+
+def test_assistant_introduced_entity_carries():
+    hist = [
+        {"role": "user", "content": "Which site hosts the survey?"},
+        {"role": "assistant",
+         "content": "The survey is hosted at Cerro Vista."},
+    ]
+    out = reformulate_query("What is its altitude?", hist)
+    assert "Cerro" in out and "Vista" in out
+
+
+def test_content_word_fallback_without_selectors():
+    hist = [{"role": "user",
+             "content": "How large is the primary mirror?"}]
+    out = reformulate_query("What about its coating?", hist)
+    assert "mirror" in out and "primary" in out
+
+
+def test_salient_terms_prefer_newest_user_turn():
+    hist = [
+        {"role": "user", "content": "Tell me about Alpha Station."},
+        {"role": "assistant", "content": "Alpha Station is old."},
+        {"role": "user", "content": "And the Borealis Array?"},
+        {"role": "assistant", "content": "It is newer."},
+    ]
+    terms = _history_salient_terms("what powers it?", hist)
+    assert terms.index("Borealis") < terms.index("Alpha")
+
+
+# ------------------------------------------------- app-level A/B (live) --
+
+MERIDIAN_DOC = (
+    "The Meridian Ridge mount is the primary telescope platform. "
+    "The Meridian Ridge mount slews at 4 degrees per second in azimuth. "
+    "During fast slews the Meridian Ridge mount draws 52 watts of power. "
+    "Its drive motors were refurbished two seasons ago. " * 3)
+
+PUMP_DOC = (
+    "The auxiliary cooling pump circulates glycol through the dome. "
+    "The auxiliary cooling pump draws 9 watts of power continuously. "
+    "Power draw spikes briefly when the pump reprimes after maintenance. "
+    "Routine checks of the pump happen every morning shift. " * 3)
+
+FOLLOWUP_MESSAGES = [
+    {"role": "user",
+     "content": "How fast does the Meridian Ridge mount slew?"},
+    {"role": "assistant",
+     "content": "It slews at 4 degrees per second in azimuth."},
+    {"role": "user", "content": "How many watts does it draw?"},
+]
+
+
+def _ask_followup(tmp_path, **overrides):
+    client, ctx = make_app(tmp_path, **overrides)
+    headers = signup(client)
+    store = create_store(client, headers)
+    upload_text(client, headers, store["id"], MERIDIAN_DOC, "meridian.txt")
+    upload_text(client, headers, store["id"], PUMP_DOC, "pump.txt")
+    drain_worker(ctx)
+    r = client.post("/api/chat", headers=headers,
+                    json_body={"messages": FOLLOWUP_MESSAGES,
+                               "storeIds": [store["id"]]})
+    assert r.status_code == 200
+    text, cits = "", []
+    for payload in r.iter_sse():
+        if payload == "[DONE]":
+            continue
+        e = json.loads(payload)
+        if e["type"] == "text-delta":
+            text += e.get("delta", "")
+        elif e["type"] == "source-document":
+            cits.append(e)
+    return text, cits
+
+
+def test_followup_resolves_anaphora_through_history(tmp_path):
+    """'How many watts does it draw?' after a Meridian-mount turn must
+    answer from the mount doc (52 W), not the lexically-closer pump doc
+    (9 W) the history-blind query retrieves."""
+    text, cits = _ask_followup(tmp_path)
+    assert "52" in text, text
+    assert cits and cits[0]["title"] == "meridian.txt"
+
+
+def test_history_blind_baseline_flag_disables_rewrite(tmp_path):
+    """ENGINE_HISTORY_REWRITE=False is the measured baseline: the same
+    follow-up retrieves on the bare question and lands on the wrong
+    entity — the delta the multi-turn bench quantifies."""
+    text, cits = _ask_followup(tmp_path, ENGINE_HISTORY_REWRITE=False)
+    assert "52" not in text, text
