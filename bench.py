@@ -57,7 +57,9 @@ def run_ivf_10m() -> dict | None:
         log(proc.stderr[-2000:])
         m = re.search(
             r"RESULT qps=(\d+) qps_1k=(-?\d+) recall_sp=([\d.]+) "
-            r"recall_e2e=(-?[\d.]+) build_Mvps=([\d.]+)",
+            r"recall_e2e=(-?[\d.]+) recall_sp_1k=(-?[\d.]+) "
+            r"recall_e2e_1k=(-?[\d.]+) drops=(-?\d+) drops_1k=(-?\d+) "
+            r"build_Mvps=([\d.]+)",
             proc.stdout)
         if proc.returncode == 0 and m:
             break
@@ -67,15 +69,23 @@ def run_ivf_10m() -> dict | None:
     if not m:
         return None
     qps, qps_1k = float(m[1]), float(m[2])
-    recall_sp, recall_e2e, build = float(m[3]), float(m[4]), float(m[5])
+    recall_sp, recall_e2e = float(m[3]), float(m[4])
+    recall_sp_1k, recall_e2e_1k = float(m[5]), float(m[6])
+    drops, drops_1k = int(m[7]), int(m[8])
+    build = float(m[9])
     p50 = re.search(r"ivf_search: ([\d.]+) ms/batch", proc.stderr)
     p50_ms = float(p50[1]) if p50 else 8192.0 / qps * 1000
     return {
+        # every published QPS carries its own recall + probe drops
+        # (VERDICT r4 item 4)
         "metric": (f"10Mx768 int8 IVF-Flat top-10 QPS (docwalk corpus),"
                    f" 1 v5e chip, recall@10 e2e={recall_e2e:.4f} vs f32"
-                   f" GT (search-path recall_sp={recall_sp:.4f}),"
+                   f" GT (search-path recall_sp={recall_sp:.4f},"
+                   f" drops={drops}),"
                    f" p50={p50_ms:.1f}ms/8k-batch,"
-                   f" 1k-batch={qps_1k:.0f} qps,"
+                   f" 1k-batch={qps_1k:.0f} qps @ e2e="
+                   f"{recall_e2e_1k:.4f}/sp={recall_sp_1k:.4f}"
+                   f" (drops={drops_1k}),"
                    f" build={build:.2f}M vec/s"),
         "value": round(qps),
         "unit": "qps",

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import functools
+import json
 import os
 import sys
 import time
@@ -56,6 +57,12 @@ def main():
                          "(VERDICT r3 item 10)")
     ap.add_argument("--interpret", action="store_true",
                     help="Pallas interpret mode (CPU smoke runs only)")
+    ap.add_argument("--sweep-qcap", action="store_true",
+                    help="measure qcap in {8,16,32,64,128} at the "
+                         "primary batch: QPS + probe drops + recall_sp "
+                         "per config (VERDICT r4 item 4)")
+    ap.add_argument("--sweep-out",
+                    default="benchmarks/results/ivf10m_qcap_sweep.json")
     ap.add_argument("--e2e-gt", action="store_true",
                     help="also compute recall vs the f32 corpus "
                          "(regenerated chunk-by-chunk on device) — the "
@@ -235,7 +242,7 @@ def main():
             f" approx={approx}:"
             f" {per*1000:.2f} ms -> {q_batch.shape[0]/per:.0f} QPS"
             f" (drops {int(dd)})")
-        return per, ii
+        return per, ii, int(dd)
 
     if "--variants" in sys.argv or os.environ.get("IVF_VARIANTS"):
         q2 = jnp.concatenate([q_dev, q_dev], axis=0)
@@ -275,16 +282,31 @@ def main():
     vals, ids, dropped = ivf_search(index, q_dev, args.k, **kw)
     _ = np.asarray(vals)
     log(f"probe drops: {int(dropped)}")
-    per, ids = measure(args.nprobe, args.qcap, args.p, q_dev,
-                       approx=args.approx)
+    per, ids, drops = measure(args.nprobe, args.qcap, args.p, q_dev,
+                              approx=args.approx)
     qps = args.q / per
     log(f"ivf_search: {per*1000:.2f} ms/batch -> {qps:.0f} QPS")
 
-    qps_1k = -1.0
+    # every published config keeps its own ids so every published QPS
+    # ships with its own recall (VERDICT r4 item 4; reference analog:
+    # run_benchmark.py:447-469 never splits latency from quality)
+    qps_1k, ids_1k, drops_1k = -1.0, None, -1
     if args.both_batches and args.q >= 2048:
-        per1k, _ = measure(args.nprobe, 16, args.p, q_dev[:1024],
-                           approx=args.approx)
+        per1k, ids_1k, drops_1k = measure(args.nprobe, 16, args.p,
+                                          q_dev[:1024],
+                                          approx=args.approx)
         qps_1k = 1024 / per1k
+
+    sweep_rows = []
+    if args.sweep_qcap:
+        for qc in (8, 16, 32, 64, 128):
+            per_s, ids_s, drops_s = measure(args.nprobe, qc, args.p,
+                                            q_dev, approx=args.approx)
+            sweep_rows.append({"qcap": qc, "nprobe": args.nprobe,
+                               "p": args.p, "q": int(args.q),
+                               "qps": round(args.q / per_s),
+                               "drops": drops_s,
+                               "ids": np.asarray(ids_s[: args.gt_sub])})
 
     # recall vs exact scan: reshape happens INSIDE the jit (a bitcast on
     # the contiguous [nlist, cap, d] buffer — no 8.6 GiB copy)
@@ -303,10 +325,22 @@ def main():
     ev, exact_rows = exact_gt(q_dev[:sub], index.lists, index.row_ids)
     exact_ids = np.asarray(exact_rows)
     approx_ids = np.asarray(ids[:sub])
-    rec_sp = np.mean([len(set(a) & set(b)) / args.k
-                      for a, b in zip(approx_ids, exact_ids)])
-    log(f"recall_sp@{args.k} vs exact(int8 corpus): {rec_sp:.4f}")
 
+    def _recall(a_ids, b_ids):
+        return float(np.mean([len(set(a) & set(b)) / args.k
+                              for a, b in zip(a_ids, b_ids)]))
+
+    rec_sp = _recall(approx_ids, exact_ids)
+    log(f"recall_sp@{args.k} vs exact(int8 corpus): {rec_sp:.4f}")
+    rec_sp_1k = -1.0
+    if ids_1k is not None:
+        m1k = min(sub, 1024)
+        rec_sp_1k = _recall(np.asarray(ids_1k[:m1k]), exact_ids[:m1k])
+        log(f"recall_sp_1k@{args.k} (qcap=16 config): {rec_sp_1k:.4f}")
+    for row in sweep_rows:
+        row["recall_sp"] = round(_recall(row.pop("ids"), exact_ids), 4)
+
+    rec_e2e_1k = -1.0
     # end-to-end recall vs the f32 corpus (VERDICT r3 item 3): the
     # corpus was never materialized in f32 (30 GB), so regenerate each
     # chunk on device — gen is deterministic in (key, base) — and merge
@@ -340,12 +374,28 @@ def main():
             best_v = np.take_along_axis(cat_v, order, 1)
             best_i = np.take_along_axis(cat_i, order, 1)
         log(f"f32 GT pass: {time.perf_counter() - t0:.1f}s")
-        rec_e2e = np.mean([len(set(a) & set(b)) / args.k
-                           for a, b in zip(approx_ids, best_i)])
+        rec_e2e = _recall(approx_ids, best_i)
         log(f"recall_e2e@{args.k} vs f32 corpus: {rec_e2e:.4f}")
+        if ids_1k is not None:
+            m1k = min(sub, 1024)
+            rec_e2e_1k = _recall(np.asarray(ids_1k[:m1k]), best_i[:m1k])
+            log(f"recall_e2e_1k@{args.k} vs f32 corpus: {rec_e2e_1k:.4f}")
+
+    if sweep_rows:
+        sweep = {"n": int(n), "dim": int(d), "k": int(args.k),
+                 "corpus": args.corpus, "note": "qcap -> probe-drop ->"
+                 " recall trade at fixed nprobe (VERDICT r4 item 4)",
+                 "rows": sweep_rows}
+        os.makedirs(os.path.dirname(args.sweep_out) or ".",
+                    exist_ok=True)
+        with open(args.sweep_out, "w") as f:
+            json.dump(sweep, f, indent=1)
+        log(f"qcap sweep -> {args.sweep_out}")
 
     print(f"RESULT qps={qps:.0f} qps_1k={qps_1k:.0f} "
           f"recall_sp={rec_sp:.4f} recall_e2e={rec_e2e:.4f} "
+          f"recall_sp_1k={rec_sp_1k:.4f} recall_e2e_1k={rec_e2e_1k:.4f} "
+          f"drops={drops} drops_1k={drops_1k} "
           f"build_Mvps={mvps:.2f}")
 
 
