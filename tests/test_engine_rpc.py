@@ -176,3 +176,107 @@ def test_prewarm_compiles_buckets(served_engine):
     out = remote.prewarm("stores/warm-1", k=3, max_bucket=8)
     assert set(out["buckets_s"]) == {"1", "2", "4", "8"}
     assert all(v >= 0 for v in out["buckets_s"].values())
+
+
+# ---------------------------------------------------------------------------
+# engine-restart serving continuity (VERDICT r4 item 8)
+
+def _spawn_engine_main(tmp_path, sock):
+    """Real engine_main subprocess on CPU with a durable data_dir."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(Path(__file__).parent.parent)
+    env.update(
+        RAGTPU_ENVIRONMENT="test",
+        RAGTPU_ENGINE_PLATFORM="cpu",
+        RAGTPU_MOCK_MODE="0",
+        RAGTPU_DATA_DIR=str(tmp_path / "data"),
+        RAGTPU_ENGINE_RPC_SOCKET=sock,
+        RAGTPU_ENGINE_DIM="64",
+        RAGTPU_ENGINE_CHUNK_TOKENS="40",
+        RAGTPU_ENGINE_CHUNK_OVERLAP="8",
+    )
+    return subprocess.Popen(
+        [sys.executable, "-m", "rag_foundation_tpu.app.engine_main"],
+        env=env, stdout=subprocess.DEVNULL, stderr=subprocess.PIPE)
+
+
+def _wait_ping(sock, timeout=45.0):
+    import time
+    remote = RemoteEngine(sock, timeout=10.0)
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        try:
+            if remote.ping():
+                return remote
+        except OSError:
+            time.sleep(0.15)   # conftest bans sleeps > 0.2s
+    raise TimeoutError(f"engine_main never served on {sock}")
+
+
+def test_engine_restart_serving_continuity(tmp_path):
+    """Kill the TPU-owning engine_main mid-serve and prove the API side
+    recovers: errors surface as the provider error type while the
+    engine is down (-> SSE error frames upstream), and after a restart
+    with the same data_dir the FIRST search succeeds through
+    RemoteEngine's reconnect-once with the checkpoint-restored body —
+    bit-identical results, no API-process restart.
+
+    Reference resilience analog: provider outage handling + watchdog
+    (/root/reference/backend/app/main.py:352-423, worker.py:83-132).
+    """
+    import signal
+
+    from tests.app_helpers import make_settings
+    from rag_foundation_tpu.app.services.rag import EngineRag, RagError
+
+    sock = str(tmp_path / "engine.sock")
+    proc = _spawn_engine_main(tmp_path, sock)
+    try:
+        remote = _wait_ping(sock)
+        remote.create_store("stores/restart")
+        remote.ingest_document("stores/restart", "d1", "fin.txt", DOC)
+        hits0 = remote.search(["stores/restart"], "revenue growth", k=3)
+        assert hits0
+
+        settings = make_settings(tmp_path, ENGINE_RPC_MODE="connect",
+                                 ENGINE_RPC_SOCKET=sock)
+        rag = EngineRag(settings)
+        gen, result = rag.ask_stream("How did revenue grow?",
+                                     ["stores/restart"], model="m")
+        assert "revenue" in "".join(gen).lower()
+
+        # hard-kill the engine process (SIGKILL: no shutdown hooks run;
+        # durability must come from the already-persisted checkpoint)
+        proc.send_signal(signal.SIGKILL)
+        proc.wait(timeout=10)
+
+        # outage: the provider boundary degrades loudly, not silently
+        with pytest.raises((RagError, OSError)):
+            rag.ask_stream("How did revenue grow?",
+                           ["stores/restart"], model="m")
+
+        # restart with the same data_dir: the store body restores from
+        # its checkpoint and the SAME RemoteEngine objects recover via
+        # reconnect-once (rpc.py) — no client restart
+        proc2 = _spawn_engine_main(tmp_path, sock)
+        try:
+            _wait_ping(sock)
+            hits1 = remote.search(["stores/restart"],
+                                  "revenue growth", k=3)
+            assert [h.chunk_id for h in hits1] == \
+                [h.chunk_id for h in hits0]
+            assert [h.text for h in hits1] == [h.text for h in hits0]
+            gen, _ = rag.ask_stream("How did revenue grow?",
+                                    ["stores/restart"], model="m")
+            assert "revenue" in "".join(gen).lower()
+        finally:
+            proc2.terminate()
+            proc2.wait(timeout=10)
+    finally:
+        if proc.poll() is None:
+            proc.terminate()
+            proc.wait(timeout=10)
