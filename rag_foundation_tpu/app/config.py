@@ -126,6 +126,9 @@ class Settings(BaseModel):
     #   (scripts/train_decoder.py); required for generative
     ENGINE_GEN_BLOCK: int = 16            # greedy tokens per decode
     #   dispatch (amortizes the ~27ms tunnel RTT per device call)
+    ENGINE_GEN_CONSTRAINED: bool = True   # constrained grounded
+    #   decoding: logits masked to prompt ∪ function words ∪ EOS (the
+    #   token-level complement of the grounding gate)
     ENGINE_HISTORY_REWRITE: bool = True   # anaphoric follow-ups retrieve
     #   with prior-turn entity terms appended (services/rag.py::
     #   reformulate_query); single-turn queries are untouched. Off =

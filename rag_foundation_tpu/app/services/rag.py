@@ -435,6 +435,7 @@ def engine_config_from_settings(settings) -> EngineConfig:
         generator_ckpt=getattr(settings, "ENGINE_GENERATOR_CKPT", "")
         or None,
         gen_block=getattr(settings, "ENGINE_GEN_BLOCK", 16),
+        gen_constrained=getattr(settings, "ENGINE_GEN_CONSTRAINED", True),
     )
 
 

@@ -65,6 +65,8 @@ class EngineConfig:
     data_dir: str | None = None    # checkpoint root; None = memory-only
     generator_ckpt: str | None = None  # decoder npz (train_decoder.py)
     gen_block: int = 16            # greedy tokens per decode dispatch
+    gen_constrained: bool = True   # constrained grounded decoding
+    #   (logits masked to prompt ∪ function words ∪ EOS)
 
     def __post_init__(self):
         # fail fast at startup, not inside a worker job at first index
@@ -636,7 +638,8 @@ class Engine:
                     "scripts/train_decoder.py")
             from rag_foundation_tpu.models.decoder import TextGenerator
             gen = TextGenerator(self.config.generator_ckpt,
-                                block=self.config.gen_block)
+                                block=self.config.gen_block,
+                                constrained=self.config.gen_constrained)
             self._genserve = gen
         return gen
 

@@ -36,8 +36,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rag_foundation_tpu.models.gen_tokenizer import (EOS_ID, PAD_ID,
-                                                     GenTokenizer)
+from rag_foundation_tpu.models.gen_tokenizer import (BOS_ID, EOS_ID,
+                                                     PAD_ID, SEP_ID,
+                                                     UNK_ID, GenTokenizer)
 
 
 class DecoderConfig(NamedTuple):
@@ -256,18 +257,13 @@ def _decode_one(params: dict, cache: dict, tok: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "k_steps"))
-def decode_block(params: dict, cache: dict, last_tok: jnp.ndarray,
-                 pos: jnp.ndarray, *, cfg: DecoderConfig,
-                 k_steps: int = 16):
-    """Advance ``k_steps`` greedy tokens in ONE dispatch (lax.scan).
-    ``last_tok [b]`` is the most recent token (prefix tail or previous
-    block's last emission); ``pos`` is the position the NEXT token will
-    occupy... i.e. the current sequence length. After EOS the output is
-    pinned to EOS (host trims). Returns (ids [b, k_steps], cache, pos)."""
-
+def _decode_block_jit(params: dict, cache: dict, last_tok: jnp.ndarray,
+                      pos: jnp.ndarray, bias: jnp.ndarray, *,
+                      cfg: DecoderConfig, k_steps: int):
     def step(carry, _):
         cache, tok, pos, done = carry
         logits, cache = _decode_one(params, cache, tok, pos, cfg)
+        logits = logits + bias
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         nxt = jnp.where(done, jnp.int32(EOS_ID), nxt)
         done = done | (nxt == EOS_ID)
@@ -277,6 +273,23 @@ def decode_block(params: dict, cache: dict, last_tok: jnp.ndarray,
     (cache, _, pos, _), ids = jax.lax.scan(
         step, (cache, last_tok, pos, done0), None, length=k_steps)
     return ids.T, cache, pos
+
+
+def decode_block(params: dict, cache: dict, last_tok: jnp.ndarray,
+                 pos: jnp.ndarray, *, cfg: DecoderConfig,
+                 k_steps: int = 16, bias: jnp.ndarray | None = None):
+    """Advance ``k_steps`` greedy tokens in ONE dispatch (lax.scan).
+    ``last_tok [b]`` is the most recent token (prefix tail or previous
+    block's last emission); ``pos`` is the position the NEXT token will
+    occupy... i.e. the current sequence length. After EOS the output is
+    pinned to EOS (host trims). ``bias [vocab] f32`` is added to every
+    step's logits — the constrained-grounded-decoding hook (-inf on
+    tokens outside prompt ∪ function words ∪ EOS; see
+    TextGenerator.vocab_bias). Returns (ids [b, k_steps], cache, pos)."""
+    if bias is None:
+        bias = jnp.zeros((cfg.vocab_size,), jnp.float32)
+    return _decode_block_jit(params, cache, last_tok, pos, bias,
+                             cfg=cfg, k_steps=k_steps)
 
 
 # ---------------------------------------------------------------------------
@@ -328,18 +341,57 @@ def load_decoder(path: str) -> tuple[dict, DecoderConfig, GenTokenizer]:
 # ---------------------------------------------------------------------------
 # serving wrapper
 
+# words a grounded answer may use even when absent from the evidence:
+# glue, copulas, quantifier/comparative scaffolding, and the refusal
+# vocabulary. Everything else must come from the prompt (constrained
+# grounded decoding — the token-level complement of the serve-time
+# grounding gate in app/services/generator.py).
+_FUNCTION_WORDS = (
+    "a an the is are was were be been being do does did done to of in on "
+    "at by for with from as and or but not no nor this that these those "
+    "it its they their them there here which who whose what when where "
+    "why how all any each every both few more most other some such only "
+    "own same so than too very can could should would may might will "
+    "shall must has have had per about approximately roughly around "
+    "under over above between within after before during up down out "
+    "into onto across against also then once again further while if "
+    "because until unless through yes one two three four five six seven "
+    "eight nine ten i could not find relevant information selected "
+    "stores answer question . , : ; ! ? % ( ) ' \" -").split()
+
+
 class TextGenerator:
     """Greedy streaming generation over a loaded checkpoint.
 
     One instance per engine process; ``stream()`` is called from RPC
     handler threads — jax dispatches serialize on the device, and the
     per-call state (cache, pos) is local, so no lock is needed.
+
+    ``constrained=True`` (default) masks decode logits to tokens from
+    the PROMPT (question + evidence) plus function words and EOS: the
+    decoder can only copy grounded content tokens, which removes
+    token-level hallucination by construction and tightens answers
+    (the serve-time analog of a pointer network).
     """
 
-    def __init__(self, ckpt_path: str, *, block: int = 16):
+    def __init__(self, ckpt_path: str, *, block: int = 16,
+                 constrained: bool = True):
         self.params, self.cfg, self.tokenizer = load_decoder(ckpt_path)
         self.block = int(block)
+        self.constrained = bool(constrained)
+        self._fn_ids = set()
+        for w in _FUNCTION_WORDS:
+            self._fn_ids.update(self.tokenizer.encode_text(w))
         self._prefill = jax.jit(functools.partial(prefill, cfg=self.cfg))
+
+    def vocab_bias(self, prompt_ids: list[int]) -> np.ndarray:
+        """[vocab] f32: 0 for prompt ∪ function ∪ EOS tokens, -1e9
+        elsewhere (PAD/BOS/SEP/UNK always banned)."""
+        bias = np.full((self.cfg.vocab_size,), -1e9, np.float32)
+        allowed = set(prompt_ids) | self._fn_ids | {EOS_ID}
+        allowed -= {PAD_ID, BOS_ID, SEP_ID, UNK_ID}
+        bias[sorted(allowed)] = 0.0
+        return bias
 
     def prewarm(self) -> None:
         """Compile prefill + decode_block (remote compiles are slow —
@@ -352,7 +404,8 @@ class TextGenerator:
                      jnp.int32(1), cfg=self.cfg, k_steps=self.block)
 
     def stream(self, question: str, evidences: list[str],
-               *, max_tokens: int | None = None):
+               *, max_tokens: int | None = None,
+               constrained: bool | None = None):
         """Yield detokenized text pieces, one per decode block."""
         cfg = self.cfg
         ids = self.tokenizer.encode_prompt(question, evidences,
@@ -360,10 +413,18 @@ class TextGenerator:
         length = len(ids)
         padded = np.full((1, cfg.prefix_len), PAD_ID, np.int32)
         padded[0, :length] = ids
+        if constrained is None:
+            constrained = self.constrained
+        bias_np = self.vocab_bias(ids) if constrained \
+            else np.zeros((cfg.vocab_size,), np.float32)
+        bias = jnp.asarray(bias_np)
         cache, logits = self._prefill(
             self.params, jnp.asarray(padded),
             jnp.array([length], jnp.int32))
-        first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        # the prefill's own token obeys the same constraint (host-side:
+        # logits are already fetched for the argmax anyway)
+        first_np = np.asarray(logits) + bias_np[None]
+        first = jnp.asarray(np.argmax(first_np, axis=-1).astype(np.int32))
         budget = min(max_tokens or cfg.ans_len,
                      cfg.max_len - length - 1)
         # the prefill already produced token 0; stream it with block 1
@@ -384,7 +445,7 @@ class TextGenerator:
                 and length + produced + self.block <= cfg.max_len:
             ids_blk, cache, pos = decode_block(
                 self.params, cache, tok, pos, cfg=cfg,
-                k_steps=self.block)
+                k_steps=self.block, bias=bias)
             blk = np.asarray(ids_blk)[0][: budget - produced]
             produced += len(blk)
             tok = jnp.asarray(blk[-1:].astype(np.int32))

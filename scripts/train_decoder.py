@@ -97,7 +97,8 @@ def cloze_question(rng: np.random.Generator, chunk: str
 
 
 def build_triples(chunks: list[str], n: int, *, seed: int,
-                  refusal_frac: float = 0.10, cloze_frac: float = 0.45,
+                  refusal_frac: float = 0.08, cloze_frac: float = 0.60,
+                  keyword_frac: float = 0.15,
                   max_ans_words: int = 60) -> list[dict]:
     from rag_foundation_tpu.app.services.generator import (REFUSAL_TEXT,
                                                            prep_evidence)
@@ -122,7 +123,7 @@ def build_triples(chunks: list[str], n: int, *, seed: int,
             if got is None:
                 continue
             q, cloze_span = got
-        elif r < cloze_frac + 0.35:
+        elif r < cloze_frac + keyword_frac:
             q = keyword_query(rng, gold)
         else:
             q = sentence_query(rng, gold)
@@ -232,6 +233,7 @@ def run_eval(gen, eval_triples: list[dict], *, log=log) -> dict:
     from rag_foundation_tpu.app.services.generator import REFUSAL_TEXT
     refusal_head = " ".join(REFUSAL_TEXT.lower().split()[:4])
     f1s, ground, n_ref, ref_ok = [], 0, 0, 0
+    f1_by: dict[str, list[float]] = {"cloze": [], "other": []}
     t0 = time.perf_counter()
     for t in eval_triples:
         pred = "".join(gen.stream(t["q"], t["evs"]))
@@ -239,11 +241,18 @@ def run_eval(gen, eval_triples: list[dict], *, log=log) -> dict:
             n_ref += 1
             ref_ok += int(pred.lower().startswith(refusal_head))
             continue
-        f1s.append(token_f1(pred, t["ans"]))
+        f1 = token_f1(pred, t["ans"])
+        f1s.append(f1)
+        f1_by["cloze" if t.get("cloze") else "other"].append(f1)
         ground += int(grounded(pred, t["evs"], t["q"]))
     n_ans = max(1, len(f1s))
     res = {
         "answerable_f1": round(float(np.mean(f1s)) if f1s else 0.0, 4),
+        # cloze = natural-question shape: the quality-bench proxy
+        "cloze_f1": round(float(np.mean(f1_by["cloze"])), 4)
+        if f1_by["cloze"] else None,
+        "other_f1": round(float(np.mean(f1_by["other"])), 4)
+        if f1_by["other"] else None,
         "grounded_rate": round(ground / n_ans, 4),
         "refusal_acc": round(ref_ok / n_ref, 4) if n_ref else None,
         "n_answerable": len(f1s), "n_refusal": n_ref,

@@ -349,3 +349,27 @@ def test_engine_without_ckpt_raises_clear_error():
     eng = Engine(EngineConfig(dim=32))
     with pytest.raises(ValueError, match="no generative decoder"):
         list(eng.generate_stream("q", ["ev"]))
+
+
+def test_constrained_decoding_only_emits_grounded_tokens(tmp_path, tokenizer,
+                                                         tiny_model):
+    """Constrained grounded decoding: every generated id must come from
+    the prompt, the function-word allowlist, or EOS — token-level
+    hallucination is impossible by construction."""
+    from rag_foundation_tpu.models.decoder import TextGenerator, save_decoder
+    params, cfg = tiny_model
+    p = str(tmp_path / "dec.npz")
+    save_decoder(params, p, cfg, tokenizer)
+    gen = TextGenerator(p, block=4, constrained=True)
+    q, ev = "how fast does the mount slew?", "the mount slews at 4.5"
+    prompt_ids = set(gen.tokenizer.encode_prompt(q, [ev], cfg.prefix_len))
+    allowed = prompt_ids | gen._fn_ids | {EOS_ID}
+    out = "".join(gen.stream(q, [ev]))
+    # re-encode the output: every id must be allowed (decode/encode of
+    # grounded text stays within the allowed id set)
+    for i in gen.tokenizer.encode_text(out):
+        assert i in allowed, (i, gen.tokenizer._id2piece[i], out)
+    # determinism holds under the mask too
+    assert out == "".join(gen.stream(q, [ev]))
+    # and the unconstrained path still runs (A/B hook)
+    "".join(gen.stream(q, [ev], constrained=False))
