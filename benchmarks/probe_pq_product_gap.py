@@ -1,0 +1,261 @@
+"""Isolate the 100M product-path vs bench-kernel ADC gap (VERDICT r4
+item 3 / "what's weak" 1).
+
+The round-4 numbers left a 2.6x spread between the bench kernel
+(bench_ivfpq_100m --device-build: pure-ADC 6.9k QPS) and the product
+path (bench_store_pq_100m phase_serve: pure-ADC 1611 QPS, host-refine
+2286 pipelined) with the diagnosis "the device ADC scan itself on this
+build's code layout plus tunnel variance". The two builds' code tables
+are the SAME shape (cap_len 6656 both at 1.09 slack, m=256 packed), so
+this probe measures where the spread actually lives by running every
+path against ONE device-built index in ONE process on ONE tunnel day:
+
+  A  bench-style loop: direct ivfpq_search, k=10, async dispatch,
+     one fetch at the end (what bench_ivfpq_100m times — device
+     throughput with dispatch pipelining)
+  A' the same program, synchronized per batch (fetch ids each call)
+  B  the product's host-refine DEVICE program: int8 queries + q_scale,
+     candidate fan-out C=256, rows fetched per batch (what StoreIndex
+     dispatches when pq_refine="host"; no host rescore here)
+  C  full StoreIndex plumbing, pq_refine="none": .search() sequential
+     and .search_many pipelined (empty tail)
+  D  C with an overflow-sized tail (110k rows) — the real product
+     state after the staged build
+
+A vs A' = dispatch pipelining; A' vs B = program shape (int8 dequant,
+C=256 top-k, row gather width); B vs C = StoreIndex host plumbing;
+C vs D = tail scan + merge. Whatever gap remains between D-pipelined
+and A is the honest product overhead to fix.
+
+Reference analog: /root/reference/scripts/benchmark/run_benchmark.py
+publishes latency with its quality metric; here the paired metric is
+recall vs the exact-GT of the generated corpus (same gt_merge as the
+bench).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=100_000_000)
+    ap.add_argument("--d", type=int, default=768)
+    ap.add_argument("--nlist", type=int, default=16384)
+    ap.add_argument("--m", type=int, default=256)
+    ap.add_argument("--cap_slack", type=float, default=1.09)
+    ap.add_argument("--nprobe", type=int, default=32)
+    ap.add_argument("--q", type=int, default=2048)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--gt_sub", type=int, default=128)
+    ap.add_argument("--chunk", type=int, default=524_288)
+    ap.add_argument("--pq_sample", type=int, default=65_536)
+    ap.add_argument("--pq_iters", type=int, default=6)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--tail-rows", type=int, default=110_000)
+    args = ap.parse_args()
+
+    from rag_foundation_tpu.utils.platform import pin_platform
+    pin_platform()
+
+    import jax
+    import jax.numpy as jnp
+    from benchmarks import corpus as corpus_mod
+    from rag_foundation_tpu.engine.ivfpq import (IVFPQIndex, ivfpq_search,
+                                                 pq_build_step, pq_cap_len)
+    from rag_foundation_tpu.ops.kmeans import assign_clusters
+    from rag_foundation_tpu.ops.l2norm import l2_normalize
+    from rag_foundation_tpu.ops.pq import pq_train
+
+    n, d, nlist, m = args.n, args.d, args.nlist, args.m
+    cap_len = pq_cap_len(n, nlist, args.cap_slack)
+    mb = m // 2
+    log(f"n={n} nlist={nlist} m={m} cap_len={cap_len} "
+        f"codes={nlist*cap_len*mb/2**30:.2f} GiB")
+
+    key = jax.random.key(0)
+    k_centers, k_noise, k_pq = jax.random.split(key, 3)
+    centers = l2_normalize(
+        jax.random.normal(k_centers, (nlist, d), jnp.float32))
+
+    def gen_at(base):
+        return corpus_mod.gen_docwalk_chunk(
+            k_noise, centers, jnp.int32(base), chunk=args.chunk)
+
+    @jax.jit
+    def gt_merge(run_vals, run_ids, q_sub, chunk_v, row_base):
+        scores = jnp.dot(q_sub, chunk_v.T,
+                         preferred_element_type=jnp.float32)
+        v, i = jax.lax.top_k(scores, args.k)
+        ids = row_base + i.astype(jnp.int32)
+        allv = jnp.concatenate([run_vals, v], axis=1)
+        alli = jnp.concatenate([run_ids, ids], axis=1)
+        nv, pos = jax.lax.top_k(allv, args.k)
+        return nv, jnp.take_along_axis(alli, pos, axis=1)
+
+    # -- codebook + device build (same recipe as bench_ivfpq_100m) -----
+    t0 = time.perf_counter()
+    v0 = gen_at(0)
+    assign0, _ = assign_clusters(v0[: args.pq_sample], centers,
+                                 block_size=65536)
+    res0 = v0[: args.pq_sample] - centers[assign0]
+    codebook = pq_train(res0, m, key=k_pq, iters=args.pq_iters, nbits=4)
+    codebook.centroids.block_until_ready()
+    log(f"pq_train: {time.perf_counter()-t0:.1f}s")
+
+    if n % args.chunk:
+        raise SystemExit("--chunk must divide --n")
+    mtot = nlist * cap_len
+    codes_flat = jax.jit(lambda: jnp.zeros((mtot, mb), jnp.uint8))()
+    ids_flat = jax.jit(lambda: jnp.full((mtot,), -1, jnp.int32))()
+    next_slot = jnp.zeros((nlist,), jnp.int32)
+    run_vals = jnp.full((args.gt_sub, args.k), -jnp.inf, jnp.float32)
+    run_ids = jnp.full((args.gt_sub, args.k), -1, jnp.int32)
+    drops = []
+    row_base = 0
+    n_chunks = n // args.chunk
+    t_loop = time.perf_counter()
+    queries = None
+    for ci in range(n_chunks):
+        v = v0 if ci == 0 else gen_at(row_base)
+        if ci == 0:
+            qnp, _src = corpus_mod.make_queries(v, args.q, qnoise=0.2)
+            queries = jnp.asarray(qnp)
+            q_sub = queries[: args.gt_sub]
+            v0 = None
+        run_vals, run_ids = gt_merge(run_vals, run_ids, q_sub, v,
+                                     row_base)
+        codes_flat, ids_flat, next_slot, nd = pq_build_step(
+            codes_flat, ids_flat, next_slot, v, jnp.int32(row_base),
+            centers, codebook.centroids, jnp.float32(1.0))
+        drops.append(nd)
+        del v
+        if ci == 0 or ci % 8 == 7:
+            np.asarray(drops[-1])
+        if ci % 80 == 0 or ci == n_chunks - 1:
+            log(f"chunk {ci+1}/{n_chunks}: "
+                f"{time.perf_counter()-t_loop:.1f}s")
+        row_base += args.chunk
+    overflow = int(sum(int(np.asarray(x)) for x in drops))
+    log(f"device build: {time.perf_counter()-t_loop:.1f}s; "
+        f"overflow {overflow} ({overflow/n*100:.4f}%)")
+
+    index = IVFPQIndex(
+        centroids=centers,
+        codebook_centroids=codebook.centroids,
+        codes=jax.jit(lambda x: x.reshape(nlist, cap_len, mb),
+                      donate_argnums=0)(codes_flat),
+        row_ids=jax.jit(lambda x: x.reshape(nlist, cap_len),
+                        donate_argnums=0)(ids_flat),
+        n=n - overflow,
+        refine=jnp.zeros((0, 1), jnp.int8),
+        refine_scale=jnp.float32(1.0))
+
+    exact_ids = np.asarray(run_ids)
+
+    def recall_of(ids_arr):
+        approx = np.asarray(ids_arr[: args.gt_sub])
+        return float(np.mean([len(set(a) & set(b)) / args.k
+                              for a, b in zip(approx, exact_ids)]))
+
+    results = {}
+    kw = dict(nprobe=args.nprobe, p=4)
+
+    # -- A: bench-style async loop -------------------------------------
+    t0 = time.perf_counter()
+    vals, ids, dropped = ivfpq_search(index, queries, args.k, **kw)
+    _ = np.asarray(vals)
+    log(f"A compile+first: {time.perf_counter()-t0:.1f}s "
+        f"drops {int(dropped)}")
+    t0 = time.perf_counter()
+    for _ in range(args.reps):
+        vals, ids, _ = ivfpq_search(index, queries, args.k, **kw)
+    _ = np.asarray(vals)
+    per = (time.perf_counter() - t0) / args.reps
+    results["A_bench_async"] = (per, recall_of(ids))
+    log(f"A  bench-async:  {per*1000:.1f} ms/batch "
+        f"{args.q/per:.0f} QPS recall {results['A_bench_async'][1]:.4f}")
+
+    # -- A': same program, per-batch sync ------------------------------
+    t0 = time.perf_counter()
+    for _ in range(args.reps):
+        vals, ids, _ = ivfpq_search(index, queries, args.k, **kw)
+        _ = np.asarray(ids)
+    per = (time.perf_counter() - t0) / args.reps
+    results["A_sync"] = (per, recall_of(ids))
+    log(f"A' bench-sync:   {per*1000:.1f} ms/batch {args.q/per:.0f} QPS")
+
+    # -- B: product host-refine device program (int8 q, C=256) ---------
+    qnp32 = np.asarray(queries)
+    s = float(np.abs(qnp32).max()) / 127.0 or 1.0
+    q_i8 = jnp.asarray(np.clip(np.round(qnp32 / s), -127, 127
+                               ).astype(np.int8))
+    c = 256
+    t0 = time.perf_counter()
+    bvals, brows, _ = ivfpq_search(index, q_i8, c,
+                                   q_scale=jnp.float32(s), **kw)
+    _ = np.asarray(brows)
+    log(f"B compile+first: {time.perf_counter()-t0:.1f}s")
+    t0 = time.perf_counter()
+    for _ in range(args.reps):
+        bvals, brows, _ = ivfpq_search(index, q_i8, c,
+                                       q_scale=jnp.float32(s), **kw)
+        rows_h = np.asarray(brows)          # what the host rescore needs
+    per = (time.perf_counter() - t0) / args.reps
+    rec_b = recall_of(rows_h[:, : args.k])  # top-k of the UNrescored C
+    results["B_product_program"] = (per, rec_b)
+    log(f"B  product-prog: {per*1000:.1f} ms/batch {args.q/per:.0f} QPS "
+        f"(C={c} rows fetched; top-k-of-C recall {rec_b:.4f})")
+
+    # -- C/D: StoreIndex plumbing --------------------------------------
+    from rag_foundation_tpu.engine.index import StoreIndex
+    idx = StoreIndex(d, mode="ivf_pq", nlist=nlist, nprobe=args.nprobe,
+                     pq_m=m, pq_packed=True, pq_refine="none",
+                     pq_cap_slack=args.cap_slack, build_threshold=1)
+    idx.body = index
+    idx.body_chunk_ids = np.arange(n, dtype=np.int64)
+
+    for label, tail_rows in (("C_store_notail", 0),
+                             ("D_store_tail", args.tail_rows)):
+        if tail_rows:
+            rng = np.random.default_rng(7)
+            tv = rng.standard_normal((tail_rows, d), dtype=np.float32)
+            tv /= np.linalg.norm(tv, axis=1, keepdims=True)
+            idx.tail.add(tv, np.arange(n, n + tail_rows))
+        t0 = time.perf_counter()
+        vals, ids = idx.search(qnp32, args.k)
+        log(f"{label} compile+first: {time.perf_counter()-t0:.1f}s")
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            vals, ids = idx.search(qnp32, args.k)
+        per = (time.perf_counter() - t0) / args.reps
+        results[label] = (per, recall_of(ids))
+        log(f"{label} seq:  {per*1000:.1f} ms/batch {args.q/per:.0f} QPS"
+            f" recall {results[label][1]:.4f}")
+        n_pipe = max(4, args.reps)
+        t0 = time.perf_counter()
+        outs = idx.search_many([qnp32] * n_pipe, args.k)
+        per = (time.perf_counter() - t0) / n_pipe
+        results[label + "_pipe"] = (per, recall_of(outs[-1][1]))
+        log(f"{label} pipe: {per*1000:.1f} ms/batch {args.q/per:.0f} QPS")
+
+    parts = [f"{k}={args.q/v[0]:.0f}qps/{v[1]:.4f}r"
+             for k, v in results.items()]
+    print("RESULT " + " ".join(parts))
+
+
+if __name__ == "__main__":
+    main()
