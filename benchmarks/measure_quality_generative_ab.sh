@@ -1,0 +1,68 @@
+#!/usr/bin/env bash
+# A/B the answer-composition slot on the committed 120-question quality
+# bench: ENGINE_GENERATOR=span_reader (shipped default) vs =generative
+# (the TPU-resident decoder behind the grounding gate, VERDICT r4 item
+# 1). Identical serving config on both sides; artifacts land in
+# benchmarks/results/quality/ab_{span_reader,generative}/.
+#
+# Reference analog: the harness publishes answer quality per backend
+# configuration (/root/reference/scripts/benchmark/run_benchmark.py).
+#
+# Env: ENGINE_PLATFORM=cpu (default; set tpu to run the decoder on the
+# real chip — one TPU process at a time per CLAUDE.md).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+REPO=$PWD
+PORT=${PORT:-8741}
+OUT=benchmarks/results/quality
+
+kill_port() {
+  local pid
+  pid=$(ss -tlnp 2>/dev/null | awk -v p=":$PORT" \
+    '$4 ~ p {match($0, /pid=[0-9]+/); if (RSTART) \
+     print substr($0, RSTART+4, RLENGTH-4)}' | head -1)
+  if [ -n "${pid:-}" ]; then
+    kill "$pid" 2>/dev/null || true
+    for _ in $(seq 20); do
+      kill -0 "$pid" 2>/dev/null || break
+      sleep 0.5
+    done
+  fi
+}
+
+for GEN in span_reader generative; do
+  WORK=$(mktemp -d /tmp/qab-XXXXXX)
+  echo "=== $GEN (work: $WORK) ===" >&2
+  env PYTHONPATH="$REPO:/root/.axon_site" \
+    RAGTPU_ENGINE_PLATFORM="${ENGINE_PLATFORM:-cpu}" \
+    RAGTPU_ENVIRONMENT=development RAGTPU_DEV_LOGIN_ENABLED=true \
+    RAGTPU_ENGINE_GENERATOR="$GEN" \
+    RAGTPU_ENGINE_GENERATOR_CKPT="$REPO/checkpoints/decoder_distill.npz" \
+    RAGTPU_ENGINE_MIN_COVERAGE=0.35 \
+    RAGTPU_ENGINE_CHUNK_TOKENS=120 RAGTPU_ENGINE_CHUNK_OVERLAP=24 \
+    RAGTPU_RATE_LIMIT_GLOBAL_PER_MIN=100000 \
+    RAGTPU_RATE_LIMIT_CHAT_PER_MIN=100000 \
+    RAGTPU_RATE_LIMIT_UPLOAD_PER_MIN=100000 \
+    RAGTPU_RATE_LIMIT_LOGIN_PER_MIN=1000 \
+    RAGTPU_DATA_DIR="$WORK/data" \
+    RAGTPU_DATABASE_PATH="$WORK/db.sqlite" \
+    python -m rag_foundation_tpu.app.main --port "$PORT" \
+    > "$WORK/server.log" 2>&1 &
+  for i in $(seq 60); do
+    sleep 2
+    curl -fsS "http://127.0.0.1:$PORT/health" >/dev/null 2>&1 && break
+    [ "$i" = 60 ] && { echo "server never came up; log:" >&2;
+                       tail -30 "$WORK/server.log" >&2; exit 1; }
+  done
+  python -m rag_foundation_tpu.benchmark.runner \
+    --base-url "http://127.0.0.1:$PORT" --register \
+    --config benchmarks/quality/benchmarks.yml --bench quality \
+    --out-dir "$OUT/ab_$GEN"
+  # gate outcome counters (ok / fallback_* / truncated_*) live in
+  # prometheus metrics, loopback-only — snapshot before shutdown
+  curl -s "http://127.0.0.1:$PORT/metrics" \
+    | grep 'op="generate"' > "$OUT/ab_$GEN/gate_counters.txt" || true
+  kill_port
+  echo "--- $GEN summary:" >&2
+  cat "$OUT/ab_$GEN/summary.json" >&2
+done
