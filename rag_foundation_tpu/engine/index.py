@@ -616,17 +616,22 @@ class StoreIndex:
         # more than the tier it protects.
         host_refine = self.mode == "ivf_pq" \
             and self.pq_refine == "host" and self._pq_archive is not None
+        # int8 transport applies to the pure-ADC tier too (not just
+        # host-refine): the ADC already quantizes CODES to 4 bits, so
+        # ~0.4%-of-range query noise is an order below the score
+        # resolution — the 100M probe measured top-k-of-C recall 0.9211
+        # int8 vs 0.9195 f32 (benchmarks/probe_pq_product_gap.py, paths
+        # B vs A), while the f32 upload it replaces cost 224 ms/batch
+        # of the pure-ADC path's 689 ms at Q=2048 on a ~28 MB/s tunnel
+        pq_int8_q = self.mode == "ivf_pq" and self.mesh is None
         from rag_foundation_tpu.engine.profile import search_profile
         q_scale = None
         with search_profile.stage("q_upload"):
-            if host_refine and np.asarray(queries).dtype == np.float32 \
-                    and self.mesh is None:
-                # host-refine upgrade of the bf16 trick: the device only
-                # PROPOSES candidates (the host f32 rescore re-ranks),
-                # so queries cross the tunnel as int8 + one scale —
-                # half the bf16 bytes, quarter of f32. Batch-absmax
-                # scale keeps quantization noise ~0.4% of range, far
-                # below the 4-bit ADC's own resolution.
+            if pq_int8_q and np.asarray(queries).dtype == np.float32:
+                # queries cross the tunnel as int8 + one scale — a
+                # quarter of the f32 bytes. Batch-absmax scale keeps
+                # quantization noise ~0.4% of range, far below the
+                # 4-bit ADC's own resolution (see pq_int8_q above).
                 qn = np.asarray(queries)
                 s = float(np.abs(qn).max()) / 127.0 or 1.0
                 qj = jnp.asarray(np.clip(np.round(qn / s), -127, 127
@@ -685,7 +690,7 @@ class StoreIndex:
                     b_vals, b_rows, _ = ivfpq_search(
                         self.body, qj, fetch,
                         nprobe=nprobe, p=min(4, fetch),
-                        interpret=_on_cpu())
+                        interpret=_on_cpu(), q_scale=q_scale)
             elif self.mesh is not None:
                 from rag_foundation_tpu.parallel.sharded_ivf import \
                     sharded_ivf_search
