@@ -186,6 +186,11 @@ class StoreIndex:
         self.body: IVFFlatIndex | None = None
         self.body_chunk_ids: np.ndarray | None = None  # row -> chunk id
         self._dead: set[int] = set()
+        # host copy of the flat-int8 body's quantization scale, keyed
+        # by body identity: fetching the device scalar per dispatch
+        # would cost a tunnel RTT (~27 ms) per batch — more than the
+        # int8 transport it enables saves
+        self._body_scale_cache: tuple = (None, 0.0)
         # bumped on every persisted-body mutation (rebuild/flush/
         # restore/delete): lets savers skip rewriting a multi-GB
         # body.npz when only the tail changed
@@ -575,6 +580,21 @@ class StoreIndex:
             out[pi] = self.search_finalize(ph)
         return out
 
+    def _flat_scale(self, body) -> float:
+        """Host-cached int8 quantization scale of a flat body (0.0 when
+        absent or not int8). One device fetch per body swap — the
+        identity-keyed cache keeps the per-dispatch cost at zero."""
+        cached_body, s = self._body_scale_cache
+        if cached_body is body:
+            return s
+        s = 0.0
+        if body is not None \
+                and getattr(body, "lists", None) is not None \
+                and body.lists.dtype == jnp.int8:
+            s = float(np.asarray(body.scale))
+        self._body_scale_cache = (body, s)
+        return s
+
     def _dispatch_padded(self, queries: np.ndarray, k: int):
         """Dispatch all device work for one padded batch; the returned
         context goes to ``_finalize_padded`` (fetch + host merge)."""
@@ -624,10 +644,30 @@ class StoreIndex:
         # B vs A), while the f32 upload it replaces cost 224 ms/batch
         # of the pure-ADC path's 689 ms at Q=2048 on a ~28 MB/s tunnel
         pq_int8_q = self.mode == "ivf_pq" and self.mesh is None
+        # flat-int8 tier: quantizing on host with the BODY's OWN scale
+        # reproduces byte-for-byte what ivf_search's device-side
+        # quantizer computed from the f32 upload, so list-scan scores
+        # are bit-identical — only the coarse routing sees dequantized
+        # values (tests/test_engine.py::test_flat_int8_query_transport).
+        # Gated to batches big enough for the upload to matter (the
+        # f32 upload is ~Q*3 KB; at Q=2048 that's 6.3 MB ≈ 224 ms of
+        # the product batch on a ~28 MB/s tunnel — the dominant term
+        # the 100M probe isolated); tiny/chat batches keep exact f32
+        # routing for free.
+        flat_body = self.body   # one snapshot: scale + dispatch agree
+        flat_int8_q = (self.mode == "ivf_flat_int8"
+                       and self.mesh is None and q_n >= 256
+                       and self._flat_scale(flat_body) > 0)
         from rag_foundation_tpu.engine.profile import search_profile
         q_scale = None
         with search_profile.stage("q_upload"):
-            if pq_int8_q and np.asarray(queries).dtype == np.float32:
+            if flat_int8_q and np.asarray(queries).dtype == np.float32:
+                s = self._flat_scale(flat_body)
+                qn = np.asarray(queries)
+                qj = jnp.asarray(np.clip(np.round(qn / s), -127, 127
+                                         ).astype(np.int8))
+                q_scale = jnp.float32(s)
+            elif pq_int8_q and np.asarray(queries).dtype == np.float32:
                 # queries cross the tunnel as int8 + one scale — a
                 # quarter of the f32 bytes. Batch-absmax scale keeps
                 # quantization noise ~0.4% of range, far below the

@@ -570,7 +570,11 @@ def ivf_search_small(
     q_n, d = queries.shape
     nlist, cap_len = index.row_ids.shape
     nprobe = min(nprobe, nlist)
-    q32 = queries.astype(jnp.float32)
+    # int8 queries = pre-quantized transport (see ivf_search): scan
+    # bytes verbatim, dequantize only for the coarse routing
+    pre_quant = queries.dtype == jnp.int8
+    q32 = queries.astype(jnp.float32) * index.scale if pre_quant \
+        else queries.astype(jnp.float32)
     coarse = jnp.dot(q32, index.centroids.T,
                      preferred_element_type=jnp.float32)
     _, probe_lists = jax.lax.top_k(coarse, nprobe)      # [Q, nprobe]
@@ -591,8 +595,8 @@ def ivf_search_small(
     cand = cand_flat.reshape(q_n, nprobe, cap_len, d)
     cand_ids = ids_flat.reshape(q_n, nprobe, cap_len)
     if index.lists.dtype == jnp.int8:
-        qq = jnp.clip(jnp.round(q32 / index.scale), -127, 127
-                      ).astype(jnp.int8)
+        qq = queries if pre_quant else jnp.clip(
+            jnp.round(q32 / index.scale), -127, 127).astype(jnp.int8)
         scores = jnp.einsum("qd,qncd->qnc", qq.astype(jnp.int32),
                             cand.astype(jnp.int32)
                             ).astype(jnp.float32) * (index.scale ** 2)
@@ -639,7 +643,15 @@ def ivf_search(
         # expected probes per list x slack, lane-aligned
         qcap = max(8, int(-(-(q_n * nprobe * 2) // nlist // 8) * 8))
 
-    q32 = queries.astype(jnp.float32)
+    # int8 queries = pre-quantized transport (StoreIndex quantizes on
+    # host with THIS index's scale, so the list scan consumes the bytes
+    # verbatim — bit-identical scores to the f32-upload path, which
+    # device-quantized with the same scale anyway; only the coarse
+    # routing below sees the dequantized values). Cuts the per-batch
+    # query upload 4x over the ~25-45 MB/s tunnel.
+    pre_quant = queries.dtype == jnp.int8
+    q32 = queries.astype(jnp.float32) * index.scale if pre_quant \
+        else queries.astype(jnp.float32)
     coarse = jnp.dot(q32, index.centroids.T,
                      preferred_element_type=jnp.float32)
     probe_lists, dispatch, slot, dropped = build_dispatch(
@@ -648,12 +660,12 @@ def ivf_search(
     # gather dispatched queries (XLA gather; [nlist, qcap, d])
     safe_q = jnp.clip(dispatch, 0, q_n - 1)
     if index.lists.dtype == jnp.int8:
-        q_quant = jnp.clip(jnp.round(q32 / index.scale), -127, 127
-                           ).astype(jnp.int8)
+        q_quant = queries if pre_quant else jnp.clip(
+            jnp.round(q32 / index.scale), -127, 127).astype(jnp.int8)
         qdisp = q_quant[safe_q]
         scan_scale = index.scale * index.scale
     else:
-        qdisp = queries.astype(index.lists.dtype)[safe_q]
+        qdisp = q32.astype(index.lists.dtype)[safe_q]
         scan_scale = jnp.float32(1.0)
 
     vals, flat_idx = ivf_list_scan(

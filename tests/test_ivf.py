@@ -346,3 +346,34 @@ def test_build_ivf_flat_device_matches_streaming():
     agree = np.mean([len(set(a) & set(b)) / 5 for a, b in
                      zip(np.asarray(ia), np.asarray(ib))])
     assert agree >= 0.99
+
+
+def test_int8_query_transport_bit_identical_to_f32_upload():
+    """Pre-quantized int8 queries (host-side, the index's own scale —
+    what StoreIndex ships over the tunnel for the flat-int8 tier) must
+    reproduce the f32-upload path exactly: the device quantizes f32
+    queries to the same bytes before the list scan, so with identical
+    routing (full probing, ample qcap) values AND row ids are
+    bit-identical. Reference analog: /root/reference/scripts/benchmark/
+    run_benchmark.py pairs every latency config with its quality —
+    here the pairing is exactness, not a tolerance."""
+    from rag_foundation_tpu.engine.ivf import ivf_search_small
+    x = _clustered_corpus(4096, 32, seed=41)
+    idx8 = build_ivf_flat(jnp.asarray(x), nlist=16,
+                          key=jax.random.key(0), int8=True)
+    rng = np.random.default_rng(42)
+    q = (x[:512] + 0.05 * rng.standard_normal((512, 32))
+         ).astype(np.float32)
+    scale = float(np.asarray(idx8.scale))
+    q8 = np.clip(np.round(q / scale), -127, 127).astype(np.int8)
+    kw = dict(nprobe=16, p=4, qcap=1024, interpret=True)
+    fv, fr, fd = ivf_search(idx8, jnp.asarray(q), 10, **kw)
+    iv, ir, idrop = ivf_search(idx8, jnp.asarray(q8), 10, **kw)
+    assert int(np.asarray(fd)) == 0 and int(np.asarray(idrop)) == 0
+    np.testing.assert_array_equal(np.asarray(ir), np.asarray(fr))
+    np.testing.assert_array_equal(np.asarray(iv), np.asarray(fv))
+    # small-batch path: same pre-quantized contract
+    sv, sr = ivf_search_small(idx8, jnp.asarray(q[:4]), 10, nprobe=16)
+    s8v, s8r = ivf_search_small(idx8, jnp.asarray(q8[:4]), 10, nprobe=16)
+    np.testing.assert_array_equal(np.asarray(s8r), np.asarray(sr))
+    np.testing.assert_array_equal(np.asarray(s8v), np.asarray(sv))
