@@ -1,0 +1,232 @@
+"""10M flat-int8 PRODUCT-path A/B: f32 vs int8 query transport.
+
+The 100M probe (benchmarks/probe_pq_product_gap.py) isolated the f32
+query upload — not StoreIndex plumbing — as the product path's dominant
+per-batch cost over the ~25-45 MB/s tunnel. This bench measures the
+round-5 fix on the 10M flat-int8 tier (VERDICT r4 weak #2): the SAME
+``StoreIndex.search`` / ``search_many`` code behind /api/chat, same
+device-built 10M docwalk index, ONE process, ONE tunnel day, with the
+transport forced to f32 (legacy) vs the new int8+body-scale path
+(bit-identical list-scan bytes — tests/test_ivf.py::
+test_int8_query_transport_bit_identical_to_f32_upload).
+
+Reference analog: /root/reference/scripts/benchmark/run_benchmark.py
+447-469 — every latency is published with its paired quality metric;
+here each leg carries recall@10 vs the streamed exact f32 ground truth.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=10_000_000)
+    ap.add_argument("--d", type=int, default=768)
+    ap.add_argument("--nlist", type=int, default=4096)
+    ap.add_argument("--nprobe", type=int, default=32)
+    ap.add_argument("--q", type=int, default=2048)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--gt_sub", type=int, default=128)
+    ap.add_argument("--chunk", type=int, default=500_000)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--pipe", type=int, default=8,
+                    help="batches per search_many pipelined run")
+    args = ap.parse_args()
+
+    from rag_foundation_tpu.utils.platform import pin_platform
+    pin_platform()
+
+    import jax
+    import jax.numpy as jnp
+    from benchmarks import corpus as corpus_mod
+    from rag_foundation_tpu.engine.index import StoreIndex
+    from rag_foundation_tpu.engine.ivf import IVFFlatIndex, interleave_slots
+    from rag_foundation_tpu.ops.kmeans import assign_clusters
+    from rag_foundation_tpu.ops.l2norm import l2_normalize
+
+    n, d, nlist = args.n, args.d, args.nlist
+    if n % args.chunk:
+        raise SystemExit("--chunk must divide --n")
+    cap_len = int(-(-(n / nlist * 1.18) // 128) * 128)
+    log(f"n={n} nlist={nlist} cap_len={cap_len} "
+        f"({nlist*cap_len*d/2**30:.1f} GiB int8)")
+
+    key = jax.random.key(0)
+    k_centers, k_noise = jax.random.split(key)
+    centers = l2_normalize(
+        jax.random.normal(k_centers, (nlist, d), jnp.float32))
+    scale = jnp.float32(6.0 / np.sqrt(d) / 127.0)
+
+    @jax.jit
+    def gen_chunk(base):
+        v = corpus_mod.gen_docwalk_chunk(
+            k_noise, centers, jnp.asarray(base, jnp.int32),
+            chunk=args.chunk)
+        q8 = jnp.clip(jnp.round(v / scale), -127, 127).astype(jnp.int8)
+        assign, _ = assign_clusters(v, centers, block_size=args.chunk)
+        return v, q8, assign
+
+    @jax.jit
+    def gt_merge(run_vals, run_ids, q_sub, chunk_v, row_base):
+        scores = jnp.dot(q_sub, chunk_v.T,
+                         preferred_element_type=jnp.float32)
+        v, i = jax.lax.top_k(scores, args.k)
+        ids = row_base + i.astype(jnp.int32)
+        allv = jnp.concatenate([run_vals, v], axis=1)
+        alli = jnp.concatenate([run_ids, ids], axis=1)
+        nv, pos = jax.lax.top_k(allv, args.k)
+        return nv, jnp.take_along_axis(alli, pos, axis=1)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def scatter_chunk(lists_flat, ids_flat, qvecs, dest, row_ids):
+        lists_flat = lists_flat.at[dest].set(qvecs, mode="drop")
+        ids_flat = ids_flat.at[dest].set(row_ids, mode="drop")
+        return lists_flat, ids_flat
+
+    lists_flat = jnp.zeros((nlist * cap_len, d), jnp.int8)
+    ids_flat = jnp.full((nlist * cap_len,), -1, jnp.int32)
+    next_slot = np.zeros(nlist, np.int64)
+    run_vals = jnp.full((args.gt_sub, args.k), -jnp.inf, jnp.float32)
+    run_ids = jnp.full((args.gt_sub, args.k), -1, jnp.int32)
+    overflow, row_base, queries = 0, 0, None
+    t_loop = time.perf_counter()
+    n_chunks = n // args.chunk
+    for ci in range(n_chunks):
+        v, q8, assign = gen_chunk(ci * args.chunk)
+        if ci == 0:
+            queries, _src = corpus_mod.make_queries(v, args.q,
+                                                    qnoise=0.2)
+            q_sub = jnp.asarray(queries[: args.gt_sub])
+        run_vals, run_ids = gt_merge(run_vals, run_ids, q_sub, v,
+                                     jnp.int32(row_base))
+        assign_h = np.asarray(assign)          # sync point
+        del v, assign
+        order = np.argsort(assign_h, kind="stable")
+        sa = assign_h[order]
+        counts = np.bincount(assign_h, minlength=nlist)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        slots = np.empty(args.chunk, np.int64)
+        slots[order] = (np.arange(args.chunk) - starts[sa]) \
+            + next_slot[sa]
+        next_slot += counts
+        dest = np.where(slots < cap_len,
+                        assign_h.astype(np.int64) * cap_len
+                        + interleave_slots(slots, cap_len),
+                        nlist * cap_len)
+        overflow += int((slots >= cap_len).sum())
+        row_ids = np.arange(row_base, row_base + args.chunk,
+                            dtype=np.int32)
+        lists_flat, ids_flat = scatter_chunk(
+            lists_flat, ids_flat, q8,
+            jnp.asarray(dest.astype(np.int32)), jnp.asarray(row_ids))
+        del q8
+        if ci % 5 == 0 or ci == n_chunks - 1:
+            log(f"chunk {ci+1}/{n_chunks}: "
+                f"{time.perf_counter()-t_loop:.1f}s")
+        row_base += args.chunk
+    log(f"build: {time.perf_counter()-t_loop:.1f}s; overflow {overflow}"
+        f" ({overflow/n*100:.3f}%)")
+
+    index = IVFFlatIndex(
+        centroids=centers,
+        lists=jax.jit(lambda x: x.reshape(nlist, cap_len, d),
+                      donate_argnums=0)(lists_flat),
+        row_ids=ids_flat.reshape(nlist, cap_len),
+        scale=scale, n=n - overflow)
+    del lists_flat, ids_flat
+    exact_ids = np.asarray(run_ids)
+
+    def recall_of(ids_arr):
+        approx = np.asarray(ids_arr[: args.gt_sub])
+        return float(np.mean([len(set(a[a >= 0]) & set(b)) / args.k
+                              for a, b in zip(approx, exact_ids)]))
+
+    idx = StoreIndex(d, mode="ivf_flat_int8", nlist=nlist,
+                     nprobe=args.nprobe, build_threshold=1)
+    idx.body = index
+    idx.body_chunk_ids = np.arange(n, dtype=np.int64)
+
+    from rag_foundation_tpu.engine.profile import search_profile
+
+    # legs: f32 = legacy transport, exact routing; int8 = new transport,
+    # exact routing; int8a = new transport + approx_max_k coarse routing
+    # (what the 172k bench-kernel headline runs — quantifies how much of
+    # the product-vs-kernel spread is the sort-based routing default)
+    LEGS = ("f32", "int8", "int8a")
+
+    def leg(label):
+        if label == "f32":
+            idx._flat_scale = lambda body: 0.0      # legacy transport
+        else:
+            idx.__dict__.pop("_flat_scale", None)   # class method back
+        idx.approx_routing = label == "int8a"
+
+    # warm/compile every program before ANY timing (the remote compile
+    # is async — a "fast first call" can push compile time into later
+    # reps, poisoning whichever leg runs second)
+    for label in LEGS:
+        leg(label)
+        t0 = time.perf_counter()
+        vals, ids = idx.search(queries, args.k)
+        log(f"{label} warm: {time.perf_counter()-t0:.1f}s "
+            f"recall {recall_of(ids):.4f}")
+    assert idx._body_scale_cache[0] is idx.body, "int8 leg not engaged"
+    rec = {}
+
+    # interleaved A/B: tunnel bandwidth drifts minute-to-minute, so
+    # alternating reps and taking medians is the only honest pairing
+    times = {lb: [] for lb in LEGS} | {lb + "_pipe": [] for lb in LEGS}
+    profs = {}
+    for r in range(args.reps):
+        for label in LEGS:
+            leg(label)
+            search_profile.reset()
+            t0 = time.perf_counter()
+            vals, ids = idx.search(queries, args.k)
+            times[label].append(time.perf_counter() - t0)
+            if r == args.reps - 1:
+                profs[label] = search_profile.table(batches=1)
+                rec[label] = recall_of(ids)
+    for r in range(max(2, args.reps // 2)):
+        for label in LEGS:
+            leg(label)
+            t0 = time.perf_counter()
+            outs = idx.search_many([queries] * args.pipe, args.k)
+            times[label + "_pipe"].append(
+                (time.perf_counter() - t0) / args.pipe)
+            rec[label] = recall_of(outs[-1][1])
+
+    results = {}
+    for key, ts in times.items():
+        per = float(np.median(ts))
+        base = key.split("_")[0]
+        results[f"S_{key}"] = (per, rec[base])
+        log(f"S_{key}: median {per*1000:.1f} ms/batch "
+            f"{args.q/per:.0f} QPS over "
+            f"[{', '.join(f'{t*1000:.0f}' for t in ts)}] ms "
+            f"recall {rec[base]:.4f}")
+    for label, tbl in profs.items():
+        log(f"-- stage profile, last {label} sequential batch --\n{tbl}")
+
+    parts = [f"{k}={args.q/v[0]:.0f}qps/{v[1]:.4f}r"
+             for k, v in results.items()]
+    print("RESULT " + " ".join(parts))
+
+
+if __name__ == "__main__":
+    main()
